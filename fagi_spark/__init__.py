@@ -1,0 +1,23 @@
+"""fagi_spark — a PySpark-native spatial-join + tiling engine.
+
+Re-expresses the query/data-processing capabilities of the reference
+FAGI-gis (Java + Virtuoso/PostGIS conflation tool, read-only at
+/root/reference) as an idiomatic Spark DataFrame engine:
+
+- geocoding of Common-Crawl-style web pages (geo-entities extracted from
+  ``text`` via vectorized Arrow UDFs) into hierarchical grid cells at
+  multiple resolutions (``cells.py``),
+- FAGI-style link discovery as a cell-partitioned equi-join with
+  per-partition bbox-indexed point-in-polygon refinement (``joins.py``,
+  ``discover.py``),
+- kNN conflation matching via cell-ring expansion + distance re-rank,
+- the full registry of FAGI fused-geometry actions (``fuse.py``) and
+  metadata fusion actions (``metadata_fuse.py``),
+- raster<->vector tile assignment (``tiles.py``),
+- skew handling (salting + adaptive cell splitting), checkpoint/lineage
+  (``checkpoint.py``).
+
+Pure Python, shipped via ``spark-submit --py-files``; no JVM extensions.
+"""
+
+__version__ = "0.1.0"

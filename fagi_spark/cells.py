@@ -1,0 +1,189 @@
+"""Hierarchical lon/lat grid — the engine's H3/S2 stand-in.
+
+The reference relies on a PostGIS GiST index + physical ``CLUSTER`` on
+geometry (schema.sql:38-39, 66-67) for every spatial predicate. At
+cluster scale we replace that with an explicit hierarchical grid: at
+resolution ``r`` the world is a ``2^r x 2^r`` lon/lat raster; a cell id
+packs ``(r, ix, iy)`` into one int64. Everything here is *pure Spark
+column arithmetic* — no UDF, fully inside whole-stage codegen, and each
+expression has a textually-mirrored DuckDB form for oracle checking
+(`sql_*` helpers).
+
+Cell ids are the partitioning key for:
+  - the cell-partitioned equi-join (SURVEY.md §2.3 J2/J6),
+  - radius/kNN candidate search via ring expansion (J4 — replaces
+    ``bif:st_contains(geo, center, radius/111195)``),
+  - viewport/bbox tile assignment (F4/J5),
+  - Iceberg-style partition layout (partition pruning on cell prefix).
+
+Resolution guide (cell width in degrees = 360 / 2^r):
+  r=7 ~ 2.8deg   r=10 ~ 0.35deg   r=13 ~ 0.044deg   r=16 ~ 0.0055deg
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default multi-resolution set carried on extracted entities.
+RESOLUTIONS = (7, 10, 13)
+MAX_RES = 28  # 2*res bits must fit under the res tag (res << 58)
+_RES_SHIFT = 58
+
+
+def cell_width_deg(res: int) -> float:
+    """Cell width in lon degrees (cells are 2:1 rectangles: 360 x 180
+    world over a 2^r x 2^r grid)."""
+    return 360.0 / (1 << res)
+
+
+def cell_height_deg(res: int) -> float:
+    return 180.0 / (1 << res)
+
+
+def res_for_radius_deg(radius_deg: float, max_res: int = 16) -> int:
+    """Finest resolution whose cell *height* (the smaller cell axis) is
+    >= the search radius, so a 1-ring disk covers the radius in y and a
+    (1,1)-ring covers it in x too. Mirrors choosing an H3 res +
+    grid_disk(k)."""
+    for r in range(max_res, -1, -1):
+        if cell_height_deg(r) >= radius_deg:
+            return r
+    return 0
+
+
+def ring_k_for_radius(radius_deg: float, res: int) -> tuple[int, int]:
+    """(kx, ky) Chebyshev ring counts needed at a fixed resolution —
+    per-axis because cells are rectangular."""
+    kx = max(1, int(math.ceil(radius_deg / cell_width_deg(res))))
+    ky = max(1, int(math.ceil(radius_deg / cell_height_deg(res))))
+    return kx, ky
+
+
+def ix_col(lon: Column, res: int) -> Column:
+    n = 1 << res
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def iy_col(lat: Column, res: int) -> Column:
+    n = 1 << res
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def pack_cell(ix: Column, iy: Column, res: int) -> Column:
+    """cell_id = (res << 58) | (ix << res) | iy — res <= 28."""
+    return (F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
+            + ix * F.lit(1 << res) + iy)
+
+
+def cell_col(lon: Column, lat: Column, res: int) -> Column:
+    return pack_cell(ix_col(lon, res), iy_col(lat, res), res)
+
+
+def with_cell(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat",
+              prefix: str = "") -> DataFrame:
+    """Adds `{prefix}ix, {prefix}iy, {prefix}cell` columns at ``res``."""
+    ix = ix_col(F.col(lon), res)
+    iy = iy_col(F.col(lat), res)
+    return (df.withColumn(f"{prefix}ix", ix)
+              .withColumn(f"{prefix}iy", iy)
+              .withColumn(f"{prefix}cell", pack_cell(F.col(f"{prefix}ix"), F.col(f"{prefix}iy"), res)))
+
+
+def explode_ring(df: DataFrame, res: int, k: int | tuple[int, int],
+                 ix: str = "ix", iy: str = "iy", out: str = "probe_cell") -> DataFrame:
+    """grid_disk analog: one row per cell within per-axis Chebyshev
+    distance (kx, ky) of (ix, iy). (2kx+1)(2ky+1) rows per input row —
+    keep k small by picking res with ``res_for_radius_deg``. Pure
+    explode of a literal sequence; no Python."""
+    kx, ky = (k, k) if isinstance(k, int) else k
+    n = 1 << res
+    df = (df.withColumn("_dx", F.explode(F.sequence(F.lit(-kx), F.lit(kx))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-ky), F.lit(ky)))))
+    nix = F.col(ix) + F.col("_dx")
+    niy = F.col(iy) + F.col("_dy")
+    df = df.filter((nix >= 0) & (nix < n) & (niy >= 0) & (niy < n))
+    return (df.withColumn(out, pack_cell(nix, niy, res))
+              .drop("_dx", "_dy"))
+
+
+def bbox_cells_range(res: int, xmin: float, ymin: float, xmax: float, ymax: float):
+    """Inclusive (ix0, ix1, iy0, iy1) index ranges covering a bbox — the
+    viewport prefilter (BatchFindLinkServlet.java:395-417) as partition
+    pruning."""
+    n = 1 << res
+
+    def clampx(v):
+        return min(n - 1, max(0, int(math.floor((v + 180.0) / 360.0 * n))))
+
+    def clampy(v):
+        return min(n - 1, max(0, int(math.floor((v + 90.0) / 180.0 * n))))
+
+    return clampx(xmin), clampx(xmax), clampy(ymin), clampy(ymax)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-mirrored SQL fragments (for oracle_sql parity). The expressions are
+# textually identical semantics: floor/least/greatest behave the same.
+# ---------------------------------------------------------------------------
+
+def sql_ix(lon_expr: str, res: int) -> str:
+    n = 1 << res
+    return (f"CAST(GREATEST(0, LEAST({n - 1}, "
+            f"FLOOR(({lon_expr} + 180.0) / 360.0 * {float(n)}))) AS BIGINT)")
+
+
+def sql_iy(lat_expr: str, res: int) -> str:
+    n = 1 << res
+    return (f"CAST(GREATEST(0, LEAST({n - 1}, "
+            f"FLOOR(({lat_expr} + 90.0) / 180.0 * {float(n)}))) AS BIGINT)")
+
+
+def sql_cell(lon_expr: str, lat_expr: str, res: int) -> str:
+    return (f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} "
+            f"+ {sql_ix(lon_expr, res)} * {1 << res} + {sql_iy(lat_expr, res)})")
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: stats pass + salting + adaptive resolution promotion.
+# (SURVEY.md §4 "custom work": dense city cells blow up the cell join.)
+# ---------------------------------------------------------------------------
+
+def cell_stats(df: DataFrame, cell: str = "cell") -> DataFrame:
+    return df.groupBy(cell).agg(F.count(F.lit(1)).alias("cell_rows"))
+
+
+def hot_cells(df: DataFrame, threshold: int, cell: str = "cell") -> DataFrame:
+    """Cells whose row count exceeds ``threshold`` — candidates for
+    salting / resolution promotion. Cheap stats pass (map-side combine)."""
+    return cell_stats(df, cell).filter(F.col("cell_rows") > threshold)
+
+
+def with_salt(df: DataFrame, n_salts: int, key: str, out: str = "salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts) from a stable key column."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).cast("int"))
+
+
+def explode_salts(df: DataFrame, n_salts: int, out: str = "salt") -> DataFrame:
+    """Replicate the small side across all salt values (broadcast-style
+    skew mitigation for the cell join)."""
+    return df.withColumn(out, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+
+
+def promote_hot_cells(df: DataFrame, hot: DataFrame, fine_res: int,
+                      lon: str = "lon", lat: str = "lat", cell: str = "cell") -> DataFrame:
+    """Adaptive cell splitting: rows in hot cells get re-assigned to the
+    finer resolution; others keep their cell. ``hot`` = output of
+    ``hot_cells`` (broadcast — it is tiny by construction)."""
+    hot_marked = F.broadcast(hot.select(F.col(cell).alias("_hot_cell"), F.lit(True).alias("_is_hot")))
+    out = (df.join(hot_marked, df[cell] == hot_marked._hot_cell, "left")
+             .withColumn(cell,
+                         F.when(F.col("_is_hot"),
+                                cell_col(F.col(lon), F.col(lat), fine_res))
+                          .otherwise(F.col(cell)))
+             .drop("_hot_cell", "_is_hot"))
+    return out

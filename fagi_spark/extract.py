@@ -1,0 +1,111 @@
+"""Geocoding: web-page text -> geo-entities (the engine's ingest stage).
+
+Re-expresses the reference's geometry discovery (Importer.java:208-216)
+over Common-Crawl-style pages: instead of SPARQL scans of RDF graphs, a
+single Arrow-vectorized ``mapInPandas`` pass extracts both
+serializations from ``text``:
+
+  1. W3C WGS84 lat/long pairs — ``lat <decimal> long <decimal>``
+     (Constants.java:40-41 regex analog) -> synthesized ``POINT (lon lat)``
+     (Importer.java:316-318);
+  2. GeoSPARQL-style inline WKT snippets -> kept verbatim
+     (Importer.java:216, asWKT chain).
+
+One geometry per subject is enforced by the reference's type-precedence
+table (Constants.java:85-95: MULTIPOLYGON > POLYGON > MULTILINESTRING >
+LINESTRING > MULTIPOINT > POINT; dedup loops Importer.java:306-314,
+367-378) — here a window ``row_number()`` (SURVEY.md §2.1 S5).
+
+Invariant: ``text`` is never modified — the byte-identical-text-per-url
+check hashes it at ingest and at output (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cells, geom
+
+# lat/long pair, reference vocabulary order (lat first)
+LATLONG_RE = re.compile(
+    r"\blat\w*[\s:=]+(-?\d{1,2}(?:\.\d+)?)[\s,;]+long\w*[\s:=]+(-?\d{1,3}(?:\.\d+)?)",
+    re.IGNORECASE)
+
+# balanced-paren WKT snippet, nesting depth <= 3 (MULTIPOLYGON)
+_NP = r"[^()]*"
+_D1 = rf"\({_NP}\)"
+_D2 = rf"\((?:{_NP}|{_D1})*\)"
+_D3 = rf"\((?:{_NP}|{_D2})*\)"
+WKT_RE = re.compile(
+    rf"\b(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON)\s*({_D3})")
+
+ENTITY_SCHEMA = ("url string, entity_idx int, source string, geom_wkt string, "
+                 "geom_kind string, kind_rank int, npoints int, "
+                 "lon double, lat double, xmin double, ymin double, "
+                 "xmax double, ymax double")
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for url, text in zip(pdf["url"], pdf["text"]):
+        if text is None:
+            continue
+        idx = 0
+        for m in LATLONG_RE.finditer(text):
+            lat, lon = float(m.group(1)), float(m.group(2))
+            if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+                continue
+            wkt = f"POINT ({geom._fmt(lon)} {geom._fmt(lat)})"
+            rows.append((url, idx, "wgs84", wkt, "POINT", geom.KIND_RANK["POINT"], 1,
+                         lon, lat, lon, lat, lon, lat))
+            idx += 1
+        for m in WKT_RE.finditer(text):
+            s = geom.stats(m.group(0))
+            if s is None:
+                continue
+            kind, rank, np_, cx, cy, x0, y0, x1, y1 = s
+            if not (-180.0 <= cx <= 180.0 and -90.0 <= cy <= 90.0):
+                continue
+            rows.append((url, idx, "wkt", m.group(0), kind, rank, np_,
+                         cx, cy, x0, y0, x1, y1))
+            idx += 1
+    return pd.DataFrame(rows, columns=[
+        "url", "entity_idx", "source", "geom_wkt", "geom_kind", "kind_rank",
+        "npoints", "lon", "lat", "xmin", "ymin", "xmax", "ymax"])
+
+
+def extract_entities(pages: DataFrame, resolutions=cells.RESOLUTIONS) -> DataFrame:
+    """pages(url, text, ...) -> one row per extracted geo-entity with
+    precomputed geometry stats and multi-resolution cell ids."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _extract_batch(pdf)
+
+    ents = pages.select("url", "text").mapInPandas(run, ENTITY_SCHEMA)
+    for r in resolutions:
+        ents = ents.withColumn(f"cell_r{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
+    return ents
+
+
+def dedup_by_precedence(entities: DataFrame, subject: str = "url") -> DataFrame:
+    """S5: keep one geometry per subject — most complex type wins, ties
+    broken by extraction order (Importer.java:306-314 keeps the first
+    seen at the winning rank)."""
+    w = Window.partitionBy(subject).orderBy(F.col("kind_rank").asc(), F.col("entity_idx").asc())
+    return (entities.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def geocode_pages(pages: DataFrame, resolutions=cells.RESOLUTIONS,
+                  dedup: bool = True) -> DataFrame:
+    """Full ingest: extract + (optional) precedence dedup. Carries no
+    ``text`` column — the invariant check re-joins on url against the
+    untouched pages table."""
+    ents = extract_entities(pages, resolutions)
+    return dedup_by_precedence(ents) if dedup else ents

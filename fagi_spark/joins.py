@@ -1,0 +1,190 @@
+"""Cell-partitioned spatial joins: the engine's replacement for GiST.
+
+The reference delegates every spatial predicate to a PostGIS GiST index
+or Virtuoso ``bif:st_*`` builtin (SURVEY.md §2.3). At cluster scale we
+replace the index with grid-cell co-partitioning:
+
+- radius / kNN candidate search (J4,
+  ``bif:st_contains(geo, center, radius/111195)``,
+  FindLinkServlet.java:190-199) -> cell-ring expansion at a radius-matched
+  resolution -> equi-join on cell -> exact degree-distance re-rank;
+- point-in-polygon refinement (J6, GeoClusterer.java:326-334) -> per-cell
+  ``applyInPandas`` building a bbox-indexed polygon set (STRtree analog)
+  probed with vectorized ray casting;
+- skew: dense city cells are salted (small side replicated across salts)
+  and/or promoted to a finer resolution (cells.promote_hot_cells); AQE
+  skew-join splitting backs both up.
+
+All distances use the reference's degree-space convention: meters /
+111195 = degrees (Constants.java:79-80); emitted distance_m multiplies
+back (FindLinkServlet.java:394-407).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cells, geom
+
+DIST_DEG = (lambda ax, ay, bx, by:
+            F.sqrt(F.pow(ax - bx, F.lit(2.0)) + F.pow(ay - by, F.lit(2.0))))
+
+
+def _sided(df: DataFrame, side: str, cols) -> DataFrame:
+    return df.select(*[F.col(c).alias(f"{side}_{c}") for c in cols])
+
+
+def radius_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
+                res: int | None = None, width_guard_deg: float = 0.01,
+                n_salts: int = 0) -> DataFrame:
+    """J4 candidate search: all (a, b) pairs with centroid distance <=
+    radius_m/111195 degrees. B candidates wider than ``width_guard_deg``
+    are dropped first (F5 degenerate-geometry guard,
+    FindLinkServlet.java:198).
+
+    Plan shape: B is indexed once at ``res``; A explodes a Chebyshev
+    ring of cells covering the radius; equi-join on cell; exact distance
+    refine; duplicate hits (same pair via adjacent cells) are impossible
+    because B carries exactly one cell. Optional salting replicates A's
+    probe rows across ``n_salts`` shards of hot cells."""
+    radius_deg = radius_m / geom.METERS_PER_DEGREE
+    if res is None:
+        res = cells.res_for_radius_deg(radius_deg)
+    k = cells.ring_k_for_radius(radius_deg, res)
+
+    a_cols = ["subject", "cx", "cy"]
+    b_cols = ["subject", "cx", "cy", "xmin", "xmax", "geom_kind"]
+    a = _sided(geo_a, "a", a_cols)
+    b = _sided(geo_b, "b", b_cols)
+    b = b.filter((F.col("b_xmax") - F.col("b_xmin")) < F.lit(width_guard_deg))
+
+    a = cells.with_cell(a, res, lon="a_cx", lat="a_cy", prefix="a_")
+    a = cells.explode_ring(a, res, k, ix="a_ix", iy="a_iy", out="probe_cell")
+    b = cells.with_cell(b, res, lon="b_cx", lat="b_cy", prefix="b_")
+
+    if n_salts > 1:
+        a = a.withColumn("salt", F.pmod(F.xxhash64("a_subject"), F.lit(n_salts)).cast("int"))
+        b = cells.explode_salts(b, n_salts)
+        cond = (a.probe_cell == b.b_cell) & (a.salt == b.salt)
+    else:
+        cond = a.probe_cell == b.b_cell
+
+    joined = a.join(b, cond, "inner")
+    dist = DIST_DEG(F.col("a_cx"), F.col("a_cy"), F.col("b_cx"), F.col("b_cy"))
+    out = (joined.withColumn("dist_deg", dist)
+                 .filter(F.col("dist_deg") <= F.lit(radius_deg))
+                 .withColumn("distance_m", F.col("dist_deg") * F.lit(geom.METERS_PER_DEGREE)))
+    drop = ["probe_cell", "a_ix", "a_iy", "a_cell", "b_ix", "b_iy", "b_cell"]
+    if n_salts > 1:
+        drop.append("salt")
+    return out.drop(*drop)
+
+
+def knn_join(geo_a: DataFrame, geo_b: DataFrame, k_neighbors: int,
+             radius_m: float, res: int | None = None) -> DataFrame:
+    """kNN conflation matching: cell-ring expansion + exact distance
+    re-rank, top-k per A entity (SURVEY.md §2.7 Spark mapping). Ties
+    broken deterministically by (dist, b_subject)."""
+    cand = radius_join(geo_a, geo_b, radius_m, res=res, width_guard_deg=1e9)
+    w = Window.partitionBy("a_subject").orderBy(F.col("dist_deg").asc(),
+                                                F.col("b_subject").asc())
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+                .filter(F.col("knn_rank") <= k_neighbors))
+
+
+def bbox_join(geo: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float,
+              res: int = 10) -> DataFrame:
+    """J5/F4 viewport fetch: cell-range prune then exact bbox test on the
+    centroid columns — mirrors the st_xmax/st_ymax window predicate
+    (BatchFindLinkServlet.java:395-417) without the MERC offsets (ours
+    keeps plain degrees; the +180/+85.05 offsets exist only to keep
+    Virtuoso values positive)."""
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(res, xmin, ymin, xmax, ymax)
+    df = cells.with_cell(geo, res, lon="cx", lat="cy")
+    return (df.filter((F.col("ix") >= ix0) & (F.col("ix") <= ix1)
+                      & (F.col("iy") >= iy0) & (F.col("iy") <= iy1))
+              .filter((F.col("cx") >= xmin) & (F.col("cx") <= xmax)
+                      & (F.col("cy") >= ymin) & (F.col("cy") <= ymax))
+              .drop("ix", "iy", "cell"))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon refinement (J6) — per-cell STRtree analog.
+# ---------------------------------------------------------------------------
+
+PIP_SCHEMA = "point_subject string, poly_subject string"
+
+
+def pip_refine(points: DataFrame, polygons: DataFrame, res: int = 10,
+               pad_cells: int = 1) -> DataFrame:
+    """All (point, polygon) pairs where the polygon contains the point.
+
+    points:   (subject, cx, cy)
+    polygons: (subject, geom_wkt, xmin, ymin, xmax, ymax)
+
+    Polygons are exploded over every cell their bbox covers (bounded by
+    construction — pick ``res`` so typical polygons span O(1) cells);
+    points carry one cell; the equi-join co-partitions them, then one
+    ``applyInPandas`` per cell group builds a bbox index over the local
+    polygons and ray-casts the local points (vectorized numpy — the
+    STRtree-refinement stage of the north star). Duplicate pairs from
+    polygons spanning multiple cells are removed by the point's cell
+    ownership test (each pair is emitted only from the point's own cell,
+    which is unique)."""
+    n = 1 << res
+    pts = points.select(F.col("subject").alias("pt_subject"),
+                        F.col("cx").alias("px"), F.col("cy").alias("py"))
+    pts = cells.with_cell(pts, res, lon="px", lat="py")
+
+    polys = polygons.select(F.col("subject").alias("pg_subject"), "geom_wkt",
+                            "xmin", "ymin", "xmax", "ymax")
+    polys = (polys
+             .withColumn("ix0", cells.ix_col(F.col("xmin"), res))
+             .withColumn("ix1", cells.ix_col(F.col("xmax"), res))
+             .withColumn("iy0", cells.iy_col(F.col("ymin"), res))
+             .withColumn("iy1", cells.iy_col(F.col("ymax"), res))
+             .withColumn("pix", F.explode(F.sequence(F.col("ix0"), F.col("ix1"))))
+             .withColumn("piy", F.explode(F.sequence(F.col("iy0"), F.col("iy1"))))
+             .withColumn("cell", cells.pack_cell(F.col("pix"), F.col("piy"), res))
+             .select("pg_subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax", "cell"))
+
+    both = pts.select("pt_subject", "px", "py", "cell").unionByName(
+        polys.withColumn("pt_subject", F.lit(None).cast("string"))
+             .withColumn("px", F.lit(None).cast("double"))
+             .withColumn("py", F.lit(None).cast("double"))
+             .select("pt_subject", "px", "py", "cell",
+                     "pg_subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        allowMissingColumns=True)
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_pt = pdf["pg_subject"].isna() if "pg_subject" in pdf else pd.Series(True, index=pdf.index)
+        pt = pdf[is_pt]
+        pg = pdf[~is_pt]
+        if len(pt) == 0 or len(pg) == 0:
+            return pd.DataFrame(columns=["point_subject", "poly_subject"])
+        px = pt["px"].to_numpy(dtype=np.float64)
+        py = pt["py"].to_numpy(dtype=np.float64)
+        names = pt["pt_subject"].to_numpy()
+        out_pt, out_pg = [], []
+        for _, row in pg.iterrows():
+            # bbox prefilter (the "tree" probe), then exact ray cast
+            m = ((px >= row["xmin"]) & (px <= row["xmax"])
+                 & (py >= row["ymin"]) & (py <= row["ymax"]))
+            if not m.any():
+                continue
+            g = geom.parse_wkt(row["geom_wkt"])
+            if g is None or g.kind not in ("POLYGON", "MULTIPOLYGON"):
+                continue
+            hit = geom.points_in_polygon(px[m], py[m], g)
+            hit_names = names[m][hit]
+            out_pt.extend(hit_names.tolist())
+            out_pg.extend([row["pg_subject"]] * len(hit_names))
+        return pd.DataFrame({"point_subject": out_pt, "poly_subject": out_pg})
+
+    # No dedup needed: a point lives in exactly one cell, and a polygon is
+    # replicated at most once per cell, so each (point, polygon) pair is
+    # emitted by exactly one group — saves a shuffle.
+    return both.groupBy("cell").applyInPandas(refine, PIP_SCHEMA)

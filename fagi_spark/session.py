@@ -1,0 +1,36 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Arrow on (all our Python kernels are Arrow-vectorized pandas UDFs —
+never row-at-a-time), AQE on (runtime skew-join splitting + coalescing
+on top of our explicit salting), sane shuffle partitioning for local
+test mode. On a real cluster these remain correct; only
+``shuffle_partitions`` should scale with executor count."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "fagi_spark", master: str | None = None,
+              shuffle_partitions: int | None = None, **extra) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    if shuffle_partitions is None:
+        # match local core count; on a real cluster: ~2-3x total cores
+        inner = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = 32 if inner in ("*", "") else max(8, int(inner))
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

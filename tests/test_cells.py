@@ -1,0 +1,81 @@
+"""Cell grid: packing, ring expansion, bbox ranges, skew tools."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import cells
+
+
+def test_cell_width_and_res_choice():
+    assert cells.cell_width_deg(13) == pytest.approx(360.0 / 8192)
+    assert cells.cell_height_deg(13) == pytest.approx(180.0 / 8192)
+    # finest res whose cell *height* still covers the radius
+    r = cells.res_for_radius_deg(0.05)
+    assert cells.cell_height_deg(r) >= 0.05 > cells.cell_height_deg(r + 1)
+    kx, ky = cells.ring_k_for_radius(0.05, r)
+    assert kx == 1 and ky == 1
+
+
+def test_cell_assignment_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, -180.0, -90.0), (1, 179.999, 89.999), (2, 0.0, 0.0), (3, 180.0, 90.0)],
+        "id int, lon double, lat double")
+    out = cells.with_cell(df, 4).collect()
+    byid = {r.id: r for r in out}
+    assert (byid[0].ix, byid[0].iy) == (0, 0)
+    assert (byid[1].ix, byid[1].iy) == (15, 15)
+    assert (byid[2].ix, byid[2].iy) == (8, 8)
+    # boundary value clamps into range instead of overflowing
+    assert (byid[3].ix, byid[3].iy) == (15, 15)
+    # packed ids are distinct per (ix, iy) and tagged with res
+    assert len({r.cell for r in out}) == 3
+    assert all(r.cell >> 58 == 4 for r in out)
+
+
+def test_explode_ring_counts(spark):
+    df = cells.with_cell(spark.createDataFrame([(0.0, 0.0)], "lon double, lat double"), 6)
+    ring = cells.explode_ring(df, 6, 1)
+    assert ring.count() == 9  # (2k+1)^2 interior
+    edge = cells.with_cell(spark.createDataFrame([(-180.0, -90.0)], "lon double, lat double"), 6)
+    assert cells.explode_ring(edge, 6, 1).count() == 4  # clipped at corner
+
+
+def test_bbox_cells_range():
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(4, -10.0, -10.0, 10.0, 10.0)
+    assert ix0 <= ix1 and iy0 <= iy1
+    assert ix0 == 7 and ix1 == 8  # straddles the antimeridian center
+
+
+def test_sql_cell_matches_spark(spark):
+    import duckdb
+    pts = [(-71.0571, 42.3601), (12.5, 41.9), (0.0001, -0.0001), (139.69, 35.68)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = sorted(r.cell for r in df.select(
+        cells.cell_col(F.col("lon"), F.col("lat"), 10).alias("cell")).collect())
+    want = sorted(r[0] for r in duckdb.sql(
+        "SELECT " + cells.sql_cell("lon", "lat", 10) + " AS cell FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts) + ") t(lon, lat)").fetchall())
+    assert got == want
+
+
+def test_hot_cells_and_promotion(spark):
+    rows = [(f"s{i}", 10.001 + (i % 3) * 1e-4, 10.001) for i in range(50)]
+    rows += [(f"t{i}", -50.0 + i, -20.0) for i in range(5)]
+    df = cells.with_cell(spark.createDataFrame(rows, "subject string, lon double, lat double"), 7)
+    hot = cells.hot_cells(df, threshold=10)
+    assert hot.count() == 1
+    promoted = cells.promote_hot_cells(df, hot, fine_res=14)
+    # hot-cell rows moved to res-14 ids; cold rows untouched
+    res_tags = {r.cell >> 58 for r in promoted.collect()}
+    assert res_tags == {7, 14}
+    assert promoted.count() == df.count()
+
+
+def test_salting_preserves_pairs(spark):
+    big = spark.createDataFrame([(f"a{i}", i % 4) for i in range(100)], "subject string, cell int")
+    small = spark.createDataFrame([(f"b{j}", j) for j in range(4)], "bsub string, cell int")
+    plain = big.join(small, "cell").count()
+    bs = cells.with_salt(big, 8, key="subject")
+    ss = cells.explode_salts(small, 8)
+    salted = bs.join(ss, ["cell", "salt"]).count()
+    assert salted == plain

@@ -1,0 +1,102 @@
+"""Fusion actions vs independently computed expected outputs
+(SURVEY.md §5.3 fixture parity; formulas cited per action in fuse.py)."""
+
+import pytest
+
+from fagi_spark import fuse, geom
+
+
+def _fixture(spark):
+    geo_a = spark.createDataFrame([
+        ("a1", "POINT (10 20)"),
+        ("a2", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("a3", "POINT (100 50)"),
+    ], "subject string, geom_wkt string")
+    geo_b = spark.createDataFrame([
+        ("b1", "POLYGON ((10 20, 12 20, 12 22, 10 22, 10 20))"),
+        ("b2", "POINT (1 1)"),
+        ("b3", "POINT (101 51)"),
+    ], "subject string, geom_wkt string")
+    links = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2"), ("a3", "b3"), ("missing", "b1")],
+        "node_a string, node_b string")
+    return links, geo_a, geo_b
+
+
+def _rows(df):
+    return {(r.subject_a, r.subject_b): r.geom_wkt for r in df.collect()}
+
+
+def test_inner_join_drops_dangling_links(spark):
+    links, ga, gb = _fixture(spark)
+    j = fuse.resolve_links(links, ga, gb)
+    assert j.count() == 3  # ("missing","b1") dropped
+
+
+def test_keep_left_right_both(spark):
+    links, ga, gb = _fixture(spark)
+    assert _rows(fuse.fuse("keep-left", links, ga, gb))[("a1", "b1")] == "POINT (10 20)"
+    assert _rows(fuse.fuse("keep-right", links, ga, gb))[("a1", "b1")] == \
+        "POLYGON ((10 20, 12 20, 12 22, 10 22, 10 20))"
+    both = fuse.fuse("keep-both", links, ga, gb)
+    assert both.count() == 6  # two rows per link (KeepBothTransformation.java:54-73)
+
+
+def test_keep_most_points_and_translate(spark):
+    links, ga, gb = _fixture(spark)
+    r = _rows(fuse.fuse("keep-most-points", links, ga, gb))
+    assert r[("a1", "b1")].startswith("POLYGON")  # b has 5 points > a's 1
+    assert r[("a2", "b2")].startswith("POLYGON")  # a wins ties/more
+    # translate: winner's centroid moves onto loser's centroid
+    t = _rows(fuse.fuse("keep-most-points-translate", links, ga, gb))
+    g = geom.parse_wkt(t[("a1", "b1")])
+    assert geom.centroid(g) == pytest.approx((10.0, 20.0))  # b-polygon now on a's point
+    g2 = geom.parse_wkt(t[("a2", "b2")])
+    assert geom.centroid(g2) == pytest.approx((1.0, 1.0))
+
+
+def test_shift_a_to_b_half(spark):
+    links, ga, gb = _fixture(spark)
+    r = _rows(fuse.fuse("shift-a-to-b", links, ga, gb, shift=50.0))
+    g = geom.parse_wkt(r[("a3", "b3")])
+    assert geom.centroid(g) == pytest.approx((100.5, 50.5))  # halfway
+
+
+def test_concatenation_and_avg(spark):
+    links, ga, gb = _fixture(spark)
+    r = _rows(fuse.fuse("concatenation", links, ga, gb))
+    assert r[("a3", "b3")] == "GEOMETRYCOLLECTION (POINT (100 50), POINT (101 51))"
+    m = _rows(fuse.fuse("avg-two-points", links, ga, gb))
+    assert m[("a3", "b3")] == "POINT (100.5 50.5)"
+
+
+def test_shift_polygon_to_point(spark):
+    links, ga, gb = _fixture(spark)
+    r = _rows(fuse.fuse("shift-polygon-to-point", links, ga, gb))
+    g = geom.parse_wkt(r[("a1", "b1")])  # B polygon moved onto A point
+    assert geom.centroid(g) == pytest.approx((10.0, 20.0))
+    h = _rows(fuse.fuse("shift-polygon-to-avg-distance", links, ga, gb))
+    g2 = geom.parse_wkt(h[("a1", "b1")])
+    assert geom.centroid(g2) == pytest.approx((10.5, 20.5))  # half the gap
+
+
+def test_scores(spark):
+    links, ga, gb = _fixture(spark)
+    j = fuse.with_scores(fuse.resolve_links(links, ga, gb), threshold_m=300000.0)
+    rows = {(r.node_a, r.node_b): r for r in j.collect()}
+    assert rows[("a3", "b3")].score_avg_points == 1.0  # POINT/POINT
+    assert rows[("a1", "b1")].score_avg_points == 0.0
+    # a1 POINT vs b1 POLYGON: gated in, sqrt((t-d)/t)
+    d = ((2.0 ** 2 + 2.0 ** 2) ** 0.5 / 2) * 0  # centroid of b1 is (11,21): d = sqrt(2)
+    import math
+    d_m = math.sqrt(2.0) * geom.METERS_PER_DEGREE
+    want = math.sqrt((300000.0 - d_m) / 300000.0)
+    assert rows[("a1", "b1")].score_shift == pytest.approx(want)
+    assert rows[("a3", "b3")].score_shift == 0.0  # POINT/POINT not gated in
+
+
+def test_export_distinct(spark):
+    links, ga, gb = _fixture(spark)
+    f = fuse.fuse("keep-both", links, ga, gb)
+    doubled = f.unionByName(f)
+    assert fuse.export_fused(doubled).count() == fuse.export_fused(f).count()

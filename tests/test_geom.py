@@ -1,0 +1,116 @@
+"""Unit tests for the numpy WKT geometry kernels (no Spark needed)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fagi_spark import geom
+
+
+def test_parse_roundtrip_all_kinds():
+    for w in [
+        "POINT (1.5 2.5)",
+        "LINESTRING (0 0, 10 0, 10 10)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        "MULTIPOINT (1 1, 2 2)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))",
+    ]:
+        g = geom.parse_wkt(w)
+        assert g is not None
+        assert geom.to_wkt(geom.parse_wkt(geom.to_wkt(g))) == geom.to_wkt(g)
+
+
+def test_parse_tolerates_format_variants():
+    assert geom.parse_wkt("POINT(1 2)").kind == "POINT"
+    assert geom.parse_wkt("MULTIPOINT ((1 1), (2 2))").parts[0].shape == (2, 2)
+    assert geom.parse_wkt("point (1 2)").kind == "POINT"
+
+
+def test_parse_rejects_garbage():
+    assert geom.parse_wkt(None) is None
+    assert geom.parse_wkt("") is None
+    assert geom.parse_wkt("POINT EMPTY") is None
+    assert geom.parse_wkt("hello world") is None
+    assert geom.parse_wkt("POINT (lat long)") is None
+
+
+def test_precedence_ranks_match_reference():
+    # Constants.java:85-95: MULTIPOLYGON(0) > POLYGON(1) > MULTILINESTRING(2)
+    # > LINESTRING(3) > MULTIPOINT(4) > POINT(5)
+    assert geom.KIND_RANK == {
+        "MULTIPOLYGON": 0, "POLYGON": 1, "MULTILINESTRING": 2,
+        "LINESTRING": 3, "MULTIPOINT": 4, "POINT": 5}
+
+
+def test_npoints_counts_all_vertices():
+    g = geom.parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert geom.npoints(g) == 10  # ST_NPoints counts closing vertices
+
+
+def test_centroid_polygon_with_hole():
+    g = geom.parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    cx, cy = geom.centroid(g)
+    # area 100 @ (5,5) minus hole 4 @ (3,3): (500-12)/96
+    assert cx == pytest.approx(488 / 96)
+    assert cy == pytest.approx(488 / 96)
+
+
+def test_centroid_linestring_length_weighted():
+    g = geom.parse_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    cx, cy = geom.centroid(g)
+    assert cx == pytest.approx(7.5)
+    assert cy == pytest.approx(2.5)
+
+
+def test_translate_scale_rotate():
+    g = geom.parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    t = geom.translate(g, 1, 2)
+    assert geom.bbox(t) == (1, 2, 5, 6)
+    s = geom.scale_about_centroid(g, 2.0)
+    assert geom.bbox(s) == (-2, -2, 6, 6)
+    assert geom.centroid(s) == pytest.approx((2.0, 2.0))
+    r = geom.rotate_about_centroid(g, 90)
+    assert geom.centroid(r) == pytest.approx((2.0, 2.0))
+    x0, y0, x1, y1 = geom.bbox(r)
+    assert (x0, y0, x1, y1) == pytest.approx((0, 0, 4, 4), abs=1e-9)
+
+
+def test_point_in_polygon_with_hole():
+    g = geom.parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    px = np.array([1.0, 3.0, 11.0, 5.0])
+    py = np.array([1.0, 3.0, 5.0, 5.0])
+    assert geom.points_in_polygon(px, py, g).tolist() == [True, False, False, True]
+
+
+def test_point_in_multipolygon():
+    g = geom.parse_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    px = np.array([1.0, 11.0, 5.0])
+    py = np.array([1.0, 11.0, 5.0])
+    assert geom.points_in_polygon(px, py, g).tolist() == [True, True, False]
+
+
+def test_pip_matches_bruteforce_random():
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        pts = rng.uniform(-1, 11, size=(200, 2))
+        ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+        g = geom.Geometry("POLYGON", [ring])
+        got = geom.points_in_polygon(pts[:, 0], pts[:, 1], g)
+        want = (pts[:, 0] > 0) & (pts[:, 0] < 10) & (pts[:, 1] > 0) & (pts[:, 1] < 10)
+        assert (got == want).all()
+
+
+def test_geometrycollection_parse_and_centroid():
+    g = geom.parse_wkt("GEOMETRYCOLLECTION (POINT (1 1), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    assert g.kind == "GEOMETRYCOLLECTION"
+    assert geom.npoints(g) == 6
+    assert geom.centroid(g) == pytest.approx((1.0, 1.0))
+
+
+def test_meters_per_degree_constant():
+    # Constants.java:79-80
+    assert geom.METERS_PER_DEGREE == 111195.0

@@ -1,0 +1,106 @@
+"""Spatial joins vs brute-force oracles (SURVEY.md §5.5 property tests)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fagi_spark import fuse, geom, joins
+
+
+def _points_df(spark, n, seed, name):
+    rng = np.random.RandomState(seed)
+    lon = rng.uniform(-2, 2, n).round(5)
+    lat = rng.uniform(-2, 2, n).round(5)
+    rows = [(f"{name}{i}", f"POINT ({lon[i]} {lat[i]})") for i in range(n)]
+    return fuse.prepare_geoms(
+        spark.createDataFrame(rows, "subject string, geom_wkt string")), lon, lat
+
+
+def test_radius_join_matches_bruteforce(spark):
+    a, alon, alat = _points_df(spark, 80, 1, "a")
+    b, blon, blat = _points_df(spark, 80, 2, "b")
+    radius_m = 0.3 * geom.METERS_PER_DEGREE  # 0.3 degrees
+    got = {(r.a_subject, r.b_subject)
+           for r in joins.radius_join(a, b, radius_m).collect()}
+    dx = alon[:, None] - blon[None, :]
+    dy = alat[:, None] - blat[None, :]
+    want = {(f"a{i}", f"b{j}")
+            for i, j in zip(*np.nonzero(np.hypot(dx, dy) <= 0.3))}
+    assert got == want
+
+
+def test_radius_join_salted_same_result(spark):
+    a, *_ = _points_df(spark, 60, 3, "a")
+    b, *_ = _points_df(spark, 60, 4, "b")
+    radius_m = 0.2 * geom.METERS_PER_DEGREE
+    plain = {(r.a_subject, r.b_subject) for r in joins.radius_join(a, b, radius_m).collect()}
+    salted = {(r.a_subject, r.b_subject)
+              for r in joins.radius_join(a, b, radius_m, n_salts=8).collect()}
+    assert plain == salted
+
+
+def test_width_guard_drops_wide_candidates(spark):
+    a = fuse.prepare_geoms(spark.createDataFrame(
+        [("a1", "POINT (0 0)")], "subject string, geom_wkt string"))
+    b = fuse.prepare_geoms(spark.createDataFrame(
+        [("narrow", "POLYGON ((0 0, 0.005 0, 0.005 0.005, 0 0.005, 0 0))"),
+         ("wide", "POLYGON ((0 0, 0.5 0, 0.5 0.5, 0 0.5, 0 0))")],
+        "subject string, geom_wkt string"))
+    got = {r.b_subject for r in joins.radius_join(a, b, 100000.0).collect()}
+    assert got == {"narrow"}  # F5: st_xmax - st_xmin < 0.01 (FindLinkServlet.java:198)
+
+
+def test_knn_rank_and_k(spark):
+    a = fuse.prepare_geoms(spark.createDataFrame(
+        [("q", "POINT (0 0)")], "subject string, geom_wkt string"))
+    b = fuse.prepare_geoms(spark.createDataFrame(
+        [(f"n{i}", f"POINT (0 {0.01 * (i + 1)})") for i in range(10)],
+        "subject string, geom_wkt string"))
+    got = joins.knn_join(a, b, k_neighbors=3, radius_m=0.2 * geom.METERS_PER_DEGREE)
+    rows = sorted((r.knn_rank, r.b_subject) for r in got.collect())
+    assert rows == [(1, "n0"), (2, "n1"), (3, "n2")]
+
+
+def test_bbox_join(spark):
+    geo = fuse.prepare_geoms(spark.createDataFrame(
+        [("in1", "POINT (1 1)"), ("in2", "POINT (9.5 9.5)"), ("out1", "POINT (20 1)"),
+         ("out2", "POINT (1 -20)")], "subject string, geom_wkt string"))
+    got = {r.subject for r in joins.bbox_join(geo, 0, 0, 10, 10).collect()}
+    assert got == {"in1", "in2"}
+
+
+def test_pip_refine_matches_bruteforce(spark):
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(0, 4, size=(150, 2)).round(5)
+    points = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "subject string, cx double, cy double")
+    polys_wkt = [
+        ("g0", "POLYGON ((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5))"),
+        ("g1", "POLYGON ((1 1, 3.5 1, 3.5 3.5, 1 3.5, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))"),
+        ("g2", "MULTIPOLYGON (((3 0, 4 0, 4 1, 3 1, 3 0)))"),
+    ]
+    polys = fuse.prepare_geoms(
+        spark.createDataFrame(polys_wkt, "subject string, geom_wkt string"))
+    got = {(r.point_subject, r.poly_subject)
+           for r in joins.pip_refine(points, polys, res=8).collect()}
+    want = set()
+    for name, wkt in polys_wkt:
+        g = geom.parse_wkt(wkt)
+        hit = geom.points_in_polygon(pts[:, 0], pts[:, 1], g)
+        want |= {(f"p{i}", name) for i in np.nonzero(hit)[0]}
+    assert got == want
+
+
+def test_pip_refine_polygon_spanning_cells_no_dupes(spark):
+    # polygon spans many res-10 cells; each contained point must appear once
+    points = spark.createDataFrame(
+        [(f"p{i}", 0.1 * i, 0.05) for i in range(20)],
+        "subject string, cx double, cy double")
+    polys = fuse.prepare_geoms(spark.createDataFrame(
+        [("big", "POLYGON ((0 0, 2 0, 2 0.1, 0 0.1, 0 0))")],
+        "subject string, geom_wkt string"))
+    rows = joins.pip_refine(points, polys, res=10).collect()
+    assert len(rows) == len({(r.point_subject, r.poly_subject) for r in rows})
+    # p0 (on the left edge: even-odd counts left/bottom boundary as inside)
+    # through p19 (x=1.9) are contained
+    assert len(rows) == 20
