@@ -1,0 +1,799 @@
+"""Driver-contract queries + DuckDB oracle SQL (__spark_entry__ backend).
+
+Each entry exercises one engine operator from SURVEY.md §2 over the
+driver's deterministic parquet tables. FAGI-shaped inputs (gazetteer
+A/B, links, EAV metadata) are derived from ``customer``/``part`` with
+pure integer arithmetic, mirrored exactly in the DuckDB oracle CTEs, so
+value hashes bit-match:
+
+- coordinates live on a 0.01-degree grid built from integers
+  (``v/100.0``) — the double a WKT parse yields equals the double the
+  oracle divides out;
+- WKT strings are assembled with identical integer->string formatting
+  on both sides, so actions that keep input WKT verbatim compare as
+  strings;
+- floating-point result columns are produced by the *same* IEEE ops on
+  both sides (plain + - * / sqrt; no pow, no transcendentals), which
+  makes them bit-identical;
+- geometry-kernel (Python-formatted) WKT outputs are NOT oracle-compared
+  — they are covered by the pytest fixture oracles instead; the numeric
+  action queries compare the underlying arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, extract, fuse, joins, metadata_fuse, textops, vector
+from .discover import literal_kind_filter, tf_unique_filter
+
+M_PER_DEG = 111195.0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived FAGI inputs (Spark side) + mirrored DuckDB CTE text
+# ---------------------------------------------------------------------------
+
+def _fmt2(v):
+    """Integer hundredths -> canonical decimal string '123.45'."""
+    return F.concat(F.floor(v.cast("double") / F.lit(100.0)).cast("long").cast("string"),
+                    F.lit("."), F.lpad((v % 100).cast("string"), 2, "0"))
+
+
+def _point_wkt(v, w):
+    return F.concat(F.lit("POINT ("), _fmt2(v), F.lit(" "), _fmt2(w), F.lit(")"))
+
+
+def _square_wkt(v, w, d: int = 8):
+    x0, y0, x1, y1 = _fmt2(v), _fmt2(w), _fmt2(v + d), _fmt2(w + d)
+    return F.concat(F.lit("POLYGON (("), x0, F.lit(" "), y0, F.lit(", "),
+                    x1, F.lit(" "), y0, F.lit(", "), x1, F.lit(" "), y1,
+                    F.lit(", "), x0, F.lit(" "), y1, F.lit(", "),
+                    x0, F.lit(" "), y0, F.lit("))"))
+
+
+def geo_a_df(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    v, w = (k * 37) % 17000, (k * 53) % 8000
+    is_pt = (k % 10) < 6
+    return cust.select(
+        F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+        F.when(is_pt, _point_wkt(v, w)).otherwise(_square_wkt(v, w)).alias("geom_wkt"))
+
+
+def geo_b_df(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    v, w = (k * 37) % 17000 + k % 9, (k * 53) % 8000 + k % 7
+    is_pt = (k % 4) != 0
+    return cust.filter((k % 3) == 0).select(
+        F.concat(F.lit("place"), k.cast("string")).alias("subject"),
+        F.when(is_pt, _point_wkt(v, w)).otherwise(_square_wkt(v, w)).alias("geom_wkt"))
+
+
+def links_df(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    base = cust.filter((k % 3) == 0).select(
+        F.concat(F.lit("way"), k.cast("string")).alias("node_a"),
+        F.concat(F.lit("place"), k.cast("string")).alias("node_b"))
+    n_to_1 = cust.filter((k % 30) == 0).select(
+        F.concat(F.lit("way"), (k + 1).cast("string")).alias("node_a"),
+        F.concat(F.lit("place"), k.cast("string")).alias("node_b"))
+    dangling = cust.filter((k % 51) == 0).select(
+        F.concat(F.lit("way"), (k + 1000000).cast("string")).alias("node_a"),
+        F.concat(F.lit("place"), k.cast("string")).alias("node_b"))
+    return base.unionByName(n_to_1).unionByName(dangling)
+
+
+# DuckDB mirror text ---------------------------------------------------------
+
+def _d_fmt2(v: str) -> str:
+    return (f"CONCAT(CAST(FLOOR(CAST({v} AS DOUBLE)/100.0) AS BIGINT), '.', "
+            f"LPAD(CAST(({v}) % 100 AS STRING), 2, '0'))")
+
+
+def _d_point(v: str, w: str) -> str:
+    return f"CONCAT('POINT (', {_d_fmt2(v)}, ' ', {_d_fmt2(w)}, ')')"
+
+
+def _d_square(v: str, w: str, d: int = 8) -> str:
+    x0, y0 = _d_fmt2(v), _d_fmt2(w)
+    x1, y1 = _d_fmt2(f"({v})+{d}"), _d_fmt2(f"({w})+{d}")
+    return (f"CONCAT('POLYGON ((', {x0}, ' ', {y0}, ', ', {x1}, ' ', {y0}, ', ', "
+            f"{x1}, ' ', {y1}, ', ', {x0}, ' ', {y1}, ', ', {x0}, ' ', {y0}, '))')")
+
+
+_VA = "(c_custkey*37) % 17000"
+_WA = "(c_custkey*53) % 8000"
+_VB = f"{_VA} + c_custkey % 9"
+_WB = f"{_WA} + c_custkey % 7"
+
+GEO_A_CTE = f"""geo_a AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         {_VA} AS v, {_WA} AS w,
+         CASE WHEN c_custkey % 10 < 6 THEN 'POINT' ELSE 'POLYGON' END AS kind,
+         CASE WHEN c_custkey % 10 < 6 THEN {_d_point(_VA, _WA)}
+              ELSE {_d_square(_VA, _WA)} END AS geom_wkt
+  FROM customer)"""
+
+GEO_B_CTE = f"""geo_b AS (
+  SELECT CONCAT('place', CAST(c_custkey AS STRING)) AS subject,
+         {_VB} AS v, {_WB} AS w,
+         CASE WHEN c_custkey % 4 <> 0 THEN 'POINT' ELSE 'POLYGON' END AS kind,
+         CASE WHEN c_custkey % 4 <> 0 THEN {_d_point(_VB, _WB)}
+              ELSE {_d_square(_VB, _WB)} END AS geom_wkt
+  FROM customer WHERE c_custkey % 3 = 0)"""
+
+LINKS_CTE = """links AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS node_a,
+         CONCAT('place', CAST(c_custkey AS STRING)) AS node_b
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT CONCAT('way', CAST(c_custkey + 1 AS STRING)),
+         CONCAT('place', CAST(c_custkey AS STRING))
+  FROM customer WHERE c_custkey % 30 = 0
+  UNION ALL
+  SELECT CONCAT('way', CAST(c_custkey + 1000000 AS STRING)),
+         CONCAT('place', CAST(c_custkey AS STRING))
+  FROM customer WHERE c_custkey % 51 = 0)"""
+
+# npoints of the derived WKTs: POINT -> 1, square POLYGON -> 5
+_NPTS = "CASE WHEN {k} = 'POINT' THEN 1 ELSE 5 END"
+_FUSE_JOIN_CTE = f"""{GEO_A_CTE},
+{GEO_B_CTE},
+{LINKS_CTE},
+j AS (
+  SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+         a.geom_wkt AS a_wkt, b.geom_wkt AS b_wkt,
+         a.kind AS a_kind, b.kind AS b_kind,
+         {_NPTS.format(k='a.kind')} AS a_npoints,
+         {_NPTS.format(k='b.kind')} AS b_npoints,
+         CAST(a.v AS DOUBLE)/100.0 AS a_cx, CAST(a.w AS DOUBLE)/100.0 AS a_cy,
+         CAST(b.v AS DOUBLE)/100.0 AS b_cx, CAST(b.w AS DOUBLE)/100.0 AS b_cy
+  FROM links l
+  JOIN geo_a a ON l.node_a = a.subject
+  JOIN geo_b b ON l.node_b = b.subject)"""
+
+
+def _fagi_inputs(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return links_df(cust), geo_a_df(cust), geo_b_df(cust)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_flagship_join(spark, sf_dir):
+    """J2: the canonical two-key links equi-join."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb)
+    return j.select(F.col("node_a").alias("subject_a"),
+                    F.col("node_b").alias("subject_b"),
+                    F.col("a_geom_wkt").alias("a_wkt"),
+                    F.col("b_geom_wkt").alias("b_wkt"),
+                    F.col("a_npoints").cast("long").alias("a_npoints"),
+                    F.col("b_npoints").cast("long").alias("b_npoints"))
+
+
+O_FLAGSHIP = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b, a_wkt, b_wkt,
+       CAST(a_npoints AS BIGINT) AS a_npoints, CAST(b_npoints AS BIGINT) AS b_npoints
+FROM j"""
+
+
+def _q_action(action):
+    def q(spark, sf_dir):
+        links, ga, gb = _fagi_inputs(spark, sf_dir)
+        return fuse.fuse(action, links, ga, gb)
+    return q
+
+
+O_KEEP_LEFT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b, a_wkt AS geom_wkt, 'Keep A' AS action FROM j"""
+
+O_KEEP_RIGHT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b, b_wkt AS geom_wkt, 'Keep B' AS action FROM j"""
+
+O_KEEP_BOTH = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b, a_wkt AS geom_wkt, 'Keep both' AS action FROM j
+UNION ALL
+SELECT subject_a, subject_b, b_wkt AS geom_wkt, 'Keep both' AS action FROM j"""
+
+O_KEEP_MOST_POINTS = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b,
+       CASE WHEN a_npoints >= b_npoints THEN a_wkt ELSE b_wkt END AS geom_wkt,
+       'Keep most points' AS action
+FROM j"""
+
+O_CONCAT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b,
+       CONCAT('GEOMETRYCOLLECTION (', a_wkt, ', ', b_wkt, ')') AS geom_wkt,
+       'Concatenation' AS action
+FROM j"""
+
+
+def q_midpoint_xy(spark, sf_dir):
+    """Average-two-points arithmetic (POINT/POINT pairs): the engine's
+    pre-kernel column math (AvgTwoPointsTransformation.java:18-41)."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb)
+    j = j.filter((F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POINT"))
+    return j.select(F.col("node_a").alias("subject_a"),
+                    F.col("node_b").alias("subject_b"),
+                    ((F.col("a_cx") + F.col("b_cx")) / 2.0).alias("out_x"),
+                    ((F.col("a_cy") + F.col("b_cy")) / 2.0).alias("out_y"))
+
+
+O_MIDPOINT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b, (a_cx + b_cx)/2.0 AS out_x, (a_cy + b_cy)/2.0 AS out_y
+FROM j WHERE a_kind = 'POINT' AND b_kind = 'POINT'"""
+
+
+def q_shift_a_to_b_xy(spark, sf_dir):
+    """ShiftAToB translation arithmetic at shift=50% (ShiftAToB.java:190-232)."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb)
+    j = j.filter((F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POINT"))
+    s = F.lit(0.5)
+    return j.select(F.col("node_a").alias("subject_a"),
+                    F.col("node_b").alias("subject_b"),
+                    (F.col("a_cx") + (F.col("b_cx") - F.col("a_cx")) * s).alias("out_x"),
+                    (F.col("a_cy") + (F.col("b_cy") - F.col("a_cy")) * s).alias("out_y"))
+
+
+O_SHIFT_A_TO_B = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b,
+       a_cx + (b_cx - a_cx) * 0.5 AS out_x,
+       a_cy + (b_cy - a_cy) * 0.5 AS out_y
+FROM j WHERE a_kind = 'POINT' AND b_kind = 'POINT'"""
+
+
+def q_fusion_scores(spark, sf_dir):
+    """§2.5 suitability scores. Oracle-compared: the kind-gated constant
+    scores (keep / point-gate / scale-gate). The distance-thresholded
+    shift score depends on Python shoelace polygon centroids, which SQL
+    cannot reproduce bit-exactly — its exact values are asserted in
+    tests/test_fuse.py::test_scores instead."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.with_scores(fuse.resolve_links(links, ga, gb), threshold_m=50000.0)
+    return j.select(F.col("node_a").alias("subject_a"),
+                    F.col("node_b").alias("subject_b"),
+                    "score_keep", "score_avg_points", "score_scale")
+
+
+O_FUSION_SCORES = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b,
+       1.0 AS score_keep,
+       CASE WHEN a_kind = 'POINT' AND b_kind = 'POINT' THEN 1.0 ELSE 0.0 END AS score_avg_points,
+       CASE WHEN a_kind = 'POINT' AND b_kind = 'POINT' THEN 0.0 ELSE 1.0 END AS score_scale
+FROM j"""
+
+
+def q_dedup_precedence(spark, sf_dir):
+    """S5: one geometry per subject, most complex kind wins."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    kinds = F.array(*[F.lit(x) for x in
+                      ["MULTIPOLYGON", "POLYGON", "MULTILINESTRING",
+                       "LINESTRING", "MULTIPOINT", "POINT"]])
+    ents = part.select(
+        F.concat(F.lit("p"), (k % 400).cast("string")).alias("subject"),
+        k.cast("long").alias("entity_idx"),
+        (k % 6).cast("int").alias("kind_rank"),
+        F.element_at(kinds, (k % 6).cast("int") + 1).alias("geom_kind"))
+    kept = extract.dedup_by_precedence(ents, subject="subject")
+    return kept.select("subject", "geom_kind", "entity_idx")
+
+
+O_DEDUP_PRECEDENCE = """WITH ents AS (
+  SELECT CONCAT('p', CAST(p_partkey % 400 AS STRING)) AS subject,
+         CAST(p_partkey AS BIGINT) AS entity_idx,
+         p_partkey % 6 AS kind_rank,
+         CASE p_partkey % 6 WHEN 0 THEN 'MULTIPOLYGON' WHEN 1 THEN 'POLYGON'
+              WHEN 2 THEN 'MULTILINESTRING' WHEN 3 THEN 'LINESTRING'
+              WHEN 4 THEN 'MULTIPOINT' ELSE 'POINT' END AS geom_kind
+  FROM part)
+SELECT subject, geom_kind, entity_idx FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY subject ORDER BY kind_rank, entity_idx) AS rn
+  FROM ents) t WHERE rn = 1"""
+
+
+def _points_side(df):
+    p = fuse.prepare_geoms(df)
+    return p.filter(F.col("geom_kind") == "POINT")
+
+
+def q_radius_join(spark, sf_dir):
+    """J4 radius candidate search + F5 width guard: A points probe the
+    full B set; polygon Bs (width 0.08 > 0.01) fall to the guard."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    b = fuse.prepare_geoms(gb)
+    out = joins.radius_join(a, b, radius_m=3000.0)
+    return out.select("a_subject", "b_subject", "distance_m")
+
+
+O_RADIUS_JOIN = f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+ab AS (
+  SELECT a.subject AS a_subject, b.subject AS b_subject,
+         SQRT((CAST(a.v AS DOUBLE)/100.0 - CAST(b.v AS DOUBLE)/100.0)
+             *(CAST(a.v AS DOUBLE)/100.0 - CAST(b.v AS DOUBLE)/100.0)
+             +(CAST(a.w AS DOUBLE)/100.0 - CAST(b.w AS DOUBLE)/100.0)
+             *(CAST(a.w AS DOUBLE)/100.0 - CAST(b.w AS DOUBLE)/100.0)) AS dd
+  FROM geo_a a, geo_b b
+  WHERE a.kind = 'POINT' AND b.kind = 'POINT')
+SELECT a_subject, b_subject, dd * 111195.0 AS distance_m
+FROM ab WHERE dd <= 3000.0/111195.0"""
+
+
+def q_knn_join(spark, sf_dir):
+    """kNN conflation: ring expansion + distance re-rank, k=2."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    a, b = _points_side(ga), _points_side(gb)
+    out = joins.knn_join(a, b, k_neighbors=2, radius_m=5000.0)
+    return out.select("a_subject", "b_subject",
+                      F.col("knn_rank").cast("long").alias("knn_rank"))
+
+
+O_KNN_JOIN = f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+ab AS (
+  SELECT a.subject AS a_subject, b.subject AS b_subject,
+         SQRT((CAST(a.v AS DOUBLE)/100.0 - CAST(b.v AS DOUBLE)/100.0)
+             *(CAST(a.v AS DOUBLE)/100.0 - CAST(b.v AS DOUBLE)/100.0)
+             +(CAST(a.w AS DOUBLE)/100.0 - CAST(b.w AS DOUBLE)/100.0)
+             *(CAST(a.w AS DOUBLE)/100.0 - CAST(b.w AS DOUBLE)/100.0)) AS dd
+  FROM geo_a a, geo_b b
+  WHERE a.kind = 'POINT' AND b.kind = 'POINT'),
+r AS (
+  SELECT a_subject, b_subject,
+         ROW_NUMBER() OVER (PARTITION BY a_subject ORDER BY dd ASC, b_subject ASC) AS rn
+  FROM ab WHERE dd <= 5000.0/111195.0)
+SELECT a_subject, b_subject, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= 2"""
+
+
+def q_pip_refine(spark, sf_dir):
+    """J6: per-cell point-in-polygon refinement (A points vs B squares)."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pts = _points_side(ga).select("subject", "cx", "cy")
+    polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.pip_refine(pts, polys, res=12).select("point_subject", "poly_subject")
+
+
+O_PIP_REFINE = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}
+SELECT a.subject AS point_subject, b.subject AS poly_subject
+FROM geo_a a, geo_b b
+WHERE a.kind = 'POINT' AND b.kind = 'POLYGON'
+  AND CAST(a.v AS DOUBLE)/100.0 >= CAST(b.v AS DOUBLE)/100.0
+  AND CAST(a.v AS DOUBLE)/100.0 <  CAST(b.v + 8 AS DOUBLE)/100.0
+  AND CAST(a.w AS DOUBLE)/100.0 >= CAST(b.w AS DOUBLE)/100.0
+  AND CAST(a.w AS DOUBLE)/100.0 <  CAST(b.w + 8 AS DOUBLE)/100.0"""
+
+
+def q_bbox_viewport(spark, sf_dir):
+    """F4/J5 viewport fetch with cell-range pruning."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    return joins.bbox_join(a, 40.0, 10.0, 120.0, 60.0, res=10).select("subject")
+
+
+O_BBOX_VIEWPORT = f"""WITH {GEO_A_CTE}
+SELECT subject FROM geo_a
+WHERE kind = 'POINT'
+  AND CAST(v AS DOUBLE)/100.0 BETWEEN 40.0 AND 120.0
+  AND CAST(w AS DOUBLE)/100.0 BETWEEN 10.0 AND 60.0"""
+
+
+def q_tile_assign(spark, sf_dir):
+    """Raster<->vector tile assignment: res-10 grid cell per entity."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"), F.col("cy").alias("lat"))
+    return cells.with_cell(a, 10).select("subject", "ix", "iy", "cell")
+
+
+O_TILE_ASSIGN = f"""WITH {GEO_A_CTE}
+SELECT subject,
+       {cells.sql_ix('CAST(v AS DOUBLE)/100.0', 10)} AS ix,
+       {cells.sql_iy('CAST(w AS DOUBLE)/100.0', 10)} AS iy,
+       {cells.sql_cell('CAST(v AS DOUBLE)/100.0', 'CAST(w AS DOUBLE)/100.0', 10)} AS cell
+FROM geo_a WHERE kind = 'POINT'"""
+
+
+def q_cell_join(spark, sf_dir):
+    """Cell-partitioned equi-join at res 13 (same-cell A/B pairs)."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    a = cells.with_cell(_points_side(ga).select(F.col("subject").alias("a_subject"),
+                                                "cx", "cy"), 13, lon="cx", lat="cy")
+    b = cells.with_cell(_points_side(gb).select(F.col("subject").alias("b_subject"),
+                                                "cx", "cy"), 13, lon="cx", lat="cy")
+    return (a.select("a_subject", "cell").join(b.select("b_subject", "cell"), "cell")
+            .select("a_subject", "b_subject", "cell"))
+
+
+O_CELL_JOIN = f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+ac AS (SELECT subject AS a_subject,
+        {cells.sql_cell('CAST(v AS DOUBLE)/100.0', 'CAST(w AS DOUBLE)/100.0', 13)} AS cell
+       FROM geo_a WHERE kind = 'POINT'),
+bc AS (SELECT subject AS b_subject,
+        {cells.sql_cell('CAST(v AS DOUBLE)/100.0', 'CAST(w AS DOUBLE)/100.0', 13)} AS cell
+       FROM geo_b WHERE kind = 'POINT')
+SELECT a_subject, b_subject, ac.cell AS cell FROM ac JOIN bc USING (cell)"""
+
+
+# ---- metadata / EAV operators ----------------------------------------------
+
+def q_literal_kind_filter(spark, sf_dir):
+    """F2: drop pure ints and URLs, keep lettered literals."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    subj = F.concat(F.lit("p"), k.cast("string"))
+    meta = (part.select(subj.alias("subject"), F.col("p_name").alias("object"))
+            .unionByName(part.select(subj.alias("subject"),
+                                     F.col("p_size").cast("string").alias("object")))
+            .unionByName(part.select(subj.alias("subject"),
+                                     F.concat(F.lit("http://ex.org/"),
+                                              k.cast("string")).alias("object"))))
+    return literal_kind_filter(meta).select("subject", "object")
+
+
+O_LITERAL_KIND = """WITH meta AS (
+  SELECT CONCAT('p', CAST(p_partkey AS STRING)) AS subject, p_name AS object FROM part
+  UNION ALL
+  SELECT CONCAT('p', CAST(p_partkey AS STRING)), CAST(p_size AS STRING) FROM part
+  UNION ALL
+  SELECT CONCAT('p', CAST(p_partkey AS STRING)), CONCAT('http://ex.org/', CAST(p_partkey AS STRING)) FROM part)
+SELECT subject, object FROM meta
+WHERE object IS NOT NULL
+  AND NOT regexp_matches(object, '^[0-9]+$')
+  AND NOT contains(object, 'http')
+  AND regexp_matches(object, '[a-zA-Z]')"""
+
+
+def q_tf_filter(spark, sf_dir):
+    """A3 term-frequency filter: keep literals unique within their group."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    lits = (part.select((k % 20).cast("long").alias("grp"), F.col("p_brand").alias("object"))
+            .unionByName(part.select((k % 20).cast("long").alias("grp"),
+                                     F.col("p_name").alias("object"))))
+    return tf_unique_filter(lits, group="grp").select("grp", "object")
+
+
+O_TF_FILTER = """WITH lits AS (
+  SELECT CAST(p_partkey % 20 AS BIGINT) AS grp, p_brand AS object FROM part
+  UNION ALL
+  SELECT CAST(p_partkey % 20 AS BIGINT), p_name FROM part)
+SELECT grp, object FROM lits
+QUALIFY COUNT(*) OVER (PARTITION BY grp, object) = 1"""
+
+
+def q_metadata_keep_left(spark, sf_dir):
+    """§2.6 Keep A with predicate rename into the dominant ontology."""
+    cust = _t(spark, sf_dir, "customer")
+    links = links_df(cust)
+    k = F.col("c_custkey")
+    meta_a = cust.select(
+        F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+        F.lit("http://a.org/ont/mktSegment").alias("predicate"),
+        F.col("c_mktsegment").alias("object"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dtype"))
+    return metadata_fuse.keep_left(links, meta_a, dom_onto="http://dom.org/")
+
+
+O_METADATA_KEEP_LEFT = f"""WITH {LINKS_CTE},
+meta_a AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         'http://a.org/ont/mktSegment' AS predicate,
+         c_mktsegment AS object,
+         CAST(NULL AS STRING) AS lang, CAST(NULL AS STRING) AS dtype
+  FROM customer)
+SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+       'http://dom.org/mktSegment' AS predicate, m.object, m.lang, m.dtype
+FROM links l JOIN meta_a m ON l.node_a = m.subject"""
+
+
+def q_metadata_concat(spark, sf_dir):
+    """§2.6 Keep Concatenated: paired chain values into one literal."""
+    cust = _t(spark, sf_dir, "customer")
+    links = links_df(cust)
+    k = F.col("c_custkey")
+    meta_a = cust.select(F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+                         F.lit("http://a.org/ont/segment").alias("predicate"),
+                         F.col("c_mktsegment").alias("object"))
+    meta_b = cust.select(F.concat(F.lit("place"), k.cast("string")).alias("subject"),
+                         F.lit("http://b.org/ont#name").alias("predicate"),
+                         F.col("c_name").alias("object"))
+    return metadata_fuse.concat_values(links, meta_a, meta_b,
+                                       "http://a.org/ont/segment",
+                                       "http://b.org/ont#name",
+                                       dom_onto="http://dom.org/")
+
+
+O_METADATA_CONCAT = f"""WITH {LINKS_CTE},
+ma AS (SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS node_a, c_mktsegment AS obj_a FROM customer),
+mb AS (SELECT CONCAT('place', CAST(c_custkey AS STRING)) AS node_b, c_name AS obj_b FROM customer)
+SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+       'http://dom.org/segment' AS predicate,
+       CONCAT(obj_a, ' ', obj_b) AS object
+FROM links l JOIN ma USING (node_a) JOIN mb USING (node_b)"""
+
+
+def q_rdf_type_filter(spark, sf_dir):
+    """F3: linked entities restricted to one rdf:type class."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    meta = part.select(F.concat(F.lit("p"), k.cast("string")).alias("subject"),
+                       F.lit("rdf:type").alias("predicate"),
+                       F.col("p_brand").alias("object"))
+    links = part.filter(k % 2 == 0).select(
+        F.concat(F.lit("p"), k.cast("string")).alias("node_a"))
+    typed = meta.filter((F.col("predicate") == "rdf:type")
+                        & (F.col("object") == "Brand#13"))
+    return links.join(typed, links.node_a == typed.subject).select("node_a")
+
+
+O_RDF_TYPE = """SELECT CONCAT('p', CAST(p_partkey AS STRING)) AS node_a
+FROM part WHERE p_partkey % 2 = 0 AND p_brand = 'Brand#13'"""
+
+
+# ---- documents / text operators ---------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.exact_duplicates(docs)
+            .select("content_hash", F.col("dup_count").cast("long").alias("dup_count"),
+                    F.col("keep_id").cast("long").alias("keep_id")))
+
+
+O_DOC_DEDUP = """SELECT MD5(text) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1"""
+
+
+def q_doc_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.with_token_count(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens")))
+
+
+O_DOC_TOKENS = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents"""
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.with_quality(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    "mean_word_len", "stopword_ratio"))
+
+
+_STOP_SQL = "('" + "','".join(textops.STOPWORDS) + "')"
+O_DOC_QUALITY = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+       CASE WHEN LEN(STRING_SPLIT(text, ' ')) > 0
+            THEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN LEN(STRING_SPLIT(text, ' ')) > 0
+            THEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LOWER(x) IN {_STOP_SQL})) AS DOUBLE)
+                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+            ELSE 0.0 END AS stopword_ratio
+FROM documents"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.with_fingerprint(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"))
+
+
+O_DOC_FINGERPRINT = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       MD5(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g'))) AS fingerprint
+FROM documents"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.with_lang_id(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang_pred"))
+
+
+def _lang_hits_sql(markers):
+    arr = "('" + "','".join(markers) + "')"
+    return (f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' '), "
+            f"x -> x IN {arr}))")
+
+
+O_DOC_LANG = f"""WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_lang_hits_sql(textops.LANG_MARKERS['en'])} AS h_en,
+         {_lang_hits_sql(textops.LANG_MARKERS['de'])} AS h_de,
+         {_lang_hits_sql(textops.LANG_MARKERS['fr'])} AS h_fr,
+         {_lang_hits_sql(textops.LANG_MARKERS['es'])} AS h_es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs within the same source block."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.ngram_jaccard_pairs(docs, block="source", k=3, threshold=0.2)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "jaccard"))
+
+
+O_NGRAM_JACCARD = """WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, source, ws,
+         UNNEST(range(0, GREATEST(LEN(ws) - 3, 0) + 1)) AS i
+  FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         CASE WHEN LEN(ws) >= 3 THEN CONCAT_WS(' ', ws[i+1], ws[i+2], ws[i+3])
+              ELSE ARRAY_TO_STRING(ws, ' ') END AS shingle
+  FROM idx),
+n AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.2"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force dot-product top-5 for the first 5 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = vector.brute_force_topk(q, emb, k=5)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+O_ANN_TOPK = """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+                                 x -> x[1] * x[2])) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM p)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, score
+FROM r WHERE rn <= 5"""
+
+
+# ---- engine-only (rows-checked) queries -------------------------------------
+
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64 — not SQL-expressible
+    in DuckDB; brute-force parity covered in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.minhash_candidates(docs, num_hashes=32, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (xxhash64-based; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.with_simhash(docs).select("doc_id", "simhash")
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; recall vs brute force in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return vector.lsh_topk(q, emb, k=5, dim=64, n_planes=4)
+
+
+def q_discover_links(spark, sf_dir):
+    """End-to-end link discovery (candidates -> TF -> JW-Jaccard ->
+    threshold). Python JW scoring — rows-only check; exact-value
+    fixtures in pytest."""
+    from . import synth
+    geo_a, geo_b, _, meta_a, meta_b = synth.synth_fixture(spark, 300, 200)
+    ga, gb = fuse.prepare_geoms(geo_a), fuse.prepare_geoms(geo_b)
+    from .discover import discover_links
+    return discover_links(ga, gb, meta_a, meta_b, radius_m=3000.0, threshold=0.2)
+
+
+QUERIES = {
+    "fagi_flagship_join": q_flagship_join,
+    "fagi_keep_left": _q_action("keep-left"),
+    "fagi_keep_right": _q_action("keep-right"),
+    "fagi_keep_both": _q_action("keep-both"),
+    "fagi_keep_most_points": _q_action("keep-most-points"),
+    "fagi_concatenation": _q_action("concatenation"),
+    "fagi_midpoint_xy": q_midpoint_xy,
+    "fagi_shift_a_to_b_xy": q_shift_a_to_b_xy,
+    "fagi_fusion_scores": q_fusion_scores,
+    "fagi_dedup_precedence": q_dedup_precedence,
+    "fagi_radius_join": q_radius_join,
+    "fagi_knn_join": q_knn_join,
+    "fagi_pip_refine": q_pip_refine,
+    "fagi_bbox_viewport": q_bbox_viewport,
+    "fagi_tile_assign": q_tile_assign,
+    "fagi_cell_join": q_cell_join,
+    "fagi_literal_kind_filter": q_literal_kind_filter,
+    "fagi_tf_filter": q_tf_filter,
+    "fagi_metadata_keep_left": q_metadata_keep_left,
+    "fagi_metadata_concat": q_metadata_concat,
+    "fagi_rdf_type_filter": q_rdf_type_filter,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "doc_minhash_candidates": q_minhash_candidates,
+    "doc_simhash": q_simhash,
+    "ann_lsh_topk": q_lsh_topk,
+    "fagi_discover_links": q_discover_links,
+}
+
+ORACLES = {
+    "fagi_flagship_join": O_FLAGSHIP,
+    "fagi_keep_left": O_KEEP_LEFT,
+    "fagi_keep_right": O_KEEP_RIGHT,
+    "fagi_keep_both": O_KEEP_BOTH,
+    "fagi_keep_most_points": O_KEEP_MOST_POINTS,
+    "fagi_concatenation": O_CONCAT,
+    "fagi_midpoint_xy": O_MIDPOINT,
+    "fagi_shift_a_to_b_xy": O_SHIFT_A_TO_B,
+    "fagi_fusion_scores": O_FUSION_SCORES,
+    "fagi_dedup_precedence": O_DEDUP_PRECEDENCE,
+    "fagi_radius_join": O_RADIUS_JOIN,
+    "fagi_knn_join": O_KNN_JOIN,
+    "fagi_pip_refine": O_PIP_REFINE,
+    "fagi_bbox_viewport": O_BBOX_VIEWPORT,
+    "fagi_tile_assign": O_TILE_ASSIGN,
+    "fagi_cell_join": O_CELL_JOIN,
+    "fagi_literal_kind_filter": O_LITERAL_KIND,
+    "fagi_tf_filter": O_TF_FILTER,
+    "fagi_metadata_keep_left": O_METADATA_KEEP_LEFT,
+    "fagi_metadata_concat": O_METADATA_CONCAT,
+    "fagi_rdf_type_filter": O_RDF_TYPE,
+    "doc_exact_dedup": O_DOC_DEDUP,
+    "doc_token_count": O_DOC_TOKENS,
+    "doc_quality": O_DOC_QUALITY,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
+    "doc_lang_id": O_DOC_LANG,
+    "doc_ngram_jaccard": O_NGRAM_JACCARD,
+    "ann_topk": O_ANN_TOPK,
+    # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
+    # fagi_discover_links: engine-only (xxhash64 / Python JW) -> rows-only.
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: kNN conflation + keep-most-points fusion over the
+    derived gazetteer at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    fused = fuse.fuse("keep-most-points", links, ga, gb)
+    return fused

@@ -1,0 +1,174 @@
+"""Link discovery / conflation matching (SURVEY.md §2.7).
+
+Reference flow (FindLinkServlet / BatchFindLinkServlet):
+  1. radius candidate search around the source centroid with the
+     0.01-degree width guard (joins.radius_join: J4 + F5);
+  2. literal-kind filters on candidate metadata (F2,
+     FindLinkServlet.java:254-264);
+  3. term-frequency: literals appearing under >1 candidate are dropped
+     as non-discriminative (A3, FindLinkServlet.java:271-277, 389-391);
+  4. token Jaccard with Jaro-Winkler token equivalence (JW > 0.8 counts
+     as an intersection; union = lowercased token set)
+     (FindLinkServlet.java:478-510);
+  5. emit links with index > 0.8 (interactive, :401) or > 0.2 (batch,
+     BatchFindLinkServlet.java:712-713), carrying centroid distance in
+     meters (distance_deg * 111195).
+
+Scoring runs inside one ``applyInPandas`` per candidate group — the
+token sets are tiny; the heavy lifting (candidate generation) is the
+cell-partitioned join upstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import joins
+
+# Patterns.java:17-38 analogs
+INT_RE = r"^[0-9]+$"
+WORD_BREAK_RE = re.compile(r"[^0-9a-zA-Z]+")  # PATTERN_WORD_BREAKER analog
+
+JW_TOKEN_THRESHOLD = 0.8     # FindLinkServlet.java:502
+INTERACTIVE_THRESHOLD = 0.8  # FindLinkServlet.java:401
+BATCH_THRESHOLD = 0.2        # BatchFindLinkServlet.java:713
+
+
+def literal_kind_filter(meta: DataFrame, obj: str = "object") -> DataFrame:
+    """F2: drop pure integers, drop URLs (contains 'http'), keep
+    literals containing letters (FindLinkServlet.java:254-264)."""
+    c = F.col(obj)
+    return meta.filter(c.isNotNull()
+                       & ~c.rlike(INT_RE)
+                       & ~c.contains("http")
+                       & c.rlike("[a-zA-Z]"))
+
+
+def tf_unique_filter(cand_literals: DataFrame, group: str, obj: str = "object") -> DataFrame:
+    """A3: within each source entity's candidate set, keep only literals
+    whose frequency == 1 (FindLinkServlet.java:389-391). ``group`` is
+    the source-entity column; frequency counts candidate subjects."""
+    w = Window.partitionBy(group, obj)
+    return (cand_literals.withColumn("_tf", F.count(F.lit(1)).over(w))
+            .filter(F.col("_tf") == 1).drop("_tf"))
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler (prefix scale 0.1, max prefix 4) — the
+    token-equivalence metric of FindLinkServlet.java:497-498."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a == b and prefix < 4:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def token_jaccard_jw(text_a: str, text_b: str) -> float:
+    """Token Jaccard with JW>0.8 token equivalence: intersection counts
+    token pairs with JW above threshold; union is the combined
+    lowercased token set (FindLinkServlet.java:478-510)."""
+    ta = [t for t in WORD_BREAK_RE.split((text_a or "").lower()) if t]
+    tb = [t for t in WORD_BREAK_RE.split((text_b or "").lower()) if t]
+    if not ta or not tb:
+        return 0.0
+    sa, sb = set(ta), set(tb)
+    inter = 0
+    used = set()
+    for x in sorted(sa):
+        for y in sorted(sb):
+            if y in used:
+                continue
+            if x == y or jaro_winkler(x, y) > JW_TOKEN_THRESHOLD:
+                inter += 1
+                used.add(y)
+                break
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+SCORE_SCHEMA = ("a_subject string, b_subject string, similarity double, "
+                "distance_m double")
+
+
+def score_candidates(cands: DataFrame) -> DataFrame:
+    """cands: (a_subject, b_subject, a_text, b_text, distance_m) ->
+    similarity per pair. Arrow-batched; grouped by a_subject so one
+    group = one source entity's candidate list (the reference's unit of
+    work)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            out.append((r.a_subject, r.b_subject,
+                        token_jaccard_jw(r.a_text, r.b_text), r.distance_m))
+        return pd.DataFrame(out, columns=["a_subject", "b_subject",
+                                          "similarity", "distance_m"])
+
+    return cands.groupBy("a_subject").applyInPandas(run, SCORE_SCHEMA)
+
+
+def discover_links(geo_a: DataFrame, geo_b: DataFrame,
+                   meta_a: DataFrame, meta_b: DataFrame,
+                   radius_m: float, threshold: float = BATCH_THRESHOLD,
+                   label_pred_suffix: str = "label") -> DataFrame:
+    """End-to-end batch link discovery. meta_{a,b} are EAV frames;
+    literals are concatenated per subject after kind + TF filtering.
+    Returns (node_a, node_b, similarity, distance_m)."""
+    cand = joins.radius_join(geo_a, geo_b, radius_m)
+
+    lits_b = literal_kind_filter(meta_b).select(
+        F.col("subject").alias("b_subject"), "object")
+    cand_lits = cand.select("a_subject", "b_subject").join(lits_b, "b_subject")
+    cand_lits = tf_unique_filter(cand_lits, group="a_subject")
+    b_text = (cand_lits.groupBy("a_subject", "b_subject")
+              .agg(F.concat_ws(" ", F.sort_array(F.collect_list("object"))).alias("b_text")))
+
+    lits_a = literal_kind_filter(meta_a).select(
+        F.col("subject").alias("a_subject"), "object")
+    a_text = (lits_a.groupBy("a_subject")
+              .agg(F.concat_ws(" ", F.sort_array(F.collect_list("object"))).alias("a_text")))
+
+    pairs = (cand.select("a_subject", "b_subject", "distance_m")
+             .join(b_text, ["a_subject", "b_subject"])
+             .join(a_text, "a_subject"))
+    scored = score_candidates(pairs)
+    return (scored.filter(F.col("similarity") > threshold)
+            .select(F.col("a_subject").alias("node_a"),
+                    F.col("b_subject").alias("node_b"),
+                    "similarity", "distance_m"))

@@ -209,8 +209,9 @@ def with_scores(j: DataFrame, threshold_m: float = -1.0) -> DataFrame:
       ST_Transform to a metric SRID; we use degree-distance x 111195
       (Constants.java:79-80) — the same constant it uses everywhere else.
     """
-    dist_deg = F.sqrt(F.pow(F.col("a_cx") - F.col("b_cx"), 2)
-                      + F.pow(F.col("a_cy") - F.col("b_cy"), 2))
+    dx = F.col("a_cx") - F.col("b_cx")
+    dy = F.col("a_cy") - F.col("b_cy")
+    dist_deg = F.sqrt(dx * dx + dy * dy)
     d_m = dist_deg * F.lit(geom.METERS_PER_DEGREE)
     both_points = (F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POINT")
     point_poly = ((F.col("a_geom_kind") == "POINT")

@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from . import cells, geom
 
+# plain multiplication (not pow) so the doubles are bit-identical with
+# SQL oracles computing (dx*dx + dy*dy)
 DIST_DEG = (lambda ax, ay, bx, by:
-            F.sqrt(F.pow(ax - bx, F.lit(2.0)) + F.pow(ay - by, F.lit(2.0))))
+            F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)))
 
 
 def _sided(df: DataFrame, side: str, cols) -> DataFrame:

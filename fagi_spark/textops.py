@@ -1,0 +1,195 @@
+"""Training-data text operators over the ``documents`` table.
+
+Large-scale pipeline staples the reference lacks but a 100 TB web-text
+engine needs (task brief): exact + near dedup, language ID, quality
+scoring, token counting, fingerprinting. Everything here is built-in
+column functions (JVM, codegen) except nothing — no Python on these
+paths at all; MinHash/SimHash use xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+# crude per-language stopword markers for the n-gram/lexicon heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def normalize_text(col):
+    """Whitespace-collapse + lowercase — the canonical form used for
+    fingerprints and dedup keys."""
+    return F.lower(F.regexp_replace(col, " +", " "))
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return df.withColumn("fingerprint", F.md5(normalize_text(F.col(text))))
+
+
+def exact_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member, keeping the
+    min key as the canonical representative."""
+    return (df.select(F.md5(F.col(text)).alias("content_hash"), F.col(key))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("dup_count"), F.min(key).alias("keep_id"))
+            .filter(F.col("dup_count") > 1))
+
+
+def dedup_exact(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min key wins) — the scalable
+    hash-groupBy dedup (map-side combine; one shuffle on the hash)."""
+    w_min = (df.groupBy(F.md5(F.col(text)).alias("content_hash"))
+             .agg(F.min(key).alias(key)))
+    return df.join(w_min, key, "leftsemi")
+
+
+def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (runs of letters / digits / single punctuation)."""
+    return (df.withColumn("n_tokens", F.size(F.split(F.col(text), " ")))
+              .withColumn("n_subwords",
+                          F.size(F.regexp_extract_all(F.col(text),
+                                                      F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")))))
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality features: char count, word count, mean word length,
+    stopword ratio — all pure column math."""
+    words = F.split(F.col(text), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text))
+    alpha_chars = F.length(F.regexp_replace(F.col(text), " ", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return (df.withColumn("n_chars", n_chars)
+              .withColumn("n_words", n_words)
+              .withColumn("mean_word_len",
+                          F.when(n_words > 0, alpha_chars.cast("double") / n_words.cast("double"))
+                           .otherwise(F.lit(0.0)))
+              .withColumn("stopword_ratio",
+                          F.when(n_words > 0, n_stop.cast("double") / n_words.cast("double"))
+                           .otherwise(F.lit(0.0))))
+
+
+def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token hits;
+    'und' when nothing matches. Deterministic tie-break by language code
+    order en < de < fr < es (greatest(struct) picks the max hit count,
+    ties broken by the later struct field — we encode priority)."""
+    words = F.split(normalize_text(F.col(text)), " ")
+    scores = []
+    # priority: earlier entry wins ties (encoded as descending tiebreak)
+    for i, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(marr, w)))
+        scores.append(F.struct(hits.alias("hits"),
+                               F.lit(len(LANG_MARKERS) - i).alias("prio"),
+                               F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return df.withColumn("lang_pred",
+                         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: MinHash + LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col, k: int = 3):
+    """Word k-gram shingles of the normalized text (distinct)."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
+                 shingle_k: int = 3) -> DataFrame:
+    """MinHash signature: for each of ``num_hashes`` seeded xxhash64
+    functions, the min hash over the document's shingle set. Pure
+    column expressions — scales as a single projection."""
+    sh = _shingles(F.col(text), shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    return df.withColumn("minhash", sig)
+
+
+def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
+                       num_hashes: int = 32, bands: int = 8,
+                       shingle_k: int = 3) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band
+    groups, hash each band, self-join on (band_idx, band_hash) ->
+    candidate near-duplicate pairs (a < b). The join is an equi-join on
+    the band key — shuffle-partitioned, no cartesian."""
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text, num_hashes, shingle_k).select(key, "minhash")
+    banded = (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+              .withColumn("band_hash",
+                          F.xxhash64(F.concat_ws(",", F.transform(
+                              F.slice("minhash", F.col("band") * rows_per_band + 1, rows_per_band),
+                              lambda x: x.cast("string"))), F.col("band")))
+              .select(key, "band", "band_hash"))
+    left = banded.select(F.col(key).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(key).alias("id_b"), "band", "band_hash")
+    return (left.join(right, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
+                        block: str | None = None, k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-k-gram Jaccard over candidate pairs. ``block`` limits
+    pairing to equal-block rows (never a global cartesian). Jaccard via
+    explode + groupBy — all JVM."""
+    sh = df.select(F.col(key), *( [F.col(block)] if block else [] ),
+                   F.explode(_shingles(F.col(text), k)).alias("shingle"))
+    n_sh = sh.groupBy(key).agg(F.countDistinct("shingle").alias("n_sh"))
+    join_keys = ["shingle"] + ([block] if block else [])
+    a = sh.select(*([F.col(key).alias("id_a"), F.col("shingle")]
+                    + ([F.col(block)] if block else [])))
+    b = sh.select(*([F.col(key).alias("id_b"), F.col("shingle")]
+                    + ([F.col(block)] if block else [])))
+    inter = (a.join(b, join_keys).filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    na = n_sh.select(F.col(key).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col(key).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (inter.join(na, "id_a").join(nb, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_inter").cast("double")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")))
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def with_simhash(df: DataFrame, text: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash: sign-aggregate of per-token hash bits. Implemented as a
+    sum over tokens of +/-1 per bit, sign -> bit. Column-only (aggregate
+    over the token array)."""
+    words = F.array_distinct(F.split(normalize_text(F.col(text)), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_cols = []
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2 ** 63))) != 0))
+        total = F.size(hashes)
+        bit_cols.append(F.when(ones * 2 >= total, F.lit(1)).otherwise(F.lit(0)).alias(f"b{b}"))
+    # pack 64 bits into a long via sum of shifted bits (b63 = sign bit)
+    packed = None
+    for b in range(bits):
+        term = bit_cols[b].cast("long") * F.lit(1 << b if b < 63 else -(2 ** 63))
+        packed = term if packed is None else packed + term
+    return df.withColumn("simhash", packed)
+
+
+def simhash_hamming(col_a, col_b):
+    """Hamming distance between two packed simhash longs."""
+    x = col_a.bitwiseXOR(col_b)
+    return F.bit_count(x)
