@@ -111,16 +111,28 @@ def _shingles(text_col, k: int = 3):
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
 
 
+def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text",
+                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """(key, minhash array<long>) — for each of ``num_hashes`` seeded
+    xxhash64 functions, the min hash over the document's shingle set.
+
+    Shape: explode shingles -> one groupBy with ``num_hashes`` MIN
+    aggregates (map-side partial agg, one shuffle on ``key``). A single
+    wide projection of 32 x array_min(transform(shingles)) is avoided
+    deliberately: it re-evaluates the shingle construction per hash and
+    blows up whole-stage codegen (~100x slower measured at sf0.01); the
+    explode/agg form streams and scales to arbitrarily long documents."""
+    sh = df.select(F.col(key), F.explode(_shingles(F.col(text), shingle_k)).alias("_sh"))
+    agg = sh.groupBy(key).agg(*[
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)])
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+    return agg.select(F.col(key), sig.alias("minhash"))
+
+
 def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
-                 shingle_k: int = 3) -> DataFrame:
-    """MinHash signature: for each of ``num_hashes`` seeded xxhash64
-    functions, the min hash over the document's shingle set. Pure
-    column expressions — scales as a single projection."""
-    sh = _shingles(F.col(text), shingle_k)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)])
-    return df.withColumn("minhash", sig)
+                 shingle_k: int = 3, key: str = "doc_id") -> DataFrame:
+    """MinHash signature appended to ``df`` (join back on ``key``)."""
+    return df.join(minhash_signatures(df, key, text, num_hashes, shingle_k), key)
 
 
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
@@ -131,7 +143,7 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     candidate near-duplicate pairs (a < b). The join is an equi-join on
     the band key — shuffle-partitioned, no cartesian."""
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text, num_hashes, shingle_k).select(key, "minhash")
+    sig = minhash_signatures(df, key, text, num_hashes, shingle_k)
     banded = (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
               .withColumn("band_hash",
                           F.xxhash64(F.concat_ws(",", F.transform(
@@ -170,23 +182,32 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def with_simhash(df: DataFrame, text: str = "text", bits: int = 64) -> DataFrame:
-    """SimHash: sign-aggregate of per-token hash bits. Implemented as a
-    sum over tokens of +/-1 per bit, sign -> bit. Column-only (aggregate
-    over the token array)."""
+def with_simhash(df: DataFrame, text: str = "text", bits: int = 64,
+                 key: str = "doc_id") -> DataFrame:
+    """SimHash: majority vote of per-token hash bits, packed into one
+    long (bit set when >= half the distinct tokens have it set; b63 is
+    the sign bit). Explode tokens -> one groupBy with ``bits`` SUM
+    aggregates (map-side combine, one shuffle) — the same
+    codegen-friendly shape as ``minhash_signatures``; a 64-wide
+    array-filter projection re-evaluates the token hashing per bit.
+    Empty documents (no tokens) get all bits set (vacuous majority)."""
     words = F.array_distinct(F.split(normalize_text(F.col(text)), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_cols = []
-    for b in range(bits):
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2 ** 63))) != 0))
-        total = F.size(hashes)
-        bit_cols.append(F.when(ones * 2 >= total, F.lit(1)).otherwise(F.lit(0)).alias(f"b{b}"))
-    # pack 64 bits into a long via sum of shifted bits (b63 = sign bit)
+    tok = (df.select(F.col(key), F.explode(words).alias("_w"))
+             .withColumn("_h", F.xxhash64("_w")))
+    masks = [(1 << b) if b < 63 else -(2 ** 63) for b in range(bits)]
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(F.col("_h").bitwiseAND(F.lit(masks[b])) != 0, 1).otherwise(0)).alias(f"_o{b}")
+        for b in range(bits)]
+    agg = tok.groupBy(key).agg(*aggs)
     packed = None
     for b in range(bits):
-        term = bit_cols[b].cast("long") * F.lit(1 << b if b < 63 else -(2 ** 63))
+        bit = F.when(F.col(f"_o{b}") * 2 >= F.col("_n"), F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("long") * F.lit(masks[b])
         packed = term if packed is None else packed + term
-    return df.withColumn("simhash", packed)
+    sig = agg.select(F.col(key), packed.alias("simhash"))
+    # left join keeps token-less docs; vacuous majority = all bits = -1
+    return (df.join(sig, key, "left")
+              .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(-1).cast("long"))))
 
 
 def simhash_hamming(col_a, col_b):
