@@ -1,0 +1,101 @@
+"""Link clustering (SURVEY.md §2.8) — GeoClusterer re-expressed.
+
+The reference builds per-link feature vectors with three SQL passes
+over the canonical links |><| A |><| B join (GeoClusterer.java:100-253):
+
+- ``dist``: centroid distance in a metric SRID, max-normalized
+  (GeoClusterer.java:255-287; normalization 91-98);
+- direction unit vector ``((b_x-a_x)/len, (b_y-a_y)/len)`` halved
+  (GeoClusterer.java:289-324);
+- ``coverage = ST_Intersects(a, b)::int`` (GeoClusterer.java:326-354)
+
+then runs Weka EM (``-I 100 [-N k] -O``; GeoClusterer.java:212-245) and
+returns {link -> cluster}. Chosen clusters materialize into the
+``cluster`` table (BatchFusionServlet.loadClusterLinks:1294-1331).
+
+Here: features are one pass of column math over the resolved join
+(fuse.resolve_links); the max-normalization (A4) is a scalar agg
+crossJoined back (broadcast — one row); EM = pyspark.ml
+GaussianMixture(maxIter=100), KMeans fallback, both seeded.
+
+Distance uses the engine-wide degree-space convention
+(deg * 111195, Constants.java:79-80) instead of ST_Transform to
+EPSG:2163. Coverage uses bbox intersection over the precomputed
+envelope columns — identical to ST_Intersects for the point /
+axis-aligned-rectangle geometries of the fixtures; exact-geometry
+coverage would route through joins.pip_refine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geom
+
+FEATURE_COLS = ("f_dist_norm", "f_dir_x", "f_dir_y", "f_coverage")
+
+
+def link_features(j: DataFrame) -> DataFrame:
+    """Per-link clustering features over the resolved links join
+    (columns a_*/b_* from fuse.resolve_links). Two jobs: one scalar
+    MAX agg (A4 normalization), one projection."""
+    dx = F.col("b_cx") - F.col("a_cx")
+    dy = F.col("b_cy") - F.col("a_cy")
+    dist_deg = F.sqrt(dx * dx + dy * dy)
+    dist_m = dist_deg * F.lit(geom.METERS_PER_DEGREE)
+
+    feat = (j.select(F.col("node_a"), F.col("node_b"),
+                     dist_m.alias("dist_m"), dist_deg.alias("_len"),
+                     dx.alias("_dx"), dy.alias("_dy"),
+                     "a_xmin", "a_xmax", "a_ymin", "a_ymax",
+                     "b_xmin", "b_xmax", "b_ymin", "b_ymax"))
+
+    # A4 max-normalization: scalar agg broadcast back (GeoClusterer.java:91-98)
+    mx = feat.agg(F.max("dist_m").alias("_max_dist"))
+    feat = feat.crossJoin(F.broadcast(mx))
+
+    # direction unit vector, halved (GeoClusterer.java:289-324); 0 at len=0
+    dirx = F.when(F.col("_len") > 0, (F.col("_dx") / F.col("_len")) / 2.0).otherwise(0.0)
+    diry = F.when(F.col("_len") > 0, (F.col("_dy") / F.col("_len")) / 2.0).otherwise(0.0)
+
+    # coverage: envelope intersection as int (GeoClusterer.java:326-354)
+    inter = ((F.col("a_xmin") <= F.col("b_xmax")) & (F.col("b_xmin") <= F.col("a_xmax"))
+             & (F.col("a_ymin") <= F.col("b_ymax")) & (F.col("b_ymin") <= F.col("a_ymax")))
+
+    return feat.select(
+        "node_a", "node_b",
+        F.when(F.col("_max_dist") > 0, F.col("dist_m") / F.col("_max_dist"))
+         .otherwise(0.0).alias("f_dist_norm"),
+        dirx.alias("f_dir_x"), diry.alias("f_dir_y"),
+        inter.cast("int").alias("f_coverage"))
+
+
+def cluster_links(features: DataFrame, k: int | None = None,
+                  max_iter: int = 100, seed: int = 42,
+                  algo: str = "gmm") -> DataFrame:
+    """EM clustering of link feature vectors -> (node_a, node_b,
+    cluster). GaussianMixture is the Weka-EM equivalent (``-I 100``);
+    unspecified k defaults to 4 (Weka's EM cross-validates k — a
+    driver-side loop we deliberately avoid at scale)."""
+    from pyspark.ml.clustering import GaussianMixture, KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    k = k or 4
+    vec = VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="features")
+    data = vec.transform(features)
+    if algo == "gmm":
+        model = GaussianMixture(k=k, maxIter=max_iter, seed=seed).fit(data)
+    else:
+        model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(data)
+    return (model.transform(data)
+            .select("node_a", "node_b", F.col("prediction").alias("cluster")))
+
+
+def cluster_table(features: DataFrame, chosen: list[int], **kw) -> DataFrame:
+    """Materialize the ``cluster`` table: links whose cluster id is in
+    ``chosen`` (BatchFusionServlet.loadClusterLinks:1294-1331) — the
+    J3 cluster-variant join then runs on this frame."""
+    assigned = cluster_links(features, **kw)
+    return (assigned.filter(F.col("cluster").isin([int(c) for c in chosen]))
+            .select("node_a", "node_b"))

@@ -721,6 +721,236 @@ def q_discover_links(spark, sf_dir):
     return discover_links(ga, gb, meta_a, meta_b, radius_m=3000.0, threshold=0.2)
 
 
+# ---- clustering / learning / schema matching / sources ---------------------
+
+_ENV = """
+  CAST({v} AS DOUBLE)/100.0 AS {p}xmin,
+  CAST({v} + CASE WHEN {k} = 'POLYGON' THEN 8 ELSE 0 END AS DOUBLE)/100.0 AS {p}xmax,
+  CAST({w} AS DOUBLE)/100.0 AS {p}ymin,
+  CAST({w} + CASE WHEN {k} = 'POLYGON' THEN 8 ELSE 0 END AS DOUBLE)/100.0 AS {p}ymax,
+  CASE WHEN {k} = 'POINT' THEN 1 ELSE 5 END AS {p}npoints"""
+
+
+def q_cluster_features(spark, sf_dir):
+    """§2.8 per-link clustering features (GeoClusterer feature passes).
+    POINT/POINT pairs only so centroids are grid-exact for the oracle;
+    mixed-kind paths are covered by pytest."""
+    from . import cluster as cl
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb)
+    j = j.filter((F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POINT"))
+    return cl.link_features(j)
+
+
+O_CLUSTER_FEATURES = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
+j AS (
+  SELECT l.node_a, l.node_b,
+         CAST(a.v AS DOUBLE)/100.0 AS acx, CAST(a.w AS DOUBLE)/100.0 AS acy,
+         CAST(b.v AS DOUBLE)/100.0 AS bcx, CAST(b.w AS DOUBLE)/100.0 AS bcy
+  FROM links l JOIN geo_a a ON l.node_a = a.subject
+               JOIN geo_b b ON l.node_b = b.subject
+  WHERE a.kind = 'POINT' AND b.kind = 'POINT'),
+g AS (
+  SELECT node_a, node_b, acx, acy, bcx, bcy,
+         (bcx - acx) AS dx, (bcy - acy) AS dy,
+         SQRT((bcx - acx)*(bcx - acx) + (bcy - acy)*(bcy - acy)) AS len,
+         SQRT((bcx - acx)*(bcx - acx) + (bcy - acy)*(bcy - acy)) * 111195.0 AS dist_m
+  FROM j),
+h AS (SELECT *, MAX(dist_m) OVER () AS mx FROM g)
+SELECT node_a, node_b,
+       CASE WHEN mx > 0 THEN dist_m / mx ELSE 0.0 END AS f_dist_norm,
+       CASE WHEN len > 0 THEN (dx / len) / 2.0 ELSE 0.0 END AS f_dir_x,
+       CASE WHEN len > 0 THEN (dy / len) / 2.0 ELSE 0.0 END AS f_dir_y,
+       CAST(CASE WHEN acx <= bcx AND bcx <= acx AND acy <= bcy AND bcy <= acy
+                 THEN 1 ELSE 0 END AS INT) AS f_coverage
+FROM h"""
+
+
+def q_cluster_assign(spark, sf_dir):
+    """§2.8 EM clustering (GaussianMixture, seeded) — ML, rows-only."""
+    from . import cluster as cl
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    feats = cl.link_features(fuse.resolve_links(links, ga, gb))
+    return cl.cluster_links(feats, k=4)
+
+
+def q_learning_features(spark, sf_dir):
+    """§2.10 bucketed geometry features for the action recommender."""
+    from . import learning
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    return learning.geometry_features(fuse.resolve_links(links, ga, gb))
+
+
+def _o_bucket(expr: str) -> str:
+    return (f"CAST(CASE WHEN {expr} <= 0 THEN 0 ELSE "
+            f"GREATEST(0, LEAST(24, FLOOR(LOG10(({expr}) / 0.000001)))) END AS INT)")
+
+
+_AREA_A = "(a_xmax - a_xmin) * (a_ymax - a_ymin)"
+_AREA_B = "(b_xmax - b_xmin) * (b_ymax - b_ymin)"
+_EDGE_A = "2.0 * ((a_xmax - a_xmin) + (a_ymax - a_ymin)) / GREATEST(CAST(a_npoints AS DOUBLE), 1.0)"
+_EDGE_B = "2.0 * ((b_xmax - b_xmin) + (b_ymax - b_ymin)) / GREATEST(CAST(b_npoints AS DOUBLE), 1.0)"
+
+O_LEARNING_FEATURES = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
+j AS (
+  SELECT l.node_a, l.node_b, a.kind AS a_kind, b.kind AS b_kind,
+         {_ENV.format(v='a.v', w='a.w', k='a.kind', p='a_')},
+         {_ENV.format(v='b.v', w='b.w', k='b.kind', p='b_')}
+  FROM links l JOIN geo_a a ON l.node_a = a.subject
+               JOIN geo_b b ON l.node_b = b.subject)
+SELECT node_a, node_b,
+       {_o_bucket(_AREA_A)} AS a_area_bucket,
+       {_o_bucket(_AREA_B)} AS b_area_bucket,
+       {_o_bucket(_EDGE_A)} AS a_edge_bucket,
+       {_o_bucket(_EDGE_B)} AS b_edge_bucket,
+       CAST(CASE WHEN a_kind = 'POINT' THEN 1 ELSE 0 END AS INT) AS a_is_point,
+       CAST(CASE WHEN b_kind = 'POINT' THEN 1 ELSE 0 END AS INT) AS b_is_point,
+       CAST(CASE WHEN a_kind IN ('POLYGON','MULTIPOLYGON') THEN 1 ELSE 0 END AS INT) AS a_is_poly,
+       CAST(CASE WHEN b_kind IN ('POLYGON','MULTIPOLYGON') THEN 1 ELSE 0 END AS INT) AS b_is_poly,
+       CAST(CASE WHEN a_npoints >= b_npoints THEN 1 ELSE 0 END AS INT) AS a_more_points
+FROM j"""
+
+
+def q_learning_predict(spark, sf_dir):
+    """§2.10 LinearSVC action recommendation — ML, rows-only."""
+    from . import learning
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    feats = learning.geometry_features(fuse.resolve_links(links, ga, gb))
+    train = feats.withColumn("label", (F.col("a_more_points") == 0).cast("double"))
+    model = learning.train_recommender(train)
+    return learning.predict_actions(model, feats)
+
+
+def q_schema_match(spark, sf_dir):
+    """§2.9 predicate alignment: JW + literal-kind compat (Python JW —
+    rows-only; exact-value fixtures in pytest)."""
+    from . import schema_match
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def eav(ns, preds):
+        frames = []
+        for pred, obj in preds:
+            frames.append(cust.select(
+                F.concat(F.lit("s"), k.cast("string")).alias("subject"),
+                F.lit(ns + pred).alias("predicate"), obj.alias("object")))
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    meta_a = eav("http://a.org/ont/", [
+        ("mktSegment", F.col("c_mktsegment")),
+        ("accountBalance", F.col("c_acctbal").cast("string")),
+        ("customerName", F.col("c_name"))])
+    meta_b = eav("http://b.org/ont#", [
+        ("marketSegment", F.col("c_mktsegment")),
+        ("acctBal", F.col("c_acctbal").cast("string")),
+        ("label", F.col("c_name"))])
+    return schema_match.match_schemas(spark, meta_a, meta_b, threshold=0.2)
+
+
+def q_nt_links_roundtrip(spark, sf_dir):
+    """S1/S8: links -> N-Triples lines -> parsed back (codegen regex)."""
+    from . import io as io_mod
+    cust = _t(spark, sf_dir, "customer")
+    lines = io_mod.links_to_nt(links_df(cust))
+    return io_mod.parse_nt_links(lines)
+
+
+O_NT_LINKS = f"""WITH {LINKS_CTE}
+SELECT node_a, node_b FROM links"""
+
+
+def q_subject_regex(spark, sf_dir):
+    """F1 subject-regex import filter (Importer.java:570-581)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    return ga.filter(F.col("subject").rlike("way1.*7$")).select("subject")
+
+
+O_SUBJECT_REGEX = f"""WITH {GEO_A_CTE}
+SELECT subject FROM geo_a WHERE regexp_matches(subject, 'way1.*7$')"""
+
+
+def q_export_distinct(spark, sf_dir):
+    """S9 export: SELECT DISTINCT over the keep-both fused output."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    return fuse.export_fused(fuse.fuse("keep-both", links, ga, gb))
+
+
+O_EXPORT_DISTINCT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT DISTINCT subject_a, subject_b, geom_wkt FROM (
+  SELECT subject_a, subject_b, a_wkt AS geom_wkt FROM j
+  UNION ALL
+  SELECT subject_a, subject_b, b_wkt FROM j)"""
+
+
+def q_merge_replace(spark, sf_dir):
+    """S9 delete-then-insert merge of fused geometries into a target
+    EAV table (anti-join + union)."""
+    from . import io as io_mod
+    cust = _t(spark, sf_dir, "customer")
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    k = F.col("c_custkey")
+    gp = "http://geo#asWKT"
+    target = (cust.select(F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+                          F.lit(gp).alias("predicate"),
+                          F.concat(F.lit("OLD"), k.cast("string")).alias("object"),
+                          F.lit(None).cast("string").alias("lang"),
+                          F.lit(None).cast("string").alias("dtype"))
+              .unionByName(cust.select(
+                  F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+                  F.lit("http://a.org/label").alias("predicate"),
+                  F.col("c_name").alias("object"),
+                  F.lit(None).cast("string").alias("lang"),
+                  F.lit(None).cast("string").alias("dtype"))))
+    fused = fuse.fuse("keep-left", links, ga, gb)
+    return io_mod.merge_replace(target, fused, geom_predicate=gp)
+
+
+O_MERGE_REPLACE = f"""WITH {_FUSE_JOIN_CTE},
+target AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         'http://geo#asWKT' AS predicate,
+         CONCAT('OLD', CAST(c_custkey AS STRING)) AS object,
+         CAST(NULL AS STRING) AS lang, CAST(NULL AS STRING) AS dtype
+  FROM customer
+  UNION ALL
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)), 'http://a.org/label',
+         c_name, CAST(NULL AS STRING), CAST(NULL AS STRING)
+  FROM customer),
+fused AS (SELECT DISTINCT subject_a AS subject, a_wkt AS geom_wkt FROM j)
+SELECT t.subject, t.predicate, t.object, t.lang, t.dtype
+FROM target t
+WHERE NOT (t.predicate = 'http://geo#asWKT'
+           AND t.subject IN (SELECT subject FROM fused))
+UNION ALL
+SELECT subject, 'http://geo#asWKT', geom_wkt, CAST(NULL AS STRING),
+       'http://www.opengis.net/ont/geosparql#wktLiteral'
+FROM fused"""
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline on a bounded
+    slice; LSH-blocked variant is the scale path, recall in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = vector.cosine_neardup_pairs(emb, threshold=0.35)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"), "cosine")
+
+
+O_EMBED_NEARDUP = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+FROM p WHERE cosine >= 0.35"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -754,6 +984,16 @@ QUERIES = {
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
     "fagi_discover_links": q_discover_links,
+    "fagi_cluster_features": q_cluster_features,
+    "fagi_cluster_assign": q_cluster_assign,
+    "fagi_learning_features": q_learning_features,
+    "fagi_learning_predict": q_learning_predict,
+    "fagi_schema_match": q_schema_match,
+    "fagi_nt_links_roundtrip": q_nt_links_roundtrip,
+    "fagi_subject_regex": q_subject_regex,
+    "fagi_export_distinct": q_export_distinct,
+    "fagi_merge_replace": q_merge_replace,
+    "embed_cosine_neardup": q_embed_neardup,
 }
 
 ORACLES = {
@@ -785,8 +1025,17 @@ ORACLES = {
     "doc_lang_id": O_DOC_LANG,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "ann_topk": O_ANN_TOPK,
+    "fagi_cluster_features": O_CLUSTER_FEATURES,
+    "fagi_learning_features": O_LEARNING_FEATURES,
+    "fagi_nt_links_roundtrip": O_NT_LINKS,
+    "fagi_subject_regex": O_SUBJECT_REGEX,
+    "fagi_export_distinct": O_EXPORT_DISTINCT,
+    "fagi_merge_replace": O_MERGE_REPLACE,
+    "embed_cosine_neardup": O_EMBED_NEARDUP,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
-    # fagi_discover_links: engine-only (xxhash64 / Python JW) -> rows-only.
+    # fagi_discover_links (xxhash64 / Python JW) and
+    # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match
+    # (pyspark.ml / Python JW): engine-only -> rows-only.
 }
 
 

@@ -1,0 +1,96 @@
+"""Sources / sinks: N-Triples links scan, fused export, merge-replace.
+
+S1 links-file scan (GeometryFuser.parseLinksFile,
+GeometryFuser.java:155-180): the reference parses any RDF file with
+Jena and keeps ``owl:sameAs`` statements whose object is a resource.
+Here: ``spark.read.text`` + column regex parsing — line-oriented
+N-Triples needs no Python, stays in codegen, and splits across
+executors for arbitrarily large link files.
+
+S9 fused-geometry export (VirtuosoImporter.java:481-550): SELECT
+DISTINCT + delete-old-triples-then-insert per fused subject — the
+delete/replace becomes an anti-join + union.
+
+S10 dataset download (DownloadDatasetServlet): N-Triples text lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"  # Constants.java:49
+
+# <subj> <pred> <obj> .   — object must be a resource (S1 rule)
+_NT_RES_RE = r"^\s*<([^>]+)>\s+<([^>]+)>\s+<([^>]+)>\s*\.\s*$"
+# literal object with optional @lang or ^^<dtype>
+_NT_LIT_RE = r'^\s*<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"(?:@([a-zA-Z-]+))?(?:\^\^<([^>]+)>)?\s*\.\s*$'
+
+
+def read_nt_links(spark: SparkSession, path: str,
+                  link_predicate: str = SAME_AS) -> DataFrame:
+    """Parse an N-Triples file into (node_a, node_b) sameAs pairs.
+    Non-matching lines and literal-object statements are dropped
+    (object must be a resource — GeometryFuser.java:166-171)."""
+    lines = spark.read.text(path)
+    return parse_nt_links(lines, link_predicate)
+
+
+def parse_nt_links(lines: DataFrame, link_predicate: str = SAME_AS) -> DataFrame:
+    """Same as read_nt_links over an existing (value string) frame."""
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_RES_RE, 1).alias("node_a"),
+        F.regexp_extract("value", _NT_RES_RE, 2).alias("predicate"),
+        F.regexp_extract("value", _NT_RES_RE, 3).alias("node_b"))
+    return (parsed.filter((F.col("predicate") == link_predicate)
+                          & (F.col("node_a") != "") & (F.col("node_b") != ""))
+            .select("node_a", "node_b"))
+
+
+def parse_nt_triples(lines: DataFrame) -> DataFrame:
+    """Full EAV parse: resource + literal statements ->
+    (subject, predicate, object, lang, dtype) — the metadata_{a,b}
+    table shape (schema.sql:20-29)."""
+    res = (lines
+           .filter(F.col("value").rlike(_NT_RES_RE))
+           .select(F.regexp_extract("value", _NT_RES_RE, 1).alias("subject"),
+                   F.regexp_extract("value", _NT_RES_RE, 2).alias("predicate"),
+                   F.regexp_extract("value", _NT_RES_RE, 3).alias("object"),
+                   F.lit(None).cast("string").alias("lang"),
+                   F.lit(None).cast("string").alias("dtype")))
+    lit = (lines
+           .filter(F.col("value").rlike(_NT_LIT_RE))
+           .select(F.regexp_extract("value", _NT_LIT_RE, 1).alias("subject"),
+                   F.regexp_extract("value", _NT_LIT_RE, 2).alias("predicate"),
+                   F.regexp_extract("value", _NT_LIT_RE, 3).alias("object"),
+                   F.nullif(F.regexp_extract("value", _NT_LIT_RE, 4), F.lit("")).alias("lang"),
+                   F.nullif(F.regexp_extract("value", _NT_LIT_RE, 5), F.lit("")).alias("dtype")))
+    return res.unionByName(lit)
+
+
+def links_to_nt(links: DataFrame, link_predicate: str = SAME_AS) -> DataFrame:
+    """Links -> N-Triples lines (S8 ``selected_links.nt`` analog,
+    FusionGISCLI.java:374-421)."""
+    return links.select(F.concat(F.lit("<"), "node_a", F.lit(f"> <{link_predicate}> <"),
+                                 "node_b", F.lit("> .")).alias("value"))
+
+
+def merge_replace(target_meta: DataFrame, fused_geoms: DataFrame,
+                  geom_predicate: str = "http://www.opengis.net/ont/geosparql#asWKT",
+                  subject_col: str = "subject_a") -> DataFrame:
+    """S9 delete-then-insert: drop the target's existing geometry
+    triples for every fused subject, then add the fused geometries
+    (VirtuosoImporter.java:511-528). Anti-join + union; the fused side
+    is DISTINCT per the reference's export SELECT (:495)."""
+    fused = fused_geoms.select(F.col(subject_col).alias("subject"),
+                               F.col("geom_wkt")).distinct()
+    subjects = fused.select("subject").distinct()
+    kept = (target_meta.join(subjects,
+                             (target_meta.subject == subjects.subject)
+                             & (target_meta.predicate == geom_predicate),
+                             "left_anti"))
+    new_rows = fused.select("subject", F.lit(geom_predicate).alias("predicate"),
+                            F.col("geom_wkt").alias("object"),
+                            F.lit(None).cast("string").alias("lang"),
+                            F.lit("http://www.opengis.net/ont/geosparql#wktLiteral").alias("dtype"))
+    return kept.unionByName(new_rows)

@@ -127,16 +127,23 @@ def pip_refine(points: DataFrame, polygons: DataFrame, res: int = 10,
     points:   (subject, cx, cy)
     polygons: (subject, geom_wkt, xmin, ymin, xmax, ymax)
 
-    Polygons are exploded over every cell their bbox covers (bounded by
-    construction — pick ``res`` so typical polygons span O(1) cells);
-    points carry one cell; the equi-join co-partitions them, then one
-    ``applyInPandas`` per cell group builds a bbox index over the local
-    polygons and ray-casts the local points (vectorized numpy — the
-    STRtree-refinement stage of the north star). Duplicate pairs from
-    polygons spanning multiple cells are removed by the point's cell
-    ownership test (each pair is emitted only from the point's own cell,
-    which is unique)."""
-    n = 1 << res
+    Plan shape (the STRtree-refinement stage of the north star, done
+    Spark-first): polygons explode over every cell their bbox covers
+    (bounded by construction — pick ``res`` so typical polygons span
+    O(1) cells); points carry one cell; the **cell equi-join + bbox
+    range predicates run entirely in JVM codegen**, producing only the
+    candidate pairs whose point lies inside the polygon's bbox. One
+    ``mapInPandas`` then ray-casts just those candidates (vectorized
+    per distinct polygon within each Arrow batch, with a parse cache).
+
+    An earlier per-cell ``applyInPandas`` variant shipped all points +
+    all polygons into Python and paid per-group Arrow overhead across
+    thousands of tiny cell groups (~10x slower at sf0.1); candidates
+    after the bbox filter are within a small factor of the true hits,
+    so the Python stage is proportional to output size, not input size.
+
+    No dedup needed: a point lives in exactly one cell and a polygon is
+    replicated at most once per cell, so each pair joins exactly once."""
     pts = points.select(F.col("subject").alias("pt_subject"),
                         F.col("cx").alias("px"), F.col("cy").alias("py"))
     pts = cells.with_cell(pts, res, lon="px", lat="py")
@@ -153,40 +160,32 @@ def pip_refine(points: DataFrame, polygons: DataFrame, res: int = 10,
              .withColumn("cell", cells.pack_cell(F.col("pix"), F.col("piy"), res))
              .select("pg_subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax", "cell"))
 
-    both = pts.select("pt_subject", "px", "py", "cell").unionByName(
-        polys.withColumn("pt_subject", F.lit(None).cast("string"))
-             .withColumn("px", F.lit(None).cast("double"))
-             .withColumn("py", F.lit(None).cast("double"))
-             .select("pt_subject", "px", "py", "cell",
-                     "pg_subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
-        allowMissingColumns=True)
+    cand = (pts.select("pt_subject", "px", "py", "cell")
+            .join(polys, "cell")
+            .filter((F.col("px") >= F.col("xmin")) & (F.col("px") <= F.col("xmax"))
+                    & (F.col("py") >= F.col("ymin")) & (F.col("py") <= F.col("ymax")))
+            .select("pt_subject", "px", "py", "pg_subject", "geom_wkt"))
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        is_pt = pdf["pg_subject"].isna() if "pg_subject" in pdf else pd.Series(True, index=pdf.index)
-        pt = pdf[is_pt]
-        pg = pdf[~is_pt]
-        if len(pt) == 0 or len(pg) == 0:
-            return pd.DataFrame(columns=["point_subject", "poly_subject"])
-        px = pt["px"].to_numpy(dtype=np.float64)
-        py = pt["py"].to_numpy(dtype=np.float64)
-        names = pt["pt_subject"].to_numpy()
-        out_pt, out_pg = [], []
-        for _, row in pg.iterrows():
-            # bbox prefilter (the "tree" probe), then exact ray cast
-            m = ((px >= row["xmin"]) & (px <= row["xmax"])
-                 & (py >= row["ymin"]) & (py <= row["ymax"]))
-            if not m.any():
+    def refine(batches):
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
                 continue
-            g = geom.parse_wkt(row["geom_wkt"])
-            if g is None or g.kind not in ("POLYGON", "MULTIPOLYGON"):
-                continue
-            hit = geom.points_in_polygon(px[m], py[m], g)
-            hit_names = names[m][hit]
-            out_pt.extend(hit_names.tolist())
-            out_pg.extend([row["pg_subject"]] * len(hit_names))
-        return pd.DataFrame({"point_subject": out_pt, "poly_subject": out_pg})
+            out_pt: list = []
+            out_pg: list = []
+            # vectorize per distinct polygon within the batch
+            for wkt, grp in pdf.groupby("geom_wkt", sort=False):
+                g = cache.get(wkt)
+                if g is None:
+                    g = geom.parse_wkt(wkt)
+                    cache[wkt] = g if g is not None else False
+                if g is False or g is None or g.kind not in ("POLYGON", "MULTIPOLYGON"):
+                    continue
+                px = grp["px"].to_numpy(dtype=np.float64)
+                py = grp["py"].to_numpy(dtype=np.float64)
+                hit = geom.points_in_polygon(px, py, g)
+                out_pt.extend(grp["pt_subject"].to_numpy()[hit].tolist())
+                out_pg.extend(grp["pg_subject"].to_numpy()[hit].tolist())
+            yield pd.DataFrame({"point_subject": out_pt, "poly_subject": out_pg})
 
-    # No dedup needed: a point lives in exactly one cell, and a polygon is
-    # replicated at most once per cell, so each (point, polygon) pair is
-    # emitted by exactly one group — saves a shuffle.
-    return both.groupBy("cell").applyInPandas(refine, PIP_SCHEMA)
+    return cand.mapInPandas(refine, PIP_SCHEMA)

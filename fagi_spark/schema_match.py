@@ -1,0 +1,112 @@
+"""Schema matching: property alignment across datasets (SURVEY.md §2.9).
+
+VirtuosoImporter.scanProperties/scanMatches (VirtuosoImporter.java:1225,
+846-1050): predicate local names are word-broken (Patterns.java:32); for
+each A-predicate x B-predicate pair the reference combines
+
+  (a) mean WordNet-JWNL semantic relatedness over index-word pairs
+      (VirtuosoImporter.java:1971-2050),
+  (b) mean Jaro-Winkler over word pairs (VirtuosoImporter.java:915-933),
+  (c) object-type compatibility via regex literal kinds
+      (compareTypes, VirtuosoImporter.java:807-825; Patterns.java:17-29),
+
+into ``(sem + jaro + 0.5*type) / 3`` (VirtuosoImporter.java:950).
+
+The predicate inventory is tiny by construction (SELECT DISTINCT
+predicate — A2), so scoring runs driver-side in plain Python over the
+collected inventory; only the inventory scan and the sampled object
+values (PROPERTY_MATCH_SAMPLE = 5, Constants.java:61) touch Spark. The
+WordNet term is a pluggable ``sem_fn``; the default is a deterministic
+word-set Jaccard stand-in (no WordNet in a --py-files deployment).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .discover import WORD_BREAK_RE, jaro_winkler
+
+PROPERTY_MATCH_SAMPLE = 5  # Constants.java:61
+
+# Patterns.java:17-29 literal-kind regexes
+_KIND_RES = (
+    ("int", re.compile(r"^[0-9]+$")),
+    ("decimal", re.compile(r"^[0-9]+\.[0-9]+$")),
+    ("date", re.compile(r"^[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}$")),
+    ("word", re.compile(r"^[a-zA-Z]+$")),
+)
+
+
+def literal_kind(value: str | None) -> str:
+    if value is None:
+        return "text"
+    for kind, rx in _KIND_RES:
+        if rx.match(value):
+            return kind
+    return "text"
+
+
+def local_words(predicate: str) -> list[str]:
+    """Word-break the predicate local name (camelCase split + breaker
+    regex — Patterns.java:32 + Utilities.getPredicateName)."""
+    local = re.split(r"[/#]", predicate)[-1]
+    spaced = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", " ", local)
+    return [w.lower() for w in WORD_BREAK_RE.split(spaced) if w]
+
+
+def default_sem(words_a: list[str], words_b: list[str]) -> float:
+    """WordNet stand-in: word-set Jaccard (deterministic, public)."""
+    sa, sb = set(words_a), set(words_b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def mean_jw(words_a: list[str], words_b: list[str]) -> float:
+    """Mean Jaro-Winkler over all word pairs
+    (VirtuosoImporter.java:915-933)."""
+    if not words_a or not words_b:
+        return 0.0
+    total = sum(jaro_winkler(x, y) for x in words_a for y in words_b)
+    return total / (len(words_a) * len(words_b))
+
+
+def predicate_inventory(meta: DataFrame, sample: int = PROPERTY_MATCH_SAMPLE):
+    """[(predicate, dominant literal kind)] — DISTINCT predicate scan
+    (A2) + per-predicate sample of object values for kind sniffing."""
+    rows = (meta.groupBy("predicate")
+            .agg(F.slice(F.sort_array(F.collect_list("object")), 1, sample).alias("sample"))
+            .collect())
+    out = []
+    for r in rows:
+        kinds = [literal_kind(v) for v in r["sample"]]
+        dominant = max(set(kinds), key=kinds.count) if kinds else "text"
+        out.append((r["predicate"], dominant))
+    return out
+
+
+def match_schemas(spark: SparkSession, meta_a: DataFrame, meta_b: DataFrame,
+                  threshold: float = 0.0, sem_fn=default_sem) -> DataFrame:
+    """Score every A-predicate x B-predicate pair; return a DataFrame
+    (pred_a, pred_b, sem, jaro, type_compat, score) with score =
+    (sem + jaro + 0.5*type)/3 (VirtuosoImporter.java:950), filtered to
+    score > threshold."""
+    inv_a = predicate_inventory(meta_a)
+    inv_b = predicate_inventory(meta_b)
+    rows = []
+    for pa, ka in inv_a:
+        wa = local_words(pa)
+        for pb, kb in inv_b:
+            wb = local_words(pb)
+            sem = sem_fn(wa, wb)
+            jaro = mean_jw(wa, wb)
+            type_c = 1.0 if ka == kb else 0.0
+            score = (sem + jaro + 0.5 * type_c) / 3.0
+            if score > threshold:
+                rows.append((pa, pb, sem, jaro, type_c, score))
+    return spark.createDataFrame(
+        rows, "pred_a string, pred_b string, sem double, jaro double, "
+              "type_compat double, score double")

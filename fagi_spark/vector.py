@@ -74,6 +74,31 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
     return df.withColumn("lsh_bucket", bucket)
 
 
+def cosine_neardup_pairs(df: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         dim: int | None = None, n_planes: int = 0,
+                         seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold). With ``n_planes`` > 0 the pairing is blocked by LSH
+    bucket (the 100 TB path: same-bucket equi-join, recall traded for
+    the eliminated cross product); with 0 it is the exact baseline —
+    use only on bounded inputs (the oracle/correctness path)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes > 0:
+        assert dim is not None
+        a = with_lsh_bucket(a, dim, n_planes, "va", seed)
+        b = with_lsh_bucket(b, dim, n_planes, "vb", seed)
+        pairs = a.join(b, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = (dot_double(F.col("va"), F.col("vb"))
+           / (norm_double(F.col("va")) * norm_double(F.col("vb"))))
+    return (pairs.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 7) -> DataFrame:

@@ -1,0 +1,113 @@
+"""Clustering (§2.8), learning (§2.10), schema matching (§2.9), io (S1/S9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import cluster, fuse, io, learning, schema_match, synth
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    geo_a, geo_b, links, _, _ = synth.synth_fixture(spark, 120, 80)
+    return fuse.resolve_links(links, geo_a, geo_b).cache()
+
+
+def test_link_features_values(spark, resolved):
+    feats = cluster.link_features(resolved)
+    rows = feats.collect()
+    assert len(rows) == resolved.count()
+    for r in rows:
+        assert 0.0 <= r["f_dist_norm"] <= 1.0
+        # halved unit vector has norm <= 0.5 (0 for coincident centroids)
+        assert r["f_dir_x"] ** 2 + r["f_dir_y"] ** 2 <= 0.25 + 1e-12
+        assert r["f_coverage"] in (0, 1)
+    assert any(r["f_coverage"] == 1 for r in rows)  # jittered B overlaps some A
+
+
+def test_link_features_max_normalized(spark, resolved):
+    feats = cluster.link_features(resolved)
+    assert abs(feats.agg(F.max("f_dist_norm")).first()[0] - 1.0) < 1e-12
+
+
+def test_cluster_assign_deterministic(spark, resolved):
+    feats = cluster.link_features(resolved)
+    a = cluster.cluster_links(feats, k=3, seed=7).collect()
+    b = cluster.cluster_links(feats, k=3, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ks = {r["cluster"] for r in a}
+    assert ks.issubset({0, 1, 2}) and len(ks) > 1
+
+
+def test_cluster_table_subset(spark, resolved):
+    feats = cluster.link_features(resolved)
+    full = cluster.cluster_links(feats, k=3, seed=7)
+    chosen = cluster.cluster_table(feats, chosen=[0], k=3, seed=7)
+    n0 = full.filter(F.col("cluster") == 0).count()
+    assert chosen.count() == n0
+
+
+def test_learning_train_predict(spark, resolved):
+    feats = learning.geometry_features(resolved)
+    train = feats.withColumn("label", F.col("a_more_points").cast("double"))
+    model = learning.train_recommender(train, max_iter=20)
+    pred = learning.predict_actions(model, feats)
+    assert pred.count() == feats.count()
+    # separable by construction: the recommender learns the rule
+    joined = pred.join(train, ["node_a", "node_b"])
+    acc = joined.filter(F.col("action_id") == F.col("label").cast("int")).count() / pred.count()
+    assert acc > 0.9
+
+
+def test_schema_match_ranks_lexical_twins(spark):
+    meta_a = spark.createDataFrame(
+        [("s1", "http://a.org/ont/mktSegment", "BUILDING"),
+         ("s1", "http://a.org/ont/population", "1234")],
+        "subject string, predicate string, object string")
+    meta_b = spark.createDataFrame(
+        [("t1", "http://b.org/ont#marketSegment", "AUTOMOBILE"),
+         ("t1", "http://b.org/ont#population", "999")],
+        "subject string, predicate string, object string")
+    m = schema_match.match_schemas(spark, meta_a, meta_b).collect()
+    best = {r["pred_a"]: max((x for x in m if x["pred_a"] == r["pred_a"]),
+                             key=lambda x: x["score"]) for r in m}
+    assert best["http://a.org/ont/mktSegment"]["pred_b"].endswith("marketSegment")
+    assert best["http://a.org/ont/population"]["pred_b"].endswith("population")
+    pop = best["http://a.org/ont/population"]
+    assert pop["type_compat"] == 1.0  # both int-kind samples
+
+
+def test_nt_parse_roundtrip_and_rejects(spark):
+    lines = spark.createDataFrame(
+        [("<http://a/1> <http://www.w3.org/2002/07/owl#sameAs> <http://b/1> .",),
+         ('<http://a/2> <http://www.w3.org/2002/07/owl#sameAs> "literal" .',),
+         ("<http://a/3> <http://other/pred> <http://b/3> .",),
+         ("garbage line",),
+         ('<http://a/4> <http://p/label> "Caf\\"e"@en .',),
+         ('<http://a/5> <http://p/pop> "12"^^<http://www.w3.org/2001/XMLSchema#integer> .',)],
+        "value string")
+    links = io.parse_nt_links(lines).collect()
+    assert [(r["node_a"], r["node_b"]) for r in links] == [("http://a/1", "http://b/1")]
+    triples = io.parse_nt_triples(lines).collect()
+    by_subj = {r["subject"]: r for r in triples}
+    assert by_subj["http://a/4"]["lang"] == "en"
+    assert by_subj["http://a/5"]["dtype"].endswith("integer")
+    assert by_subj["http://a/3"]["object"] == "http://b/3"
+
+
+def test_merge_replace_semantics(spark):
+    target = spark.createDataFrame(
+        [("s1", "geo:asWKT", "OLD1", None, None),
+         ("s1", "rdfs:label", "Name1", None, None),
+         ("s2", "geo:asWKT", "OLD2", None, None)],
+        "subject string, predicate string, object string, lang string, dtype string")
+    fused = spark.createDataFrame(
+        [("s1", "x", "POINT (1 2)", "Keep A"),
+         ("s1", "y", "POINT (1 2)", "Keep A")],  # duplicate collapses
+        "subject_a string, subject_b string, geom_wkt string, action string")
+    out = io.merge_replace(target, fused, geom_predicate="geo:asWKT")
+    rows = {(r["subject"], r["predicate"], r["object"]) for r in out.collect()}
+    assert ("s1", "geo:asWKT", "OLD1") not in rows        # replaced
+    assert ("s1", "geo:asWKT", "POINT (1 2)") in rows     # inserted once
+    assert ("s1", "rdfs:label", "Name1") in rows          # untouched predicate
+    assert ("s2", "geo:asWKT", "OLD2") in rows            # unlinked subject kept
+    assert len([r for r in rows if r[0] == "s1" and r[1] == "geo:asWKT"]) == 1
