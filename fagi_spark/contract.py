@@ -951,6 +951,25 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
 FROM p WHERE cosine >= 0.35"""
 
 
+def q_mm_html_decode(spark, sf_dir):
+    """Multimodal: html binary -> text, asserting the byte-identical
+    text-per-url invariant inline (mismatch count must be 0)."""
+    from . import multimodal, synth
+    pages = synth.synth_pages(spark, 500)
+    dec = multimodal.decode_html_text(pages)
+    j = pages.join(dec, "url")
+    return (j.select("url", (F.col("decoded_text") == F.col("text")).alias("text_identical"))
+            .filter(F.col("text_identical")))
+
+
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal: Arrow-batched image decode/feature plumbing (fake
+    codec — deterministic; real codec site raises, see multimodal.py)."""
+    from . import multimodal, synth
+    pages = synth.synth_pages(spark, 500)
+    return multimodal.image_features(pages, "html", decode="fake")
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -994,6 +1013,8 @@ QUERIES = {
     "fagi_export_distinct": q_export_distinct,
     "fagi_merge_replace": q_merge_replace,
     "embed_cosine_neardup": q_embed_neardup,
+    "mm_html_decode_invariant": q_mm_html_decode,
+    "mm_image_features": q_mm_image_features,
 }
 
 ORACLES = {

@@ -50,9 +50,10 @@ ENTITY_SCHEMA = ("url string, entity_idx int, source string, geom_wkt string, "
                  "xmax double, ymax double")
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _extract_batch(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFrame:
     rows = []
-    for url, text in zip(pdf["url"], pdf["text"]):
+    carry_vals = [pdf[c] for c in carry]
+    for url, text, *extra in zip(pdf["url"], pdf["text"], *carry_vals):
         if text is None:
             continue
         idx = 0
@@ -62,7 +63,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 continue
             wkt = f"POINT ({geom._fmt(lon)} {geom._fmt(lat)})"
             rows.append((url, idx, "wgs84", wkt, "POINT", geom.KIND_RANK["POINT"], 1,
-                         lon, lat, lon, lat, lon, lat))
+                         lon, lat, lon, lat, lon, lat, *extra))
             idx += 1
         for m in WKT_RE.finditer(text):
             s = geom.stats(m.group(0))
@@ -72,22 +73,31 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             if not (-180.0 <= cx <= 180.0 and -90.0 <= cy <= 90.0):
                 continue
             rows.append((url, idx, "wkt", m.group(0), kind, rank, np_,
-                         cx, cy, x0, y0, x1, y1))
+                         cx, cy, x0, y0, x1, y1, *extra))
             idx += 1
     return pd.DataFrame(rows, columns=[
         "url", "entity_idx", "source", "geom_wkt", "geom_kind", "kind_rank",
-        "npoints", "lon", "lat", "xmin", "ymin", "xmax", "ymax"])
+        "npoints", "lon", "lat", "xmin", "ymin", "xmax", "ymax", *carry])
 
 
-def extract_entities(pages: DataFrame, resolutions=cells.RESOLUTIONS) -> DataFrame:
+def extract_entities(pages: DataFrame, resolutions=cells.RESOLUTIONS,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, text, ...) -> one row per extracted geo-entity with
-    precomputed geometry stats and multi-resolution cell ids."""
+    precomputed geometry stats and multi-resolution cell ids. ``carry``
+    names extra page columns replicated onto each entity row (e.g.
+    ``warc_ts`` for the streaming path) — the schema extends itself
+    from the input types."""
+
+    schema = ENTITY_SCHEMA
+    if carry:
+        schema += "".join(f", {f.name} {f.dataType.simpleString()}"
+                          for f in pages.select(*carry).schema.fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _extract_batch(pdf)
+            yield _extract_batch(pdf, carry)
 
-    ents = pages.select("url", "text").mapInPandas(run, ENTITY_SCHEMA)
+    ents = pages.select("url", "text", *carry).mapInPandas(run, schema)
     for r in resolutions:
         ents = ents.withColumn(f"cell_r{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
     return ents

@@ -1,0 +1,96 @@
+"""Multimodal binary columns + Structured Streaming ingest."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import extract, multimodal, streaming, synth
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.synth_pages(spark, 300, partitions=4).cache()
+
+
+def test_html_decode_byte_identical(spark, pages):
+    """BASELINE.json input_hint invariant: text survives byte-identically
+    through the binary html payload."""
+    dec = multimodal.decode_html_text(pages)
+    j = pages.join(dec, "url")
+    assert j.count() == 300
+    assert j.filter(F.col("decoded_text") != F.col("text")).count() == 0
+
+
+def test_media_meta_columns(spark, pages):
+    m = multimodal.with_media_meta(pages, "html")
+    row = m.select("media_kind", "n_bytes", "content_sha").first()
+    assert row["media_kind"] == "html" and row["n_bytes"] > 0
+
+
+def test_image_features_fake_decode_deterministic(spark, pages):
+    f1 = multimodal.image_features(pages, "html", decode="fake")
+    f2 = multimodal.image_features(pages.repartition(7), "html", decode="fake")
+    a = {r["url"]: (r["width"], r["height"], r["mean_luma"]) for r in f1.collect()}
+    b = {r["url"]: (r["width"], r["height"], r["mean_luma"]) for r in f2.collect()}
+    assert a == b  # stable under repartitioning
+    vec = f1.first()["feature_vec"]
+    assert len(vec) == 8 and all(0.0 <= v <= 1.0 for v in vec)
+
+
+def test_image_features_strict_raises(spark, pages):
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        multimodal.image_features(pages.limit(1), "html", decode="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sample_shape(spark, pages):
+    fr = multimodal.frame_sample(pages.limit(20), "html", every_ms=500, max_frames=3)
+    rows = fr.collect()
+    assert rows and all(r["ts_ms"] == r["frame_idx"] * 500 for r in rows)
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r["url"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_url.values())
+
+
+def test_streaming_geocode_matches_batch(spark, pages, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.write.parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files_per_trigger=2)
+    ents = streaming.stream_geocode(stream)
+    q = streaming.write_entities(ents, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = extract.extract_entities(pages, carry=("warc_ts",))
+    assert got.count() == batch.count()
+    # identical entity sets (url, entity_idx) and carried timestamps
+    diff = (got.select("url", "entity_idx", "warc_ts")
+            .exceptAll(batch.select("url", "entity_idx", "warc_ts")))
+    assert diff.count() == 0
+
+
+def test_streaming_tile_rollup(spark, pages, tmp_path):
+    src = str(tmp_path / "src2")
+    pages.write.parquet(src)
+    stream = streaming.stream_pages(spark, src)
+    tiles = streaming.tile_counts_stream(streaming.stream_geocode(stream),
+                                         res=7, window="6 hours", watermark="1 hour")
+    q = (tiles.writeStream.format("memory").queryName("tiles_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT SUM(n_entities) AS n FROM tiles_mem").first()["n"]
+    want = extract.extract_entities(pages).count()
+    assert got == want
+
+
+def test_micro_batch_dedup_matches_precedence(spark, pages):
+    ents = extract.extract_entities(pages, carry=("warc_ts",))
+    a = streaming.micro_batch_dedup(ents).select("url", "entity_idx", "geom_kind")
+    b = extract.dedup_by_precedence(ents).select("url", "entity_idx", "geom_kind")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
