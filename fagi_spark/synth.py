@@ -71,9 +71,21 @@ def _coords_for(ids: np.ndarray, salt: int, n_cities: int, seed: int):
     return lon, lat
 
 
-def page_batch(ids: np.ndarray, seed: int = SEED, n_cities: int = N_CITIES) -> pd.DataFrame:
+def _filler_pool(n_words: int, seed: int, n_variants: int = 8) -> list[str]:
+    """Deterministic filler paragraphs (no lat/long or WKT patterns) —
+    pad pages to Common-Crawl-realistic sizes without per-page cost."""
+    pools = []
+    for v in range(n_variants):
+        idx = h64(np.arange(n_words), 401 + v, seed) % np.uint64(len(_WORDS))
+        pools.append(" ".join(_WORDS[int(i)] for i in idx))
+    return pools
+
+
+def page_batch(ids: np.ndarray, seed: int = SEED, n_cities: int = N_CITIES,
+               filler_words: int = 0) -> pd.DataFrame:
     """One Arrow batch of synthetic pages for the given row ids."""
     ids = np.asarray(ids, dtype=np.int64)
+    pool = _filler_pool(filler_words, seed) if filler_words else None
     n = len(ids)
     lon1, lat1 = _coords_for(ids, 11, n_cities, seed)
     lon2, lat2 = _coords_for(ids, 21, n_cities, seed)
@@ -105,6 +117,8 @@ def page_batch(ids: np.ndarray, seed: int = SEED, n_cities: int = N_CITIES) -> p
                        x0, round(y0 + d, 4), x0, y0))
         if n_ent[j] >= 3:
             parts.append(f"branch office lat {round(lat1[j] + 0.003, 4)} long {round(lon1[j] + 0.003, 4)}.")
+        if pool is not None:
+            parts.append(pool[i % len(pool)])
         text = " ".join(parts)
         urls.append(url)
         texts.append(text)
@@ -118,13 +132,15 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 
 
 def synth_pages(spark, n: int, seed: int = SEED, n_cities: int = N_CITIES,
-                partitions: int | None = None):
-    """Distributed deterministic page table (url, warc_ts, html, text, lang)."""
+                partitions: int | None = None, filler_words: int = 0):
+    """Distributed deterministic page table (url, warc_ts, html, text, lang).
+    ``filler_words`` pads each page with deterministic prose (no geo
+    patterns) toward realistic Common-Crawl page sizes."""
     rng = spark.range(0, n, 1, partitions or max(8, spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         for pdf in batches:
-            yield page_batch(pdf["id"].to_numpy(), seed, n_cities)
+            yield page_batch(pdf["id"].to_numpy(), seed, n_cities, filler_words)
 
     return rng.mapInPandas(gen, PAGES_SCHEMA)
 

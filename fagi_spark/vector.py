@@ -8,6 +8,8 @@ reproducible), keeping results bit-comparable with the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,7 +54,6 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def _hyperplane(dim: int, plane_idx: int, seed: int = 7):
     """Deterministic pseudo-random hyperplane component list."""
-    import numpy as np
     comps = u01(np.arange(dim) + plane_idx * 100003, salt=900 + plane_idx, seed=seed) - 0.5
     return [float(c) for c in comps]
 
@@ -72,6 +73,77 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
             F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.withColumn("lsh_bucket", bucket)
+
+
+def ivf_centroids(corpus: DataFrame, k_centroids: int = 16,
+                  sample_n: int = 2000, id_col: str = "vec_id",
+                  vec_col: str = "embedding", iters: int = 10):
+    """IVF coarse quantizer: k-means centroids trained on a
+    deterministic sample (lowest ids — reproducible under any
+    partitioning). Driver-side numpy Lloyd iterations on the small
+    sample; the expensive step (assigning the full corpus) stays
+    distributed in assign_ivf_cells."""
+    import numpy as np
+    sample = (corpus.orderBy(id_col).limit(sample_n)
+              .select(vec_col).toPandas()[vec_col])
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    cent = x[:k_centroids].copy()  # deterministic init: first k sample rows
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def assign_ivf_cells(df: DataFrame, centroids, n_probe: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     out: str = "ivf_cell") -> DataFrame:
+    """Nearest-centroid assignment (n_probe > 1 -> one row per probed
+    centroid, for the query side). One vectorized Arrow pass: batch
+    matrix product against the broadcast centroid matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return (df.withColumn("_cells", probe_cells(F.col(vec_col)))
+              .withColumn(out, F.explode("_cells")).drop("_cells"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             k_centroids: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid (1 cell each),
+    queries probe their ``n_probe`` nearest cells; equi-join on cell
+    then exact dot-product re-rank. At 100 TB the corpus assignment is
+    a one-off indexing job (written as an Iceberg partition column);
+    searches only touch probed partitions."""
+    cent = ivf_centroids(corpus, k_centroids, id_col=id_col, vec_col=vec_col)
+    c = (assign_ivf_cells(corpus, cent, 1, id_col, vec_col)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("c_vec"), "ivf_cell"))
+    q = (assign_ivf_cells(queries, cent, n_probe, id_col, vec_col)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("q_vec"), "ivf_cell"))
+    pairs = q.join(c, "ivf_cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            # no dedup: each corpus vector lives in exactly one cell, so a
+            # (query, neighbor) pair joins at most once even with n_probe > 1
+            .select("query_id", "neighbor_id", "rank", "score"))
 
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float,

@@ -1,0 +1,101 @@
+"""Vector search (brute/LSH/IVF) + text dedup operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import textops, vector
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    return vector.brute_force_topk(q, emb, k=5).cache()
+
+
+def _recall(approx_rows, exact_rows):
+    ex = {}
+    ap = {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_rows:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    return hits / total
+
+
+def test_ivf_topk_recall(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = vector.ivf_topk(q, emb, k=5, k_centroids=8, n_probe=4)
+    rec = _recall(approx.collect(), exact_topk.collect())
+    assert rec >= 0.5  # 64-dim uniform vectors: coarse cells still recover half
+    # more probes -> monotonically better recall
+    approx_all = vector.ivf_topk(q, emb, k=5, k_centroids=8, n_probe=8)
+    assert _recall(approx_all.collect(), exact_topk.collect()) >= rec
+    # probing every cell == exhaustive search
+    assert _recall(approx_all.collect(), exact_topk.collect()) == 1.0
+
+
+def test_lsh_topk_subset_of_brute(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = vector.lsh_topk(q, emb, k=5, dim=64, n_planes=2)
+    # every approx hit must score identically to the exact computation
+    ex = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact_topk.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(ex[key] - r["score"]) == 0.0
+
+
+def test_cosine_neardup_lsh_is_subset(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             vector.cosine_neardup_pairs(sub, 0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           vector.cosine_neardup_pairs(sub, 0.3, dim=64, n_planes=2).collect()}
+    assert lsh.issubset(exact)
+    assert len(lsh) > 0
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the old stone bridge tonight")
+    rows = [(i, base) for i in range(3)]                       # exact dups
+    rows += [(3, base.replace("stone", "wooden"))]             # near dup
+    rows += [(i, f"completely different text number {i} with unrelated words "
+                 f"about spaceships satellite orbits and launch pad {i}")
+             for i in range(4, 10)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    cands = {(r["id_a"], r["id_b"]) for r in
+             textops.minhash_candidates(docs, num_hashes=32, bands=16).collect()}
+    assert (0, 1) in cands and (0, 2) in cands and (1, 2) in cands
+    assert (0, 3) in cands  # near dup caught with 16 bands
+    assert not any((a >= 4 or b >= 4) and a != b for a, b in cands
+                   if (a >= 4) != (b >= 4))  # no cross-group false positives
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            (2, "totally unrelated words about engines pistons brakes wheels")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in textops.with_simhash(docs).collect()}
+    d = docs.sparkSession.createDataFrame(
+        [(sh[0], sh[1]), (sh[0], sh[2])], "a long, b long")
+    h01, h02 = [r[0] for r in d.select(textops.simhash_hamming(F.col("a"), F.col("b"))).collect()]
+    assert h01 < h02
+
+
+def test_dedup_exact_keeps_min_key(spark):
+    docs = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other text")],
+        "doc_id int, text string")
+    kept = sorted(r["doc_id"] for r in textops.dedup_exact(docs).collect())
+    assert kept == [2, 9]
