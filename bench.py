@@ -53,7 +53,12 @@ def prepare_pages(spark, n_pages: int, path: str, filler_words: int = 0):
 
     if not os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
-        synth.synth_pages(spark, n_pages,
+        # 64 output files regardless of the writing session's
+        # parallelism: parquet read parallelism is bounded by row-group
+        # layout, and a corpus written as 8 fat files feeds at most ~8
+        # scan tasks no matter how many cores read it (measured: only
+        # 8/32 python workers busy). Many small files = full fan-out.
+        synth.synth_pages(spark, n_pages, partitions=64,
                           filler_words=filler_words).write.parquet(path)
     return spark.read.parquet(path)
 
@@ -150,34 +155,39 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     return result
 
 
-SCALING_PAIRS = ((2, 8, 600_000), (8, 32, 1_600_000))
+SCALING_LEVELS = (2, 8, 32)
+SCALING_N_PAGES = 600_000
 SCALING_FILLER = 400  # ~2.5 KB pages (Common-Crawl-realistic)
 
 
-def scaling_run(sf_dir: str, pairs=SCALING_PAIRS) -> None:
-    """Same pipeline at N vs 4N parallelism -> BENCH/BASELINE.md.
+def scaling_run(sf_dir: str, levels=SCALING_LEVELS,
+                n_pages=SCALING_N_PAGES) -> None:
+    """Same pipeline at each parallelism level -> BENCH/BASELINE.md.
 
-    Two pairs are measured: (2 vs 8) and (8 vs 32). Corpus per pair is
-    sized so parallel compute dominates the fixed stage-scheduling
-    floor. On this single-box sandbox all threads share one memory
-    controller, so the high-thread pair under-reads the efficiency a
-    real 4N-executor cluster (with 4N memory bandwidth) would show —
-    both pairs are reported."""
+    Each level is measured once (min-of-3 in its own subprocess);
+    N-vs-4N efficiencies are computed pairwise from the same per-level
+    numbers (2 vs 8, 8 vs 32). The corpus is sized so parallel compute
+    dominates the fixed stage-scheduling floor. On this single-box
+    sandbox all threads share one memory controller, so the
+    high-thread pair under-reads the efficiency a real 4N-executor
+    cluster (with 4N aggregate memory bandwidth) would show — both
+    pairs are reported."""
     import subprocess
 
+    res = {}
+    for n in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=sf_dir,
+                   BENCH_PIPELINE_ONLY="1", BENCH_N_PAGES=str(n_pages),
+                   BENCH_FILLER=str(SCALING_FILLER))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        res[n] = json.loads(line)
+        print(f"local[{n}] @ {n_pages} pages: {res[n]['pages_per_sec']} pages/sec",
+              file=sys.stderr)
+
     rows = []
-    for lo, hi, n_pages in pairs:
-        res = {}
-        for n in (lo, hi):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=sf_dir,
-                       BENCH_PIPELINE_ONLY="1", BENCH_N_PAGES=str(n_pages),
-                       BENCH_FILLER=str(SCALING_FILLER))
-            out = subprocess.run([sys.executable, __file__], env=env,
-                                 capture_output=True, text=True, check=True)
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            res[n] = json.loads(line)
-            print(f"local[{n}] @ {n_pages} pages: {res[n]['pages_per_sec']} pages/sec",
-                  file=sys.stderr)
+    for lo, hi in zip(levels, levels[1:]):
         speedup = res[hi]["pages_per_sec"] / res[lo]["pages_per_sec"]
         rows.append((lo, hi, n_pages, res[lo], res[hi], speedup, speedup / (hi / lo)))
 
@@ -231,7 +241,12 @@ def main() -> None:
         # scaling subprocess: pipeline only, larger corpus so compute
         # (not fixed planning overhead) dominates the comparison
         from fagi_spark.session import get_spark
-        spark = get_spark("bench-scaling", master=f"local[{cpus}]")
+        # 16 MB split target: the ~1.5 GB corpus fans out to ~100 scan
+        # partitions at every parallelism level (default 128 MB coalesces
+        # the 64 files back to ~12 partitions and starves local[32])
+        spark = get_spark("bench-scaling", master=f"local[{cpus}]",
+                          **{"spark.sql.files.maxPartitionBytes": "16m",
+                             "spark.sql.files.openCostInBytes": "1m"})
         spark.sparkContext.setLogLevel("ERROR")
         sf = _sf_of(sf_dir)
         n_pages = int(os.environ.get("BENCH_N_PAGES",
@@ -244,9 +259,10 @@ def main() -> None:
         warm = prepare_pages(spark, max(2000, n_pages // 16),
                              f"/tmp/fagi_scaling_warm_{n_pages}_{filler}", filler)
         run_pipeline(spark, warm)
-        # best-of-2: the sandbox host shows multi-second noise spikes
+        # best-of-3: the sandbox host shows multi-second co-tenant
+        # noise spikes; min is the robust estimator of true capacity
         dt = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             run_pipeline(spark, pages)
             d = time.time() - t0

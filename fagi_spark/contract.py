@@ -951,6 +951,44 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
 FROM p WHERE cosine >= 0.35"""
 
 
+def q_kmpt_numeric(spark, sf_dir):
+    """Keep-most-points-and-translate numeric core: winner side + the
+    translation vector (b_c - a_c for an A win, mirrored otherwise) —
+    KeepMostPointsAndTranslateTransformation.java:130-155. The WKT
+    output of the kernel is pytest-covered; the arithmetic is
+    oracle-exact here."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb)
+    # POINT/POINT so centroids are grid-exact for the oracle (polygon
+    # area centroids are shoelace floats; kernel WKT covered in pytest)
+    j = j.filter((F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POINT"))
+    a_wins = F.col("a_npoints") >= F.col("b_npoints")
+    return j.select(
+        F.col("node_a").alias("subject_a"), F.col("node_b").alias("subject_b"),
+        a_wins.cast("int").alias("a_wins"),
+        F.when(a_wins, F.col("b_cx") - F.col("a_cx"))
+         .otherwise(F.col("a_cx") - F.col("b_cx")).alias("dx"),
+        F.when(a_wins, F.col("b_cy") - F.col("a_cy"))
+         .otherwise(F.col("a_cy") - F.col("b_cy")).alias("dy"))
+
+
+O_KMPT = f"""WITH {_FUSE_JOIN_CTE}
+SELECT subject_a, subject_b,
+       CAST(CASE WHEN a_npoints >= b_npoints THEN 1 ELSE 0 END AS INT) AS a_wins,
+       CASE WHEN a_npoints >= b_npoints THEN b_cx - a_cx ELSE a_cx - b_cx END AS dx,
+       CASE WHEN a_npoints >= b_npoints THEN b_cy - a_cy ELSE a_cy - b_cy END AS dy
+FROM j WHERE a_kind = 'POINT' AND b_kind = 'POINT'"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid partitioning + n_probe cell search +
+    exact re-rank (numpy centroids — rows-only; recall-vs-brute-force
+    in pytest, n_probe=k_centroids recovers the exact result)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return vector.ivf_topk(q, emb, k=5, k_centroids=8, n_probe=3)
+
+
 def q_mm_html_decode(spark, sf_dir):
     """Multimodal: html binary -> text, asserting the byte-identical
     text-per-url invariant inline (mismatch count must be 0)."""
@@ -1015,6 +1053,8 @@ QUERIES = {
     "embed_cosine_neardup": q_embed_neardup,
     "mm_html_decode_invariant": q_mm_html_decode,
     "mm_image_features": q_mm_image_features,
+    "fagi_keep_most_points_translate": q_kmpt_numeric,
+    "ann_ivf_topk": q_ivf_topk,
 }
 
 ORACLES = {
@@ -1053,6 +1093,7 @@ ORACLES = {
     "fagi_export_distinct": O_EXPORT_DISTINCT,
     "fagi_merge_replace": O_MERGE_REPLACE,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
+    "fagi_keep_most_points_translate": O_KMPT,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
     # fagi_discover_links (xxhash64 / Python JW) and
     # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match
