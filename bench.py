@@ -75,13 +75,16 @@ def run_pipeline(spark, pages):
     ents = extract.geocode_pages(pages)  # extract + dedup + cell cols
     ents = ents.persist()  # two downstream actions (join + tiles) share the scan
 
-    # gazetteer side: deterministic, sized ~ 1/100th of pages.
+    # gazetteer side: a FIXED-size dimension table (sizing it with the
+    # corpus makes candidate-join work grow ~quadratically — at real
+    # scale the gazetteer is a fixed reference dataset, not a function
+    # of how many pages you crawl).
     # Materialized before the join: it is a dimension table whose stats
     # columns are computed once (at real scale: a precomputed Iceberg
     # table). Leaving the pandas-UDF prep lazy inside the broadcast
     # build serializes it against the probe stage and measured 5x
     # slower at local[32].
-    geo_b = spark.createDataFrame(synth.gazetteer_pdf(max(1000, n_pages // 100), "b"))
+    geo_b = spark.createDataFrame(synth.gazetteer_pdf(6000, "b"))
     gb = fuse.prepare_geoms(geo_b).persist()
     gb.count()
 
@@ -104,7 +107,12 @@ def run_pipeline(spark, pages):
 def bench_once(sf_dir: str, cpus: str) -> dict:
     from fagi_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    # small split target: the synthetic page corpus is written as 64
+    # small files; default 128 MB packing would coalesce them into a
+    # handful of scan partitions and starve the cores
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      **{"spark.sql.files.maxPartitionBytes": "16m",
+                         "spark.sql.files.openCostInBytes": "1m"})
     spark.sparkContext.setLogLevel("ERROR")
     sf = _sf_of(sf_dir)
     n_pages = max(2000, int(N_PAGES_PER_SF * sf))
@@ -118,7 +126,8 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         return out
 
     # 1. north-rule pipeline (flagship); corpus materialization untimed
-    pages = prepare_pages(spark, n_pages, "/tmp/fagi_bench_pages")
+    pages = prepare_pages(spark, n_pages, f"/tmp/fagi_bench_pages_{n_pages}",
+                          filler_words=SCALING_FILLER)
     t0 = time.time()
     n_match, n_tiles = run_pipeline(spark, pages)
     pipeline_s = time.time() - t0
@@ -156,12 +165,12 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
 
 
 SCALING_LEVELS = (2, 8, 32)
-SCALING_N_PAGES = 600_000
+SCALING_N_PAGES = 1_500_000
 SCALING_FILLER = 400  # ~2.5 KB pages (Common-Crawl-realistic)
 
 
 def scaling_run(sf_dir: str, levels=SCALING_LEVELS,
-                n_pages=SCALING_N_PAGES) -> None:
+                n_pages: int | None = None) -> None:
     """Same pipeline at each parallelism level -> BENCH/BASELINE.md.
 
     Each level is measured once (min-of-3 in its own subprocess);
@@ -174,17 +183,27 @@ def scaling_run(sf_dir: str, levels=SCALING_LEVELS,
     pairs are reported."""
     import subprocess
 
-    res = {}
-    for n in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=sf_dir,
-                   BENCH_PIPELINE_ONLY="1", BENCH_N_PAGES=str(n_pages),
-                   BENCH_FILLER=str(SCALING_FILLER))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        res[n] = json.loads(line)
-        print(f"local[{n}] @ {n_pages} pages: {res[n]['pages_per_sec']} pages/sec",
-              file=sys.stderr)
+    if n_pages is None:
+        n_pages = int(os.environ.get("BENCH_SCALING_N_PAGES", SCALING_N_PAGES))
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    res: dict[int, dict] = {}
+    # interleave levels across passes: the host's co-tenant noise comes
+    # in minutes-long epochs, so back-to-back per-level repeats all eat
+    # the same spike; interleaving + per-level min across passes is the
+    # robust capacity estimate
+    for p in range(passes):
+        for n in levels:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=sf_dir,
+                       BENCH_PIPELINE_ONLY="1", BENCH_N_PAGES=str(n_pages),
+                       BENCH_FILLER=str(SCALING_FILLER), BENCH_REPEATS="1")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if n not in res or r["pages_per_sec"] > res[n]["pages_per_sec"]:
+                res[n] = r
+            print(f"pass {p} local[{n}]: {r['pages_per_sec']} pages/sec",
+                  file=sys.stderr)
 
     rows = []
     for lo, hi in zip(levels, levels[1:]):
@@ -259,10 +278,10 @@ def main() -> None:
         warm = prepare_pages(spark, max(2000, n_pages // 16),
                              f"/tmp/fagi_scaling_warm_{n_pages}_{filler}", filler)
         run_pipeline(spark, warm)
-        # best-of-3: the sandbox host shows multi-second co-tenant
+        # best-of-N: the sandbox host shows multi-second co-tenant
         # noise spikes; min is the robust estimator of true capacity
         dt = None
-        for _ in range(3):
+        for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
             t0 = time.time()
             run_pipeline(spark, pages)
             d = time.time() - t0

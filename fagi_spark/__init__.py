@@ -13,9 +13,14 @@ FAGI-gis (Java + Virtuoso/PostGIS conflation tool, read-only at
 - kNN conflation matching via cell-ring expansion + distance re-rank,
 - the full registry of FAGI fused-geometry actions (``fuse.py``) and
   metadata fusion actions (``metadata_fuse.py``),
-- raster<->vector tile assignment (``tiles.py``),
-- skew handling (salting + adaptive cell splitting), checkpoint/lineage
-  (``checkpoint.py``).
+- raster<->vector tile assignment (``joins.bbox_join`` + ``cells``),
+- skew handling (salting + adaptive cell splitting, ``cells.py``),
+  checkpoint/lineage (``checkpoint.py``),
+- training-data ops: dedup / quality / lang-ID (``textops.py``), ANN
+  (``vector.py``), multimodal binaries (``multimodal.py``), clustering
+  (``cluster.py``), learning (``learning.py``), schema matching
+  (``schema_match.py``), N-Triples io (``io.py``), streaming ingest
+  (``streaming.py``).
 
 Pure Python, shipped via ``spark-submit --py-files``; no JVM extensions.
 """

@@ -989,6 +989,93 @@ def q_ivf_topk(spark, sf_dir):
     return vector.ivf_topk(q, emb, k=5, k_centroids=8, n_probe=3)
 
 
+def q_salted_radius_join(spark, sf_dir):
+    """Skew machinery invariance: the SALTED radius join (hot-cell
+    sharding, n_salts=4) must produce exactly the rows of the unsalted
+    plan — same oracle as fagi_radius_join."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    b = fuse.prepare_geoms(gb)
+    out = joins.radius_join(a, b, radius_m=3000.0, n_salts=4)
+    return out.select("a_subject", "b_subject", "distance_m")
+
+
+def q_hot_cell_promote(spark, sf_dir):
+    """Adaptive cell splitting: rows in cells whose count exceeds the
+    threshold re-assign to the finer resolution; others keep their
+    coarse cell (cells.promote_hot_cells)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    a = a.withColumn("cell", cells.cell_col(F.col("lon"), F.col("lat"), 7))
+    hot = cells.hot_cells(a, threshold=40)
+    out = cells.promote_hot_cells(a, hot, fine_res=10)
+    return out.select("subject", "cell")
+
+
+O_HOT_CELL_PROMOTE = f"""WITH {GEO_A_CTE},
+a AS (SELECT subject, CAST(v AS DOUBLE)/100.0 AS lon, CAST(w AS DOUBLE)/100.0 AS lat
+      FROM geo_a WHERE kind = 'POINT'),
+c AS (SELECT subject, lon, lat, {cells.sql_cell('lon', 'lat', 7)} AS cell FROM a),
+hot AS (SELECT cell FROM c GROUP BY cell HAVING COUNT(*) > 40)
+SELECT subject,
+       CASE WHEN c.cell IN (SELECT cell FROM hot)
+            THEN {cells.sql_cell('lon', 'lat', 10)} ELSE c.cell END AS cell
+FROM c"""
+
+
+def q_metadata_flatten(spark, sf_dir):
+    """§2.6 Keep Flattened: 2-hop chains collapsed to depth-1
+    predicates under the dominant namespace (chain separator '=>',
+    flattened joiner '_')."""
+    cust = _t(spark, sf_dir, "customer")
+    links = links_df(cust)
+    k = F.col("c_custkey")
+    # 2-hop chain: way -> hasAddress -> bnode -> streetName -> literal
+    hop1 = cust.select(F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+                       F.lit("http://a.org/ont/hasAddress").alias("predicate"),
+                       F.concat(F.lit("bn"), k.cast("string")).alias("object"),
+                       F.lit(None).cast("string").alias("lang"),
+                       F.lit(None).cast("string").alias("dtype"))
+    hop2 = cust.select(F.concat(F.lit("bn"), k.cast("string")).alias("subject"),
+                       F.lit("http://a.org/ont/streetName").alias("predicate"),
+                       F.col("c_name").alias("object"),
+                       F.lit(None).cast("string").alias("lang"),
+                       F.lit(None).cast("string").alias("dtype"))
+    meta = hop1.unionByName(hop2)
+    out = metadata_fuse.keep_flattened(links, meta, dom_onto="http://dom.org/", side="a")
+    return out.select("subject_a", "subject_b", "predicate", "object")
+
+
+O_METADATA_FLATTEN = f"""WITH {LINKS_CTE},
+hop1 AS (SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+                'http://a.org/ont/hasAddress' AS predicate,
+                CONCAT('bn', CAST(c_custkey AS STRING)) AS object
+         FROM customer),
+hop2 AS (SELECT CONCAT('bn', CAST(c_custkey AS STRING)) AS subject,
+                'http://a.org/ont/streetName' AS predicate,
+                c_name AS object
+         FROM customer),
+chains AS (
+  SELECT subject, predicate AS predicate_chain, object FROM hop1
+  UNION ALL
+  SELECT subject, predicate, object FROM hop2
+  UNION ALL
+  SELECT h1.subject, CONCAT(h1.predicate, '=>', h2.predicate) AS predicate_chain,
+         h2.object
+  FROM hop1 h1 JOIN hop2 h2 ON h1.object = h2.subject)
+SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+       CONCAT('http://dom.org/',
+              REPLACE(REPLACE(
+                CASE WHEN predicate_chain LIKE '%=>%'
+                     THEN 'hasAddress_streetName'
+                     WHEN predicate_chain LIKE '%hasAddress'
+                     THEN 'hasAddress' ELSE 'streetName' END, ',', '_'), ' ', '_'))
+         AS predicate,
+       c.object
+FROM links l JOIN chains c ON l.node_a = c.subject"""
+
+
 def q_mm_html_decode(spark, sf_dir):
     """Multimodal: html binary -> text, asserting the byte-identical
     text-per-url invariant inline (mismatch count must be 0)."""
@@ -1055,6 +1142,9 @@ QUERIES = {
     "mm_image_features": q_mm_image_features,
     "fagi_keep_most_points_translate": q_kmpt_numeric,
     "ann_ivf_topk": q_ivf_topk,
+    "fagi_salted_radius_join": q_salted_radius_join,
+    "fagi_hot_cell_promote": q_hot_cell_promote,
+    "fagi_metadata_flatten": q_metadata_flatten,
 }
 
 ORACLES = {
@@ -1094,6 +1184,9 @@ ORACLES = {
     "fagi_merge_replace": O_MERGE_REPLACE,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "fagi_keep_most_points_translate": O_KMPT,
+    "fagi_salted_radius_join": O_RADIUS_JOIN,
+    "fagi_hot_cell_promote": O_HOT_CELL_PROMOTE,
+    "fagi_metadata_flatten": O_METADATA_FLATTEN,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
     # fagi_discover_links (xxhash64 / Python JW) and
     # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match

@@ -58,8 +58,12 @@ def run(spark, out: str, n_pages: int, action: str = "keep-most-points",
     maybe_fail("entities")
 
     # 3. link discovery vs the gazetteer (B side), FAGI batch threshold.
+    # The gazetteer is a dimension table: materialize its pandas-UDF
+    # stats BEFORE the join — left lazy inside the broadcast build it
+    # serializes against the probe stage (~5x slower at local[32]).
     n_gaz = max(1000, n_pages // 100)
-    geo_b = fuse.prepare_geoms(spark.createDataFrame(synth.gazetteer_pdf(n_gaz, "b")))
+    geo_b = fuse.prepare_geoms(spark.createDataFrame(synth.gazetteer_pdf(n_gaz, "b"))).persist()
+    geo_b.count()
     meta_b = spark.createDataFrame(synth.metadata_pdf(n_gaz, "b"))
     ga = entities.select(F.col("url").alias("subject"), "geom_wkt", "geom_kind",
                          "kind_rank", "npoints",
