@@ -1,0 +1,95 @@
+"""Checkpoint store: snapshot commits, lineage, resume, crash safety."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark.checkpoint import CheckpointStore
+
+
+def test_commit_load_roundtrip(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    snap = store.commit(df, "stage_a")
+    assert snap == 0
+    back = store.load(spark, "stage_a")
+    assert back.count() == 100
+    assert {r["id"]: r["v"] for r in back.collect()} == {i: 2 * i for i in range(100)}
+
+
+def test_snapshots_are_monotonic_and_isolated(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.commit(spark.range(0, 10), "s")
+    store.commit(spark.range(0, 20), "s")
+    assert store.latest("s") == 1
+    assert store.load(spark, "s").count() == 20
+    assert store.load(spark, "s", snapshot_id=0).count() == 10  # history kept
+
+
+def test_lineage_rows_and_metrics(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    df = spark.range(0, 1000, 1, 4)
+    store.run_stage(spark, "s", lambda: df,
+                    observe={"n": F.count(F.lit(1)),
+                             "max_id": F.max("id")})
+    lin = store.lineage("s")
+    assert lin["n_rows"] == 1000
+    assert lin["n_files"] >= 1
+    assert sum(r["n_rows"] for r in lin["lineage"]) == 1000
+    assert lin["metrics"]["n"] == 1000 and lin["metrics"]["max_id"] == 999
+
+
+def test_run_stage_resumes_without_recompute(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(0, 50)
+
+    a = store.run_stage(spark, "s", build)
+    b = store.run_stage(spark, "s", build)  # resume: loads, not rebuilds
+    assert len(calls) == 1
+    assert a.count() == b.count() == 50
+    c = store.run_stage(spark, "s", build, force=True)
+    assert len(calls) == 2 and c.count() == 50
+
+
+def test_partial_write_invisible(spark, tmp_path):
+    """A staging dir left by a crash is never read; the previous
+    snapshot stays authoritative."""
+    store = CheckpointStore(str(tmp_path))
+    store.commit(spark.range(0, 10), "s")
+    staging = os.path.join(str(tmp_path), "s", "_staging_1")
+    os.makedirs(staging)  # simulated crash mid-write
+    with open(os.path.join(staging, "part-00000.parquet"), "w") as f:
+        f.write("garbage")
+    assert store.latest("s") == 0
+    assert store.load(spark, "s").count() == 10
+    # next commit skips past the wreck and still works
+    snap = store.commit(spark.range(0, 30), "s")
+    assert snap >= 1 and store.load(spark, "s").count() == 30
+
+
+def test_pipeline_fail_after_resumes(spark, tmp_path):
+    """End-to-end: crash after the links stage; relaunch completes from
+    the committed snapshots (pages/entities/links not recomputed —
+    their snapshot ids are unchanged)."""
+    from fagi_spark.jobs import pipeline
+
+    out = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipeline.run(spark, out, n_pages=500, fail_after="links")
+    store = CheckpointStore(out)
+    ids_before = {s: store.latest(s) for s in ("pages", "entities", "links")}
+    assert store.latest("fused") is None
+
+    res = pipeline.run(spark, out, n_pages=500)
+    store2 = res["store"]
+    for s, snap in ids_before.items():
+        assert store2.latest(s) == snap  # resumed, not recomputed
+    assert store2.latest("fused") is not None
+    assert store2.latest("tiles") is not None
+    assert res["tiles"].count() > 0
