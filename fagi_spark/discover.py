@@ -128,19 +128,24 @@ SCORE_SCHEMA = ("a_subject string, b_subject string, similarity double, "
 
 def score_candidates(cands: DataFrame) -> DataFrame:
     """cands: (a_subject, b_subject, a_text, b_text, distance_m) ->
-    similarity per pair. Arrow-batched; grouped by a_subject so one
-    group = one source entity's candidate list (the reference's unit of
-    work)."""
+    similarity per pair. The score is a pure per-row function, so this
+    is a shuffle-free ``mapInPandas`` over whatever partitioning the
+    candidate join produced (an earlier ``groupBy(a_subject).
+    applyInPandas`` version forced an extra full shuffle for no
+    semantic gain — the reference's per-entity batching is an artifact
+    of its HTTP request loop, not of the scoring math)."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in pdf.itertuples(index=False):
-            out.append((r.a_subject, r.b_subject,
-                        token_jaccard_jw(r.a_text, r.b_text), r.distance_m))
-        return pd.DataFrame(out, columns=["a_subject", "b_subject",
-                                          "similarity", "distance_m"])
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.append((r.a_subject, r.b_subject,
+                            token_jaccard_jw(r.a_text, r.b_text), r.distance_m))
+            yield pd.DataFrame(out, columns=["a_subject", "b_subject",
+                                             "similarity", "distance_m"])
 
-    return cands.groupBy("a_subject").applyInPandas(run, SCORE_SCHEMA)
+    return (cands.select("a_subject", "b_subject", "a_text", "b_text", "distance_m")
+            .mapInPandas(run, SCORE_SCHEMA))
 
 
 def discover_links(geo_a: DataFrame, geo_b: DataFrame,
