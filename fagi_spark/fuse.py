@@ -188,6 +188,15 @@ def fuse(action: str, links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
     return ACTIONS[action](j, **params)
 
 
+def fuse_cluster(action: str, cluster: DataFrame, geo_a: DataFrame,
+                 geo_b: DataFrame, **params) -> DataFrame:
+    """fuseCluster analog (AbstractFusionTransformation.java:14-48; J3):
+    the identical set-based plan with the ``cluster`` link subset
+    (BatchFusionServlet.loadClusterLinks:1294-1331) replacing ``links``.
+    ``cluster`` must carry (node_a, node_b)."""
+    return fuse(action, cluster, geo_a, geo_b, **params)
+
+
 def export_fused(fused: DataFrame) -> DataFrame:
     """S9 export: SELECT DISTINCT subject_a, subject_b, geom
     (VirtuosoImporter.java:495)."""
