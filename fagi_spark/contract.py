@@ -603,6 +603,20 @@ O_DOC_FINGERPRINT = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
+def q_doc_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint — pure column fold, SQL-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.with_rolling_fingerprint(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("rolling_hash").cast("long").alias("rolling_hash")))
+
+
+O_DOC_ROLLING_HASH = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    + textops.sql_rolling_fingerprint("text")
+    + " AS rolling_hash FROM documents")
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_lang_id(docs)
@@ -1121,6 +1135,7 @@ QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_rolling_hash": q_doc_rolling_hash,
     "doc_lang_id": q_doc_lang_id,
     "doc_ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
@@ -1173,6 +1188,7 @@ ORACLES = {
     "doc_token_count": O_DOC_TOKENS,
     "doc_quality": O_DOC_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
+    "doc_rolling_hash": O_DOC_ROLLING_HASH,
     "doc_lang_id": O_DOC_LANG,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "ann_topk": O_ANN_TOPK,

@@ -34,6 +34,30 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalize_text(F.col(text))))
 
 
+def with_rolling_fingerprint(df: DataFrame, text: str = "text",
+                             out: str = "rolling_hash",
+                             mod: int = 1_000_000_007) -> DataFrame:
+    """Polynomial rolling hash of the raw text (acc = (acc*31 + byte)
+    % mod, left fold over character codes) — entirely column
+    expressions, so it rides whole-stage codegen and mirrors exactly
+    into SQL for the oracle. Unlike the md5 fingerprint this is
+    incrementally updatable (the property rolling hashes exist for)."""
+    e = (f"CASE WHEN {text} IS NULL THEN NULL ELSE "
+         f"aggregate(transform(sequence(1, length({text})), "
+         f"i -> ascii(substr({text}, i, 1))), 0L, "
+         f"(acc, c) -> (acc * 31 + c) % {mod}) END")
+    return df.withColumn(out, F.expr(e))
+
+
+def sql_rolling_fingerprint(text: str = "text", mod: int = 1_000_000_007) -> str:
+    """DuckDB mirror of with_rolling_fingerprint (same fold, same mod)."""
+    return (f"CASE WHEN {text} IS NULL THEN NULL ELSE "
+            f"CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"LIST_TRANSFORM(RANGE(1, LENGTH({text})+1), "
+            f"i -> CAST(ASCII({text}[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod}) AS BIGINT) END")
+
+
 def exact_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact dedup by content hash: groups with >1 member, keeping the
     min key as the canonical representative."""
