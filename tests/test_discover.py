@@ -1,0 +1,83 @@
+"""Link discovery: JW/token-Jaccard exact values + end-to-end recovery.
+
+SURVEY.md §5.1: similarity index values on handcrafted strings; §2.7
+pipeline: candidates -> literal-kind filter -> TF filter -> token
+Jaccard with JW>0.8 token equivalence -> threshold.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import discover, fuse, synth
+from fagi_spark.discover import jaro_winkler, token_jaccard_jw
+
+
+# classic Jaro-Winkler reference pairs (Winkler 1990 examples)
+@pytest.mark.parametrize("s1,s2,expected", [
+    ("MARTHA", "MARHTA", 0.9611),
+    ("DIXON", "DICKSONX", 0.8133),
+    ("JELLYFISH", "SMELLYFISH", 0.8963),
+    ("abc", "abc", 1.0),
+    ("abc", "xyz", 0.0),
+    ("", "abc", 0.0),
+])
+def test_jaro_winkler_reference_values(s1, s2, expected):
+    assert jaro_winkler(s1, s2) == pytest.approx(expected, abs=1e-4)
+
+
+def test_token_jaccard_jw_handcrafted():
+    # identical -> 1.0
+    assert token_jaccard_jw("Central Park", "Central Park") == 1.0
+    # one token JW-equivalent (park/parks JW > 0.8), one exact:
+    # intersection 2, union = |{central, park, parks}| = 3
+    assert token_jaccard_jw("Central Park", "Central Parks") == pytest.approx(2 / 3)
+    # disjoint -> 0
+    assert token_jaccard_jw("Alpha Beta", "Gamma Delta") == 0.0
+    # word breaking strips punctuation/case (PATTERN_WORD_BREAKER
+    # analog): {st, mary, s} vs {st, marys} -> st exact + mary~marys JW,
+    # orphan 's' unmatched; union of 4 distinct tokens -> 2/4
+    assert token_jaccard_jw("St. Mary's", "st marys") == pytest.approx(0.5)
+    # empty / None safe
+    assert token_jaccard_jw("", "x") == 0.0
+    assert token_jaccard_jw(None, "x") == 0.0
+
+
+def test_thresholds_match_reference_constants():
+    assert discover.JW_TOKEN_THRESHOLD == 0.8       # FindLinkServlet.java:502
+    assert discover.INTERACTIVE_THRESHOLD == 0.8    # FindLinkServlet.java:401
+    assert discover.BATCH_THRESHOLD == 0.2          # BatchFindLinkServlet.java:713
+
+
+def test_discover_links_recovers_golden_pairs(spark):
+    """B entities are jittered copies of A with near-dup labels
+    (synth fixture); batch discovery must recover i<->i pairs and must
+    NOT link via the shared decoy label (TF filter)."""
+    geo_a, geo_b, links, meta_a, meta_b = synth.synth_fixture(spark, 200, 150)
+    ga, gb = fuse.prepare_geoms(geo_a), fuse.prepare_geoms(geo_b)
+    found = discover.discover_links(ga, gb, meta_a, meta_b,
+                                    radius_m=3000.0, threshold=0.2)
+    rows = found.collect()
+    assert rows, "discovery found nothing"
+    pairs = {(r["node_a"], r["node_b"]) for r in rows}
+    golden = {(f"http://linkedgeodata.org/triplify/way{i}",
+               f"http://geoknow.eu/geodata#place_{i}") for i in range(200)}
+    hits = pairs & golden
+    # the radius gate drops far-jittered pairs; of the discovered links,
+    # the overwhelming majority must be golden
+    assert len(hits) / len(pairs) > 0.8
+    assert len(hits) > 50
+    for r in rows:
+        assert r["similarity"] > 0.2
+        assert r["distance_m"] <= 3000.0 + 1e-9
+
+
+def test_interactive_threshold_is_stricter(spark):
+    geo_a, geo_b, _, meta_a, meta_b = synth.synth_fixture(spark, 150, 100)
+    ga, gb = fuse.prepare_geoms(geo_a), fuse.prepare_geoms(geo_b)
+    batch = discover.discover_links(ga, gb, meta_a, meta_b, 3000.0,
+                                    threshold=discover.BATCH_THRESHOLD)
+    strict = discover.discover_links(ga, gb, meta_a, meta_b, 3000.0,
+                                     threshold=discover.INTERACTIVE_THRESHOLD)
+    b = {(r["node_a"], r["node_b"]) for r in batch.collect()}
+    s = {(r["node_a"], r["node_b"]) for r in strict.collect()}
+    assert s.issubset(b) and len(s) < len(b)
