@@ -14,8 +14,14 @@ Our engine replaces both with snapshot-committed stage outputs:
   output file/partition with row counts and byte sizes, plus the stage
   metrics observed during the producing job (north rule: "resumable
   from checkpoint with per-partition lineage + metrics");
-- **counters** use ``DataFrame.observe`` (Spark's metric observation
-  API) so they ride the producing job — no second scan;
+- **counters**: aggregate expressions evaluated with one column-pruned
+  scan of the committed snapshot. (``DataFrame.observe`` would ride the
+  producing job for free, but in Spark 4.1 each Observation leaves a
+  non-serializable ObservationManager entry on the session that later
+  poisons unrelated RDD-closure serialization — pyspark.ml's LinearSVC
+  failed with ``NotSerializableException: ObservationManager`` after
+  any observed commit. A pruned parquet scan of the just-written stage
+  output is the robust alternative);
 - ``run_stage`` is the resume primitive: if the stage already has a
   committed snapshot, its output is *loaded, not recomputed* — killing
   a pipeline after stage k and relaunching replays nothing before k+1.
@@ -31,7 +37,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("stage string, snapshot_id int, file string, "
@@ -128,30 +134,25 @@ class CheckpointStore:
         not ``force``), load it; otherwise run ``build()`` (-> DataFrame),
         attach observed counters, commit, and return the committed data.
 
-        ``observe`` maps metric name -> aggregate Column; metrics ride
-        the write job via ``DataFrame.observe`` (no extra scan) and are
-        stored in the snapshot's lineage file."""
+        ``observe`` maps metric name -> aggregate Column; metrics are
+        computed by one column-pruned aggregate over the committed
+        snapshot and stored in its lineage file (see module docstring
+        for why not ``DataFrame.observe``)."""
         if not force and self.latest(stage) is not None:
             return self.load(spark, stage)
-        df = build()
-        metrics = {}
+        self.commit(build(), stage)
+        out = self.load(spark, stage)
         if observe:
-            obs = Observation(f"fagi_{stage}")
-            df = df.observe(obs, *[c.alias(k) for k, c in observe.items()])
-            self.commit(df, stage)
-            metrics = dict(obs.get)
-            # re-write lineage with metrics attached (cheap local file)
+            row = out.agg(*[c.alias(k) for k, c in observe.items()]).first()
             snap_id = self.latest(stage)
-            d = self._stage_dir(stage)
-            path = os.path.join(d, f"snap_{snap_id}.lineage.json")
+            path = os.path.join(self._stage_dir(stage),
+                                f"snap_{snap_id}.lineage.json")
             with open(path) as f:
                 payload = json.load(f)
-            payload["metrics"] = {k: _jsonable(v) for k, v in metrics.items()}
+            payload["metrics"] = {k: _jsonable(row[k]) for k in observe}
             with open(path, "w") as f:
                 json.dump(payload, f)
-        else:
-            self.commit(df, stage)
-        return self.load(spark, stage)
+        return out
 
 
 def _jsonable(v):
