@@ -1090,6 +1090,43 @@ SELECT l.node_a AS subject_a, l.node_b AS subject_b,
 FROM links l JOIN chains c ON l.node_a = c.subject"""
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour event rollup (batch twin of the streaming tile
+    rollup); value summed in integer cents for order-independence."""
+    from . import events as ev
+    return ev.windowed_rollup(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_WINDOWED = """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    lag/running-sum window functions, one shuffle on user_id."""
+    from . import events as ev
+    return ev.session_stats(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_SESSIONS = """WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id"""
+
+
 def q_mm_html_decode(spark, sf_dir):
     """Multimodal: html binary -> text, asserting the byte-identical
     text-per-url invariant inline (mismatch count must be 0)."""
@@ -1160,6 +1197,8 @@ QUERIES = {
     "fagi_salted_radius_join": q_salted_radius_join,
     "fagi_hot_cell_promote": q_hot_cell_promote,
     "fagi_metadata_flatten": q_metadata_flatten,
+    "events_windowed_rollup": q_events_windowed,
+    "events_sessionize": q_events_sessions,
 }
 
 ORACLES = {
@@ -1203,6 +1242,8 @@ ORACLES = {
     "fagi_salted_radius_join": O_RADIUS_JOIN,
     "fagi_hot_cell_promote": O_HOT_CELL_PROMOTE,
     "fagi_metadata_flatten": O_METADATA_FLATTEN,
+    "events_windowed_rollup": O_EVENTS_WINDOWED,
+    "events_sessionize": O_EVENTS_SESSIONS,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
     # fagi_discover_links (xxhash64 / Python JW) and
     # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match
