@@ -1090,6 +1090,25 @@ SELECT l.node_a AS subject_a, l.node_b AS subject_b,
 FROM links l JOIN chains c ON l.node_a = c.subject"""
 
 
+def q_serialization_probe(spark, sf_dir):
+    """S4 serialization probe: which geometry serializations exist and
+    how many of each — the SPARQL ASK pair (Importer.java:479-538)
+    becomes one grouped count over the discovered kinds."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    a = fuse.prepare_geoms(ga).select(F.lit("a").alias("side"), "geom_kind")
+    b = fuse.prepare_geoms(gb).select(F.lit("b").alias("side"), "geom_kind")
+    return (a.unionByName(b).groupBy("side", "geom_kind")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+O_SERIALIZATION_PROBE = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}
+SELECT side, geom_kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT 'a' AS side, kind AS geom_kind FROM geo_a
+  UNION ALL
+  SELECT 'b', kind FROM geo_b)
+GROUP BY side, geom_kind"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour event rollup (batch twin of the streaming tile
     rollup); value summed in integer cents for order-independence."""
@@ -1199,6 +1218,7 @@ QUERIES = {
     "fagi_metadata_flatten": q_metadata_flatten,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
+    "fagi_serialization_probe": q_serialization_probe,
 }
 
 ORACLES = {
@@ -1244,6 +1264,7 @@ ORACLES = {
     "fagi_metadata_flatten": O_METADATA_FLATTEN,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
+    "fagi_serialization_probe": O_SERIALIZATION_PROBE,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
     # fagi_discover_links (xxhash64 / Python JW) and
     # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match

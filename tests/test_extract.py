@@ -65,3 +65,15 @@ def test_text_byte_identical_invariant(spark):
     bad = ingest_hash.join(after, "url").filter(F.col("h0") != F.col("h1")).count()
     assert bad == 0
     pages.unpersist()
+
+
+def test_synth_pages_partition_independent(spark):
+    """synth docstring claim: generation is identical under any
+    partitioning (splitmix64 of row id, not a sequential RNG)."""
+    from fagi_spark import synth
+
+    a = synth.synth_pages(spark, 500, partitions=2).collect()
+    b = synth.synth_pages(spark, 500, partitions=17).collect()
+    ka = sorted((r["url"], r["text"], r["lang"], r["warc_ts"]) for r in a)
+    kb = sorted((r["url"], r["text"], r["lang"], r["warc_ts"]) for r in b)
+    assert ka == kb
