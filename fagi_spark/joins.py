@@ -136,7 +136,27 @@ def bbox_join(geo: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float
 PIP_SCHEMA = "point_subject string, poly_subject string"
 
 
-def pip_refine(points: DataFrame, polygons: DataFrame, res: int = 10,
+def pip_auto_res(polygons: DataFrame, quantile: float = 0.9,
+                 max_res: int = 16) -> int:
+    """Pick the PIP grid resolution from the polygon size distribution:
+    the finest resolution whose cell is at least as wide AND tall as
+    the ``quantile`` envelope extent, so ~90% of polygons replicate to
+    at most ~4 cells (2x2). One tiny two-double aggregate decides it —
+    the stats-pass-then-choose pattern the skew machinery uses.
+    Degenerate inputs (all points / empty) fall back to ``max_res``."""
+    row = polygons.agg(
+        F.expr(f"percentile(xmax - xmin, {quantile})").alias("w"),
+        F.expr(f"percentile(ymax - ymin, {quantile})").alias("h")).first()
+    w, h = row["w"], row["h"]
+    if not w or not h or w <= 0 or h <= 0:
+        return max_res
+    for r in range(max_res, -1, -1):
+        if cells.cell_width_deg(r) >= w and cells.cell_height_deg(r) >= h:
+            return r
+    return 0
+
+
+def pip_refine(points: DataFrame, polygons: DataFrame, res: int | None = 10,
                pad_cells: int = 1) -> DataFrame:
     """All (point, polygon) pairs where the polygon contains the point.
 
@@ -159,7 +179,13 @@ def pip_refine(points: DataFrame, polygons: DataFrame, res: int = 10,
     so the Python stage is proportional to output size, not input size.
 
     No dedup needed: a point lives in exactly one cell and a polygon is
-    replicated at most once per cell, so each pair joins exactly once."""
+    replicated at most once per cell, so each pair joins exactly once.
+
+    ``res=None`` auto-selects via ``pip_auto_res`` (stats pass over the
+    polygon envelopes) so oversized polygons never explode across many
+    cells."""
+    if res is None:
+        res = pip_auto_res(polygons)
     pts = points.select(F.col("subject").alias("pt_subject"),
                         F.col("cx").alias("px"), F.col("cy").alias("py"))
     pts = cells.with_cell(pts, res, lon="px", lat="py")

@@ -104,3 +104,26 @@ def test_pip_refine_polygon_spanning_cells_no_dupes(spark):
     # p0 (on the left edge: even-odd counts left/bottom boundary as inside)
     # through p19 (x=1.9) are contained
     assert len(rows) == 20
+
+
+def test_pip_auto_res_matches_fixed(spark):
+    """res=None picks a sane resolution and produces the same pairs."""
+    from fagi_spark import fuse, joins, synth
+    from pyspark.sql import functions as F
+
+    geo_a, geo_b, _, _, _ = synth.synth_fixture(spark, 150, 100)
+    ga = fuse.prepare_geoms(geo_a)
+    gb = fuse.prepare_geoms(geo_b)
+    pts = (ga.filter(F.col("geom_kind") == "POINT")
+           .select("subject", "cx", "cy"))
+    polys = gb.filter(F.col("geom_kind").isin("POLYGON", "MULTIPOLYGON"))
+    r = joins.pip_auto_res(polys)
+    # fixture squares are 0.008 deg wide -> cell must be at least that
+    assert 0 < r <= 16
+    from fagi_spark import cells
+    assert cells.cell_width_deg(r) >= 0.008
+    fixed = {(x["point_subject"], x["poly_subject"])
+             for x in joins.pip_refine(pts, polys, res=12).collect()}
+    auto = {(x["point_subject"], x["poly_subject"])
+            for x in joins.pip_refine(pts, polys, res=None).collect()}
+    assert auto == fixed
