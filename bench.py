@@ -51,7 +51,9 @@ def prepare_pages(spark, n_pages: int, path: str, filler_words: int = 0):
 
     from fagi_spark import synth
 
-    if not os.path.exists(path):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # _SUCCESS marker, not bare existence: a dir left by a killed
+        # write must be rebuilt, not reused
         shutil.rmtree(path, ignore_errors=True)
         # 64 output files regardless of the writing session's
         # parallelism: parquet read parallelism is bounded by row-group
