@@ -75,11 +75,16 @@ class FusionConfig:
 
 def parse_conf(text: str) -> FusionConfig:
     """Parse ``key = value`` lines (fusion.conf shape; '#' comments,
-    unknown keys land in .extra — FusionGISCLI.java:222-242)."""
+    unknown keys land in .extra — FusionGISCLI.java:222-242).
+
+    A '#' opens a comment only at line start or after whitespace, so
+    URI values with fragments (``http://ex.org/onto#label`` — common in
+    RDF configs) survive intact."""
+    import re
     cfg = FusionConfig()
     names = {f.name for f in fields(cfg) if f.name != "extra"}
     for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
+        line = re.sub(r"(^|\s)#.*$", r"\1", raw).strip()
         if not line or "=" not in line:
             continue
         key, val = (p.strip() for p in line.split("=", 1))

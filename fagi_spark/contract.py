@@ -544,16 +544,26 @@ FROM part WHERE p_partkey % 2 = 0 AND p_brand = 'Brand#13'"""
 # ---- documents / text operators ---------------------------------------------
 
 def q_doc_exact_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (textops.exact_duplicates(docs)
+    """Exact dedup over the corpus plus a planted-duplicate slice
+    (key-shifted copy of every 7th document, mirrored in the oracle
+    CTE) — the driver corpus has no duplicate texts, so without the
+    plant the query passes vacuously (0 == 0 rows)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return (textops.exact_duplicates(docs.unionByName(plant))
             .select("content_hash", F.col("dup_count").cast("long").alias("dup_count"),
                     F.col("keep_id").cast("long").alias("keep_id")))
 
 
-O_DOC_DEDUP = """SELECT MD5(text) AS content_hash,
+O_DOC_DEDUP = """WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+SELECT MD5(text) AS content_hash,
        CAST(COUNT(*) AS BIGINT) AS dup_count,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id
-FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1"""
+FROM aug GROUP BY MD5(text) HAVING COUNT(*) > 1"""
 
 
 def q_doc_token_count(spark, sf_dir):
@@ -1159,10 +1169,45 @@ def q_mm_html_decode(spark, sf_dir):
 
 def q_mm_image_features(spark, sf_dir):
     """Multimodal: Arrow-batched image decode/feature plumbing (fake
-    codec — deterministic; real codec site raises, see multimodal.py)."""
-    from . import multimodal, synth
-    pages = synth.synth_pages(spark, 500)
-    return multimodal.image_features(pages, "html", decode="fake")
+    codec — deterministic sha256 pseudo-decode; real codec site raises,
+    see multimodal.py). Runs the real ``mapInPandas`` kernel over the
+    driver's documents table (payload = UTF-8 bytes of ``text``) so the
+    fake decode mirrors into DuckDB's ``sha256``; the float feature_vec
+    is projected to exact integer bytes (posexplode) because the
+    driver's canonicalizer cannot hash array columns."""
+    from . import multimodal
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"))
+    feats = multimodal.image_features(docs, "payload", decode="fake")
+    # feature_vec[i] = byte_i / 255.0 in float32; *255 + round recovers
+    # the byte exactly (max abs error ~1.5e-5 << 0.5)
+    bytes_arr = F.transform("feature_vec",
+                            lambda x: F.round(x * F.lit(255.0)).cast("int"))
+    return (feats.select("url", "width", "height", "channels", "mean_luma",
+                         F.posexplode(bytes_arr).alias("dim", "byte_val")))
+
+
+def _sha_byte(i: int, hx: str = "hx") -> str:
+    """DuckDB: i-th byte of a sha256 hex digest as an integer."""
+    return (f"((STRPOS('0123456789abcdef', SUBSTR({hx}, {2 * i + 1}, 1))-1)*16"
+            f" + (STRPOS('0123456789abcdef', SUBSTR({hx}, {2 * i + 2}, 1))-1))")
+
+
+O_MM_IMAGE_FEATURES = f"""WITH h AS (
+  SELECT CAST(doc_id AS STRING) AS url, SHA256(text) AS hx FROM documents),
+b AS (
+  SELECT url, {', '.join(f'{_sha_byte(i)} AS b{i}' for i in range(8))},
+         {_sha_byte(2)} AS luma_b
+  FROM h)
+SELECT url,
+       CAST(16 + b0 % 64 AS INT) AS width,
+       CAST(16 + b1 % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(luma_b AS DOUBLE) / 255.0 AS mean_luma,
+       CAST(g.i AS INT) AS dim,
+       CAST([b0, b1, b2, b3, b4, b5, b6, b7][g.i + 1] AS INT) AS byte_val
+FROM b, (SELECT UNNEST(RANGE(0, 8)) AS i) g"""
 
 
 QUERIES = {
@@ -1265,6 +1310,7 @@ ORACLES = {
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,
+    "mm_image_features": O_MM_IMAGE_FEATURES,
     # doc_minhash_candidates / doc_simhash / ann_lsh_topk /
     # fagi_discover_links (xxhash64 / Python JW) and
     # fagi_cluster_assign / fagi_learning_predict / fagi_schema_match

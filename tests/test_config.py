@@ -28,6 +28,13 @@ def test_parse_conf_fields_and_extra():
     assert cfg.require_valid() is cfg
 
 
+def test_parse_conf_keeps_uri_fragments():
+    cfg = parse_conf("dom_onto = http://ex.org/onto#  # trailing comment\n"
+                     "graph_uri = http://ex.org/g#main\n")
+    assert cfg.dom_onto == "http://ex.org/onto#"
+    assert cfg.extra == {"graph_uri": "http://ex.org/g#main"}
+
+
 def test_validation_catches_problems():
     cfg = FusionConfig(action="nope", link_threshold=1.5, radius_m=-1)
     errs = cfg.validate()
