@@ -148,13 +148,14 @@ def score_candidates(cands: DataFrame) -> DataFrame:
             .mapInPandas(run, SCORE_SCHEMA))
 
 
-def discover_links(geo_a: DataFrame, geo_b: DataFrame,
-                   meta_a: DataFrame, meta_b: DataFrame,
-                   radius_m: float, threshold: float = BATCH_THRESHOLD,
-                   label_pred_suffix: str = "label") -> DataFrame:
-    """End-to-end batch link discovery. meta_{a,b} are EAV frames;
-    literals are concatenated per subject after kind + TF filtering.
-    Returns (node_a, node_b, similarity, distance_m)."""
+def candidate_frame(geo_a: DataFrame, geo_b: DataFrame,
+                    meta_a: DataFrame, meta_b: DataFrame,
+                    radius_m: float) -> DataFrame:
+    """The pre-scoring sub-pipeline of link discovery — everything up to
+    (but excluding) the Python JW scorer, so it is pure SQL and
+    driver-oracle-checkable: radius candidates (J4+F5) -> literal-kind
+    filter (F2) -> TF-unique filter (A3) -> per-pair sorted literal
+    concat. Returns (a_subject, b_subject, a_text, b_text, distance_m)."""
     cand = joins.radius_join(geo_a, geo_b, radius_m)
 
     lits_b = literal_kind_filter(meta_b).select(
@@ -169,9 +170,19 @@ def discover_links(geo_a: DataFrame, geo_b: DataFrame,
     a_text = (lits_a.groupBy("a_subject")
               .agg(F.concat_ws(" ", F.sort_array(F.collect_list("object"))).alias("a_text")))
 
-    pairs = (cand.select("a_subject", "b_subject", "distance_m")
-             .join(b_text, ["a_subject", "b_subject"])
-             .join(a_text, "a_subject"))
+    return (cand.select("a_subject", "b_subject", "distance_m")
+            .join(b_text, ["a_subject", "b_subject"])
+            .join(a_text, "a_subject"))
+
+
+def discover_links(geo_a: DataFrame, geo_b: DataFrame,
+                   meta_a: DataFrame, meta_b: DataFrame,
+                   radius_m: float, threshold: float = BATCH_THRESHOLD,
+                   label_pred_suffix: str = "label") -> DataFrame:
+    """End-to-end batch link discovery. meta_{a,b} are EAV frames;
+    literals are concatenated per subject after kind + TF filtering.
+    Returns (node_a, node_b, similarity, distance_m)."""
+    pairs = candidate_frame(geo_a, geo_b, meta_a, meta_b, radius_m)
     scored = score_candidates(pairs)
     return (scored.filter(F.col("similarity") > threshold)
             .select(F.col("a_subject").alias("node_a"),

@@ -58,6 +58,42 @@ def sql_rolling_fingerprint(text: str = "text", mod: int = 1_000_000_007) -> str
             f"(acc, c) -> (acc * 31 + c) % {mod}) AS BIGINT) END")
 
 
+# ---------------------------------------------------------------------------
+# Seeded polynomial hash family (the SQL-mirrored alternative to xxhash64)
+# ---------------------------------------------------------------------------
+#
+# xxhash64 has no DuckDB twin, so MinHash/SimHash built on it can only be
+# rows-checked by the driver. The poly family below is the same rolling
+# fold as with_rolling_fingerprint, reduced mod 2^56 (so the per-seed
+# affine step (2i+1)*h + b_i never overflows int64: 63 * 2^56 < 2^63),
+# and mirrors token-for-token into DuckDB SQL — enabling value-exact
+# oracles for the near-dup operators. xxhash64 stays the scale default
+# (single JVM intrinsic vs a per-character fold).
+
+POLY_MOD = 1 << 56
+
+
+def _poly_base_expr(colname: str, mod: int = POLY_MOD):
+    """Column expr: rolling poly hash of a (non-null) string column."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({colname})), "
+        f"i -> ascii(substr({colname}, i, 1))), 0L, "
+        f"(acc, c) -> (acc * 31 + c) % {mod})")
+
+
+def sql_poly_base(expr: str, mod: int = POLY_MOD) -> str:
+    """DuckDB mirror of _poly_base_expr over an arbitrary SQL expr."""
+    return (f"CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"LIST_TRANSFORM(RANGE(1, LENGTH({expr})+1), "
+            f"i -> CAST(ASCII({expr}[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod}) AS BIGINT)")
+
+
+def poly_seed_coeffs(i: int) -> tuple[int, int]:
+    """(a_i, b_i) of the affine seed step h_i = (a_i*h + b_i) % POLY_MOD."""
+    return 2 * i + 1, i * 1_000_003 + 12345
+
+
 def exact_duplicates(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact dedup by content hash: groups with >1 member, keeping the
     min key as the canonical representative."""
@@ -136,43 +172,68 @@ def _shingles(text_col, k: int = 3):
 
 
 def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text",
-                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_k: int = 3,
+                       hash_family: str = "xxhash") -> DataFrame:
     """(key, minhash array<long>) — for each of ``num_hashes`` seeded
-    xxhash64 functions, the min hash over the document's shingle set.
+    hash functions, the min hash over the document's shingle set.
 
     Shape: explode shingles -> one groupBy with ``num_hashes`` MIN
     aggregates (map-side partial agg, one shuffle on ``key``). A single
     wide projection of 32 x array_min(transform(shingles)) is avoided
     deliberately: it re-evaluates the shingle construction per hash and
     blows up whole-stage codegen (~100x slower measured at sf0.01); the
-    explode/agg form streams and scales to arbitrarily long documents."""
+    explode/agg form streams and scales to arbitrarily long documents.
+
+    ``hash_family``: "xxhash" (JVM intrinsic — the scale default) or
+    "poly" (rolling fold mod 2^56 + per-seed affine step — mirrors
+    exactly into DuckDB SQL, used by the driver-oracle contract query)."""
     sh = df.select(F.col(key), F.explode(_shingles(F.col(text), shingle_k)).alias("_sh"))
-    agg = sh.groupBy(key).agg(*[
-        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)])
+    if hash_family == "poly":
+        sh = sh.withColumn("_hb", _poly_base_expr("_sh"))
+        aggs = []
+        for i in range(num_hashes):
+            a, b = poly_seed_coeffs(i)
+            aggs.append(F.min((F.col("_hb") * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD))
+                        .alias(f"_h{i}"))
+    else:
+        aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+                for i in range(num_hashes)]
+    agg = sh.groupBy(key).agg(*aggs)
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
     return agg.select(F.col(key), sig.alias("minhash"))
 
 
 def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
                  shingle_k: int = 3, key: str = "doc_id") -> DataFrame:
-    """MinHash signature appended to ``df`` (join back on ``key``)."""
+    """MinHash signature appended to ``df`` (join back on ``key``).
+
+    Precondition: ``key`` must be unique in ``df`` — the signature side
+    is one row per key by construction (groupBy), so duplicate keys in
+    ``df`` itself would multiply rows through the join. Raw crawl
+    corpora with repeated doc ids should be keyed by a fresh
+    ``monotonically_increasing_id`` (or deduped) first."""
     return df.join(minhash_signatures(df, key, text, num_hashes, shingle_k), key)
 
 
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                        num_hashes: int = 32, bands: int = 8,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       hash_family: str = "xxhash") -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, hash each band, self-join on (band_idx, band_hash) ->
     candidate near-duplicate pairs (a < b). The join is an equi-join on
-    the band key — shuffle-partitioned, no cartesian."""
+    the band key — shuffle-partitioned, no cartesian. In "poly" mode the
+    band key is the comma-joined signature slice itself (injective —
+    what the SQL oracle compares); "xxhash" compresses it to a long."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, key, text, num_hashes, shingle_k)
+    sig = minhash_signatures(df, key, text, num_hashes, shingle_k, hash_family)
+    band_slice = F.concat_ws(",", F.transform(
+        F.slice("minhash", F.col("band") * rows_per_band + 1, rows_per_band),
+        lambda x: x.cast("string")))
+    band_key = (band_slice if hash_family == "poly"
+                else F.xxhash64(band_slice, F.col("band")))
     banded = (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-              .withColumn("band_hash",
-                          F.xxhash64(F.concat_ws(",", F.transform(
-                              F.slice("minhash", F.col("band") * rows_per_band + 1, rows_per_band),
-                              lambda x: x.cast("string"))), F.col("band")))
+              .withColumn("band_hash", band_key)
               .select(key, "band", "band_hash"))
     left = banded.select(F.col(key).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(key).alias("id_b"), "band", "band_hash")
@@ -207,15 +268,36 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 
 def with_simhash(df: DataFrame, text: str = "text", bits: int = 64,
-                 key: str = "doc_id") -> DataFrame:
+                 key: str = "doc_id", hash_family: str = "xxhash") -> DataFrame:
     """SimHash: majority vote of per-token hash bits, packed into one
     long (bit set when >= half the distinct tokens have it set; b63 is
     the sign bit). Explode tokens -> one groupBy with ``bits`` SUM
     aggregates (map-side combine, one shuffle) — the same
     codegen-friendly shape as ``minhash_signatures``; a 64-wide
     array-filter projection re-evaluates the token hashing per bit.
-    Empty documents (no tokens) get all bits set (vacuous majority)."""
+    Empty documents (no tokens) get all bits set (vacuous majority).
+
+    Precondition: ``key`` unique in ``df`` (see with_minhash).
+    ``hash_family="poly"`` (bits <= 56) uses the SQL-mirrored rolling
+    fold so the driver oracle can value-check the signature."""
     words = F.array_distinct(F.split(normalize_text(F.col(text)), " "))
+    if hash_family == "poly":
+        assert bits <= 56, "poly family yields 56 hash bits"
+        tok = (df.select(F.col(key), F.explode(words).alias("_w"))
+               .withColumn("_h", _poly_base_expr("_w")))
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+            for b in range(bits)]
+        agg = tok.groupBy(key).agg(*aggs)
+        packed = None
+        for b in range(bits):
+            bit = F.when(F.col(f"_o{b}") * 2 >= F.col("_n"), F.lit(1)).otherwise(F.lit(0))
+            term = bit.cast("long") * F.lit(1 << b)
+            packed = term if packed is None else packed + term
+        sig = agg.select(F.col(key), packed.alias("simhash"))
+        fill = F.lit((1 << bits) - 1).cast("long")
+        return (df.join(sig, key, "left")
+                  .withColumn("simhash", F.coalesce(F.col("simhash"), fill)))
     tok = (df.select(F.col(key), F.explode(words).alias("_w"))
              .withColumn("_h", F.xxhash64("_w")))
     masks = [(1 << b) if b < 63 else -(2 ** 63) for b in range(bits)]

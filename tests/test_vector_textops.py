@@ -81,6 +81,33 @@ def test_minhash_finds_planted_near_dups(spark):
                    if (a >= 4) != (b >= 4))  # no cross-group false positives
 
 
+def test_minhash_poly_family_matches_xxhash_behavior(spark):
+    """The SQL-mirrored poly family is a drop-in hash family: same
+    planted dups caught, same no-false-positive property."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the old stone bridge tonight")
+    rows = [(i, base) for i in range(3)]
+    rows += [(3, base.replace("stone", "wooden"))]
+    rows += [(i, f"completely different text number {i} with unrelated words "
+                 f"about spaceships satellite orbits and launch pad {i}")
+             for i in range(4, 10)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    cands = {(r["id_a"], r["id_b"]) for r in
+             textops.minhash_candidates(docs, num_hashes=32, bands=16,
+                                        hash_family="poly").collect()}
+    assert {(0, 1), (0, 2), (1, 2), (0, 3)}.issubset(cands)
+    assert not any((a >= 4) != (b >= 4) for a, b in cands)
+
+
+def test_simhash_poly_bits_bounded(spark):
+    docs = spark.createDataFrame([(0, "alpha beta gamma"), (1, None)],
+                                 "doc_id int, text string")
+    out = {r["doc_id"]: r["simhash"] for r in
+           textops.with_simhash(docs, hash_family="poly", bits=56).collect()}
+    assert 0 <= out[0] < (1 << 56)
+    assert out[1] == (1 << 56) - 1  # null text -> vacuous all-bits fill
+
+
 def test_simhash_hamming_orders_similarity(spark):
     rows = [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
             (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
