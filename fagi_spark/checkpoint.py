@@ -38,10 +38,9 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("stage string, snapshot_id int, file string, "
-                  "n_rows bigint, committed_at double")
+                  "n_rows bigint, n_bytes bigint, committed_at double")
 
 
 class CheckpointStore:
@@ -85,7 +84,14 @@ class CheckpointStore:
     def commit(self, df: DataFrame, stage: str,
                metrics: dict | None = None) -> int:
         """Write ``df`` as the next snapshot of ``stage``; publish only
-        after the write completes; record per-file lineage rows."""
+        after the write completes; record per-file lineage rows.
+
+        Lineage is read from the parquet FOOTERS of the just-written
+        files (pyarrow metadata — bytes per file, no data scan, no
+        Spark job), not by re-reading the snapshot: a groupBy over the
+        staged output would be a second full read of every committed
+        stage — 2x write-stage I/O at 100 TB. On an Iceberg deployment
+        the same rows come free from the snapshot's manifest entries."""
         prev = self.latest(stage)
         snap_id = 0 if prev is None else prev + 1
         d = self._stage_dir(stage)
@@ -94,18 +100,27 @@ class CheckpointStore:
 
         df.write.mode("overwrite").parquet(staging)
 
-        # per-partition lineage: one row per committed file (metadata-
-        # cheap count per file; at cluster scale this is a footer read)
-        spark = df.sparkSession
-        lineage = (spark.read.parquet(staging)
-                   .groupBy(F.input_file_name().alias("file"))
-                   .agg(F.count(F.lit(1)).alias("n_rows"))
-                   .collect())
+        import pyarrow.parquet as pq
         now = time.time()
-        lin_rows = [{"stage": stage, "snapshot_id": snap_id,
-                     "file": os.path.basename(r["file"]),
-                     "n_rows": r["n_rows"], "committed_at": now}
-                    for r in lineage]
+        lin_rows = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(staging, fname)
+            meta = pq.ParquetFile(fpath).metadata
+            lin_rows.append({"stage": stage, "snapshot_id": snap_id,
+                             "file": fname, "n_rows": meta.num_rows,
+                             "n_bytes": os.path.getsize(fpath),
+                             "committed_at": now})
+
+        # crash-window repair: a previous run may have died after
+        # os.replace(staging, final) but before _publish wrote LATEST,
+        # leaving an orphaned unpublished snap dir that would make this
+        # os.replace fail with ENOTEMPTY. The orphan was never
+        # published (readers only follow LATEST), so discard it.
+        if os.path.exists(final):
+            import shutil
+            shutil.rmtree(final)
         os.replace(staging, final)
         with open(os.path.join(d, f"snap_{snap_id}.lineage.json"), "w") as f:
             json.dump({"lineage": lin_rows, "metrics": metrics or {},

@@ -991,11 +991,43 @@ def q_cluster_assign(spark, sf_dir):
     return cl.cluster_links(feats, k=4)
 
 
+_LEARN_VOCAB = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+                "HOUSEHOLD", "Landmark"]
+
+
+def _learning_meta(cust, side: str):
+    """Derived rdf:type EAV for the OWL/tag features: A-side ways carry
+    their segment class (plus 'Landmark' every 5th); B-side places carry
+    a class only for even keys — so class counts differ across links and
+    the percentage-difference buckets spread."""
+    from .learning import RDF_TYPE
+    k = F.col("c_custkey")
+    if side == "a":
+        subj = F.concat(F.lit("way"), k.cast("string"))
+        t1 = cust.select(subj.alias("subject"), F.lit(RDF_TYPE).alias("predicate"),
+                         F.col("c_mktsegment").alias("object"))
+        t2 = cust.filter(k % 5 == 0).select(
+            subj.alias("subject"), F.lit(RDF_TYPE).alias("predicate"),
+            F.lit("Landmark").alias("object"))
+        return t1.unionByName(t2)
+    subj = F.concat(F.lit("place"), k.cast("string"))
+    return (cust.filter((k % 3 == 0) & (k % 2 == 0))
+            .select(subj.alias("subject"), F.lit(RDF_TYPE).alias("predicate"),
+                    F.col("c_mktsegment").alias("object")))
+
+
 def q_learning_features(spark, sf_dir):
-    """§2.10 bucketed geometry features for the action recommender."""
+    """§2.10 features for the action recommender: bucketed geometry
+    features PLUS the reference's OWL-class/tag features — per-side
+    class one-hots, class counts, and the bucketed class-count
+    percentage difference (BooleanVector.java:765-805) — all integer
+    column math, value-exact."""
     from . import learning
+    cust = _t(spark, sf_dir, "customer")
     links, ga, gb = _fagi_inputs(spark, sf_dir)
-    return learning.geometry_features(fuse.resolve_links(links, ga, gb))
+    feats = learning.geometry_features(fuse.resolve_links(links, ga, gb))
+    return learning.owl_tag_features(feats, _learning_meta(cust, "a"),
+                                     _learning_meta(cust, "b"), _LEARN_VOCAB)
 
 
 def _o_bucket(expr: str) -> str:
@@ -1008,13 +1040,45 @@ _AREA_B = "(b_xmax - b_xmin) * (b_ymax - b_ymin)"
 _EDGE_A = "2.0 * ((a_xmax - a_xmin) + (a_ymax - a_ymin)) / GREATEST(CAST(a_npoints AS DOUBLE), 1.0)"
 _EDGE_B = "2.0 * ((b_xmax - b_xmin) + (b_ymax - b_ymin)) / GREATEST(CAST(b_npoints AS DOUBLE), 1.0)"
 
+def _o_cls_flags(prefix: str) -> str:
+    return ", ".join(
+        f"CAST(MAX(CASE WHEN object = '{c}' THEN 1 ELSE 0 END) AS INT) AS {prefix}cls_{i}"
+        for i, c in enumerate(_LEARN_VOCAB))
+
+
+_O_OWL_BUCKET = ("CASE WHEN GREATEST(a_n_classes, b_n_classes) = 0 THEN 10 ELSE "
+                 + " + ".join(
+                     f"(CASE WHEN (a_n_classes - b_n_classes) * 10 >= ({k}) * GREATEST(a_n_classes, b_n_classes) "
+                     f"THEN 1 ELSE 0 END)" for k in range(-9, 10))
+                 + " END")
+
 O_LEARNING_FEATURES = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
 j AS (
   SELECT l.node_a, l.node_b, a.kind AS a_kind, b.kind AS b_kind,
          {_ENV.format(v='a.v', w='a.w', k='a.kind', p='a_')},
          {_ENV.format(v='b.v', w='b.w', k='b.kind', p='b_')}
   FROM links l JOIN geo_a a ON l.node_a = a.subject
-               JOIN geo_b b ON l.node_b = b.subject)
+               JOIN geo_b b ON l.node_b = b.subject),
+meta_a AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject, c_mktsegment AS object
+  FROM customer
+  UNION ALL
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)), 'Landmark'
+  FROM customer WHERE c_custkey % 5 = 0),
+meta_b AS (
+  SELECT CONCAT('place', CAST(c_custkey AS STRING)) AS subject, c_mktsegment AS object
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0),
+ta AS (SELECT subject, COUNT(DISTINCT object) AS n_classes, {_o_cls_flags('')}
+       FROM meta_a GROUP BY subject),
+tb AS (SELECT subject, COUNT(DISTINCT object) AS n_classes, {_o_cls_flags('')}
+       FROM meta_b GROUP BY subject),
+g AS (
+  SELECT j.*, COALESCE(ta.n_classes, 0) AS a_n_classes,
+         {', '.join(f'COALESCE(ta.cls_{i}, 0) AS a_cls_{i}' for i in range(len(_LEARN_VOCAB)))},
+         COALESCE(tb.n_classes, 0) AS b_n_classes,
+         {', '.join(f'COALESCE(tb.cls_{i}, 0) AS b_cls_{i}' for i in range(len(_LEARN_VOCAB)))}
+  FROM j LEFT JOIN ta ON j.node_a = ta.subject
+         LEFT JOIN tb ON j.node_b = tb.subject)
 SELECT node_a, node_b,
        {_o_bucket(_AREA_A)} AS a_area_bucket,
        {_o_bucket(_AREA_B)} AS b_area_bucket,
@@ -1024,17 +1088,25 @@ SELECT node_a, node_b,
        CAST(CASE WHEN b_kind = 'POINT' THEN 1 ELSE 0 END AS INT) AS b_is_point,
        CAST(CASE WHEN a_kind IN ('POLYGON','MULTIPOLYGON') THEN 1 ELSE 0 END AS INT) AS a_is_poly,
        CAST(CASE WHEN b_kind IN ('POLYGON','MULTIPOLYGON') THEN 1 ELSE 0 END AS INT) AS b_is_poly,
-       CAST(CASE WHEN a_npoints >= b_npoints THEN 1 ELSE 0 END AS INT) AS a_more_points
-FROM j"""
+       CAST(CASE WHEN a_npoints >= b_npoints THEN 1 ELSE 0 END AS INT) AS a_more_points,
+       a_n_classes, {', '.join(f'a_cls_{i}' for i in range(len(_LEARN_VOCAB)))},
+       b_n_classes, {', '.join(f'b_cls_{i}' for i in range(len(_LEARN_VOCAB)))},
+       CAST({_O_OWL_BUCKET} AS INT) AS owl_sim_bucket
+FROM g"""
 
 
 def q_learning_predict(spark, sf_dir):
-    """§2.10 LinearSVC action recommendation — ML, rows-only."""
+    """§2.10 LinearSVC action recommendation over the full feature set
+    (geometry buckets + OWL class/tag features) — ML, rows-only."""
     from . import learning
+    cust = _t(spark, sf_dir, "customer")
     links, ga, gb = _fagi_inputs(spark, sf_dir)
-    feats = learning.geometry_features(fuse.resolve_links(links, ga, gb))
+    feats = learning.owl_tag_features(
+        learning.geometry_features(fuse.resolve_links(links, ga, gb)),
+        _learning_meta(cust, "a"), _learning_meta(cust, "b"), _LEARN_VOCAB)
     train = feats.withColumn("label", (F.col("a_more_points") == 0).cast("double"))
-    model = learning.train_recommender(train)
+    model = learning.train_recommender(
+        train, extra_cols=learning.owl_feature_cols(len(_LEARN_VOCAB)))
     return learning.predict_actions(model, feats)
 
 
@@ -1293,6 +1365,48 @@ SELECT l.node_a AS subject_a, l.node_b AS subject_b,
 FROM links l JOIN chains c ON l.node_a = c.subject"""
 
 
+def q_metadata_chain_keep(spark, sf_dir):
+    """§2.6 chain-selected Keep with common-prefix expansion
+    (Utilities.java:188-209 + BatchFusionServlet.java:2889-2983): the
+    selected depth-2 chain hasAddress=>streetName is copied for linked
+    subjects with its last hop renamed into the dominant ontology,
+    intermediate hops preserved."""
+    cust = _t(spark, sf_dir, "customer")
+    links = links_df(cust)
+    k = F.col("c_custkey")
+    hop1 = cust.select(F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+                       F.lit("http://a.org/ont/hasAddress").alias("predicate"),
+                       F.concat(F.lit("bn"), k.cast("string")).alias("object"))
+    hop2 = cust.select(F.concat(F.lit("bn"), k.cast("string")).alias("subject"),
+                       F.lit("http://a.org/ont/streetName").alias("predicate"),
+                       F.col("c_name").alias("object"))
+    return metadata_fuse.keep_selected_chain(
+        links, hop1.unionByName(hop2),
+        ["http://a.org/ont/hasAddress", "http://a.org/ont/streetName"],
+        dom_onto="http://dom.org/")
+
+
+O_METADATA_CHAIN_KEEP = f"""WITH {LINKS_CTE},
+hop1 AS (SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+                'http://a.org/ont/hasAddress' AS predicate,
+                CONCAT('bn', CAST(c_custkey AS STRING)) AS object
+         FROM customer),
+hop2 AS (SELECT CONCAT('bn', CAST(c_custkey AS STRING)) AS subject,
+                'http://a.org/ont/streetName' AS predicate,
+                c_name AS object
+         FROM customer)
+SELECT DISTINCT subject_a, subject_b, subject, predicate, object FROM (
+  SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+         h1.subject AS subject, h1.predicate AS predicate, h1.object AS object
+  FROM links l JOIN hop1 h1 ON l.node_a = h1.subject
+               JOIN hop2 h2 ON h1.object = h2.subject
+  UNION ALL
+  SELECT l.node_a, l.node_b, h2.subject,
+         'http://dom.org/hasAddress_streetName', h2.object
+  FROM links l JOIN hop1 h1 ON l.node_a = h1.subject
+               JOIN hop2 h2 ON h1.object = h2.subject)"""
+
+
 def q_serialization_probe(spark, sf_dir):
     """S4 serialization probe: which geometry serializations exist and
     how many of each — the SPARQL ASK pair (Importer.java:479-538)
@@ -1455,6 +1569,7 @@ QUERIES = {
     "fagi_salted_radius_join": q_salted_radius_join,
     "fagi_hot_cell_promote": q_hot_cell_promote,
     "fagi_metadata_flatten": q_metadata_flatten,
+    "fagi_metadata_chain_keep": q_metadata_chain_keep,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
     "fagi_serialization_probe": q_serialization_probe,
@@ -1501,6 +1616,7 @@ ORACLES = {
     "fagi_salted_radius_join": O_RADIUS_JOIN,
     "fagi_hot_cell_promote": O_HOT_CELL_PROMOTE,
     "fagi_metadata_flatten": O_METADATA_FLATTEN,
+    "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,

@@ -37,6 +37,22 @@ JW_TOKEN_THRESHOLD = 0.8     # FindLinkServlet.java:502
 INTERACTIVE_THRESHOLD = 0.8  # FindLinkServlet.java:401
 BATCH_THRESHOLD = 0.2        # BatchFindLinkServlet.java:713
 
+# stopWords.ser analog (VirtuosoImporter.java:1245-1261; filter applied
+# by lowercase membership at :1105 before scoring) — the reference ships
+# a serialized HashSet; here a standard public English stop list.
+# Single-letter tokens are deliberately NOT stopped (the word breaker
+# already yields them from possessives — "St. Mary's" -> {st, mary, s} —
+# and the reference set does not drop them either).
+STOP_WORDS = frozenset("""
+a about above after again all an and any are as at be because been before
+being below between both but by down during each few for from further had
+has have having he her here hers him his how i if in into is it its just
+me more most my no nor not now of off on once only or other our out over
+own same she so some such than that the their them then there these they
+this those through to too under until up very was we were what when where
+which while who whom why will with you your
+""".split())
+
 
 def literal_kind_filter(meta: DataFrame, obj: str = "object") -> DataFrame:
     """F2: drop pure integers, drop URLs (contains 'http'), keep
@@ -99,12 +115,18 @@ def jaro_winkler(s1: str, s2: str) -> float:
     return jaro + prefix * 0.1 * (1.0 - jaro)
 
 
-def token_jaccard_jw(text_a: str, text_b: str) -> float:
+def token_jaccard_jw(text_a: str, text_b: str,
+                     stopwords: frozenset = STOP_WORDS) -> float:
     """Token Jaccard with JW>0.8 token equivalence: intersection counts
     token pairs with JW above threshold; union is the combined
-    lowercased token set (FindLinkServlet.java:478-510)."""
-    ta = [t for t in WORD_BREAK_RE.split((text_a or "").lower()) if t]
-    tb = [t for t in WORD_BREAK_RE.split((text_b or "").lower()) if t]
+    lowercased token set (FindLinkServlet.java:478-510). Stop words are
+    dropped before scoring (stopWords.ser filter,
+    VirtuosoImporter.java:1105) so a stop-word-only overlap scores 0;
+    pass ``stopwords=frozenset()`` to disable."""
+    ta = [t for t in WORD_BREAK_RE.split((text_a or "").lower())
+          if t and t not in stopwords]
+    tb = [t for t in WORD_BREAK_RE.split((text_b or "").lower())
+          if t and t not in stopwords]
     if not ta or not tb:
         return 0.0
     sa, sb = set(ta), set(tb)

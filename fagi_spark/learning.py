@@ -59,22 +59,85 @@ def geometry_features(j: DataFrame) -> DataFrame:
 FEATURE_COLS = ("a_area_bucket", "b_area_bucket", "a_edge_bucket", "b_edge_bucket",
                 "a_is_point", "b_is_point", "a_is_poly", "b_is_poly", "a_more_points")
 
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def owl_tag_features(j: DataFrame, meta_a: DataFrame, meta_b: DataFrame,
+                     class_vocab: list[str],
+                     type_pred: str = RDF_TYPE) -> DataFrame:
+    """OWL-class / tag features per link, joined onto the resolved
+    links frame (reference trains on these alongside geometry buckets —
+    OWLFeatures.java, TagFeatures.java, BooleanVector.createOWLFeatures
+    BooleanVector.java:765-805):
+
+    - ``a_cls_i`` / ``b_cls_i``: one-hot over ``class_vocab`` of each
+      side's rdf:type objects (OWLClassesParser's class->id mapping,
+      OWLClassesParser.java:33-68, with an explicit vocabulary instead
+      of the LGD mappings file);
+    - ``a_n_classes`` / ``b_n_classes``: per-side class counts;
+    - ``owl_sim_bucket``: the reference's bucketed class-count
+      percentage difference, (sizeA-sizeB)/max bucketed in 0.1 steps
+      over [-0.9, 0.9) (BooleanVector.java:771-805). Bucket membership
+      is decided by integer cross-multiplication ((a-b)*10 >= k*max) so
+      there is no float at all — bit-exact in any SQL mirror.
+
+    Two aggregations (one per side) + two broadcastable left joins;
+    class inventories are tiny relative to the links frame."""
+    def side(meta, prefix, node_col):
+        flags = [F.max((F.col("object") == c).cast("int")).alias(f"{prefix}cls_{i}")
+                 for i, c in enumerate(class_vocab)]
+        agg = (meta.filter(F.col("predicate") == type_pred)
+               .groupBy("subject")
+               .agg(F.countDistinct("object").alias(f"{prefix}n_classes"), *flags))
+        return agg.withColumnRenamed("subject", node_col)
+
+    out = (j.join(side(meta_a, "a_", "node_a"), "node_a", "left")
+            .join(side(meta_b, "b_", "node_b"), "node_b", "left"))
+    fill = {f"{p}cls_{i}": 0 for p in ("a_", "b_") for i in range(len(class_vocab))}
+    fill.update({"a_n_classes": 0, "b_n_classes": 0})
+    out = out.fillna(fill)
+    a, b = F.col("a_n_classes"), F.col("b_n_classes")
+    mx = F.greatest(a, b)
+    bucket = None
+    for k in range(-9, 10):
+        term = ((a - b) * 10 >= F.lit(k) * mx).cast("int")
+        bucket = term if bucket is None else bucket + term
+    # both-zero: percentage defined as 0 (reference's sizeA==sizeB==0
+    # branch) -> the zero-difference bucket, not the all-true sum
+    bucket = F.when(mx == 0, F.lit(10)).otherwise(bucket)
+    return out.withColumn("owl_sim_bucket", bucket)
+
+
+def owl_feature_cols(n_classes: int) -> list[str]:
+    return ([f"a_cls_{i}" for i in range(n_classes)]
+            + [f"b_cls_{i}" for i in range(n_classes)]
+            + ["a_n_classes", "b_n_classes", "owl_sim_bucket"])
+
 
 def train_recommender(features: DataFrame, label_col: str = "label",
-                      max_iter: int = 100, seed: int = 42):
+                      max_iter: int = 100, seed: int = 42,
+                      extra_cols: list[str] | None = None):
     """Fit the action recommender. Binary labels -> LinearSVC (the
-    liblinear analog); multiclass -> multinomial LogisticRegression."""
+    liblinear analog); multiclass -> multinomial LogisticRegression.
+    ``extra_cols``: additional numeric feature columns (e.g. the OWL
+    class/tag features) appended to the assembled vector;
+    ``owl_sim_bucket`` rides the one-hot encoder like the geometry
+    buckets (the reference's vector is all boolean nodes)."""
     from pyspark.ml.classification import LinearSVC, LogisticRegression
     from pyspark.ml.feature import OneHotEncoder, VectorAssembler
     from pyspark.ml import Pipeline
 
-    onehot = OneHotEncoder(
-        inputCols=["a_area_bucket", "b_area_bucket", "a_edge_bucket", "b_edge_bucket"],
-        outputCols=["a_area_oh", "b_area_oh", "a_edge_oh", "b_edge_oh"])
+    extra = list(extra_cols or [])
+    bucket_cols = ["a_area_bucket", "b_area_bucket", "a_edge_bucket", "b_edge_bucket"]
+    if "owl_sim_bucket" in extra:
+        extra.remove("owl_sim_bucket")
+        bucket_cols.append("owl_sim_bucket")
+    onehot = OneHotEncoder(inputCols=bucket_cols,
+                           outputCols=[c + "_oh" for c in bucket_cols])
     vec = VectorAssembler(
-        inputCols=["a_area_oh", "b_area_oh", "a_edge_oh", "b_edge_oh",
-                   "a_is_point", "b_is_point", "a_is_poly", "b_is_poly",
-                   "a_more_points"],
+        inputCols=[c + "_oh" for c in bucket_cols]
+                  + ["a_is_point", "b_is_point", "a_is_poly", "b_is_poly",
+                     "a_more_points"] + extra,
         outputCol="features")
     n_classes = features.select(label_col).distinct().count()
     if n_classes <= 2:

@@ -89,7 +89,12 @@ def expand_chain(meta: DataFrame, depth: int) -> DataFrame:
     (subject, predicate_chain, object) rows where predicate_chain joins
     hop predicates with '=>' — the reference's chain separator
     (Constants.java:64; expandChain, VirtuosoImporter.java:1052-1166).
-    Intermediate (blank-node) objects are chased; terminal literals stop."""
+    Intermediate (blank-node) objects are chased; terminal literals stop.
+
+    One lazy plan, no per-level driver jobs: a frontier that runs dry
+    simply contributes empty join branches (bounded by depth <= 6) —
+    the earlier eager ``isEmpty()`` early-exit cost an extra job per
+    level and re-executed each frontier's lineage O(depth^2)."""
     depth = min(depth, MAX_METADATA_DEPTH)
     base = meta.select("subject", F.col("predicate").alias("predicate_chain"), "object")
     frontier = base
@@ -102,8 +107,6 @@ def expand_chain(meta: DataFrame, depth: int) -> DataFrame:
                .select("subject",
                        F.concat_ws("=>", F.col("predicate_chain"), F.col("_hp")).alias("predicate_chain"),
                        F.col("_ho").alias("object")))
-        if nxt.isEmpty():
-            break
         out = out.unionByName(nxt)
         frontier = nxt
     return out
@@ -126,6 +129,88 @@ def keep_flattened(links: DataFrame, meta: DataFrame, dom_onto: str,
     return j.select(F.col("node_a").alias("subject_a"),
                     F.col("node_b").alias("subject_b"),
                     flat_pred.alias("predicate"), "object")
+
+
+def chain_paths(meta: DataFrame, depth: int = MAX_METADATA_DEPTH) -> DataFrame:
+    """Chain instances WITH their hop triples: one row per chain
+    instance, carrying (root, predicate_chain, hops array<struct
+    <subject, predicate, object>>). The per-level shape matches
+    expand_chain; the hops array (bounded by depth <= 6) lets
+    keep_selected_chain re-emit the full subtree with one hop renamed."""
+    depth = min(depth, MAX_METADATA_DEPTH)
+    h = F.struct(F.col("subject"), F.col("predicate"), F.col("object"))
+    base = meta.select(F.col("subject").alias("root"),
+                       F.col("predicate").alias("predicate_chain"),
+                       F.array(h).alias("hops"),
+                       F.col("object").alias("_tail"))
+    hop = meta.select(F.col("subject").alias("_hs"),
+                      F.col("predicate").alias("_hp"),
+                      F.col("object").alias("_ho"))
+    out = base
+    frontier = base
+    for _ in range(1, depth):
+        nh = F.struct(F.col("_hs").alias("subject"), F.col("_hp").alias("predicate"),
+                      F.col("_ho").alias("object"))
+        nxt = (frontier.join(hop, frontier._tail == hop._hs, "inner")
+               .select("root",
+                       F.concat_ws("=>", F.col("predicate_chain"), F.col("_hp")).alias("predicate_chain"),
+                       F.concat(F.col("hops"), F.array(nh)).alias("hops"),
+                       F.col("_ho").alias("_tail")))
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.drop("_tail")
+
+
+def find_common_prefixed_chains(selected: str, patterns: list[str],
+                                sep: str = "=>") -> list[str]:
+    """Chains sharing ``selected`` as a prefix: either deeper chains
+    continuing past it, or chains string-prefixed by it
+    (Utilities.findCommonPrefixedPropertyChains, Utilities.java:188-209
+    — reference separator ',', ours '=>')."""
+    true_pattern = selected + sep
+    return [s for s in patterns
+            if s.startswith(true_pattern) or s.startswith(selected)]
+
+
+def keep_selected_chain(links: DataFrame, meta: DataFrame,
+                        selected_chain: list[str], dom_onto: str,
+                        side: str = "a",
+                        depth: int = MAX_METADATA_DEPTH) -> DataFrame:
+    """Chain-selected Keep with common-prefix expansion
+    (BatchFusionServlet.metadataKeepLeft, BatchFusionServlet.java:
+    2889-2983): the selected ``=>``-chain plus every chain it prefixes
+    is copied for linked subjects, preserving the hop structure, with
+    the predicate at the selected chain's LAST hop renamed into the
+    dominant ontology (newPred = chain names joined '_', commas/spaces
+    -> '_'); hops before and after keep their original predicates.
+    Output: distinct (subject_a, subject_b, subject, predicate, object)
+    triples keyed by the link pair (the reference's graph INSERT dedups
+    identical triples across patterns — .distinct() mirrors that).
+
+    The pattern inventory is a DISTINCT over chain strings (tiny by
+    construction — schema-sized, not data-sized), collected once."""
+    import re as _re
+    sel = "=>".join(selected_chain)
+    m = len(selected_chain)
+    paths = chain_paths(meta, depth)
+    patterns = [r[0] for r in
+                paths.select("predicate_chain").distinct().collect()]
+    matched = find_common_prefixed_chains(sel, patterns)
+    new_local = "_".join(
+        _re.sub("[, ]", "_", p.split("/")[-1].split("#")[-1])
+        for p in selected_chain)
+    renamed = F.lit(dom_onto + new_local)
+    hops = (paths.filter(F.col("predicate_chain").isin(matched))
+            .select("root", F.posexplode("hops").alias("hop_idx", "h")))
+    key = "node_a" if side == "a" else "node_b"
+    j = links.join(hops, F.col(key) == hops.root, "inner")
+    return (j.select(F.col("node_a").alias("subject_a"),
+                     F.col("node_b").alias("subject_b"),
+                     F.col("h.subject").alias("subject"),
+                     F.when(F.col("hop_idx") == m - 1, renamed)
+                      .otherwise(F.col("h.predicate")).alias("predicate"),
+                     F.col("h.object").alias("object"))
+            .distinct())
 
 
 def rest_action_keep(links: DataFrame, meta: DataFrame, side: str,

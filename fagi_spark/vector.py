@@ -77,14 +77,24 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
 
 def ivf_centroids(corpus: DataFrame, k_centroids: int = 16,
                   sample_n: int = 2000, id_col: str = "vec_id",
-                  vec_col: str = "embedding", iters: int = 10):
+                  vec_col: str = "embedding", iters: int = 10,
+                  sample_mod: int = 1):
     """IVF coarse quantizer: k-means centroids trained on a
-    deterministic sample (lowest ids — reproducible under any
-    partitioning). Driver-side numpy Lloyd iterations on the small
-    sample; the expensive step (assigning the full corpus) stays
-    distributed in assign_ivf_cells."""
+    deterministic sample (reproducible under any partitioning).
+    Driver-side numpy Lloyd iterations on the small sample; the
+    expensive step (assigning the full corpus) stays distributed in
+    assign_ivf_cells.
+
+    ``sample_mod``: at scale, pre-thin with a hash-of-id filter
+    (xxhash64(id) % mod == 0 — a scan, pushdown-friendly) so the
+    deterministic orderBy sorts only ~n/mod survivors instead of the
+    whole corpus; choose mod ~ n / (2 * sample_n). mod=1 keeps every
+    row (exact small-corpus behavior)."""
     import numpy as np
-    sample = (corpus.orderBy(id_col).limit(sample_n)
+    src = corpus
+    if sample_mod > 1:
+        src = src.filter(F.xxhash64(F.col(id_col)) % sample_mod == 0)
+    sample = (src.orderBy(id_col).limit(sample_n)
               .select(vec_col).toPandas()[vec_col])
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     cent = x[:k_centroids].copy()  # deterministic init: first k sample rows
@@ -122,13 +132,15 @@ def assign_ivf_cells(df: DataFrame, centroids, n_probe: int = 1,
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
              k_centroids: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_mod: int = 1) -> DataFrame:
     """IVF ANN: corpus partitioned by nearest centroid (1 cell each),
     queries probe their ``n_probe`` nearest cells; equi-join on cell
     then exact dot-product re-rank. At 100 TB the corpus assignment is
     a one-off indexing job (written as an Iceberg partition column);
     searches only touch probed partitions."""
-    cent = ivf_centroids(corpus, k_centroids, id_col=id_col, vec_col=vec_col)
+    cent = ivf_centroids(corpus, k_centroids, id_col=id_col, vec_col=vec_col,
+                         sample_mod=sample_mod)
     c = (assign_ivf_cells(corpus, cent, 1, id_col, vec_col)
          .select(F.col(id_col).alias("neighbor_id"),
                  F.col(vec_col).alias("c_vec"), "ivf_cell"))

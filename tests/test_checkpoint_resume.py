@@ -73,6 +73,47 @@ def test_partial_write_invisible(spark, tmp_path):
     assert snap >= 1 and store.load(spark, "s").count() == 30
 
 
+def test_commit_runs_only_the_write_job(spark, tmp_path):
+    """Lineage comes from parquet footers, not a second scan: commit
+    must launch exactly as many Spark jobs as the bare parquet write
+    itself (the old groupBy(input_file_name()) re-read every file)."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    df = spark.range(0, 1000, 1, 4)
+    before = n_jobs()
+    df.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    write_jobs = n_jobs() - before
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    before = n_jobs()
+    store.commit(df, "s")
+    assert n_jobs() - before == write_jobs
+    lin = store.lineage("s")
+    assert sum(r["n_rows"] for r in lin["lineage"]) == 1000
+    assert all(r["n_bytes"] > 0 for r in lin["lineage"])
+
+
+def test_crash_between_replace_and_publish_recovers(spark, tmp_path):
+    """Orphaned unpublished snap dir (process died after os.replace,
+    before LATEST flip) must not wedge the next commit (ADVICE:
+    os.replace cannot overwrite a non-empty dir)."""
+    import shutil
+
+    store = CheckpointStore(str(tmp_path))
+    store.commit(spark.range(0, 10), "s")
+    # simulate the crash window: snap_1 exists, LATEST still points at 0
+    shutil.copytree(os.path.join(str(tmp_path), "s", "snap_0"),
+                    os.path.join(str(tmp_path), "s", "snap_1"))
+    assert store.latest("s") == 0
+    snap = store.commit(spark.range(0, 25), "s")
+    assert snap == 1
+    assert store.latest("s") == 1
+    assert store.load(spark, "s").count() == 25
+
+
 def test_pipeline_fail_after_resumes(spark, tmp_path):
     """End-to-end: crash after the links stage; relaunch completes from
     the committed snapshots (pages/entities/links not recomputed —

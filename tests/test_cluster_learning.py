@@ -58,6 +58,45 @@ def test_learning_train_predict(spark, resolved):
     assert acc > 0.9
 
 
+def test_learning_predicts_from_owl_class_features(spark, resolved):
+    """Labels depend ONLY on the rdf:type class (geometry features are
+    uninformative for it): the trained model separating them proves the
+    OWL/tag features actually drive the prediction."""
+    vocab = ["Museum", "ParkArea"]
+    meta_a = resolved.select(
+        F.col("node_a").alias("subject"),
+        F.lit(learning.RDF_TYPE).alias("predicate"),
+        F.when(F.xxhash64("node_a") % 2 == 0, "Museum").otherwise("ParkArea")
+         .alias("object"))
+    meta_b = meta_a.limit(0)
+    feats = learning.owl_tag_features(
+        learning.geometry_features(resolved), meta_a, meta_b, vocab)
+    assert feats.filter(F.col("a_n_classes") == 1).count() == feats.count()
+    train = feats.withColumn("label", F.col("a_cls_0").cast("double"))
+    model = learning.train_recommender(
+        train, max_iter=20, extra_cols=learning.owl_feature_cols(len(vocab)))
+    pred = learning.predict_actions(model, feats)
+    joined = pred.join(train, ["node_a", "node_b"])
+    acc = (joined.filter(F.col("action_id") == F.col("label").cast("int")).count()
+           / pred.count())
+    assert acc > 0.95
+
+
+def test_owl_sim_bucket_integer_boundaries(spark):
+    rows = [("a1", "b1", 3, 1),   # (3-1)/3 = 0.667 -> bucket 16
+            ("a2", "b2", 1, 3),   # -0.667 -> bucket 3
+            ("a3", "b3", 0, 0),   # 0/0 -> bucket 10 (defined as zero diff)
+            ("a4", "b4", 2, 2)]   # 0.0 -> bucket 10
+    j = spark.createDataFrame(rows, "node_a string, node_b string, na int, nb int")
+    meta = spark.createDataFrame(
+        [(r[0], learning.RDF_TYPE, f"C{i}") for r in rows for i in range(r[2])]
+        + [(r[1], learning.RDF_TYPE, f"C{i}") for r in rows for i in range(r[3])],
+        "subject string, predicate string, object string")
+    out = learning.owl_tag_features(j.select("node_a", "node_b"), meta, meta, ["C0"])
+    got = {r["node_a"]: r["owl_sim_bucket"] for r in out.collect()}
+    assert got == {"a1": 16, "a2": 3, "a3": 10, "a4": 10}
+
+
 def test_schema_match_ranks_lexical_twins(spark):
     meta_a = spark.createDataFrame(
         [("s1", "http://a.org/ont/mktSegment", "BUILDING"),

@@ -42,6 +42,19 @@ def test_token_jaccard_jw_handcrafted():
     assert token_jaccard_jw(None, "x") == 0.0
 
 
+def test_stop_word_only_overlap_does_not_link():
+    """stopWords.ser analog: overlap consisting solely of stop words
+    must score 0 (previously 'the of' matched and inflated the index)."""
+    assert token_jaccard_jw("The House of Bread", "The Temple of Stone") == 0.0
+    # informative overlap still scores, stop words excluded from union:
+    # {house, bread} vs {house, stone} -> 1/3
+    assert token_jaccard_jw("The House of Bread",
+                            "The House of Stone") == pytest.approx(1 / 3)
+    # disabling the filter restores raw behavior
+    assert token_jaccard_jw("The House of Bread", "The Temple of Stone",
+                            stopwords=frozenset()) > 0.0
+
+
 def test_thresholds_match_reference_constants():
     assert discover.JW_TOKEN_THRESHOLD == 0.8       # FindLinkServlet.java:502
     assert discover.INTERACTIVE_THRESHOLD == 0.8    # FindLinkServlet.java:401
