@@ -20,14 +20,16 @@ GaussianMixture(maxIter=100), KMeans fallback, both seeded.
 
 Distance uses the engine-wide degree-space convention
 (deg * 111195, Constants.java:79-80) instead of ST_Transform to
-EPSG:2163. Coverage uses bbox intersection over the precomputed
-envelope columns — identical to ST_Intersects for the point /
-axis-aligned-rectangle geometries of the fixtures; exact-geometry
-coverage would route through joins.pip_refine.
+EPSG:2163. Coverage defaults to bbox intersection over the precomputed
+envelope columns (identical to ST_Intersects for points /
+axis-aligned rectangles); ``coverage="exact"`` runs real
+ST_Intersects (geom.geoms_intersect) behind the envelope guard for
+general polygons.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,20 +38,50 @@ from . import geom
 FEATURE_COLS = ("f_dist_norm", "f_dir_x", "f_dir_y", "f_coverage")
 
 
-def link_features(j: DataFrame) -> DataFrame:
+def exact_intersects_udf():
+    """Arrow-batched exact ST_Intersects over two WKT columns
+    (geom.geoms_intersect; parse results cached per batch worker)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cov(a_wkt: pd.Series, b_wkt: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def parse(w):
+            g = cache.get(w, False)
+            if g is False:
+                g = geom.parse_wkt(w)
+                cache[w] = g
+            return g
+
+        return pd.Series(
+            [int(geom.geoms_intersect(parse(a), parse(b)))
+             for a, b in zip(a_wkt, b_wkt)], dtype="int32")
+
+    return cov
+
+
+def link_features(j: DataFrame, coverage: str = "envelope") -> DataFrame:
     """Per-link clustering features over the resolved links join
     (columns a_*/b_* from fuse.resolve_links). Two jobs: one scalar
-    MAX agg (A4 normalization), one projection."""
+    MAX agg (A4 normalization), one projection.
+
+    ``coverage``: "envelope" keeps the pure-column bbox intersection
+    (exact for points / axis-aligned rectangles); "exact" computes real
+    ST_Intersects (GeoClusterer.java:326-354) via an Arrow pandas_udf
+    over the WKT columns — the envelope test stays as a JVM-side guard
+    so the Python kernel only runs on envelope-intersecting pairs."""
     dx = F.col("b_cx") - F.col("a_cx")
     dy = F.col("b_cy") - F.col("a_cy")
     dist_deg = F.sqrt(dx * dx + dy * dy)
     dist_m = dist_deg * F.lit(geom.METERS_PER_DEGREE)
 
+    extra = ["a_geom_wkt", "b_geom_wkt"] if coverage == "exact" else []
     feat = (j.select(F.col("node_a"), F.col("node_b"),
                      dist_m.alias("dist_m"), dist_deg.alias("_len"),
                      dx.alias("_dx"), dy.alias("_dy"),
                      "a_xmin", "a_xmax", "a_ymin", "a_ymax",
-                     "b_xmin", "b_xmax", "b_ymin", "b_ymax"))
+                     "b_xmin", "b_xmax", "b_ymin", "b_ymax", *extra))
 
     # A4 max-normalization: scalar agg broadcast back (GeoClusterer.java:91-98)
     mx = feat.agg(F.max("dist_m").alias("_max_dist"))
@@ -62,6 +94,12 @@ def link_features(j: DataFrame) -> DataFrame:
     # coverage: envelope intersection as int (GeoClusterer.java:326-354)
     inter = ((F.col("a_xmin") <= F.col("b_xmax")) & (F.col("b_xmin") <= F.col("a_xmax"))
              & (F.col("a_ymin") <= F.col("b_ymax")) & (F.col("b_ymin") <= F.col("a_ymax")))
+    if coverage == "exact":
+        # envelope guard in codegen; exact kernel only where it passes
+        # (disjoint envelopes => disjoint geometries)
+        cov = exact_intersects_udf()
+        inter = F.when(inter, cov(F.col("a_geom_wkt"), F.col("b_geom_wkt")) == 1) \
+                 .otherwise(F.lit(False))
 
     return feat.select(
         "node_a", "node_b",

@@ -984,10 +984,12 @@ FROM h"""
 
 
 def q_cluster_assign(spark, sf_dir):
-    """§2.8 EM clustering (GaussianMixture, seeded) — ML, rows-only."""
+    """§2.8 EM clustering (GaussianMixture, seeded) over features with
+    EXACT ST_Intersects coverage (geom.geoms_intersect behind the
+    envelope guard) — ML, rows-only."""
     from . import cluster as cl
     links, ga, gb = _fagi_inputs(spark, sf_dir)
-    feats = cl.link_features(fuse.resolve_links(links, ga, gb))
+    feats = cl.link_features(fuse.resolve_links(links, ga, gb), coverage="exact")
     return cl.cluster_links(feats, k=4)
 
 
@@ -1217,6 +1219,54 @@ UNION ALL
 SELECT subject, 'http://geo#asWKT', geom_wkt, CAST(NULL AS STRING),
        'http://www.opengis.net/ont/geosparql#wktLiteral'
 FROM fused"""
+
+
+def q_dataset_dump_roundtrip(spark, sf_dir):
+    """S10 full fused-dataset N-Triples dump
+    (DownloadDatasetServlet.StreamDataset): EAV -> NT lines (resource +
+    literal passes, lang/dtype tags) -> parsed back; value-exact
+    against the source EAV."""
+    from . import io as io_mod
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    subj = F.concat(F.lit("way"), k.cast("string"))
+
+    def row(pred, obj, lang, dtype):
+        return cust.select(subj.alias("subject"), F.lit(pred).alias("predicate"),
+                           obj.alias("object"),
+                           (F.lit(lang) if lang else F.lit(None)).cast("string").alias("lang"),
+                           (F.lit(dtype) if dtype else F.lit(None)).cast("string").alias("dtype"))
+
+    meta = (row("http://a.org/label", F.col("c_name"), "en", None)
+            .unionByName(row("http://a.org/homePage",
+                             F.concat(F.lit("http://ex.org/"), k.cast("string")), None, None))
+            .unionByName(row("http://geo#asWKT",
+                             F.concat(F.lit("POINT ("), k.cast("string"), F.lit(" 0)")),
+                             None, "http://www.opengis.net/ont/geosparql#wktLiteral"))
+            .unionByName(row("http://a.org/note",
+                             F.concat(F.lit("note "), k.cast("string")), None, None)))
+    return io_mod.parse_nt_triples(io_mod.dataset_to_nt(meta))
+
+
+O_DATASET_DUMP = """SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+       'http://a.org/label' AS predicate, c_name AS object,
+       'en' AS lang, CAST(NULL AS STRING) AS dtype
+FROM customer
+UNION ALL
+SELECT CONCAT('way', CAST(c_custkey AS STRING)), 'http://a.org/homePage',
+       CONCAT('http://ex.org/', CAST(c_custkey AS STRING)),
+       CAST(NULL AS STRING), CAST(NULL AS STRING)
+FROM customer
+UNION ALL
+SELECT CONCAT('way', CAST(c_custkey AS STRING)), 'http://geo#asWKT',
+       CONCAT('POINT (', CAST(c_custkey AS STRING), ' 0)'),
+       CAST(NULL AS STRING), 'http://www.opengis.net/ont/geosparql#wktLiteral'
+FROM customer
+UNION ALL
+SELECT CONCAT('way', CAST(c_custkey AS STRING)), 'http://a.org/note',
+       CONCAT('note ', CAST(c_custkey AS STRING)),
+       CAST(NULL AS STRING), CAST(NULL AS STRING)
+FROM customer"""
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -1561,6 +1611,7 @@ QUERIES = {
     "fagi_subject_regex": q_subject_regex,
     "fagi_export_distinct": q_export_distinct,
     "fagi_merge_replace": q_merge_replace,
+    "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "mm_html_decode_invariant": q_mm_html_decode,
     "mm_image_features": q_mm_image_features,
@@ -1611,6 +1662,7 @@ ORACLES = {
     "fagi_subject_regex": O_SUBJECT_REGEX,
     "fagi_export_distinct": O_EXPORT_DISTINCT,
     "fagi_merge_replace": O_MERGE_REPLACE,
+    "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "fagi_keep_most_points_translate": O_KMPT,
     "fagi_salted_radius_join": O_RADIUS_JOIN,

@@ -363,6 +363,102 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, g: Geometry) -> np.ndarray
     return out
 
 
+def _vertices(g: Geometry) -> np.ndarray:
+    """All vertices of a geometry as one (N,2) array."""
+    if g.kind == "GEOMETRYCOLLECTION":
+        return np.vstack([_vertices(p) for p in g.parts])
+    if g.kind in ("POLYGON", "MULTILINESTRING"):
+        return np.vstack(g.parts)
+    if g.kind == "MULTIPOLYGON":
+        return np.vstack([r for poly in g.parts for r in poly])
+    return g.parts[0]
+
+
+def _edge_paths(g: Geometry) -> list:
+    """Vertex paths whose consecutive pairs are edges (points have none)."""
+    if g.kind == "GEOMETRYCOLLECTION":
+        return [p for sub in g.parts for p in _edge_paths(sub)]
+    if g.kind in ("POINT", "MULTIPOINT"):
+        return []
+    if g.kind in ("LINESTRING", "MULTILINESTRING", "POLYGON"):
+        return [p for p in g.parts if len(p) >= 2]
+    if g.kind == "MULTIPOLYGON":
+        return [r for poly in g.parts for r in poly if len(r) >= 2]
+    return []
+
+
+def _has_polygons(g: Geometry) -> bool:
+    if g.kind == "GEOMETRYCOLLECTION":
+        return any(_has_polygons(p) for p in g.parts)
+    return g.kind in ("POLYGON", "MULTIPOLYGON")
+
+
+def _paths_cross(p: np.ndarray, q: np.ndarray) -> bool:
+    """Any edge of path p (properly) intersects any edge of path q —
+    orientation tests over the full edge-pair grid (paths are tiny;
+    callers pre-filter candidates by bbox/cell)."""
+    a0, a1 = p[:-1][:, None, :], p[1:][:, None, :]
+    b0, b1 = q[:-1][None, :, :], q[1:][None, :, :]
+
+    def orient(o, a, b):
+        return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
+                - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
+
+    d1, d2 = orient(a0, a1, b0), orient(a0, a1, b1)
+    d3, d4 = orient(b0, b1, a0), orient(b0, b1, a1)
+    proper = ((np.sign(d1) * np.sign(d2)) < 0) & ((np.sign(d3) * np.sign(d4)) < 0)
+    return bool(proper.any())
+
+
+def _vertex_on_path(v: np.ndarray, path: np.ndarray) -> bool:
+    """Any vertex of v (N,2) lying ON an edge of path (collinear +
+    within the edge's bbox) — the boundary-touch case ray casting and
+    proper-crossing tests both miss."""
+    a0, a1 = path[:-1][None, :, :], path[1:][None, :, :]
+    pv = v[:, None, :]
+    cross = ((a1[..., 0] - a0[..., 0]) * (pv[..., 1] - a0[..., 1])
+             - (a1[..., 1] - a0[..., 1]) * (pv[..., 0] - a0[..., 0]))
+    lo = np.minimum(a0, a1)
+    hi = np.maximum(a0, a1)
+    on = ((cross == 0)
+          & (pv[..., 0] >= lo[..., 0]) & (pv[..., 0] <= hi[..., 0])
+          & (pv[..., 1] >= lo[..., 1]) & (pv[..., 1] <= hi[..., 1]))
+    return bool(on.any())
+
+
+def geoms_intersect(ga: Geometry | None, gb: Geometry | None) -> bool:
+    """Exact ST_Intersects over the engine's geometry kinds (boundary
+    inclusive): bbox reject, then vertex-in-polygon containment (either
+    direction, holes respected), proper edge crossings, boundary
+    touches, and point equality. Replaces the envelope approximation in
+    the clustering coverage feature (GeoClusterer.java:326-354 uses
+    PostGIS ST_Intersects)."""
+    if ga is None or gb is None:
+        return False
+    ax0, ay0, ax1, ay1 = bbox(ga)
+    bx0, by0, bx1, by1 = bbox(gb)
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    va, vb = _vertices(ga), _vertices(gb)
+    if _has_polygons(gb) and points_in_polygon(va[:, 0], va[:, 1], gb).any():
+        return True
+    if _has_polygons(ga) and points_in_polygon(vb[:, 0], vb[:, 1], ga).any():
+        return True
+    pa, pb = _edge_paths(ga), _edge_paths(gb)
+    for p in pa:
+        for q in pb:
+            if _paths_cross(p, q):
+                return True
+    for q in pb:
+        if _vertex_on_path(va, q):
+            return True
+    for p in pa:
+        if _vertex_on_path(vb, p):
+            return True
+    # point-point (or shared-vertex touch) equality
+    return bool((np.abs(va[:, None, :] - vb[None, :, :]).sum(axis=2) == 0).any())
+
+
 def stats(wkt: str):
     """One-pass per-geometry stats used as precomputed columns:
     (kind, rank, npoints, cx, cy, xmin, ymin, xmax, ymax) or None."""

@@ -62,7 +62,10 @@ def parse_nt_triples(lines: DataFrame) -> DataFrame:
            .filter(F.col("value").rlike(_NT_LIT_RE))
            .select(F.regexp_extract("value", _NT_LIT_RE, 1).alias("subject"),
                    F.regexp_extract("value", _NT_LIT_RE, 2).alias("predicate"),
-                   F.regexp_extract("value", _NT_LIT_RE, 3).alias("object"),
+                   # unescape \" and \\ back to raw literal text
+                   F.regexp_replace(
+                       F.regexp_extract("value", _NT_LIT_RE, 3),
+                       r"\\(.)", "$1").alias("object"),
                    F.nullif(F.regexp_extract("value", _NT_LIT_RE, 4), F.lit("")).alias("lang"),
                    F.nullif(F.regexp_extract("value", _NT_LIT_RE, 5), F.lit("")).alias("dtype")))
     return res.unionByName(lit)
@@ -73,6 +76,33 @@ def links_to_nt(links: DataFrame, link_predicate: str = SAME_AS) -> DataFrame:
     FusionGISCLI.java:374-421)."""
     return links.select(F.concat(F.lit("<"), "node_a", F.lit(f"> <{link_predicate}> <"),
                                  "node_b", F.lit("> .")).alias("value"))
+
+
+def dataset_to_nt(meta: DataFrame) -> DataFrame:
+    """S10 full fused-dataset dump (DownloadDatasetServlet.StreamDataset,
+    DownloadDatasetServlet.java:97-160): every triple of the target
+    graph as one N-Triples line — resource objects as
+    ``<s> <p> <o> .`` (the servlet's isURI pass), literals as
+    ``<s> <p> "o" .`` (the isLiteral pass). Deviations from the
+    reference, both lossless-direction fixes: ``@lang`` / ``^^<dtype>``
+    tags are emitted (the servlet drops them) and quotes/backslashes
+    are escaped (the servlet writes them raw, producing invalid NT).
+    Pure column concat — codegen, no Python; write with
+    ``df.write.text(path)`` for the dump file."""
+    is_uri = (F.col("lang").isNull() & F.col("dtype").isNull()
+              & F.col("object").rlike("^https?://"))
+    esc = F.regexp_replace(F.regexp_replace(F.col("object"),
+                                            "\\\\", "\\\\\\\\"),
+                           '"', '\\\\"')
+    res_line = F.concat(F.lit("<"), "subject", F.lit("> <"), "predicate",
+                        F.lit("> <"), "object", F.lit("> ."))
+    lit_line = F.concat(
+        F.lit("<"), "subject", F.lit("> <"), "predicate", F.lit('> "'),
+        esc, F.lit('"'),
+        F.coalesce(F.concat(F.lit("@"), "lang"), F.lit("")),
+        F.coalesce(F.concat(F.lit("^^<"), "dtype", F.lit(">")), F.lit("")),
+        F.lit(" ."))
+    return meta.select(F.when(is_uri, res_line).otherwise(lit_line).alias("value"))
 
 
 def merge_replace(target_meta: DataFrame, fused_geoms: DataFrame,

@@ -29,6 +29,57 @@ def test_link_features_max_normalized(spark, resolved):
     assert abs(feats.agg(F.max("f_dist_norm")).first()[0] - 1.0) < 1e-12
 
 
+def test_geoms_intersect_exact_vs_bbox():
+    """Cases where the envelope test and exact ST_Intersects disagree."""
+    from fagi_spark import geom
+    p = geom.parse_wkt
+    # L-shaped (concave) polygon; point inside its bbox but outside it
+    ell = p("POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")
+    assert not geom.geoms_intersect(p("POINT (3 3)"), ell)       # bbox says yes
+    assert geom.geoms_intersect(p("POINT (0.5 3)"), ell)         # truly inside
+    assert geom.geoms_intersect(p("POINT (4 1)"), ell)           # boundary touch
+    # two triangles with overlapping bboxes but disjoint interiors
+    t1 = p("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    t2 = p("POLYGON ((4 4, 4 3, 3 4, 4 4))")
+    assert not geom.geoms_intersect(t1, t2)
+    # crossing polygons (no vertex containment): edge test catches
+    r1 = p("POLYGON ((0 1, 4 1, 4 2, 0 2, 0 1))")
+    r2 = p("POLYGON ((1 0, 2 0, 2 4, 1 4, 1 0))")
+    assert geom.geoms_intersect(r1, r2)
+    # containment without edge crossings
+    assert geom.geoms_intersect(p("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+                                p("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"))
+    # hole: point in the hole does not intersect
+    donut = p("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert not geom.geoms_intersect(p("POINT (3 3)"), donut)
+    # identical points / distinct points
+    assert geom.geoms_intersect(p("POINT (1 1)"), p("POINT (1 1)"))
+    assert not geom.geoms_intersect(p("POINT (1 1)"), p("POINT (1 2)"))
+    # linestring crossing a polygon edge-only (no vertices inside)
+    assert geom.geoms_intersect(p("LINESTRING (-1 3, 5 3)"),
+                                p("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+
+
+def test_link_features_exact_coverage_differs_from_envelope(spark):
+    """A concave B polygon whose bbox contains A's point but whose
+    interior does not: envelope coverage says 1, exact says 0."""
+    from fagi_spark import fuse
+    geo_a = spark.createDataFrame(
+        [("a1", "POINT (3 3)"), ("a2", "POINT (0.5 3)")],
+        "subject string, geom_wkt string")
+    geo_b = spark.createDataFrame(
+        [("b1", "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")],
+        "subject string, geom_wkt string")
+    links = spark.createDataFrame([("a1", "b1"), ("a2", "b1")],
+                                  "node_a string, node_b string")
+    j = fuse.resolve_links(links, geo_a, geo_b)
+    env = {r["node_a"]: r["f_coverage"] for r in cluster.link_features(j).collect()}
+    exact = {r["node_a"]: r["f_coverage"]
+             for r in cluster.link_features(j, coverage="exact").collect()}
+    assert env == {"a1": 1, "a2": 1}
+    assert exact == {"a1": 0, "a2": 1}
+
+
 def test_cluster_assign_deterministic(spark, resolved):
     feats = cluster.link_features(resolved)
     a = cluster.cluster_links(feats, k=3, seed=7).collect()
@@ -131,6 +182,26 @@ def test_nt_parse_roundtrip_and_rejects(spark):
     assert by_subj["http://a/4"]["lang"] == "en"
     assert by_subj["http://a/5"]["dtype"].endswith("integer")
     assert by_subj["http://a/3"]["object"] == "http://b/3"
+
+
+def test_dataset_dump_escapes_and_roundtrips(spark):
+    """S10 dump: quotes/backslashes escaped on write, unescaped on
+    parse; URI objects take the resource form; lang/dtype tags survive."""
+    meta = spark.createDataFrame(
+        [("s1", "p1", 'say "hi" \\ there', None, None),
+         ("s1", "p2", "http://ex.org/x", None, None),
+         ("s1", "p3", "bonjour", "fr", None),
+         ("s1", "p4", "42", None, "http://www.w3.org/2001/XMLSchema#integer")],
+        "subject string, predicate string, object string, lang string, dtype string")
+    lines = {r["value"] for r in io.dataset_to_nt(meta).collect()}
+    assert '<s1> <p1> "say \\"hi\\" \\\\ there" .' in lines
+    assert "<s1> <p2> <http://ex.org/x> ." in lines
+    assert '<s1> <p3> "bonjour"@fr .' in lines
+    assert ('<s1> <p4> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+            in lines)
+    back = io.parse_nt_triples(io.dataset_to_nt(meta))
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, meta.collect())))
 
 
 def test_merge_replace_semantics(spark):
