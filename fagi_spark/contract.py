@@ -846,6 +846,54 @@ FROM r WHERE rn <= {k}"""
 O_ANN_LSH_TOPK = _o_lsh_topk()
 
 
+_IVF_FIXED_CENTROIDS = [vector._hyperplane(64, j, seed=11) for j in range(4)]
+
+
+def q_ivf_fixed_topk(spark, sf_dir):
+    """IVF ANN with a FIXED coarse quantizer (pure column math,
+    n_probe=1) — the cell-partition + re-rank plan shape of ivf_topk
+    made value-exact by inlining the centroid constants in the oracle.
+    The learned-centroid variant (ann_ivf_topk) stays rows-only with
+    its recall pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = vector.ivf_fixed_topk(q, emb, _IVF_FIXED_CENTROIDS, k=5)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+def _o_ivf_fixed(k: int = 5) -> str:
+    dists = []
+    for c in _IVF_FIXED_CENTROIDS:
+        lits = ", ".join(repr(float(v)) for v in c)
+        ss = repr(float(sum(float(v) * float(v) for v in c)))
+        dists.append(f"(-2.0 * LIST_SUM(LIST_TRANSFORM(LIST_ZIP("
+                     f"CAST(embedding AS DOUBLE[]), [{lits}]), "
+                     f"x -> x[1] * x[2])) + {ss})")
+    darr = "[" + ", ".join(dists) + "]"
+    return f"""WITH e AS (
+  SELECT vec_id, embedding,
+         LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS cell
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM e WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+                                 x -> x[1] * x[2])) AS score
+  FROM q JOIN e c ON q.cell = c.cell AND c.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM p)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, score
+FROM r WHERE rn <= {k}"""
+
+
+O_ANN_IVF_FIXED = _o_ivf_fixed()
+
+
 def q_discover_links(spark, sf_dir):
     """End-to-end link discovery (candidates -> TF -> JW-Jaccard ->
     threshold). Python JW scoring — rows-only check; exact-value
@@ -1524,6 +1572,24 @@ def q_mm_html_decode(spark, sf_dir):
             .filter(F.col("text_identical")))
 
 
+def q_mm_html_roundtrip(spark, sf_dir):
+    """Multimodal HTML decode, value-exact: wrap each document's text
+    in html bytes, run the real Arrow decode kernel, and compare the
+    decoded text against the source column (the byte-identical-text
+    invariant, checkable in SQL because the wrapping is trivial)."""
+    from . import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"))
+    return multimodal.decode_html_text(pages)
+
+
+O_MM_HTML_ROUNDTRIP = """SELECT CAST(doc_id AS STRING) AS url, text AS decoded_text
+FROM documents"""
+
+
 def q_mm_image_features(spark, sf_dir):
     """Multimodal: Arrow-batched image decode/feature plumbing (fake
     codec — deterministic sha256 pseudo-decode; real codec site raises,
@@ -1614,9 +1680,11 @@ QUERIES = {
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "mm_html_decode_invariant": q_mm_html_decode,
+    "mm_html_roundtrip": q_mm_html_roundtrip,
     "mm_image_features": q_mm_image_features,
     "fagi_keep_most_points_translate": q_kmpt_numeric,
     "ann_ivf_topk": q_ivf_topk,
+    "ann_ivf_fixed_topk": q_ivf_fixed_topk,
     "fagi_salted_radius_join": q_salted_radius_join,
     "fagi_hot_cell_promote": q_hot_cell_promote,
     "fagi_metadata_flatten": q_metadata_flatten,
@@ -1673,9 +1741,11 @@ ORACLES = {
     "events_sessionize": O_EVENTS_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,
     "mm_image_features": O_MM_IMAGE_FEATURES,
+    "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,
     "doc_minhash_candidates": O_MINHASH_CANDIDATES,
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
+    "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,
     "fagi_discover_candidates": O_DISCOVER_CANDIDATES,
     # fagi_discover_links (Python JW scoring) and fagi_cluster_assign /
     # fagi_learning_predict / fagi_schema_match (pyspark.ml / Python JW):

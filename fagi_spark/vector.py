@@ -158,6 +158,45 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select("query_id", "neighbor_id", "rank", "score"))
 
 
+def ivf_fixed_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+                     out: str = "ivf_cell") -> DataFrame:
+    """Nearest-centroid assignment for a FIXED coarse quantizer —
+    pure column math (left-fold dot products + array argmin), no
+    Python: bit-exact against a SQL mirror with the centroid constants
+    inlined. ||x-c||^2 compared via -2*x.c + ||c||^2 (||x||^2 constant
+    per row); ties resolve to the first (lowest-index) centroid."""
+    ds = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        ss = float(sum(float(v) * float(v) for v in c))
+        ds.append(F.lit(-2.0) * dot_double(F.col(vec_col), arr) + F.lit(ss))
+    dist_arr = F.array(*ds)
+    cell = (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int")
+    return df.withColumn(out, cell)
+
+
+def ivf_fixed_topk(queries: DataFrame, corpus: DataFrame, centroids,
+                   k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a fixed quantizer, n_probe=1: same cell-equi-join +
+    exact re-rank plan shape as ivf_topk, but every step is column math
+    so the driver oracle value-checks it (the learned-centroid variant
+    keeps its recall pytest)."""
+    c = (ivf_fixed_assign(corpus, centroids, vec_col)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("c_vec"), "ivf_cell"))
+    q = (ivf_fixed_assign(queries, centroids, vec_col)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("q_vec"), "ivf_cell"))
+    pairs = q.join(c, "ivf_cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int | None = None, n_planes: int = 0,
