@@ -164,7 +164,12 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("metadata_fusion", lambda: contract.q_metadata_keep_left(spark, sf_dir).count())
 
     # 3. training-data ops on documents/embeddings
-    timed("minhash_lsh_dedup", lambda: contract.q_minhash_candidates(spark, sf_dir).count())
+    # scale path (xxhash64 family) — the contract query deliberately
+    # uses the slower SQL-mirrored poly family for the oracle
+    from fagi_spark import textops as _textops
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_lsh_dedup",
+          lambda: _textops.minhash_candidates(docs, num_hashes=32, bands=8).count())
     timed("ann_topk", lambda: contract.q_ann_topk(spark, sf_dir).count())
     timed("doc_quality_lang", lambda: contract.q_doc_quality(spark, sf_dir).count())
 

@@ -69,6 +69,54 @@ def tile_counts_stream(entities: DataFrame, res: int = 7,
                     "tile", "n_entities"))
 
 
+SESSION_OUT_SCHEMA = ("user_id bigint, n_events bigint, "
+                      "start_ts timestamp, end_ts timestamp")
+SESSION_STATE_SCHEMA = "start_s double, last_s double, n bigint"
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
+                      ts: str = "ts", user: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the task brief's custom-stateful-op
+    path). Per-user state carries the open session (start, last event,
+    count); a session is EMITTED when a later event arrives more than
+    ``gap_seconds`` after it (closed-session append semantics — the
+    still-open session stays in the state store across micro-batches).
+    The batch twin is events.session_stats; the streaming/batch parity
+    test closes sessions with trailing events and compares."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            start_s, last_s, n = state.get
+        else:
+            start_s, last_s, n = None, None, 0
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        for t in batch[ts]:
+            t_s = t.timestamp()
+            if start_s is None:
+                start_s, last_s, n = t_s, t_s, 1
+            elif t_s - last_s > gap_seconds:
+                closed.append((key[0], n, start_s, last_s))
+                start_s, last_s, n = t_s, t_s, 1
+            else:
+                last_s, n = t_s, n + 1
+        state.update((start_s, last_s, n))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [c[0] for c in closed],
+                "n_events": [c[1] for c in closed],
+                "start_ts": pd.to_datetime([c[2] for c in closed], unit="s"),
+                "end_ts": pd.to_datetime([c[3] for c in closed], unit="s"),
+            })
+
+    return (events.groupBy(user).applyInPandasWithState(
+        fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))
+
+
 def write_entities(entities: DataFrame, out_path: str, checkpoint: str,
                    trigger_available_now: bool = True):
     """Exactly-once parquet sink; availableNow drains the backlog and

@@ -89,6 +89,51 @@ def test_streaming_tile_rollup(spark, pages, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions that
+    close across micro-batch boundaries must equal the batch
+    sessionization's closed sessions — state carries the open session
+    between batches."""
+    import datetime as dt
+
+    from fagi_spark import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(user, minutes):
+        return (user, t0 + dt.timedelta(minutes=minutes))
+
+    # batch file 1: u1 session A (0,10min), u2 session A (0min)
+    f1 = [row(1, 0), row(1, 10), row(2, 0)]
+    # batch file 2: u1 gap>30min -> closes A, starts B; u2 continues A
+    # then a late far event closes it too
+    f2 = [row(1, 60), row(2, 20), row(2, 120), row(1, 62)]
+    src = str(tmp_path / "events_src")
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sess = streaming.sessionize_stream(stream, gap_seconds=1800.0)
+    q = (sess.writeStream.format("memory").queryName("sess_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"], r["start_ts"], r["end_ts"])
+           for r in spark.sql("SELECT * FROM sess_mem").collect()}
+
+    allrows = spark.createDataFrame(f1 + f2, schema)
+    batch = ev.session_stats(allrows, gap_seconds=1800.0)
+    # closed sessions = all batch sessions except each user's last one
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    closed = (batch.withColumn("_mx", F.max("session_id").over(w))
+              .filter(F.col("session_id") != F.col("_mx")))
+    want = {(r["user_id"], r["n_events"], r["start_ts"], r["end_ts"])
+            for r in closed.collect()}
+    assert got == want and len(got) == 2
+
+
 def test_micro_batch_dedup_matches_precedence(spark, pages):
     ents = extract.extract_entities(pages, carry=("warc_ts",))
     a = streaming.micro_batch_dedup(ents).select("url", "entity_idx", "geom_kind")
