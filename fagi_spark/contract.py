@@ -1189,6 +1189,58 @@ def q_schema_match(spark, sf_dir):
     return schema_match.match_schemas(spark, meta_a, meta_b, threshold=0.2)
 
 
+def q_schema_kind_inventory(spark, sf_dir):
+    """§2.9 sub-stage, value-exact: the predicate/literal-kind
+    inventory (5-sample sorted objects, Patterns.java regex
+    classification in JVM column math). The JW/sem scoring stays
+    rows-only in fagi_schema_match."""
+    from . import schema_match
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def eav(pred, obj):
+        return cust.select(F.concat(F.lit("s"), k.cast("string")).alias("subject"),
+                           F.lit("http://a.org/ont/" + pred).alias("predicate"),
+                           obj.alias("object"))
+
+    date_obj = F.concat((k % 28 + 1).cast("string"), F.lit("-"),
+                        (k % 12 + 1).cast("string"), F.lit("-"),
+                        (1950 + k % 50).cast("string"))
+    meta = (eav("customerName", F.col("c_name"))
+            .unionByName(eav("nationKey", F.col("c_nationkey").cast("string")))
+            .unionByName(eav("marketSegment", F.col("c_mktsegment")))
+            .unionByName(eav("established", date_obj))
+            .unionByName(eav("homePage",
+                             F.concat(F.lit("http://ex.org/"), k.cast("string")))))
+    return schema_match.kind_inventory(meta)
+
+
+O_SCHEMA_KIND_INVENTORY = """WITH meta AS (
+  SELECT 'http://a.org/ont/customerName' AS predicate, c_name AS object FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/nationKey', CAST(c_nationkey AS STRING) FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/marketSegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/established',
+         CONCAT(CAST(c_custkey % 28 + 1 AS STRING), '-',
+                CAST(c_custkey % 12 + 1 AS STRING), '-',
+                CAST(1950 + c_custkey % 50 AS STRING))
+  FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/homePage', CONCAT('http://ex.org/', CAST(c_custkey AS STRING))
+  FROM customer)
+SELECT predicate, object,
+       CASE WHEN object IS NULL THEN 'text'
+            WHEN regexp_matches(object, '^[0-9]+$') THEN 'int'
+            WHEN regexp_matches(object, '^[0-9]+\\.[0-9]+$') THEN 'decimal'
+            WHEN regexp_matches(object, '^[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}$') THEN 'date'
+            WHEN regexp_matches(object, '^[a-zA-Z]+$') THEN 'word'
+            ELSE 'text' END AS kind
+FROM meta
+QUALIFY ROW_NUMBER() OVER (PARTITION BY predicate ORDER BY object) <= 5"""
+
+
 def q_nt_links_roundtrip(spark, sf_dir):
     """S1/S8: links -> N-Triples lines -> parsed back (codegen regex)."""
     from . import io as io_mod
@@ -1673,6 +1725,7 @@ QUERIES = {
     "fagi_learning_features": q_learning_features,
     "fagi_learning_predict": q_learning_predict,
     "fagi_schema_match": q_schema_match,
+    "fagi_schema_kind_inventory": q_schema_kind_inventory,
     "fagi_nt_links_roundtrip": q_nt_links_roundtrip,
     "fagi_subject_regex": q_subject_regex,
     "fagi_export_distinct": q_export_distinct,
@@ -1726,6 +1779,7 @@ ORACLES = {
     "ann_topk": O_ANN_TOPK,
     "fagi_cluster_features": O_CLUSTER_FEATURES,
     "fagi_learning_features": O_LEARNING_FEATURES,
+    "fagi_schema_kind_inventory": O_SCHEMA_KIND_INVENTORY,
     "fagi_nt_links_roundtrip": O_NT_LINKS,
     "fagi_subject_regex": O_SUBJECT_REGEX,
     "fagi_export_distinct": O_EXPORT_DISTINCT,

@@ -74,6 +74,34 @@ def mean_jw(words_a: list[str], words_b: list[str]) -> float:
     return total / (len(words_a) * len(words_b))
 
 
+def literal_kind_col(obj):
+    """Column-expression twin of ``literal_kind`` (same regexes, same
+    precedence — Patterns.java:17-29): classification stays JVM-side,
+    which makes the kind-sniffing stage oracle-checkable and scales the
+    inventory scan to arbitrarily wide EAV frames."""
+    return (F.when(obj.isNull(), F.lit("text"))
+            .when(obj.rlike("^[0-9]+$"), F.lit("int"))
+            .when(obj.rlike("^[0-9]+\\.[0-9]+$"), F.lit("decimal"))
+            .when(obj.rlike("^[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}$"), F.lit("date"))
+            .when(obj.rlike("^[a-zA-Z]+$"), F.lit("word"))
+            .otherwise(F.lit("text")))
+
+
+def kind_inventory(meta: DataFrame,
+                   sample: int = PROPERTY_MATCH_SAMPLE) -> DataFrame:
+    """Distributed predicate/kind inventory: per predicate, the first
+    ``sample`` objects in sort order with their literal kind —
+    the SQL-expressible sniffing stage of schema matching
+    (VirtuosoImporter.compareTypes sampling; PROPERTY_MATCH_SAMPLE=5,
+    Constants.java:61). One window + filter; no collect."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("predicate").orderBy("object")
+    return (meta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= sample)
+            .select("predicate", "object",
+                    literal_kind_col(F.col("object")).alias("kind")))
+
+
 def predicate_inventory(meta: DataFrame, sample: int = PROPERTY_MATCH_SAMPLE):
     """[(predicate, dominant literal kind)] — DISTINCT predicate scan
     (A2) + per-predicate sample of object values for kind sniffing."""

@@ -184,6 +184,18 @@ def test_nt_parse_roundtrip_and_rejects(spark):
     assert by_subj["http://a/3"]["object"] == "http://b/3"
 
 
+def test_literal_kind_col_matches_python(spark):
+    """The JVM column classifier and the driver-side Python classifier
+    agree on every kind class and edge case."""
+    vals = ["123", "12.5", "1999-04-01", "12/3/1999", "word", "Two Words",
+            "Customer#0001", "http://x", "1-2-3-4", "", "12.", None]
+    df = spark.createDataFrame([(v,) for v in vals], "object string")
+    got = {r["object"]: r["kind"] for r in df.select(
+        "object", schema_match.literal_kind_col(F.col("object")).alias("kind")).collect()}
+    for v in vals:
+        assert got.get(v) == schema_match.literal_kind(v), v
+
+
 def test_dataset_dump_escapes_and_roundtrips(spark):
     """S10 dump: quotes/backslashes escaped on write, unescaped on
     parse; URI objects take the resource form; lang/dtype tags survive."""
