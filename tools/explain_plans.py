@@ -108,6 +108,42 @@ def main():
         "— one narrow shuffle keyed on doc_id; document length never "
         "hits the shuffle.")
 
+    # 7. discovery pre-scoring frame: TF window + per-pair literal concat
+    add("discover_candidates (§2.7 pre-scoring)",
+        contract.q_discover_candidates(spark, SF),
+        ["partial_agg", "codegen"],
+        "radius candidates (broadcast ring join) -> TF-unique window "
+        "partitioned on (a_subject, object) -> sorted-concat groupBy: "
+        "the window and both aggregations share the a_subject shuffle "
+        "key family; literals are filtered JVM-side before any shuffle.")
+
+    # 8. chain-selected metadata keep: bounded self-join tower, lazy
+    add("metadata chain keep (§2.6)",
+        contract.q_metadata_chain_keep(spark, SF),
+        ["broadcast_join", "partial_agg"],
+        "depth-bounded (<=6) self-join tower built as ONE lazy plan "
+        "(no per-level driver jobs); the links side broadcasts; the "
+        "pattern inventory DISTINCT is schema-sized; the final "
+        "distinct (partial HashAggregate) is the only wide shuffle. "
+        "The hops array-of-struct Generate keeps this subtree out of "
+        "whole-stage codegen — expressions still evaluate JVM-side "
+        "(no Python anywhere in the plan).")
+
+    # 9. fixed-quantizer IVF: cell equi-join + window top-k
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from fagi_spark import vector
+    add("ivf_fixed_topk (ANN scale shape)",
+        vector.ivf_fixed_topk(emb.filter(F.col("vec_id") < 5), emb,
+                              contract._IVF_FIXED_CENTROIDS, k=5),
+        ["window_group_limit", "broadcast_join"],
+        "centroid assignment is column math (higher-order aggregate/"
+        "zip_with lambdas — evaluated JVM-side but not whole-stage-"
+        "fused, a known Spark limitation for HOFs; still no Python); "
+        "the search is a cell equi-join (never all-pairs; the 5-row "
+        "query side broadcasts) and the top-k window compiles to "
+        "WindowGroupLimit — per-partition winners only hit the final "
+        "shuffle.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
