@@ -116,6 +116,49 @@ def predicate_inventory(meta: DataFrame, sample: int = PROPERTY_MATCH_SAMPLE):
     return out
 
 
+def match_schemas_weighted(spark: SparkSession, meta_a: DataFrame,
+                           meta_b: DataFrame, word_weight: float = 1.0,
+                           text_weight: float = 1.0, type_weight: float = 1.0,
+                           threshold: float = 0.0,
+                           sem_fn=default_sem) -> DataFrame:
+    """The reference's second scoring form — the weighted NORMALIZED
+    score (VirtuosoImporter.java:1005-1021 + per-A-predicate max
+    normalizers :967-968): each pair's sem/jaro is divided by that
+    A-predicate's maximum over all B candidates (zero-guard -> 1.0),
+    then ``(wordWeight*semRatio + textWeight*textRatio +
+    typeWeight*type)/3``; an identical predicate pair scores 1.0
+    outright. Weights are session parameters in the reference
+    (VirtuosoImporter.java:114-117) — engine args here."""
+    inv_a = predicate_inventory(meta_a)
+    inv_b = predicate_inventory(meta_b)
+    rows = []
+    for pa, ka in inv_a:
+        wa = local_words(pa)
+        scored = []
+        for pb, kb in inv_b:
+            wb = local_words(pb)
+            scored.append((pb, kb, sem_fn(wa, wb), mean_jw(wa, wb)))
+        sem_best = max((s for _, _, s, _ in scored), default=0.0)
+        tex_best = max((j for _, _, _, j in scored), default=0.0)
+        if sem_best < 1e-8:
+            sem_best = 1.0
+        if tex_best < 1e-8:
+            tex_best = 1.0
+        for pb, kb, sem, jaro in scored:
+            type_c = 1.0 if ka == kb else 0.0
+            if pa == pb:
+                score = 1.0
+            else:
+                score = (word_weight * (sem / sem_best)
+                         + text_weight * (jaro / tex_best)
+                         + type_weight * type_c) / 3.0
+            if score > threshold:
+                rows.append((pa, pb, sem, jaro, type_c, score))
+    return spark.createDataFrame(
+        rows, "pred_a string, pred_b string, sem double, jaro double, "
+              "type_compat double, score double")
+
+
 def match_schemas(spark: SparkSession, meta_a: DataFrame, meta_b: DataFrame,
                   threshold: float = 0.0, sem_fn=default_sem) -> DataFrame:
     """Score every A-predicate x B-predicate pair; return a DataFrame

@@ -184,6 +184,31 @@ def test_nt_parse_roundtrip_and_rejects(spark):
     assert by_subj["http://a/3"]["object"] == "http://b/3"
 
 
+def test_schema_match_weighted_normalization(spark):
+    """Weighted normalized scoring: each A-predicate's best B candidate
+    reaches textRatio 1; identical predicates score exactly 1.0; the
+    type weight shifts compatible-kind pairs up."""
+    cust_like = [("s1", "http://a.org/ont/mktSegment", "BUILDING"),
+                 ("s1", "http://a.org/ont/customerName", "Alice")]
+    other = [("t1", "http://b.org/ont#marketSegment", "AUTO"),
+             ("t1", "http://a.org/ont/mktSegment", "HOUSE"),
+             ("t1", "http://b.org/ont#zip", "12345")]
+    schema_eav = "subject string, predicate string, object string"
+    ma = spark.createDataFrame(cust_like, schema_eav)
+    mb = spark.createDataFrame(other, schema_eav)
+    out = {(r["pred_a"], r["pred_b"]): r
+           for r in schema_match.match_schemas_weighted(spark, ma, mb).collect()}
+    ident = out[("http://a.org/ont/mktSegment", "http://a.org/ont/mktSegment")]
+    assert ident["score"] == 1.0
+    # the best lexical candidate for mktSegment among the *other*
+    # predicates is marketSegment; with weights (1,1,1) and matching
+    # word kinds its normalized score beats the zip pairing
+    seg = out[("http://a.org/ont/mktSegment", "http://b.org/ont#marketSegment")]
+    assert seg["score"] > 0.5
+    # the zip pairing scores 0 on every component -> dropped by threshold
+    assert ("http://a.org/ont/mktSegment", "http://b.org/ont#zip") not in out
+
+
 def test_literal_kind_col_matches_python(spark):
     """The JVM column classifier and the driver-side Python classifier
     agree on every kind class and edge case."""
