@@ -114,3 +114,50 @@ def test_geometrycollection_parse_and_centroid():
 def test_meters_per_degree_constant():
     # Constants.java:79-80
     assert geom.METERS_PER_DEGREE == 111195.0
+
+
+# ---- geoms_intersect properties (hypothesis) --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _square_wkt(x, y, w):
+    x1, y1 = x + w, y + w
+    return (f"POLYGON (({x} {y}, {x1} {y}, {x1} {y1}, {x} {y1}, {x} {y}))")
+
+
+coord = st.integers(min_value=-50, max_value=50)
+width = st.integers(min_value=1, max_value=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ax=coord, ay=coord, aw=width, bx=coord, by=coord, bw=width)
+def test_intersect_squares_matches_interval_logic(ax, ay, aw, bx, by, bw):
+    """For axis-aligned squares, exact ST_Intersects == interval overlap
+    on both axes (boundary inclusive) — an independent ground truth."""
+    ga = geom.parse_wkt(_square_wkt(ax, ay, aw))
+    gb = geom.parse_wkt(_square_wkt(bx, by, bw))
+    want = (ax <= bx + bw and bx <= ax + aw and ay <= by + bw and by <= ay + aw)
+    assert geom.geoms_intersect(ga, gb) == want
+    assert geom.geoms_intersect(gb, ga) == want  # symmetry
+
+
+@settings(max_examples=100, deadline=None)
+@given(px=coord, py=coord, x=coord, y=coord, w=width)
+def test_intersect_point_square_matches_containment(px, py, x, y, w):
+    gp = geom.parse_wkt(f"POINT ({px} {py})")
+    gs = geom.parse_wkt(_square_wkt(x, y, w))
+    want = (x <= px <= x + w) and (y <= py <= y + w)
+    assert geom.geoms_intersect(gp, gs) == want
+    assert geom.geoms_intersect(gs, gp) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=coord, y=coord, w=width, dx=coord, dy=coord)
+def test_intersect_translation_invariant(x, y, w, dx, dy):
+    ga = geom.parse_wkt(_square_wkt(x, y, w))
+    gb = geom.parse_wkt(_square_wkt(x + 1, y + 1, w))
+    ta = geom.translate(ga, float(dx), float(dy))
+    tb = geom.translate(gb, float(dx), float(dy))
+    assert geom.geoms_intersect(ga, gb) == geom.geoms_intersect(ta, tb)
+    assert geom.geoms_intersect(ga, ga)  # self-intersection always true
