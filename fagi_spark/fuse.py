@@ -36,15 +36,28 @@ def prepare_geoms(df: DataFrame) -> DataFrame:
 
 
 def resolve_links(links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
-                  broadcast_geo: bool = False) -> DataFrame:
+                  broadcast_geo: bool = False,
+                  late_fetch: bool = False) -> DataFrame:
     """The flagship two-key equi-join: links |><| A |><| B
     (KeepMostPointsTransformation.java:62-84 canonical shape). Inner
     join drops links whose subjects lack geometries (FIXTURES.md §4).
+
+    ``late_fetch``: the reference's LATE_FETCH optimization
+    (Constants.java:19; Importer.java:259-287) — semi-join each
+    geometry side down to link-referenced subjects BEFORE the Arrow
+    WKT-stats kernel, so only referenced geometries pay the parse. A
+    pure plan rewrite (the inner join drops unreferenced rows anyway);
+    decisive when links cover a tiny fraction of a huge gazetteer.
 
     At scale: links is typically the small side -> broadcast it; if all
     sides are large the join shuffles on the subject keys and AQE's
     skew-join splitting handles residual imbalance (hot subjects are
     rare — hot *cells* are handled in joins.py instead)."""
+    if late_fetch:
+        ref_a = F.broadcast(links.select(F.col("node_a").alias("subject")).distinct())
+        ref_b = F.broadcast(links.select(F.col("node_b").alias("subject")).distinct())
+        geo_a = geo_a.join(ref_a, "subject", "leftsemi")
+        geo_b = geo_b.join(ref_b, "subject", "leftsemi")
     a = prepare_geoms(geo_a)
     b = prepare_geoms(geo_b)
     a = a.select(*[F.col(c).alias(f"a_{c}") for c in A_COLS])

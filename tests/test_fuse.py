@@ -33,6 +33,21 @@ def test_inner_join_drops_dangling_links(spark):
     assert j.count() == 3  # ("missing","b1") dropped
 
 
+def test_late_fetch_equals_plain_and_prunes_before_parse(spark):
+    """LATE_FETCH (Constants.java:19): identical join output, and the
+    semi-join prune sits upstream of the WKT-stats kernel in the plan."""
+    from fagi_spark import synth
+    geo_a, geo_b, links, _, _ = synth.synth_fixture(spark, 120, 40)
+    plain = fuse.resolve_links(links, geo_a, geo_b)
+    late = fuse.resolve_links(links, geo_a, geo_b, late_fetch=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, late.collect()))
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        late.explain("formatted")
+    assert "LeftSemi" in buf.getvalue()
+
+
 def test_keep_left_right_both(spark):
     links, ga, gb = _fixture(spark)
     assert _rows(fuse.fuse("keep-left", links, ga, gb))[("a1", "b1")] == "POINT (10 20)"
