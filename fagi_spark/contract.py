@@ -388,6 +388,24 @@ WHERE kind = 'POINT'
   AND CAST(w AS DOUBLE)/100.0 BETWEEN 10.0 AND 60.0"""
 
 
+def q_unlinked_viewport(spark, sf_dir):
+    """FetchUnlinkedServlet: viewport fetch of entities with no link —
+    bbox cell-prune + anti-join on the links frame (the reference's
+    'unlinked entities' panel; SURVEY.md §2.3 anti-join note)."""
+    links, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    in_view = joins.bbox_join(a, 40.0, 10.0, 120.0, 60.0, res=10)
+    return joins.unlinked_entities(in_view, links, side="a").select("subject")
+
+
+O_UNLINKED_VIEWPORT = f"""WITH {GEO_A_CTE}, {LINKS_CTE}
+SELECT subject FROM geo_a
+WHERE kind = 'POINT'
+  AND CAST(v AS DOUBLE)/100.0 BETWEEN 40.0 AND 120.0
+  AND CAST(w AS DOUBLE)/100.0 BETWEEN 10.0 AND 60.0
+  AND subject NOT IN (SELECT node_a FROM links)"""
+
+
 def q_tile_assign(spark, sf_dir):
     """Raster<->vector tile assignment: res-10 grid cell per entity."""
     _, ga, _ = _fagi_inputs(spark, sf_dir)
@@ -1700,6 +1718,7 @@ QUERIES = {
     "fagi_knn_join": q_knn_join,
     "fagi_pip_refine": q_pip_refine,
     "fagi_bbox_viewport": q_bbox_viewport,
+    "fagi_unlinked_viewport": q_unlinked_viewport,
     "fagi_tile_assign": q_tile_assign,
     "fagi_cell_join": q_cell_join,
     "fagi_literal_kind_filter": q_literal_kind_filter,
@@ -1762,6 +1781,7 @@ ORACLES = {
     "fagi_knn_join": O_KNN_JOIN,
     "fagi_pip_refine": O_PIP_REFINE,
     "fagi_bbox_viewport": O_BBOX_VIEWPORT,
+    "fagi_unlinked_viewport": O_UNLINKED_VIEWPORT,
     "fagi_tile_assign": O_TILE_ASSIGN,
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_literal_kind_filter": O_LITERAL_KIND,

@@ -129,6 +129,17 @@ def bbox_join(geo: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float
               .drop("ix", "iy", "cell"))
 
 
+def unlinked_entities(geo: DataFrame, links: DataFrame,
+                      side: str = "a") -> DataFrame:
+    """FetchUnlinkedServlet semantics (FetchUnlinkedServlet.java:219-241):
+    entities of one dataset that participate in NO link — the anti-join
+    Spark gives for free (SURVEY.md §2.3 note). Compose with bbox_join
+    for the servlet's viewport-restricted fetch."""
+    key = "node_a" if side == "a" else "node_b"
+    ref = links.select(F.col(key).alias("subject")).distinct()
+    return geo.join(ref, "subject", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon refinement (J6) — per-cell STRtree analog.
 # ---------------------------------------------------------------------------
