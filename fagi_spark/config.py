@@ -17,7 +17,7 @@ KNOWN_ACTIONS = (
     "keep-left", "keep-right", "keep-both", "keep-most-points",
     "keep-most-points-translate", "shift-a-to-b", "shift-b-to-a",
     "concatenation", "avg-two-points", "shift-polygon-to-point",
-    "shift-polygon-to-avg-distance", "scale")
+    "shift-polygon-to-avg-distance", "scale", "offset-a", "offset-b")
 
 KNOWN_METADATA_ACTIONS = (
     "none", "keep-left", "keep-right", "keep-both", "concat", "flatten")

@@ -190,6 +190,8 @@ ACTIONS = {
     "shift-polygon-to-point": shift_polygon_to_point,
     "shift-polygon-to-avg-distance": shift_polygon_to_avg_distance,
     "scale": scale_action,
+    "offset-a": lambda j, **kw: offset_side(j, side="a", **kw),
+    "offset-b": lambda j, **kw: offset_side(j, side="b", **kw),
 }
 
 

@@ -110,6 +110,20 @@ def test_scores(spark):
     assert rows[("a3", "b3")].score_shift == 0.0  # POINT/POINT not gated in
 
 
+def test_offset_action_translates_kept_side(spark):
+    """Manual Offset A/B (BatchFusionServlet.java:3110-3171): the chosen
+    side's geometry shifted by (dx, dy) through the links join."""
+    links, geo_a, geo_b = _fixture(spark)
+    out = {r["subject_a"]: r["geom_wkt"]
+           for r in fuse.fuse("offset-a", links, geo_a, geo_b,
+                              dx=1.5, dy=-0.5).collect()}
+    assert out["a1"] == "POINT (11.5 19.5)"
+    gb = {r["subject_b"]: r["geom_wkt"]
+          for r in fuse.fuse("offset-b", links, geo_a, geo_b,
+                             dx=2.0, dy=0.0).collect()}
+    assert gb["b2"] == "POINT (3 1)"
+
+
 def test_export_distinct(spark):
     links, ga, gb = _fixture(spark)
     f = fuse.fuse("keep-both", links, ga, gb)
