@@ -165,9 +165,13 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
 
     # 3. training-data ops on documents/embeddings
     # scale path (xxhash64 family) — the contract query deliberately
-    # uses the slower SQL-mirrored poly family for the oracle
+    # uses the slower SQL-mirrored poly family for the oracle.
+    # repartition first: the sf parquet is ONE file (one scan task), so
+    # the pre-shuffle explode+hash stage would run single-threaded —
+    # input shaping only (at warehouse scale the corpus is many files);
+    # minhash is partition-independent, results unchanged.
     from fagi_spark import textops as _textops
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
     timed("minhash_lsh_dedup",
           lambda: _textops.minhash_candidates(docs, num_hashes=32, bands=8).count())
     timed("ann_topk", lambda: contract.q_ann_topk(spark, sf_dir).count())
