@@ -46,8 +46,8 @@ LINEAGE_SCHEMA = ("stage string, snapshot_id int, file string, "
 class CheckpointStore:
     """Directory-layout snapshot store.
 
-    <root>/<stage>/snap_<id>/        committed parquet data
-    <root>/<stage>/_staging_<id>/    in-flight write (never read)
+    <root>/<stage>/snap_<id>/            committed parquet data
+    <root>/<stage>/_staging_<id>_<pid>/  in-flight write (never read)
     <root>/<stage>/LATEST            text pointer: committed id
     <root>/<stage>/snap_<id>.lineage.json   per-partition lineage + metrics
     """
@@ -95,8 +95,9 @@ class CheckpointStore:
         prev = self.latest(stage)
         snap_id = 0 if prev is None else prev + 1
         d = self._stage_dir(stage)
-        staging = os.path.join(d, f"_staging_{snap_id}")
-        final = os.path.join(d, f"snap_{snap_id}")
+        # staging name carries the pid so two concurrent commits never
+        # clobber each other's in-flight write
+        staging = os.path.join(d, f"_staging_{snap_id}_{os.getpid()}")
 
         df.write.mode("overwrite").parquet(staging)
 
@@ -116,12 +117,27 @@ class CheckpointStore:
         # crash-window repair: a previous run may have died after
         # os.replace(staging, final) but before _publish wrote LATEST,
         # leaving an orphaned unpublished snap dir that would make this
-        # os.replace fail with ENOTEMPTY. The orphan was never
-        # published (readers only follow LATEST), so discard it.
-        if os.path.exists(final):
-            import shutil
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        # os.replace fail with ENOTEMPTY. Re-read LATEST right before
+        # repairing: if another writer published in the meantime, take
+        # the next id instead of deleting published data. (True
+        # concurrent commits to one stage need external coordination —
+        # Iceberg's optimistic commit protocol in the real mapping;
+        # this loop only ever removes dirs the pointer says are
+        # unpublished.)
+        import shutil
+        while True:
+            cur = self.latest(stage)
+            snap_id = 0 if cur is None else cur + 1
+            final = os.path.join(d, f"snap_{snap_id}")
+            if os.path.exists(final):
+                shutil.rmtree(final)  # id > LATEST => never published
+            try:
+                os.replace(staging, final)
+                break
+            except OSError:
+                continue  # lost a race; retry with a fresh id
+        for r in lin_rows:
+            r["snapshot_id"] = snap_id
         with open(os.path.join(d, f"snap_{snap_id}.lineage.json"), "w") as f:
             json.dump({"lineage": lin_rows, "metrics": metrics or {},
                        "n_files": len(lin_rows),

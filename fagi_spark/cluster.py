@@ -69,8 +69,10 @@ def link_features(j: DataFrame, coverage: str = "envelope") -> DataFrame:
     ``coverage``: "envelope" keeps the pure-column bbox intersection
     (exact for points / axis-aligned rectangles); "exact" computes real
     ST_Intersects (GeoClusterer.java:326-354) via an Arrow pandas_udf
-    over the WKT columns — the envelope test stays as a JVM-side guard
-    so the Python kernel only runs on envelope-intersecting pairs."""
+    over the WKT columns — the envelope test NULLs the kernel's inputs
+    for disjoint-envelope pairs so they skip parsing entirely (Spark
+    evaluates a pandas UDF under when() on every row, so nulling the
+    inputs, not branching, is what makes the guard real)."""
     dx = F.col("b_cx") - F.col("a_cx")
     dy = F.col("b_cy") - F.col("a_cy")
     dist_deg = F.sqrt(dx * dx + dy * dy)
@@ -95,11 +97,14 @@ def link_features(j: DataFrame, coverage: str = "envelope") -> DataFrame:
     inter = ((F.col("a_xmin") <= F.col("b_xmax")) & (F.col("b_xmin") <= F.col("a_xmax"))
              & (F.col("a_ymin") <= F.col("b_ymax")) & (F.col("b_ymin") <= F.col("a_ymax")))
     if coverage == "exact":
-        # envelope guard in codegen; exact kernel only where it passes
+        # envelope guard: Spark still invokes a pandas UDF under
+        # F.when on every row (ArrowEvalPython hoists it), so the
+        # guard NULLs the WKT inputs instead — guarded rows reach the
+        # kernel as (None, None) and return 0 without any parsing
         # (disjoint envelopes => disjoint geometries)
         cov = exact_intersects_udf()
-        inter = F.when(inter, cov(F.col("a_geom_wkt"), F.col("b_geom_wkt")) == 1) \
-                 .otherwise(F.lit(False))
+        inter = cov(F.when(inter, F.col("a_geom_wkt")),
+                    F.when(inter, F.col("b_geom_wkt"))) == 1
 
     return feat.select(
         "node_a", "node_b",

@@ -738,8 +738,11 @@ def q_minhash_candidates(spark, sf_dir):
     Uses the poly hash family (textops.POLY_MOD fold) so every stage —
     shingles, 32 min-hashes, 8 band keys, the band equi-join — is
     value-mirrored in DuckDB. xxhash64 stays the scale default
-    (pytest-covered)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    (pytest-covered). Text is null-coalesced on BOTH sides: Spark's
+    empty-shingle path and DuckDB's UNNEST-drop diverge on NULL text,
+    so normalize before the operator."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
     plant = (docs.filter(F.col("doc_id") % 9 == 0)
              .select((F.col("doc_id") + 100000).alias("doc_id"),
                      F.concat(F.col("text"), F.lit(" extra tail")).alias("text")))
@@ -774,9 +777,10 @@ def _o_minhash() -> str:
         cols = ", ".join(f"h{band * 4 + j}" for j in range(4))
         band_cases.append(f"WHEN {band} THEN CONCAT_WS(',', {cols})")
     return f"""WITH aug AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text || ' extra tail' FROM documents WHERE doc_id % 9 = 0),
+  SELECT doc_id + 100000, COALESCE(text, '') || ' extra tail'
+  FROM documents WHERE doc_id % 9 = 0),
 {_SHINGLE_CTES},
 hb AS (SELECT doc_id, {textops.sql_poly_base('shingle')} AS h FROM sh),
 sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM hb GROUP BY doc_id),
@@ -815,7 +819,8 @@ def _o_simhash(bits: int = 56) -> str:
 h AS (SELECT doc_id, {textops.sql_poly_base('w', m)} AS hv FROM tok),
 agg AS (SELECT doc_id, COUNT(*) AS n, {osums} FROM h GROUP BY doc_id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       CAST(COALESCE({packed}, {(1 << bits) - 1}) AS BIGINT) AS simhash
+       CAST(CASE WHEN d.text IS NULL THEN {(1 << bits) - 1}
+            ELSE ({packed}) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
 
 

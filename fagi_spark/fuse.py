@@ -170,7 +170,8 @@ def scale_action(j: DataFrame, factor: float = 2.0, side: str = "a") -> DataFram
     return _out(j, wkt_scale_udf(col, F.lit(factor)), "Scale")
 
 
-def offset_side(j: DataFrame, dx: float, dy: float, side: str = "a") -> DataFrame:
+def offset_side(j: DataFrame, dx: float = 0.0, dy: float = 0.0,
+                side: str = "a") -> DataFrame:
     """Manual offset through the links join (BatchFusionServlet.java:3110-3171)."""
     col = F.col("a_geom_wkt") if side == "a" else F.col("b_geom_wkt")
     return _out(j, wkt_translate_udf(col, F.lit(float(dx)), F.lit(float(dy))),

@@ -62,10 +62,12 @@ def parse_nt_triples(lines: DataFrame) -> DataFrame:
            .filter(F.col("value").rlike(_NT_LIT_RE))
            .select(F.regexp_extract("value", _NT_LIT_RE, 1).alias("subject"),
                    F.regexp_extract("value", _NT_LIT_RE, 2).alias("predicate"),
-                   # unescape \" and \\ back to raw literal text
+                   # unescape ONLY \" and \\ (what dataset_to_nt emits);
+                   # other NT escapes (\n, \t, \uXXXX) pass through
+                   # untouched rather than being silently corrupted
                    F.regexp_replace(
                        F.regexp_extract("value", _NT_LIT_RE, 3),
-                       r"\\(.)", "$1").alias("object"),
+                       r'\\(["\\])', "$1").alias("object"),
                    F.nullif(F.regexp_extract("value", _NT_LIT_RE, 4), F.lit("")).alias("lang"),
                    F.nullif(F.regexp_extract("value", _NT_LIT_RE, 5), F.lit("")).alias("dtype")))
     return res.unionByName(lit)

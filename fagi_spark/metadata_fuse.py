@@ -163,13 +163,12 @@ def chain_paths(meta: DataFrame, depth: int = MAX_METADATA_DEPTH) -> DataFrame:
 
 def find_common_prefixed_chains(selected: str, patterns: list[str],
                                 sep: str = "=>") -> list[str]:
-    """Chains sharing ``selected`` as a prefix: either deeper chains
-    continuing past it, or chains string-prefixed by it
+    """Chains string-prefixed by ``selected``
     (Utilities.findCommonPrefixedPropertyChains, Utilities.java:188-209
-    — reference separator ',', ours '=>')."""
-    true_pattern = selected + sep
-    return [s for s in patterns
-            if s.startswith(true_pattern) or s.startswith(selected)]
+    — the reference's two branches, deeper ``selected+sep`` chains and
+    bare string prefixes, collapse to one test since the former is a
+    subset of the latter; reference separator ',', ours '=>')."""
+    return [s for s in patterns if s.startswith(selected)]
 
 
 def keep_selected_chain(links: DataFrame, meta: DataFrame,
@@ -188,13 +187,17 @@ def keep_selected_chain(links: DataFrame, meta: DataFrame,
     identical triples across patterns — .distinct() mirrors that).
 
     The pattern inventory is a DISTINCT over chain strings (tiny by
-    construction — schema-sized, not data-sized), collected once."""
+    construction — schema-sized, not data-sized), collected once from
+    the lighter ``expand_chain`` plan (no hops arrays), so the
+    array-building ``chain_paths`` tower executes only once, at action
+    time."""
     import re as _re
     sel = "=>".join(selected_chain)
     m = len(selected_chain)
     paths = chain_paths(meta, depth)
     patterns = [r[0] for r in
-                paths.select("predicate_chain").distinct().collect()]
+                expand_chain(meta, depth)
+                .select("predicate_chain").distinct().collect()]
     matched = find_common_prefixed_chains(sel, patterns)
     new_local = "_".join(
         _re.sub("[, ]", "_", p.split("/")[-1].split("#")[-1])

@@ -102,7 +102,11 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
                 closed.append((key[0], n, start_s, last_s))
                 start_s, last_s, n = t_s, t_s, 1
             else:
-                last_s, n = t_s, n + 1
+                # a late cross-batch event may sort before the open
+                # session's bounds — extend, never move them backward
+                start_s = min(start_s, t_s)
+                last_s = max(last_s, t_s)
+                n += 1
         state.update((start_s, last_s, n))
         if closed:
             yield pd.DataFrame({

@@ -52,6 +52,18 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select("query_id", "neighbor_id", "rank", "score"))
 
 
+def _rerank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every bucketed ANN search: exact dot-product
+    re-rank of candidate (q_vec, c_vec) pairs, per-query top-k, ties
+    broken by ascending neighbor id."""
+    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score"))
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int = 7):
     """Deterministic pseudo-random hyperplane component list."""
     comps = u01(np.arange(dim) + plane_idx * 100003, salt=900 + plane_idx, seed=seed) - 0.5
@@ -148,14 +160,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("q_vec"), "ivf_cell"))
     pairs = q.join(c, "ivf_cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            # no dedup: each corpus vector lives in exactly one cell, so a
-            # (query, neighbor) pair joins at most once even with n_probe > 1
-            .select("query_id", "neighbor_id", "rank", "score"))
+    # no dedup: each corpus vector lives in exactly one cell, so a
+    # (query, neighbor) pair joins at most once even with n_probe > 1
+    return _rerank_topk(pairs, k)
 
 
 def ivf_fixed_assign(df: DataFrame, centroids, vec_col: str = "embedding",
@@ -189,12 +196,7 @@ def ivf_fixed_topk(queries: DataFrame, corpus: DataFrame, centroids,
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("q_vec"), "ivf_cell"))
     pairs = q.join(c, "ivf_cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "score"))
+    return _rerank_topk(pairs, k)
 
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
@@ -233,9 +235,4 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     c = with_lsh_bucket(corpus, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "lsh_bucket")
     pairs = q.join(c, "lsh_bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("score", dot_double(F.col("q_vec"), F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "score"))
+    return _rerank_topk(pairs, k)

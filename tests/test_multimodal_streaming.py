@@ -134,6 +134,39 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_stateful_sessionize_late_event_extends_not_shrinks(spark, tmp_path):
+    """A late cross-batch event inside the open session must extend its
+    bounds, never move last_s/start_s backward (which would emit a
+    too-early end_ts on the eventual close)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(minutes):
+        return (7, t0 + dt.timedelta(minutes=minutes))
+
+    src = str(tmp_path / "late_src")
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame([row(0), row(10)], schema).coalesce(1).write.parquet(src)
+    # batch 2: late event at minute 5 (inside the open session), then a
+    # far event that closes it
+    spark.createDataFrame([row(5), row(120)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming.sessionize_stream(stream, gap_seconds=1800.0)
+         .writeStream.format("memory").queryName("late_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_mem").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert r["start_ts"] == t0
+    assert r["end_ts"] == t0 + dt.timedelta(minutes=10)  # NOT minute 5
+
+
 def test_micro_batch_dedup_matches_precedence(spark, pages):
     ents = extract.extract_entities(pages, carry=("warc_ts",))
     a = streaming.micro_batch_dedup(ents).select("url", "entity_idx", "geom_kind")
