@@ -89,6 +89,37 @@ def test_streaming_tile_rollup(spark, pages, tmp_path):
     assert got == want
 
 
+def test_watermark_finalizes_closed_windows_only(spark, tmp_path):
+    """Watermarked windowed rollup in append mode: windows older than
+    the watermark horizon are finalized and emitted; windows within the
+    horizon stay open (no row emitted). Late-row DROPPING is
+    best-effort in Spark and deliberately not asserted — the contract
+    the tile rollup relies on is finalization."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    src = str(tmp_path / "wm_src")
+    schema = "user_id long, ts timestamp, tile string"
+    rows = [(1, t0, "a"), (1, t0 + dt.timedelta(hours=30), "b"),
+            (2, t0 + dt.timedelta(hours=30, minutes=10), "b")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "tile")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("win.start").alias("ws"), "tile", "n"))
+    q = (agg.writeStream.format("memory").queryName("wm_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["ws"], r["tile"]): r["n"]
+           for r in spark.sql("SELECT * FROM wm_mem").collect()}
+    # hour-0 window is far below the final watermark (28h) -> finalized
+    assert got == {(t0, "a"): 1}
+    # the hour-30 window (2 events) is inside the horizon -> still open,
+    # nothing emitted for it in append mode
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): sessions that
     close across micro-batch boundaries must equal the batch
