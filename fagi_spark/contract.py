@@ -421,6 +421,41 @@ SELECT subject,
 FROM geo_a WHERE kind = 'POINT'"""
 
 
+def q_rasterize_polygons(spark, sf_dir):
+    """Vector->raster: center-sample rasterization of the B squares at
+    res 13 — the real ray-cast kernel runs; the oracle mirrors it with
+    the half-open range test exact for axis-aligned squares (the same
+    boundary convention O_PIP_REFINE uses)."""
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.rasterize_polygons(polys, res=13, mode="center")
+
+
+def _o_rasterize(res: int = 13) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+    return f"""WITH {GEO_B_CTE},
+p AS (
+  SELECT subject,
+         CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+         CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+  FROM geo_b WHERE kind = 'POLYGON'),
+gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)}, {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
+gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)}, {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx),
+c AS (SELECT subject, ix, iy,
+             -180.0 + (ix + 0.5) * {w!r} AS cx,
+             -90.0 + (iy + 0.5) * {h!r} AS cy,
+             x0, y0, x1, y1
+      FROM gxy)
+SELECT subject,
+       CAST(CAST({res} AS BIGINT) * {1 << 58} + ix * {1 << res} + iy AS BIGINT) AS cell
+FROM c
+WHERE cx >= x0 AND cx < x1 AND cy >= y0 AND cy < y1"""
+
+
+O_RASTERIZE_POLYGONS = _o_rasterize()
+
+
 def q_cell_join(spark, sf_dir):
     """Cell-partitioned equi-join at res 13 (same-cell A/B pairs)."""
     _, ga, gb = _fagi_inputs(spark, sf_dir)
@@ -1726,6 +1761,7 @@ QUERIES = {
     "fagi_unlinked_viewport": q_unlinked_viewport,
     "fagi_tile_assign": q_tile_assign,
     "fagi_cell_join": q_cell_join,
+    "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
     "fagi_metadata_keep_left": q_metadata_keep_left,
@@ -1789,6 +1825,7 @@ ORACLES = {
     "fagi_unlinked_viewport": O_UNLINKED_VIEWPORT,
     "fagi_tile_assign": O_TILE_ASSIGN,
     "fagi_cell_join": O_CELL_JOIN,
+    "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,
     "fagi_metadata_keep_left": O_METADATA_KEEP_LEFT,

@@ -129,6 +129,67 @@ def bbox_join(geo: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float
               .drop("ix", "iy", "cell"))
 
 
+RASTER_SCHEMA = "subject string, cell long"
+
+
+def rasterize_polygons(polygons: DataFrame, res: int,
+                       mode: str = "center") -> DataFrame:
+    """Vector->raster coverage: one row per (polygon, cell) at ``res``
+    — the raster half of the north star's raster<->vector tile
+    assignment (the vector half is cells.with_cell / bbox_join).
+
+    polygons: (subject, geom_wkt, xmin, ymin, xmax, ymax).
+
+    ``mode="bbox"``: every cell whose extent intersects the polygon's
+    envelope — pure JVM explode (the pip_refine replication shape); a
+    coverage superset, right for partition layout / candidate pruning.
+    ``mode="center"``: classic center-sample rasterization — the bbox
+    candidates kept when the CELL CENTER lies inside the polygon
+    (ray-cast kernel on candidates only; boundary semantics identical
+    to pip_refine's half-open [x0, x1) point test)."""
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    polys = (polygons
+             .select(F.col("subject"), "geom_wkt", "xmin", "ymin", "xmax", "ymax")
+             .withColumn("pix", F.explode(F.sequence(
+                 cells.ix_col(F.col("xmin"), res), cells.ix_col(F.col("xmax"), res))))
+             .withColumn("piy", F.explode(F.sequence(
+                 cells.iy_col(F.col("ymin"), res), cells.iy_col(F.col("ymax"), res))))
+             .withColumn("cell", cells.pack_cell(F.col("pix"), F.col("piy"), res)))
+    if mode == "bbox":
+        return polys.select("subject", "cell")
+    # center sampling: center coords in JVM, bbox pre-filter, then one
+    # Arrow pass ray-casting only surviving candidates
+    cand = (polys
+            .withColumn("cx", F.lit(-180.0) + (F.col("pix") + F.lit(0.5)) * F.lit(w))
+            .withColumn("cy", F.lit(-90.0) + (F.col("piy") + F.lit(0.5)) * F.lit(h))
+            .filter((F.col("cx") >= F.col("xmin")) & (F.col("cx") <= F.col("xmax"))
+                    & (F.col("cy") >= F.col("ymin")) & (F.col("cy") <= F.col("ymax")))
+            .select("subject", "geom_wkt", "cx", "cy", "cell"))
+
+    def refine(batches):
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_s: list = []
+            out_c: list = []
+            for wkt, grp in pdf.groupby("geom_wkt", sort=False):
+                g = cache.get(wkt)
+                if g is None:
+                    g = geom.parse_wkt(wkt)
+                    cache[wkt] = g if g is not None else False
+                if g is False or g is None or g.kind not in ("POLYGON", "MULTIPOLYGON"):
+                    continue
+                px = grp["cx"].to_numpy(dtype=np.float64)
+                py = grp["cy"].to_numpy(dtype=np.float64)
+                hit = geom.points_in_polygon(px, py, g)
+                out_s.extend(grp["subject"].to_numpy()[hit].tolist())
+                out_c.extend(grp["cell"].to_numpy()[hit].tolist())
+            yield pd.DataFrame({"subject": out_s, "cell": out_c})
+
+    return cand.mapInPandas(refine, RASTER_SCHEMA)
+
+
 def unlinked_entities(geo: DataFrame, links: DataFrame,
                       side: str = "a") -> DataFrame:
     """FetchUnlinkedServlet semantics (FetchUnlinkedServlet.java:219-241):

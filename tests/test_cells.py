@@ -79,3 +79,32 @@ def test_salting_preserves_pairs(spark):
     ss = cells.explode_salts(small, 8)
     salted = bs.join(ss, ["cell", "salt"]).count()
     assert salted == plain
+
+
+def test_rasterize_center_subset_of_bbox(spark):
+    """Center-sample rasterization of a triangle keeps strictly fewer
+    cells than the bbox cover (cells whose center falls outside the
+    hypotenuse are dropped), and every kept cell center is inside."""
+    from pyspark.sql import functions as F
+
+    from fagi_spark import fuse, joins
+
+    tri = spark.createDataFrame(
+        [("t1", "POLYGON ((0 0, 40 0, 0 40, 0 0))")],
+        "subject string, geom_wkt string")
+    polys = fuse.prepare_geoms(tri)
+    res = 7  # ~2.8 deg cells -> the 40-deg triangle spans ~15x29 cells
+    bbox = {r["cell"] for r in
+            joins.rasterize_polygons(polys, res, mode="bbox").collect()}
+    center = {r["cell"] for r in
+              joins.rasterize_polygons(polys, res, mode="center").collect()}
+    assert center and center < bbox  # strict subset: hypotenuse cut
+    # spot-check: center of every kept cell satisfies x + y < 40
+    from fagi_spark import cells as c
+    w, h = c.cell_width_deg(res), c.cell_height_deg(res)
+    for cell in center:
+        ix = (cell - (res << 58)) // (1 << res)
+        iy = (cell - (res << 58)) % (1 << res)
+        cx = -180.0 + (ix + 0.5) * w
+        cy = -90.0 + (iy + 0.5) * h
+        assert cx + cy < 40.0 and cx >= 0.0 and cy >= 0.0
