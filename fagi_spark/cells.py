@@ -111,6 +111,45 @@ def explode_ring(df: DataFrame, res: int, k: int | tuple[int, int],
               .drop("_dx", "_dy"))
 
 
+def unpack_ix(cell: Column, res: int) -> Column:
+    """ix back out of a packed cell id (inverse of pack_cell)."""
+    return ((cell - F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT))
+            / F.lit(1 << res)).cast("long")
+
+
+def unpack_iy(cell: Column, res: int) -> Column:
+    return F.pmod(cell - F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT),
+                  F.lit(1 << res)).cast("long")
+
+
+def with_cell_bounds(df: DataFrame, res: int, cell: str = "cell") -> DataFrame:
+    """Raster->vector: decode a cell id into its bbox corner columns
+    (x0, y0, x1, y1) — the vector-tile geometry of a raster cell, pure
+    column math (the inverse of with_cell; corners are exact doubles
+    since cell extents are powers-of-two divisions of 360/180)."""
+    w, h = cell_width_deg(res), cell_height_deg(res)
+    ix = unpack_ix(F.col(cell), res)
+    iy = unpack_iy(F.col(cell), res)
+    return (df.withColumn("x0", F.lit(-180.0) + ix * F.lit(w))
+              .withColumn("y0", F.lit(-90.0) + iy * F.lit(h))
+              .withColumn("x1", F.lit(-180.0) + (ix + 1) * F.lit(w))
+              .withColumn("y1", F.lit(-90.0) + (iy + 1) * F.lit(h)))
+
+
+def cell_bbox_wkt(df: DataFrame, res: int, cell: str = "cell",
+                  out: str = "tile_wkt") -> DataFrame:
+    """Vector-tile WKT polygon per cell (for export/preview sinks) —
+    built on with_cell_bounds with JVM string concat."""
+    b = with_cell_bounds(df, res, cell)
+    def f(c):
+        return F.col(c).cast("string")
+    return b.withColumn(out, F.concat(
+        F.lit("POLYGON (("), f("x0"), F.lit(" "), f("y0"), F.lit(", "),
+        f("x1"), F.lit(" "), f("y0"), F.lit(", "), f("x1"), F.lit(" "), f("y1"),
+        F.lit(", "), f("x0"), F.lit(" "), f("y1"), F.lit(", "),
+        f("x0"), F.lit(" "), f("y0"), F.lit("))")))
+
+
 def bbox_cells_range(res: int, xmin: float, ymin: float, xmax: float, ymax: float):
     """Inclusive (ix0, ix1, iy0, iy1) index ranges covering a bbox — the
     viewport prefilter (BatchFindLinkServlet.java:395-417) as partition

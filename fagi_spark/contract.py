@@ -421,6 +421,39 @@ SELECT subject,
 FROM geo_a WHERE kind = 'POINT'"""
 
 
+def q_cell_bounds(spark, sf_dir):
+    """Raster->vector: decode res-10 tile ids back into bbox corner
+    doubles (cells.with_cell_bounds — the vector-tile geometry of each
+    raster cell), value-exact since cell extents are power-of-two
+    divisions of the world."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    c = cells.with_cell(a, 10)
+    return (cells.with_cell_bounds(c, 10)
+            .select("subject", "cell", "x0", "y0", "x1", "y1"))
+
+
+def _o_cell_bounds(res: int = 10) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+    ix = cells.sql_ix("CAST(v AS DOUBLE)/100.0", res)
+    iy = cells.sql_iy("CAST(w AS DOUBLE)/100.0", res)
+    return f"""WITH {GEO_A_CTE},
+c AS (SELECT subject, {ix} AS ix, {iy} AS iy,
+             {cells.sql_cell('CAST(v AS DOUBLE)/100.0', 'CAST(w AS DOUBLE)/100.0', res)} AS cell
+      FROM geo_a WHERE kind = 'POINT')
+SELECT subject, cell,
+       -180.0 + ix * CAST({w!r} AS DOUBLE) AS x0,
+       -90.0 + iy * CAST({h!r} AS DOUBLE) AS y0,
+       -180.0 + (ix + 1) * CAST({w!r} AS DOUBLE) AS x1,
+       -90.0 + (iy + 1) * CAST({h!r} AS DOUBLE) AS y1
+FROM c"""
+
+
+O_CELL_BOUNDS = _o_cell_bounds()
+
+
 def q_rasterize_polygons(spark, sf_dir):
     """Vector->raster: center-sample rasterization of the B squares at
     res 13 — the real ray-cast kernel runs; the oracle mirrors it with
@@ -443,8 +476,8 @@ p AS (
 gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)}, {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
 gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)}, {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx),
 c AS (SELECT subject, ix, iy,
-             -180.0 + (ix + 0.5) * {w!r} AS cx,
-             -90.0 + (iy + 0.5) * {h!r} AS cy,
+             -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) AS cx,
+             -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) AS cy,
              x0, y0, x1, y1
       FROM gxy)
 SELECT subject,
@@ -1762,6 +1795,7 @@ QUERIES = {
     "fagi_tile_assign": q_tile_assign,
     "fagi_cell_join": q_cell_join,
     "fagi_rasterize_polygons": q_rasterize_polygons,
+    "fagi_cell_bounds": q_cell_bounds,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
     "fagi_metadata_keep_left": q_metadata_keep_left,
@@ -1826,6 +1860,7 @@ ORACLES = {
     "fagi_tile_assign": O_TILE_ASSIGN,
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
+    "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,
     "fagi_metadata_keep_left": O_METADATA_KEEP_LEFT,
