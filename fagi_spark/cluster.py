@@ -114,17 +114,56 @@ def link_features(j: DataFrame, coverage: str = "envelope") -> DataFrame:
         inter.cast("int").alias("f_coverage"))
 
 
+def select_k(features: DataFrame, k_max: int = 8, max_iter: int = 30,
+             seed: int = 42, min_gain: float = 1e-3) -> int:
+    """Weka-EM's unspecified-k behavior re-expressed: EM grows the
+    cluster count while the fit keeps improving (Weka EM ``-N -1``;
+    GeoClusterer runs it via ``-I 100`` without ``-N``). Weka uses
+    10-fold CV log-likelihood; pyspark's GaussianMixture exposes
+    log-likelihood only for its own training summary, so the
+    distributed-friendly stand-in is BIC — the standard EM
+    model-selection criterion with the same grow-until-no-gain shape:
+    per-row log-likelihood minus a complexity penalty
+    (k full-covariance Gaussians + mixture weights). Driver-side loop
+    over k only; each fit is distributed. At 100 TB run selection on a
+    feature sample, then fit the chosen k on everything."""
+    import math
+
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import VectorAssembler
+
+    vec = VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="features")
+    data = vec.transform(features).cache()
+    n = max(data.count(), 1)
+    d = len(FEATURE_COLS)
+    per_component = d + d * (d + 1) // 2  # mean + full covariance
+    # Spark's GaussianMixture requires k >= 2 (Weka starts at 1)
+    best_k, best_score = 2, None
+    for k in range(2, k_max + 1):
+        model = GaussianMixture(k=k, maxIter=max_iter, seed=seed).fit(data)
+        ll = model.summary.logLikelihood / n
+        n_params = k * per_component + (k - 1)
+        score = ll - n_params * math.log(n) / (2 * n)
+        if best_score is None or score > best_score + min_gain:
+            best_score = score
+            best_k = k
+        else:
+            break
+    data.unpersist()
+    return best_k
+
+
 def cluster_links(features: DataFrame, k: int | None = None,
                   max_iter: int = 100, seed: int = 42,
                   algo: str = "gmm") -> DataFrame:
     """EM clustering of link feature vectors -> (node_a, node_b,
     cluster). GaussianMixture is the Weka-EM equivalent (``-I 100``);
-    unspecified k defaults to 4 (Weka's EM cross-validates k — a
-    driver-side loop we deliberately avoid at scale)."""
+    unspecified k is chosen by ``select_k`` (the Weka EM
+    cross-validated-k analog)."""
     from pyspark.ml.clustering import GaussianMixture, KMeans
     from pyspark.ml.feature import VectorAssembler
 
-    k = k or 4
+    k = k or select_k(features, seed=seed)
     vec = VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="features")
     data = vec.transform(features)
     if algo == "gmm":

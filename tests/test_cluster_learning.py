@@ -89,6 +89,23 @@ def test_cluster_assign_deterministic(spark, resolved):
     assert ks.issubset({0, 1, 2}) and len(ks) > 1
 
 
+def test_select_k_finds_separated_blobs(spark):
+    """BIC-based k selection (Weka EM cross-validated-k analog) on
+    three well-separated feature blobs picks k=3, not the old fixed 4."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = [(0.1, 0.0, 0.0, 0.0), (0.6, 0.5, -0.5, 0.5), (0.9, -0.5, 0.5, 1.0)]
+    rows = []
+    for i in range(240):
+        v = rng.normal(centers[i % 3], 0.02)
+        rows.append((f"a{i}", f"b{i}", *[float(x) for x in v]))
+    feats = spark.createDataFrame(
+        rows, "node_a string, node_b string, f_dist_norm double, "
+              "f_dir_x double, f_dir_y double, f_coverage double")
+    assert cluster.select_k(feats, k_max=6, max_iter=30, seed=11) == 3
+
+
 def test_cluster_table_subset(spark, resolved):
     feats = cluster.link_features(resolved)
     full = cluster.cluster_links(feats, k=3, seed=7)
