@@ -1251,6 +1251,24 @@ def q_learning_predict(spark, sf_dir):
     return learning.predict_actions(model, feats)
 
 
+def q_tag_predict(spark, sf_dir):
+    """§2.10 tag prediction (TagPredictor/OSMRec analog): per-entity
+    geometry buckets -> multinomial model -> ranked class
+    recommendations — ML, rows-only."""
+    from . import learning
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    geoms = fuse.prepare_geoms(ga)
+    feats = learning.entity_features(geoms)
+    vocab = ["POI", "Building"]
+    labeled = feats.join(
+        geoms.select("subject",
+                     F.when(F.col("geom_kind") == "POINT", "POI")
+                      .otherwise("Building").alias("tag")), "subject")
+    model = learning.train_tag_predictor(labeled, vocab, max_iter=30)
+    out = learning.predict_tags(model, feats, vocab, top_n=2)
+    return out.select("subject", F.col("rank").cast("long").alias("rank"), "tag")
+
+
 def q_schema_match(spark, sf_dir):
     """§2.9 predicate alignment: JW + literal-kind compat (Python JW —
     rows-only; exact-value fixtures in pytest)."""
@@ -1818,6 +1836,7 @@ QUERIES = {
     "fagi_cluster_assign": q_cluster_assign,
     "fagi_learning_features": q_learning_features,
     "fagi_learning_predict": q_learning_predict,
+    "fagi_tag_predict": q_tag_predict,
     "fagi_schema_match": q_schema_match,
     "fagi_schema_kind_inventory": q_schema_kind_inventory,
     "fagi_nt_links_roundtrip": q_nt_links_roundtrip,

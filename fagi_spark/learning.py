@@ -152,3 +152,83 @@ def predict_actions(model, features: DataFrame) -> DataFrame:
     """(node_a, node_b, predicted action id)."""
     return (model.transform(features)
             .select("node_a", "node_b", F.col("prediction").cast("int").alias("action_id")))
+
+
+# ---------------------------------------------------------------------------
+# Tag prediction (TagPredictor.java / TagFeatures.java / OSMRec variant)
+# ---------------------------------------------------------------------------
+
+ENTITY_FEATURE_COLS = ("area_bucket", "npoints_bucket", "is_point",
+                       "is_line", "is_poly", "is_rectangle")
+
+
+def entity_features(geoms: DataFrame) -> DataFrame:
+    """Per-ENTITY geometry feature buckets for tag prediction
+    (TagFeatures.createGeometryFeaturesA, TagFeatures.java:37-110:
+    geometry-type one-hot, rectangle flag, num-points buckets, area
+    buckets). Input: a prepare_geoms frame (subject, geom_kind,
+    npoints, envelope). Pure column math; the rectangle flag uses the
+    5-vertex axis-aligned test our WKT squares satisfy (JTS
+    isRectangle's cheap necessary conditions)."""
+    area = (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+    np_bucket = _log_bucket(F.col("npoints").cast("double"), 13, scale=1.0)
+    return geoms.select(
+        "subject",
+        _log_bucket(area, N_AREA_BUCKETS).alias("area_bucket"),
+        np_bucket.alias("npoints_bucket"),
+        (F.col("geom_kind") == "POINT").cast("int").alias("is_point"),
+        F.col("geom_kind").isin("LINESTRING", "MULTILINESTRING")
+         .cast("int").alias("is_line"),
+        F.col("geom_kind").isin("POLYGON", "MULTIPOLYGON")
+         .cast("int").alias("is_poly"),
+        ((F.col("geom_kind") == "POLYGON") & (F.col("npoints") == 5))
+         .cast("int").alias("is_rectangle"))
+
+
+def train_tag_predictor(features: DataFrame, vocab: list[str],
+                        label_col: str = "tag", max_iter: int = 50,
+                        seed: int = 42):
+    """Multiclass tag model (the liblinear OSMRec model of
+    TagPredictor.java:42-67): multinomial LogisticRegression over the
+    per-entity buckets; labels indexed by position in ``vocab`` (the
+    OWLClassesParser class->id mapping, OWLClassesParser.java:55-68,
+    with an explicit vocabulary)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import OneHotEncoder, VectorAssembler
+
+    vmap = F.array(*[F.lit(v) for v in vocab])
+    data = features.withColumn(
+        "_label", (F.array_position(vmap, F.col(label_col)) - 1).cast("double"))
+    onehot = OneHotEncoder(inputCols=["area_bucket", "npoints_bucket"],
+                           outputCols=["area_oh", "npoints_oh"])
+    vec = VectorAssembler(
+        inputCols=["area_oh", "npoints_oh", "is_point", "is_line",
+                   "is_poly", "is_rectangle"], outputCol="features")
+    clf = LogisticRegression(maxIter=max_iter, family="multinomial",
+                             labelCol="_label")
+    return Pipeline(stages=[onehot, vec, clf]).fit(data)
+
+
+def predict_tags(model, features: DataFrame, vocab: list[str],
+                 top_n: int = 12) -> DataFrame:
+    """Ranked tag recommendations per entity — the reference emits the
+    TOP-12 classes by decision score (RECOMMENDATIONS_SIZE,
+    TagPredictor.java:30, 83-110). Here: posexplode the probability
+    vector, window-rank per subject, map indices back through
+    ``vocab``. Returns (subject, rank, tag, score)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    vmap = F.array(*[F.lit(v) for v in vocab])
+    scored = (model.transform(features)
+              .select("subject",
+                      F.posexplode(vector_to_array("probability"))
+                       .alias("_idx", "score")))
+    w = Window.partitionBy("subject").orderBy(F.col("score").desc(),
+                                              F.col("_idx").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select("subject", "rank",
+                    F.element_at(vmap, F.col("_idx") + 1).alias("tag"),
+                    "score"))

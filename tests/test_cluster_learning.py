@@ -150,6 +150,34 @@ def test_learning_predicts_from_owl_class_features(spark, resolved):
     assert acc > 0.95
 
 
+def test_tag_predictor_ranks_true_class_first(spark):
+    """TagPredictor analog: classes separable by geometry kind — the
+    model must rank the true class first and emit a full ranked list."""
+    from fagi_spark import fuse
+
+    geo_a, _, _, _, _ = synth.synth_fixture(spark, 250, 10)
+    geoms = fuse.prepare_geoms(geo_a)
+    feats = learning.entity_features(geoms)
+    vocab = ["POI", "Road", "Building"]
+    labeled = feats.join(
+        geoms.select("subject",
+                     F.when(F.col("geom_kind") == "POINT", "POI")
+                      .when(F.col("geom_kind").isin("LINESTRING",
+                                                    "MULTILINESTRING"), "Road")
+                      .otherwise("Building").alias("tag")), "subject")
+    model = learning.train_tag_predictor(labeled, vocab, max_iter=30)
+    top = learning.predict_tags(model, feats, vocab, top_n=3)
+    assert top.filter(F.col("rank") == 1).count() == feats.count()
+    joined = (top.filter(F.col("rank") == 1)
+              .join(labeled.select("subject", "tag").withColumnRenamed("tag", "truth"),
+                    "subject"))
+    acc = joined.filter(F.col("tag") == F.col("truth")).count() / feats.count()
+    assert acc > 0.95
+    # ranked list covers every class once per entity
+    one = top.filter(F.col("subject") == feats.first()["subject"]).collect()
+    assert sorted(r["tag"] for r in one) == sorted(vocab)
+
+
 def test_owl_sim_bucket_integer_boundaries(spark):
     rows = [("a1", "b1", 3, 1),   # (3-1)/3 = 0.667 -> bucket 16
             ("a2", "b2", 1, 3),   # -0.667 -> bucket 3
