@@ -274,6 +274,32 @@ SELECT subject_a, subject_b,
 FROM j"""
 
 
+def q_fuse_visible(spark, sf_dir):
+    """FuseVisibleServlet: Keep-A fusion restricted to links whose
+    A-side envelope overlaps the viewport (geom && envelope bbox
+    test) — broadcast semi-join prune before the canonical join."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    return fuse.fuse_visible("keep-left", links, ga, gb,
+                             40.0, 10.0, 120.0, 60.0)
+
+
+O_FUSE_VISIBLE = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
+av AS (
+  SELECT subject, geom_wkt,
+         CAST(v AS DOUBLE)/100.0 AS x0,
+         CASE WHEN kind = 'POLYGON' THEN CAST(v + 8 AS DOUBLE)/100.0
+              ELSE CAST(v AS DOUBLE)/100.0 END AS x1,
+         CAST(w AS DOUBLE)/100.0 AS y0,
+         CASE WHEN kind = 'POLYGON' THEN CAST(w + 8 AS DOUBLE)/100.0
+              ELSE CAST(w AS DOUBLE)/100.0 END AS y1
+  FROM geo_a)
+SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+       a.geom_wkt AS geom_wkt, 'Keep A' AS action
+FROM links l JOIN av a ON l.node_a = a.subject
+             JOIN geo_b b ON l.node_b = b.subject
+WHERE a.x0 <= 120.0 AND a.x1 >= 40.0 AND a.y0 <= 60.0 AND a.y1 >= 10.0"""
+
+
 def q_dedup_precedence(spark, sf_dir):
     """S5: one geometry per subject, most complex kind wins."""
     part = _t(spark, sf_dir, "part")
@@ -1804,6 +1830,7 @@ QUERIES = {
     "fagi_midpoint_xy": q_midpoint_xy,
     "fagi_shift_a_to_b_xy": q_shift_a_to_b_xy,
     "fagi_fusion_scores": q_fusion_scores,
+    "fagi_fuse_visible": q_fuse_visible,
     "fagi_dedup_precedence": q_dedup_precedence,
     "fagi_radius_join": q_radius_join,
     "fagi_knn_join": q_knn_join,
@@ -1870,6 +1897,7 @@ ORACLES = {
     "fagi_midpoint_xy": O_MIDPOINT,
     "fagi_shift_a_to_b_xy": O_SHIFT_A_TO_B,
     "fagi_fusion_scores": O_FUSION_SCORES,
+    "fagi_fuse_visible": O_FUSE_VISIBLE,
     "fagi_dedup_precedence": O_DEDUP_PRECEDENCE,
     "fagi_radius_join": O_RADIUS_JOIN,
     "fagi_knn_join": O_KNN_JOIN,

@@ -204,6 +204,25 @@ def fuse(action: str, links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
     return ACTIONS[action](j, **params)
 
 
+def fuse_visible(action: str, links: DataFrame, geo_a: DataFrame,
+                 geo_b: DataFrame, xmin: float, ymin: float,
+                 xmax: float, ymax: float, **params) -> DataFrame:
+    """FuseVisibleServlet analog (FuseVisibleServlet.java:150-167):
+    fuse only links whose A-side geometry envelope overlaps the
+    viewport (the reference fetches viewport subjects with
+    ``geom && ST_MakeEnvelope(...)`` — a bbox-overlap test — then runs
+    the canonical join on them). The viewport selection is a broadcast
+    semi-join; at scale compose with the cell-range prune
+    (joins.bbox_join) first."""
+    a = prepare_geoms(geo_a)
+    vis = (a.filter((F.col("xmin") <= F.lit(xmax)) & (F.lit(xmin) <= F.col("xmax"))
+                    & (F.col("ymin") <= F.lit(ymax)) & (F.lit(ymin) <= F.col("ymax")))
+           .select("subject"))
+    links_vis = links.join(F.broadcast(vis),
+                           links.node_a == vis.subject, "leftsemi")
+    return fuse(action, links_vis, geo_a, geo_b, **params)
+
+
 def fuse_cluster(action: str, cluster: DataFrame, geo_a: DataFrame,
                  geo_b: DataFrame, **params) -> DataFrame:
     """fuseCluster analog (AbstractFusionTransformation.java:14-48; J3):
