@@ -112,9 +112,14 @@ def explode_ring(df: DataFrame, res: int, k: int | tuple[int, int],
 
 
 def unpack_ix(cell: Column, res: int) -> Column:
-    """ix back out of a packed cell id (inverse of pack_cell)."""
-    return ((cell - F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT))
-            / F.lit(1 << res)).cast("long")
+    """ix back out of a packed cell id (inverse of pack_cell). Integer
+    shift, not float division: (cell - base) = ix*2^res + iy is
+    non-negative, so a right shift by ``res`` is exact for ALL res in
+    pack_cell's domain (float division loses bits past 2^53, a silent
+    trap above res 26)."""
+    return F.shiftright(
+        (cell - F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)).cast("long"),
+        res)
 
 
 def unpack_iy(cell: Column, res: int) -> Column:

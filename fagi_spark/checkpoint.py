@@ -114,36 +114,104 @@ class CheckpointStore:
                              "n_bytes": os.path.getsize(fpath),
                              "committed_at": now})
 
-        # crash-window repair: a previous run may have died after
+        # Publish section runs under a per-stage O_EXCL lock file: two
+        # live writers committing the same stage serialize here instead
+        # of racing (the filesystem analog of Iceberg's optimistic
+        # commit — one writer wins the snapshot id, the other retries
+        # with the next id; nobody deletes another writer's staged or
+        # just-renamed data). The lock also makes the crash-window
+        # repair safe: a previous run may have died after
         # os.replace(staging, final) but before _publish wrote LATEST,
-        # leaving an orphaned unpublished snap dir that would make this
-        # os.replace fail with ENOTEMPTY. Re-read LATEST right before
-        # repairing: if another writer published in the meantime, take
-        # the next id instead of deleting published data. (True
-        # concurrent commits to one stage need external coordination —
-        # Iceberg's optimistic commit protocol in the real mapping;
-        # this loop only ever removes dirs the pointer says are
-        # unpublished.)
+        # leaving an orphaned unpublished snap dir — with the lock
+        # held, "id > LATEST" really does mean "never published, no
+        # live writer owns it", but we additionally require the orphan
+        # to be OLDER than our own staging write so a paused-but-alive
+        # writer's fresh rename is never destroyed.
+        import errno
         import shutil
-        while True:
+        lock_path = os.path.join(d, ".commit.lock")
+        lock_fd = self._acquire_lock(lock_path)
+        try:
             cur = self.latest(stage)
             snap_id = 0 if cur is None else cur + 1
             final = os.path.join(d, f"snap_{snap_id}")
             if os.path.exists(final):
-                shutil.rmtree(final)  # id > LATEST => never published
+                # Every writer holds the lock across replace->publish,
+                # so an id > LATEST dir observed WITH the lock held can
+                # only be a dead writer's orphan (its stale lock was
+                # broken above) — safe to repair. Residual hazard: a
+                # writer paused >stale_s inside the replace->publish
+                # window loses its lock; that is the known limit of
+                # lock-breaking (Iceberg's optimistic commit is the
+                # real-deployment answer).
+                shutil.rmtree(final)
+            last_err = None
+            for _ in range(5):
+                try:
+                    os.replace(staging, final)
+                    last_err = None
+                    break
+                except OSError as e:
+                    last_err = e
+                    # only the publish race leaves ENOTEMPTY/EEXIST;
+                    # anything else (EXDEV, EACCES, damaged staging)
+                    # is a real failure — re-raised below
+                    if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                        raise
+                    snap_id += 1
+                    final = os.path.join(d, f"snap_{snap_id}")
+            if last_err is not None:
+                raise last_err
+            for r in lin_rows:
+                r["snapshot_id"] = snap_id
+            with open(os.path.join(d, f"snap_{snap_id}.lineage.json"), "w") as f:
+                json.dump({"lineage": lin_rows, "metrics": metrics or {},
+                           "n_files": len(lin_rows),
+                           "n_rows": sum(r["n_rows"] for r in lin_rows)}, f)
+            self._publish(stage, snap_id)
+        finally:
+            os.close(lock_fd)
             try:
-                os.replace(staging, final)
-                break
+                os.unlink(lock_path)
             except OSError:
-                continue  # lost a race; retry with a fresh id
-        for r in lin_rows:
-            r["snapshot_id"] = snap_id
-        with open(os.path.join(d, f"snap_{snap_id}.lineage.json"), "w") as f:
-            json.dump({"lineage": lin_rows, "metrics": metrics or {},
-                       "n_files": len(lin_rows),
-                       "n_rows": sum(r["n_rows"] for r in lin_rows)}, f)
-        self._publish(stage, snap_id)
+                pass
         return snap_id
+
+    @staticmethod
+    def _acquire_lock(lock_path: str, timeout_s: float = 60.0,
+                      stale_s: float = 300.0) -> int:
+        """O_CREAT|O_EXCL per-stage commit lock with bounded wait; a
+        lock file older than ``stale_s`` is treated as left by a dead
+        process and broken. Returns the open fd (caller closes +
+        unlinks)."""
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                return fd
+            except FileExistsError:
+                try:
+                    holder_dead = False
+                    with open(lock_path) as lf:
+                        txt = lf.read().strip()
+                    if txt.isdigit():
+                        try:
+                            os.kill(int(txt), 0)  # same-host liveness
+                        except ProcessLookupError:
+                            holder_dead = True
+                        except PermissionError:
+                            pass  # alive, other uid
+                    if holder_dead or (os.path.getmtime(lock_path)
+                                       < time.time() - stale_s):
+                        os.unlink(lock_path)  # dead/stale holder
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock_path} held for >{timeout_s}s")
+                time.sleep(0.05)
 
     def load(self, spark: SparkSession, stage: str,
              snapshot_id: int | None = None) -> DataFrame:

@@ -200,6 +200,14 @@ def train_tag_predictor(features: DataFrame, vocab: list[str],
     vmap = F.array(*[F.lit(v) for v in vocab])
     data = features.withColumn(
         "_label", (F.array_position(vmap, F.col(label_col)) - 1).cast("double"))
+    # array_position returns 0 for a tag absent from vocab -> label
+    # -1.0, which would silently corrupt the multinomial fit; fail loud
+    # instead (limit(1) keeps the guard scan cheap).
+    bad = data.filter(F.col("_label") < 0).select(label_col).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"tag {bad[0][0]!r} not in vocab ({len(vocab)} entries) — "
+            "extend vocab or filter unlabeled rows before training")
     onehot = OneHotEncoder(inputCols=["area_bucket", "npoints_bucket"],
                            outputCols=["area_oh", "npoints_oh"])
     vec = VectorAssembler(

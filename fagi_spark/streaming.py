@@ -101,9 +101,16 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
             elif t_s - last_s > gap_seconds:
                 closed.append((key[0], n, start_s, last_s))
                 start_s, last_s, n = t_s, t_s, 1
+            elif t_s < start_s - gap_seconds:
+                # very-late event: more than a gap BEFORE the open
+                # session's start. Batch session_stats would see it as
+                # its own earlier closed session — emit it as such
+                # rather than stretching the open session backward
+                # (which would break stream==batch parity).
+                closed.append((key[0], 1, t_s, t_s))
             else:
-                # a late cross-batch event may sort before the open
-                # session's bounds — extend, never move them backward
+                # a moderately-late cross-batch event may sort before
+                # the open session's bounds — extend within one gap
                 start_s = min(start_s, t_s)
                 last_s = max(last_s, t_s)
                 n += 1

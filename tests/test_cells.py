@@ -108,3 +108,21 @@ def test_rasterize_center_subset_of_bbox(spark):
         cx = -180.0 + (ix + 0.5) * w
         cy = -90.0 + (iy + 0.5) * h
         assert cx + cy < 40.0 and cx >= 0.0 and cy >= 0.0
+
+
+def test_unpack_exact_at_max_res(spark):
+    """pack -> unpack roundtrip must be exact at res 28 (ADVICE: the old
+    float-division decode silently lost bits past 2^53, i.e. res > 26)."""
+    res = cells.MAX_RES
+    n = 1 << res
+    probe = [(0, 0), (n - 1, n - 1), (n - 1, 0), (123456789, 987654),
+             ((1 << 27) + 3, (1 << 26) + 1)]
+    df = spark.createDataFrame(probe, "ix long, iy long")
+    packed = df.select("ix", "iy",
+                       cells.pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"))
+    back = packed.select(
+        "ix", "iy",
+        cells.unpack_ix(F.col("cell"), res).alias("ix2"),
+        cells.unpack_iy(F.col("cell"), res).alias("iy2"))
+    for r in back.collect():
+        assert (r["ix2"], r["iy2"]) == (r["ix"], r["iy"])

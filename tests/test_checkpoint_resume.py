@@ -134,3 +134,55 @@ def test_pipeline_fail_after_resumes(spark, tmp_path):
     assert store2.latest("fused") is not None
     assert store2.latest("tiles") is not None
     assert res["tiles"].count() > 0
+
+
+def test_commit_lock_breaks_dead_holder_and_blocks_live(spark, tmp_path):
+    """The per-stage commit lock (ADVICE: concurrent commits could
+    delete each other's just-renamed snapshots): a lock file left by a
+    DEAD pid is broken immediately and the commit proceeds; a lock held
+    by a LIVE pid makes the next commit wait and time out rather than
+    repair-delete anything."""
+    store = CheckpointStore(str(tmp_path))
+    store.commit(spark.range(0, 5), "s")
+
+    d = os.path.join(str(tmp_path), "s")
+    lock = os.path.join(d, ".commit.lock")
+
+    # dead holder: a pid that cannot exist
+    with open(lock, "w") as f:
+        f.write("999999999")
+    assert store.commit(spark.range(0, 7), "s") == 1
+    assert not os.path.exists(lock)  # released after commit
+
+    # live holder (our own pid): bounded wait then TimeoutError,
+    # and the published data is untouched
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    df = spark.range(0, 9)
+    with pytest.raises(TimeoutError):
+        store._acquire_lock(lock, timeout_s=0.3)
+    os.unlink(lock)
+    assert store.load(spark, "s").count() == 7
+
+
+def test_commit_replace_nonrace_oserror_is_raised(spark, tmp_path, monkeypatch):
+    """A persistent non-race failure in the publish rename (EXDEV,
+    EACCES, ...) must raise, not spin (ADVICE: unbounded retry loop)."""
+    store = CheckpointStore(str(tmp_path))
+
+    def boom(src, dst):
+        raise OSError(18, "Invalid cross-device link")  # EXDEV
+
+    real_replace = os.replace
+
+    def fake_replace(src, dst):
+        if "snap_" in os.path.basename(dst):
+            boom(src, dst)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", fake_replace)
+    with pytest.raises(OSError):
+        store.commit(spark.range(0, 5), "s2")
+    monkeypatch.undo()
+    # lock must not be left behind by the failed commit
+    assert not os.path.exists(os.path.join(str(tmp_path), "s2", ".commit.lock"))

@@ -303,3 +303,19 @@ def test_merge_replace_semantics(spark):
     assert ("s1", "rdfs:label", "Name1") in rows          # untouched predicate
     assert ("s2", "geo:asWKT", "OLD2") in rows            # unlinked subject kept
     assert len([r for r in rows if r[0] == "s1" and r[1] == "geo:asWKT"]) == 1
+
+
+def test_tag_predictor_rejects_tag_outside_vocab(spark):
+    """A training tag absent from vocab must fail loudly (ADVICE:
+    array_position silently mapped it to label -1.0)."""
+    from fagi_spark import fuse
+
+    geo_a, _, _, _, _ = synth.synth_fixture(spark, 60, 10)
+    geoms = fuse.prepare_geoms(geo_a)
+    feats = learning.entity_features(geoms)
+    labeled = feats.join(
+        geoms.select("subject",
+                     F.when(F.col("geom_kind") == "POINT", "POI")
+                      .otherwise("Mystery").alias("tag")), "subject")
+    with pytest.raises(ValueError, match="Mystery.*not in vocab"):
+        learning.train_tag_predictor(labeled, ["POI", "Road"], max_iter=5)

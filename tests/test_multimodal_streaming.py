@@ -203,3 +203,39 @@ def test_micro_batch_dedup_matches_precedence(spark, pages):
     a = streaming.micro_batch_dedup(ents).select("url", "entity_idx", "geom_kind")
     b = extract.dedup_by_precedence(ents).select("url", "entity_idx", "geom_kind")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stateful_sessionize_very_late_event_is_own_session(spark, tmp_path):
+    """An event more than a gap BEFORE the open session's start (ADVICE:
+    previously merged backward into the open session) must be emitted as
+    its own closed one-event session — matching what batch session_stats
+    does with an isolated early event."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(minutes):
+        return (9, t0 + dt.timedelta(minutes=minutes))
+
+    src = str(tmp_path / "vlate_src")
+    schema = "user_id long, ts timestamp"
+    # batch 1: open session at minutes 100, 110
+    spark.createDataFrame([row(100), row(110)], schema).coalesce(1).write.parquet(src)
+    # batch 2: very-late event at minute 0 (>30min before session start)
+    # plus a far event at minute 240 that closes the open session
+    spark.createDataFrame([row(0), row(240)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming.sessionize_stream(stream, gap_seconds=1800.0)
+         .writeStream.format("memory").queryName("vlate_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["n_events"], r["start_ts"], r["end_ts"])
+           for r in spark.sql("SELECT * FROM vlate_mem").collect()}
+    assert got == {
+        (1, t0, t0),                                            # the very-late singleton
+        (2, t0 + dt.timedelta(minutes=100),
+         t0 + dt.timedelta(minutes=110)),                       # the original open session
+    }
