@@ -197,6 +197,44 @@ def candidate_frame(geo_a: DataFrame, geo_b: DataFrame,
             .join(a_text, "a_subject"))
 
 
+def token_set_col(col, stopwords: frozenset = STOP_WORDS):
+    """Column twin of the tokenizer inside ``token_jaccard_jw``:
+    lowercase, word-break split (WORD_BREAK_RE), drop empties and stop
+    words, distinct. Pure JVM array math — the SQL-expressible half of
+    the scoring stage."""
+    toks = F.split(F.lower(col), r"[^0-9a-zA-Z]+")
+    stop = sorted(stopwords)
+    return F.array_distinct(
+        F.filter(toks, lambda x: (x != F.lit("")) & ~x.isin(*stop)))
+
+
+def discover_links_exact(geo_a: DataFrame, geo_b: DataFrame,
+                         meta_a: DataFrame, meta_b: DataFrame,
+                         radius_m: float, threshold: float = BATCH_THRESHOLD,
+                         stopwords: frozenset = STOP_WORDS) -> DataFrame:
+    """Link discovery with JW token equivalence DISABLED: a token pair
+    counts toward the intersection only on exact equality, so the
+    entire flow — candidates, filters, token Jaccard, threshold — is
+    pure Spark SQL (array_intersect/array_union over the token sets)
+    and value-exact oracle-checkable. The reference's JW>0.8 token
+    equivalence (FindLinkServlet.java:497-510) is the superset scorer
+    in ``discover_links`` (Python kernel; exact-value pytest fixtures);
+    this variant is what you deploy when literal vocabularies are clean
+    enough that fuzzy token matching buys nothing — and it never leaves
+    whole-stage codegen."""
+    pairs = candidate_frame(geo_a, geo_b, meta_a, meta_b, radius_m)
+    ta = token_set_col(F.col("a_text"), stopwords)
+    tb = token_set_col(F.col("b_text"), stopwords)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (pairs.withColumn("similarity", sim)
+            .filter(F.col("similarity") > threshold)
+            .select(F.col("a_subject").alias("node_a"),
+                    F.col("b_subject").alias("node_b"),
+                    "similarity", "distance_m"))
+
+
 def discover_links(geo_a: DataFrame, geo_b: DataFrame,
                    meta_a: DataFrame, meta_b: DataFrame,
                    radius_m: float, threshold: float = BATCH_THRESHOLD,

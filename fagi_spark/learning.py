@@ -155,6 +155,44 @@ def predict_actions(model, features: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-coefficient linear scoring — the deploy shape of a trained model
+# ---------------------------------------------------------------------------
+
+def fixed_linear_score(bucket_lookups: dict, linear: dict, bias: float):
+    """Score column for a FROZEN linear model: per-bucket coefficient
+    lookup (the one-hot dot product collapses to ``element_at`` on an
+    inlined coefficient array) plus plain linear terms plus bias. This
+    is what serving a trained liblinear/LinearSVC model looks like at
+    100 TB — coefficients inlined as literals, zero Python, zero
+    shuffle, whole-stage codegen. Training stays in
+    ``train_recommender``/``train_tag_predictor``; the sum is built in
+    dict order, left-associated, so ``sql_fixed_linear_score`` mirrors
+    it term for term (IEEE-identical)."""
+    expr = F.lit(float(bias))
+    for col, arr in bucket_lookups.items():
+        look = F.element_at(F.array(*[F.lit(float(v)) for v in arr]),
+                            F.col(col) + 1)
+        expr = expr + look
+    for col, w in linear.items():
+        expr = expr + F.col(col).cast("double") * F.lit(float(w))
+    return expr
+
+
+def sql_fixed_linear_score(bucket_lookups: dict, linear: dict,
+                           bias: float) -> str:
+    """DuckDB mirror of ``fixed_linear_score`` — identical term order
+    and association; floats inlined via repr() (round-trips to the same
+    double)."""
+    parts = [f"CAST({float(bias)!r} AS DOUBLE)"]
+    for col, arr in bucket_lookups.items():
+        lst = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in arr)
+        parts.append(f"([{lst}])[({col}) + 1]")
+    for col, w in linear.items():
+        parts.append(f"(CAST({col} AS DOUBLE) * CAST({float(w)!r} AS DOUBLE))")
+    return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
 # Tag prediction (TagPredictor.java / TagFeatures.java / OSMRec variant)
 # ---------------------------------------------------------------------------
 

@@ -94,3 +94,44 @@ def test_interactive_threshold_is_stricter(spark):
     b = {(r["node_a"], r["node_b"]) for r in batch.collect()}
     s = {(r["node_a"], r["node_b"]) for r in strict.collect()}
     assert s.issubset(b) and len(s) < len(b)
+
+
+def exact_token_jaccard_py(a, b, stop=discover.STOP_WORDS):
+    """Reference implementation of the JW-disabled score (plain Python)."""
+    ta = {t for t in discover.WORD_BREAK_RE.split((a or "").lower())
+          if t and t not in stop}
+    tb = {t for t in discover.WORD_BREAK_RE.split((b or "").lower())
+          if t and t not in stop}
+    u = len(ta | tb)
+    return len(ta & tb) / u if u else 0.0
+
+
+def test_token_set_col_matches_python_tokenizer(spark):
+    texts = ["The Quick brown-fox", "st. Mary's  Church", "", "the and of",
+             "Caffè 42 http x", "One one ONE two"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(discover.token_set_col(F.col("t")).alias("toks")).collect()
+    for t, r in zip(texts, got):
+        want = {w for w in discover.WORD_BREAK_RE.split(t.lower())
+                if w and w not in discover.STOP_WORDS}
+        assert set(r["toks"]) == want, t
+
+
+def test_discover_links_exact_matches_python_and_bounds_jw(spark):
+    """The SQL-only exact-token variant equals the Python reference
+    score pairwise, and never exceeds the JW-equivalence score (JW
+    admits a superset of token matches)."""
+    geo_a, geo_b, _, meta_a, meta_b = synth.synth_fixture(spark, 120, 80)
+    ga, gb = fuse.prepare_geoms(geo_a), fuse.prepare_geoms(geo_b)
+    pairs = discover.candidate_frame(ga, gb, meta_a, meta_b, radius_m=3000.0)
+    pr = pairs.collect()
+    assert pr, "fixture produced no candidates"
+    exact = {(r["node_a"], r["node_b"]): r["similarity"]
+             for r in discover.discover_links_exact(
+                 ga, gb, meta_a, meta_b, radius_m=3000.0, threshold=-1.0).collect()}
+    for r in pr:
+        key = (r["a_subject"], r["b_subject"])
+        want = exact_token_jaccard_py(r["a_text"], r["b_text"])
+        assert abs(exact[key] - want) < 1e-12, key
+        jw = discover.token_jaccard_jw(r["a_text"], r["b_text"])
+        assert exact[key] <= jw + 1e-12, key
