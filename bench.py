@@ -163,6 +163,31 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("fusion_actions", lambda: contract.QUERIES["fagi_keep_most_points"](spark, sf_dir).count())
     timed("metadata_fusion", lambda: contract.q_metadata_keep_left(spark, sf_dir).count())
 
+    # 2b. LATE_FETCH (the reference's flagship optimization,
+    # Constants.java:19): fuse over RAW-WKT geometry sides where links
+    # reference ~1% of subjects — with late_fetch the semi-join prune
+    # runs BEFORE the Arrow WKT-stats kernel, so only referenced
+    # geometries pay the parse. Both variants timed; the delta is the
+    # evidence (at 100 TB it is the whole gazetteer scan vs 1% of it).
+    from pyspark.sql import functions as F
+    from fagi_spark import fuse as _fuse
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    raw_a = orders.select(
+        F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+        contract._point_wkt((k * 37) % 17000, (k * 53) % 8000).alias("geom_wkt"))
+    raw_b = orders.select(
+        F.concat(F.lit("place"), k.cast("string")).alias("subject"),
+        contract._point_wkt((k * 37) % 17000 + 1, (k * 53) % 8000 + 1).alias("geom_wkt"))
+    sparse_links = orders.filter(k % 100 == 0).select(
+        F.concat(F.lit("way"), k.cast("string")).alias("node_a"),
+        F.concat(F.lit("place"), k.cast("string")).alias("node_b"))
+    timed("fusion_full_fetch",
+          lambda: _fuse.fuse("keep-left", sparse_links, raw_a, raw_b).count())
+    timed("fusion_late_fetch",
+          lambda: _fuse.fuse("keep-left", sparse_links, raw_a, raw_b,
+                             late_fetch=True).count())
+
     # 3. training-data ops on documents/embeddings
     # scale path (xxhash64 family) — the contract query deliberately
     # uses the slower SQL-mirrored poly family for the oracle.

@@ -197,10 +197,12 @@ ACTIONS = {
 
 
 def fuse(action: str, links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
-         **params) -> DataFrame:
+         late_fetch: bool = False, **params) -> DataFrame:
     """GeometryFuser.fuse analog (GeometryFuser.java:106-129): resolve
-    links then apply one registered action set-based (fuseAll shape)."""
-    j = resolve_links(links, geo_a, geo_b)
+    links then apply one registered action set-based (fuseAll shape).
+    ``late_fetch=True`` enables the reference's flagship LATE_FETCH
+    optimization (Constants.java:19) — see resolve_links."""
+    j = resolve_links(links, geo_a, geo_b, late_fetch=late_fetch)
     return ACTIONS[action](j, **params)
 
 

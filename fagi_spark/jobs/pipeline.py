@@ -83,10 +83,15 @@ def run(spark, out: str, n_pages: int, action: str = "keep-most-points",
         observe={"n_links": F.count(F.lit(1))})
     maybe_fail("links")
 
-    # 4. geometry fusion (FAGI action).
+    # 4. geometry fusion (FAGI action). LATE_FETCH (the reference's
+    # flagship optimization, Constants.java:19): links reference a small
+    # fraction of the geocoded entities, so both geometry sides are
+    # semi-join-pruned to linked subjects before the fuse join — at
+    # warehouse scale this is the difference between shuffling the whole
+    # gazetteer and shuffling only what the links touch.
     fused = store.run_stage(
         spark, "fused",
-        lambda: fuse.fuse(action, links, ga, geo_b),
+        lambda: fuse.fuse(action, links, ga, geo_b, late_fetch=True),
         observe={"n_fused": F.count(F.lit(1))})
     maybe_fail("fused")
 
