@@ -65,6 +65,44 @@ def default_sem(words_a: list[str], words_b: list[str]) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def wordnet_sem(words_a: list[str], words_b: list[str]) -> float:
+    """Optional NLTK-WordNet ``sem_fn`` closing the reference's
+    semantic-relatedness term (VirtuosoImporter.java:1971-2050: mean
+    pairwise relatedness over index-word pairs). Uses Wu-Palmer
+    similarity over the best-sense pair per word pair — a published
+    WordNet relatedness measure, the closest public analog of the
+    JWNL relationship-chain score. Falls back to the exact-match
+    component only (1.0 for identical words) when a word is out of
+    vocabulary, matching JWNL's behavior of scoring unknown index
+    words 0 unless equal.
+
+    Requires ``nltk`` + its ``wordnet`` corpus — neither ships in a
+    bare --py-files deployment, so import/lookup errors raise
+    ImportError for the caller to catch; ``schema_match`` keeps
+    ``default_sem`` as the default. Test is skip-if-unavailable."""
+    try:
+        from nltk.corpus import wordnet as wn
+        wn.synsets("water")  # force corpus load; LookupError if absent
+    except (ImportError, LookupError) as e:  # pragma: no cover - env
+        raise ImportError(f"NLTK WordNet unavailable: {e}") from e
+
+    def pair(x: str, y: str) -> float:
+        if x == y:
+            return 1.0
+        best = 0.0
+        for sx in wn.synsets(x):
+            for sy in wn.synsets(y):
+                s = sx.wup_similarity(sy)
+                if s is not None and s > best:
+                    best = s
+        return best
+
+    if not words_a or not words_b:
+        return 0.0
+    total = sum(pair(x, y) for x in words_a for y in words_b)
+    return total / (len(words_a) * len(words_b))
+
+
 def mean_jw(words_a: list[str], words_b: list[str]) -> float:
     """Mean Jaro-Winkler over all word pairs
     (VirtuosoImporter.java:915-933)."""

@@ -128,6 +128,27 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
         "append", GroupStateTimeout.NoTimeout))
 
 
+def compact_entities(spark: SparkSession, sink_path: str,
+                     store=None, stage: str = "entities_compacted") -> DataFrame:
+    """Batch compaction over the streamed entity sink: the GLOBAL
+    precedence dedup that ``micro_batch_dedup`` deliberately defers
+    (a url's entities may span micro-batch files, so per-batch dedup
+    cannot be global). Reads the parquet sink as a batch frame, runs
+    the batch engine's window dedup (WindowGroupLimit — only
+    per-partition winners shuffle), and — when a
+    :class:`~fagi_spark.checkpoint.CheckpointStore` is passed —
+    commits the result as a snapshot so downstream stages resume from
+    the compacted view instead of the raw append log. This closes the
+    loop documented in the module header: stream-then-compact ==
+    batch ``geocode_pages`` exactly (tested)."""
+    ents = spark.read.parquet(sink_path)
+    compacted = extract.dedup_by_precedence(ents)
+    if store is not None:
+        store.commit(compacted, stage)
+        return store.load(spark, stage)
+    return compacted
+
+
 def write_entities(entities: DataFrame, out_path: str, checkpoint: str,
                    trigger_available_now: bool = True):
     """Exactly-once parquet sink; availableNow drains the backlog and

@@ -211,6 +211,31 @@ def test_schema_match_ranks_lexical_twins(spark):
     assert pop["type_compat"] == 1.0  # both int-kind samples
 
 
+def test_wordnet_sem_synonym_pairs(spark):
+    """Optional WordNet sem_fn (§2.9's last semantic gap): synonym-named
+    predicates ('name' vs 'label', 'city' vs 'town') must out-score
+    unrelated pairs — the behavior the word-set-Jaccard default cannot
+    give. Skipped where NLTK WordNet is unavailable (this container)."""
+    try:
+        syn = schema_match.wordnet_sem(["name"], ["label"])
+    except ImportError:
+        pytest.skip("NLTK WordNet not available in this environment")
+    unrelated = schema_match.wordnet_sem(["name"], ["asphalt"])
+    assert syn > unrelated
+    assert schema_match.wordnet_sem(["city"], ["town"]) > 0.8
+    assert schema_match.wordnet_sem(["pop"], ["pop"]) == 1.0
+    # pluggable into the full scorer
+    meta_a = spark.createDataFrame(
+        [("s1", "http://a.org/ont/name", "Alice")],
+        "subject string, predicate string, object string")
+    meta_b = spark.createDataFrame(
+        [("t1", "http://b.org/ont#label", "Bob")],
+        "subject string, predicate string, object string")
+    m = schema_match.match_schemas(spark, meta_a, meta_b,
+                                   sem_fn=schema_match.wordnet_sem).collect()
+    assert m and m[0]["score"] > 0
+
+
 def test_nt_parse_roundtrip_and_rejects(spark):
     lines = spark.createDataFrame(
         [("<http://a/1> <http://www.w3.org/2002/07/owl#sameAs> <http://b/1> .",),

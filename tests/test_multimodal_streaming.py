@@ -75,6 +75,33 @@ def test_streaming_geocode_matches_batch(spark, pages, tmp_path):
     assert diff.count() == 0
 
 
+def test_stream_then_compact_matches_batch_geocode(spark, pages, tmp_path):
+    """The full streaming durability story: micro-batch ingest appends
+    raw entities (no global dedup possible per-batch), then the batch
+    compaction job applies the window precedence dedup and commits a
+    snapshot — result must equal batch geocode_pages exactly."""
+    from fagi_spark import checkpoint
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    pages.write.parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files_per_trigger=1)
+    q = streaming.write_entities(streaming.stream_geocode(stream), out, ckpt)
+    q.awaitTermination(120)
+
+    store = checkpoint.CheckpointStore(str(tmp_path / "cstore"))
+    compacted = streaming.compact_entities(spark, out, store=store)
+    batch = extract.geocode_pages(pages)  # extract + global dedup
+    cols = ["url", "entity_idx", "geom_kind", "geom_wkt"]
+    assert compacted.count() == batch.count()
+    assert compacted.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+    # committed as a resumable snapshot with lineage
+    lin = store.lineage("entities_compacted")
+    assert lin["n_rows"] == batch.count()
+
+
 def test_streaming_tile_rollup(spark, pages, tmp_path):
     src = str(tmp_path / "src2")
     pages.write.parquet(src)
