@@ -223,7 +223,7 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     return result
 
 
-SCALING_LEVELS = (2, 8, 32)
+SCALING_LEVELS = (2, 4, 8, 16, 32)
 SCALING_N_PAGES = 1_500_000
 SCALING_FILLER = 400  # ~2.5 KB pages (Common-Crawl-realistic)
 
@@ -264,13 +264,24 @@ def scaling_run(sf_dir: str, levels=SCALING_LEVELS,
             print(f"pass {p} local[{n}]: {r['pages_per_sec']} pages/sec",
                   file=sys.stderr)
 
+    # N-vs-4N pairs = stride-2 over the level ladder (2->8, 4->16, 8->32)
     rows = []
-    for lo, hi in zip(levels, levels[1:]):
+    lv = list(levels)
+    for lo, hi in zip(lv, lv[2:]):
         speedup = res[hi]["pages_per_sec"] / res[lo]["pages_per_sec"]
         rows.append((lo, hi, n_pages, res[lo], res[hi], speedup, speedup / (hi / lo)))
 
     os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "BENCH", "BASELINE.md")
+    # preserve the hand-maintained sections (headline history etc.)
+    # below the marker across regenerations
+    keep = ""
+    marker = "<!-- manual sections below; scaling_run preserves them -->"
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            keep = old[old.index(marker):]
     with open(path, "w") as f:
         f.write("""# Scaling evidence (north rule: efficiency >= 0.8 between N and 4N)
 
@@ -302,6 +313,34 @@ aggregate memory bandwidth, 4x GC capacity) delivers; the 2-vs-8 pair,
 where the box's bandwidth is not yet the binding constraint, is the
 truer proxy for cluster scale-out. Both are reported unadjusted.
 """)
+        mb_path = os.path.join(os.path.dirname(__file__), "BENCH",
+                               "membench.json")
+        if os.path.exists(mb_path):
+            with open(mb_path) as mf:
+                mb = json.load(mf)
+            f.write("""
+## Host control: no-Spark scaling of memory-bound vs compute-bound kernels
+
+`tools/membench.py` (numpy, separate processes, no JVM/Spark anywhere):
+a STREAM-triad kernel (DRAM-bandwidth-bound, 256 MB arrays) and an
+L1-resident FMA kernel (compute-bound, ~no DRAM traffic), both run at
+the same process counts as the Spark pairs. If the single memory
+controller is what caps the high-thread Spark pair, the triad must
+flatten over the same range while the FMA kernel keeps scaling.
+
+| kernel | """ + " | ".join(f"n={n}" for n in mb["levels"]) +
+                    " | eff 2→8 | eff 4→16 | eff 8→32 |\n")
+            f.write("|---|" + "---|" * (len(mb["levels"]) + 3) + "\n")
+            for kname, unit in (("mem_triad_gbps", "GB/s"),
+                                ("cpu_fma_gflops", "GFLOP/s")):
+                k = mb["kernels"][kname]
+                effs = k["efficiency"]
+                f.write(f"| {kname} ({unit}) | " +
+                        " | ".join(str(k[str(n)]) for n in mb["levels"]) +
+                        f" | {effs['2->8']} | {effs['4->16']} | "
+                        f"{effs['8->32']} |\n")
+        if keep:
+            f.write("\n" + keep)
     print(json.dumps({"pairs": [
         {"levels": [lo, hi], "n_pages": n_pages,
          "pages_per_sec": [rl["pages_per_sec"], rh["pages_per_sec"]],

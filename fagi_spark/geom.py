@@ -224,7 +224,11 @@ def bbox(g: Geometry) -> tuple[float, float, float, float]:
 def _ring_area_centroid(ring: np.ndarray) -> tuple[float, float, float]:
     """Signed area and area-weighted centroid numerator of one ring."""
     x, y = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    # left-rotate via concatenate: same arrays as np.roll(x, -1) with
+    # far less per-call overhead (roll pays normalize_axis machinery;
+    # rings are typically 5 points, so fixed overhead dominates)
+    x2 = np.concatenate((x[1:], x[:1]))
+    y2 = np.concatenate((y[1:], y[:1]))
     cross = x * y2 - x2 * y
     a = cross.sum() / 2.0
     if a == 0.0:
@@ -459,9 +463,24 @@ def geoms_intersect(ga: Geometry | None, gb: Geometry | None) -> bool:
     return bool((np.abs(va[:, None, :] - vb[None, :, :]).sum(axis=2) == 0).any())
 
 
+# fast path for the overwhelmingly-common POINT: one anchored match +
+# two float() parses replaces tokenizer, recursive parser, and three
+# numpy allocations. float() here and float(token) in the general path
+# are the same parse, so all outputs are bit-identical.
+_POINT_FAST = re.compile(r"\s*POINT\s*\(\s*(-?[\d.Ee+-]+)\s+(-?[\d.Ee+-]+)\s*\)\s*\Z")
+
+
 def stats(wkt: str):
     """One-pass per-geometry stats used as precomputed columns:
     (kind, rank, npoints, cx, cy, xmin, ymin, xmax, ymax) or None."""
+    if wkt is not None:
+        m = _POINT_FAST.match(wkt)
+        if m is not None:
+            try:
+                x, y = float(m.group(1)), float(m.group(2))
+            except ValueError:
+                return None
+            return ("POINT", KIND_RANK["POINT"], 1, x, y, x, y, x, y)
     g = parse_wkt(wkt)
     if g is None:
         return None
