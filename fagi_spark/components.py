@@ -1,0 +1,160 @@
+"""Distributed connected components + near-duplicate clustering.
+
+The missing last stage of web-corpus dedup: MinHash/LSH emits candidate
+PAIRS (textops.minhash_candidates), but real crawls contain duplicate
+*clusters* (the same article mirrored on 40 hosts), and keeping one
+canonical document per cluster requires the transitive closure of the
+verified-pair graph. The reference has no analog (it is batch pairwise
+fusion over explicit links); this is the task brief's
+training-data-pipeline surface.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", ACM SoCC 2014 — published literature):
+each round is two groupBy/join passes over the edge list, and the edge
+set converges to per-component stars rooted at the component minimum in
+O(log^2 n) rounds REGARDLESS of graph diameter — the property that
+matters at 100 TB, where naive min-label propagation needs
+O(diameter) rounds and a single 10M-long mirror chain would take 10M
+shuffles. Every pass is a plain DataFrame groupBy + equi-join (shuffle
+on node id, map-side partial min); the driver loop only compares two
+scalar aggregates per round and ``localCheckpoint``s to truncate
+lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import textops
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Drop nulls/self-loops, orient (min, max), distinct."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+    return e.select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(neighborhood of u, u)."""
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (adj.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least("a", "_mn").alias("_m")))
+    return (adj.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; for each node u connect its smaller
+    neighbors (and u itself) to the minimum of them."""
+    hi = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    mins = hi.groupBy("a").agg(F.min("b").alias("_m"))
+    rewired = (hi.join(mins, "a")
+               .filter(F.col("b") != F.col("_m"))
+               .select(F.col("b").alias("a"), F.col("_m").alias("b")))
+    roots = mins.select(F.col("a"), F.col("_m").alias("b"))
+    return rewired.unionByName(roots).distinct()
+
+
+def _edge_digest(e: DataFrame):
+    """(count, hash-sum) — the cheap per-round convergence probe. Two
+    scalar aggregates instead of a full except() shuffle; a false
+    match needs a colliding xxhash64 SUM over the whole edge set
+    (probability ~2^-64 per round, documented trade)."""
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")).first()
+    return row["n"], row["h"]
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25,
+                         nodes: DataFrame | None = None,
+                         node_col: str | None = None) -> DataFrame:
+    """-> (node, component) with component = min node id reachable.
+
+    ``edges`` may contain duplicates, self-loops and either
+    orientation. Nodes appearing in no edge are absent from the result
+    unless a ``nodes`` frame (+ ``node_col``) is passed, in which case
+    isolated nodes map to themselves. Raises after ``max_iter``
+    non-converged rounds (the algorithm needs O(log^2 n); 25 covers
+    any realistic corpus — 2^25 star-halvings)."""
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    digest = _edge_digest(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        d2 = _edge_digest(e2)
+        e = e2
+        if d2 == digest:
+            break
+        digest = d2
+    else:
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_iter} rounds")
+    # converged edge set is per-component stars (node, root<node)
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node"),
+                     F.col("b").alias("component")).distinct()
+    out = members.unionByName(roots)
+    if nodes is not None:
+        assert node_col is not None, "node_col required with nodes"
+        isolated = (nodes.select(F.col(node_col).alias("node")).distinct()
+                    .join(out.select("node"), "node", "left_anti")
+                    .select("node", F.col("node").alias("component")))
+        out = out.unionByName(isolated)
+    return out
+
+
+def verify_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                 text: str = "text", k: int = 3,
+                 threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs: join the
+    two texts onto each pair and compare shingle SETS with
+    array_intersect — per-candidate column math, never a corpus-wide
+    shingle join (candidates are the tiny LSH output; the texts arrive
+    via two hash joins on the doc key). Same Jaccard definition as
+    textops.ngram_jaccard_pairs."""
+    sh = df.select(F.col(key), textops._shingles(F.col(text), k).alias("_sh"))
+    a = sh.select(F.col(key).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(key).alias("id_b"), F.col("_sh").alias("_shb"))
+    j = (pairs.join(a, "id_a").join(b, "id_b")
+         .withColumn("_ni", F.size(F.array_intersect("_sha", "_shb")))
+         .withColumn("jaccard",
+                     F.col("_ni").cast("double")
+                     / (F.size("_sha") + F.size("_shb") - F.col("_ni"))
+                     .cast("double")))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def neardup_clusters(df: DataFrame, key: str = "doc_id", text: str = "text",
+                     num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+                     threshold: float = 0.5,
+                     hash_family: str = "xxhash") -> DataFrame:
+    """The full near-dup clustering pipeline: LSH candidates ->
+    exact-Jaccard verify -> connected components. -> (node, component)
+    over ALL rows of ``df`` (non-duplicated docs are their own
+    singleton component)."""
+    cand = textops.minhash_candidates(df, key, text, num_hashes, bands,
+                                      shingle_k, hash_family)
+    edges = verify_pairs(df, cand, key, text, shingle_k, threshold)
+    return connected_components(edges, "id_a", "id_b",
+                                nodes=df, node_col=key)
+
+
+def dedup_near(df: DataFrame, key: str = "doc_id", text: str = "text",
+               **kwargs) -> DataFrame:
+    """Keep one canonical row (the component-minimum key) per near-dup
+    cluster — the end-to-end Common-Crawl dedup: rows survive iff their
+    key IS their component id (singletons trivially qualify)."""
+    comp = neardup_clusters(df, key, text, **kwargs)
+    keep = (comp.filter(F.col("node") == F.col("component"))
+            .select(F.col("node").alias(key)))
+    return df.join(keep, key, "leftsemi")

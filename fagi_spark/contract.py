@@ -890,6 +890,60 @@ WHERE a.doc_id < b.doc_id"""
 O_MINHASH_CANDIDATES = _o_minhash()
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """End-to-end near-dup CLUSTERING: LSH candidates (poly family) ->
+    exact shingle-Jaccard verify (>= 0.5) -> alternating large-star/
+    small-star connected components (components.py) -> every document
+    labeled with its component id (min doc_id reachable; singletons
+    label themselves). The oracle computes the same edge set in SQL and
+    closes it with a recursive CTE — the iterative Spark algorithm and
+    the declarative closure must agree exactly."""
+    from . import components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    plant = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" extra tail")).alias("text")))
+    aug = docs.unionByName(plant)
+    out = components.neardup_clusters(aug, num_hashes=32, bands=8,
+                                      threshold=0.5, hash_family="poly")
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("component").cast("long").alias("component"))
+
+
+def _o_neardup_clusters() -> str:
+    cand = O_MINHASH_CANDIDATES
+    # reuse the full candidate query as a CTE body (strip its WITH)
+    assert cand.startswith("WITH ")
+    head, select = cand.rsplit("\nSELECT DISTINCT", 1)
+    head = "WITH RECURSIVE " + head[len("WITH "):]
+    return f"""{head},
+cand AS (SELECT DISTINCT{select}),
+n AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.5),
+und AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM aug
+  UNION
+  SELECT r.src, u.v FROM reach r JOIN und u ON u.u = r.dst)
+SELECT CAST(src AS BIGINT) AS node, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src"""
+
+
+O_NEARDUP_CLUSTERS = _o_neardup_clusters()
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints — poly hash family (56 bits) so the packed
     signature is value-exact against the DuckDB mirror; the xxhash64
@@ -2022,6 +2076,7 @@ QUERIES = {
     "doc_ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "doc_minhash_candidates": q_minhash_candidates,
+    "doc_neardup_clusters": q_neardup_clusters,
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
     "fagi_discover_links": q_discover_links,
@@ -2108,6 +2163,7 @@ ORACLES = {
     "mm_image_features": O_MM_IMAGE_FEATURES,
     "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,
     "doc_minhash_candidates": O_MINHASH_CANDIDATES,
+    "doc_neardup_clusters": O_NEARDUP_CLUSTERS,
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,

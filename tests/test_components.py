@@ -1,0 +1,126 @@
+"""Connected components + near-dup clustering (components.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import components, synth, textops
+
+
+def _cc_bruteforce(edges, nodes=()):
+    """Union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    for n in nodes:
+        find(n)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_long_chain(spark):
+    """A 60-node chain converges (log^2 rounds, not diameter rounds)
+    to a single min-rooted component."""
+    edges = [(i, i + 1) for i in range(60)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in components.connected_components(e).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_cc_multi_cluster_dirty_edges(spark):
+    """Duplicates, reversed orientation and self-loops do not change
+    the result; isolated nodes from the nodes frame map to
+    themselves."""
+    edges = [(5, 3), (3, 5), (3, 3), (7, 9), (9, 11), (11, 7), (20, 21)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [3, 5, 7, 9, 11, 20, 21, 99]],
+                                  "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in components.connected_components(
+               e, nodes=nodes, node_col="doc_id").collect()}
+    want = _cc_bruteforce([(a, b) for a, b in edges if a != b],
+                          nodes=[3, 5, 7, 9, 11, 20, 21, 99])
+    assert got == want
+    assert got[99] == 99  # isolated
+
+
+def test_cc_empty_edges(spark):
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in components.connected_components(
+               e, nodes=nodes, node_col="doc_id").collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    import random
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in components.connected_components(e).collect()}
+    want = _cc_bruteforce([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_verify_pairs_matches_corpus_jaccard(spark):
+    """Per-pair verification gives the same jaccard values as the
+    corpus-wide shingle-join operator on the pairs both report."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six"),
+         (4, "completely different words here now")],
+        "doc_id long, text string")
+    all_pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in components.verify_pairs(docs, all_pairs,
+                                            threshold=0.1).collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in textops.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    for k, v in got.items():
+        assert want[k] == v
+    assert (1, 2) in got and (3, 4) not in got
+
+
+def test_neardup_clusters_and_dedup(spark):
+    """Planted duplicate family: base doc + two near-copies cluster
+    together; dedup_near keeps exactly the min id of each cluster and
+    every singleton."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = [(0, base), (1, base + " extra"), (2, "prefix " + base)]
+    rows += [(10 + i, f"unique document number {i} with words " +
+              " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r["node"]: r["component"]
+            for r in components.neardup_clusters(
+                docs, threshold=0.3).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    for i in range(5):
+        assert comp[10 + i] == 10 + i
+    kept = sorted(r["doc_id"]
+                  for r in components.dedup_near(docs, threshold=0.3).collect())
+    assert kept == [0, 10, 11, 12, 13, 14]
+
+
+def test_cc_max_iter_raises(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                              "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        components.connected_components(e, max_iter=1)
