@@ -46,8 +46,17 @@ def resolve_links(links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
     (Constants.java:19; Importer.java:259-287) — semi-join each
     geometry side down to link-referenced subjects BEFORE the Arrow
     WKT-stats kernel, so only referenced geometries pay the parse. A
-    pure plan rewrite (the inner join drops unreferenced rows anyway);
-    decisive when links cover a tiny fraction of a huge gazetteer.
+    pure plan rewrite (the inner join drops unreferenced rows anyway).
+
+    Measured (r3 bench): within THIS lazy plan Catalyst subsumes the
+    optimization on its own — ExtractPythonUDFs defers the WKT-stats
+    eval until after the links join (any join strategy), so unreferenced
+    geometries never parse even with ``late_fetch=False``. The explicit
+    semi-join still matters (a) when the parsed gazetteer is
+    MATERIALIZED (stats-table builds, persist boundaries, sinks — see
+    bench.py ``gazetteer_parse_late_fetch``, ~6.5x at 1% link
+    coverage), and (b) to shrink the shuffled side of a non-broadcast
+    join before the exchange at warehouse scale.
 
     At scale: links is typically the small side -> broadcast it; if all
     sides are large the join shuffles on the subject keys and AQE's

@@ -89,9 +89,13 @@ def main():
         "kernel, so only referenced geometries pay the Python parse "
         "(verified structurally: ArrowEvalPython appears above the "
         f"LeftSemi prune in the tree — arrow@{arrow_first} semi@"
-        f"{semi_first}). With 1%-coverage links at 100 TB this is the "
-        "whole gazetteer parse vs 1% of it; bench.py times both "
-        "variants (fusion_full_fetch vs fusion_late_fetch).")
+        f"{semi_first}). Measured nuance (r3): in the fused LAZY plan "
+        "Catalyst subsumes this on its own — ExtractPythonUDFs defers "
+        "the Arrow eval past the links join, so the explicit prune "
+        "pays off on the MATERIALIZATION path (building/persisting the "
+        "parsed gazetteer: bench.py gazetteer_parse_full vs "
+        "gazetteer_parse_late_fetch, ~6.5x at 1% link coverage) and "
+        "for shrinking a non-broadcast join's exchange at scale.")
 
     # 2. parquet pushdown: bbox viewport over raw parquet
     cust = spark.read.parquet(f"{SF}/customer.parquet")
