@@ -798,6 +798,39 @@ FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.2"""
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-word fraction +
+    top-bigram fraction per document (textops.with_repetition)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    return (textops.with_repetition(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "dup_word_frac", "top_bigram_frac"))
+
+
+O_DOC_REPETITION = """WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ') AS ws
+  FROM d),
+bg AS (
+  SELECT doc_id, CONCAT_WS(' ', ws[i+1], ws[i+2]) AS bg
+  FROM (SELECT doc_id, ws,
+               UNNEST(range(0, GREATEST(LEN(ws) - 1, 0))) AS i
+        FROM toks WHERE LEN(ws) >= 2)),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, MAX(c) AS t, SUM(c) AS tot FROM cnt GROUP BY doc_id)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN LEN(k.ws) > 0
+            THEN 1.0 - CAST(LEN(LIST_DISTINCT(k.ws)) AS DOUBLE)
+                       / CAST(LEN(k.ws) AS DOUBLE)
+            ELSE 0.0 END AS dup_word_frac,
+       COALESCE(CAST(top.t AS DOUBLE) / CAST(top.tot AS DOUBLE), 0.0)
+         AS top_bigram_frac
+FROM toks k LEFT JOIN top ON top.doc_id = k.doc_id"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force dot-product top-5 for the first 5 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2073,6 +2106,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_lang_id": q_doc_lang_id,
+    "doc_repetition": q_doc_repetition,
     "doc_ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "doc_minhash_candidates": q_minhash_candidates,
@@ -2141,6 +2175,7 @@ ORACLES = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
     "doc_lang_id": O_DOC_LANG,
+    "doc_repetition": O_DOC_REPETITION,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "ann_topk": O_ANN_TOPK,
     "fagi_cluster_features": O_CLUSTER_FEATURES,

@@ -139,6 +139,43 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
                            .otherwise(F.lit(0.0))))
 
 
+def with_repetition(df: DataFrame, key: str = "doc_id",
+                    text: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 of the
+    Gopher paper — published repetition heuristics for web-corpus
+    cleaning): per document,
+
+    - ``dup_word_frac``: 1 - distinct words / words (pure array math);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams — explode + two-level groupBy, so the per-doc
+      mode never materializes a per-row map and the shape is one
+      shuffle keyed on (doc, bigram) then (doc): scales to documents of
+      any length with map-side combine.
+
+    Degenerate docs (<2 words, so no bigrams) score 0.0 on
+    ``top_bigram_frac``; empty text scores 0.0 on both."""
+    w = F.split(normalize_text(F.col(text)), " ")
+    n = F.size(w)
+    dup_word = F.when(n > 0,
+                      1.0 - F.size(F.array_distinct(w)).cast("double")
+                      / n.cast("double")).otherwise(F.lit(0.0))
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))).otherwise(
+            F.array().cast("array<string>"))
+    ex = df.select(F.col(key), F.explode(bigrams).alias("_bg"))
+    cnt = ex.groupBy(key, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    top = cnt.groupBy(key).agg(F.max("_c").alias("_top"),
+                               F.sum("_c").alias("_tot"))
+    return (df.join(top, key, "left")
+            .withColumn("dup_word_frac", dup_word)
+            .withColumn("top_bigram_frac",
+                        F.coalesce(F.col("_top").cast("double")
+                                   / F.col("_tot").cast("double"),
+                                   F.lit(0.0)))
+            .drop("_top", "_tot"))
+
+
 def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language marker-token hits;
     'und' when nothing matches. Deterministic tie-break by language code

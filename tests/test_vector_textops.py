@@ -126,3 +126,22 @@ def test_dedup_exact_keeps_min_key(spark):
         "doc_id int, text string")
     kept = sorted(r["doc_id"] for r in textops.dedup_exact(docs).collect())
     assert kept == [2, 9]
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition signals: exact fractions on hand-computable
+    docs, 0.0 on degenerate inputs."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),            # words: 5, distinct 2; bigrams: a b, b a, a b, b a -> top 2/4
+         (2, "x y z w"),              # all distinct; bigrams all unique -> top 1/3
+         (3, "same same same same"),  # dup 3/4; bigrams: 'same same' x3 -> 3/3
+         (4, "solo"),                 # no bigrams
+         (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_word_frac"], r["top_bigram_frac"])
+           for r in textops.with_repetition(docs).collect()}
+    assert got[1] == (1.0 - 2.0 / 5.0, 2.0 / 4.0)
+    assert got[2] == (0.0, 1.0 / 3.0)
+    assert got[3] == (1.0 - 1.0 / 4.0, 1.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5][1] == 0.0
