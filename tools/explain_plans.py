@@ -180,6 +180,22 @@ def main():
         "WindowGroupLimit — per-partition winners only hit the final "
         "shuffle.")
 
+    # 10. connected components: one large-star round over LSH edges
+    from fagi_spark import components
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "id_a long, id_b long")
+    add("connected_components round (large-star)",
+        components._large_star(components._canon_edges(edges, "id_a", "id_b")),
+        ["partial_agg"],
+        "one alternating-star round = a per-node MIN aggregate "
+        "(map-side partial, one shuffle on node id) + an equi-join of "
+        "the mins back onto the adjacency — no Python anywhere, no "
+        "driver-side edge materialization; the driver loop only "
+        "compares two scalar aggregates per round and localCheckpoints "
+        "to cut lineage. O(log^2 n) rounds regardless of component "
+        "diameter (Kiveris et al., SoCC 2014), so a 10M-long mirror "
+        "chain costs ~25 rounds, not 10M.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
