@@ -88,24 +88,172 @@ def _extract_batch(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFra
         "npoints", "lon", "lat", "xmin", "ymin", "xmax", "ymax", *carry])
 
 
+def _extract_wkt_batch(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFrame:
+    """WKT-only extraction for the hybrid engine: the page's WGS84
+    matches were already counted JVM-side, so entity_idx starts at the
+    supplied ``_idx0`` offset (global per-page ordering preserved:
+    lat/long entities first, WKT entities after — Importer.java's scan
+    order)."""
+    rows = []
+    carry_vals = [pdf[c] for c in carry]
+    for url, text, idx0, *extra in zip(pdf["url"], pdf["text"], pdf["_idx0"],
+                                       *carry_vals):
+        if text is None:
+            continue
+        idx = int(idx0)
+        for m in WKT_RE.finditer(text):
+            s = geom.stats(m.group(0))
+            if s is None:
+                continue
+            kind, rank, np_, cx, cy, x0, y0, x1, y1 = s
+            if not (-180.0 <= cx <= 180.0 and -90.0 <= cy <= 90.0):
+                continue
+            rows.append((url, idx, "wkt", m.group(0), kind, rank, np_,
+                         cx, cy, x0, y0, x1, y1, *extra))
+            idx += 1
+    return pd.DataFrame(rows, columns=[
+        "url", "entity_idx", "source", "geom_wkt", "geom_kind", "kind_rank",
+        "npoints", "lon", "lat", "xmin", "ymin", "xmax", "ymax", *carry])
+
+
+def _fmt_col(v):
+    """Column twin of geom._fmt for coordinate doubles: integral values
+    print as integers, the rest as shortest decimal. Exact vs the
+    Python repr for non-integral inputs with <= 10 fractional digits
+    and magnitude >= 1e-4 (repr switches to e-notation below that);
+    pages possibly violating the bound are routed to the arrow kernel
+    by ``_hard_page_cond``, so the hybrid ENGINE has no bound."""
+    dec = F.regexp_replace(F.format_string("%.10f", v), "0+$", "")
+    dec = F.regexp_replace(dec, "\\.$", "")  # 42.0000000000 -> "42."
+    return F.when(v == F.floor(v), v.cast("long").cast("string")).otherwise(dec)
+
+
+def _hard_page_cond():
+    """Cheap textual detector for pages the JVM formatter might not
+    print repr-identically, CONSERVATIVE by design (over-detection just
+    routes a page to the always-correct Arrow kernel): any 11+ digit
+    fractional run, or the '0.0000' prefix every sub-1e-4 decimal
+    coordinate carries (repr e-notation territory). One literal
+    `contains` + one simple rlike — never a pairs re-evaluation."""
+    t = F.col("text")
+    return t.contains("0.0000") | t.rlike(r"\.[0-9]{11}")
+
+
+# Java regex twin of LATLONG_RE ((?i) embedded flag; ASCII \w/\d/\s over
+# the ASCII page corpus — documented unicode-class divergence vs Python)
+_LATLONG_JVM = (r"(?i)\blat\w*[\s:=]+(-?\d{1,2}(?:\.\d+)?)"
+                r"[\s,;]+long\w*[\s:=]+(-?\d{1,3}(?:\.\d+)?)")
+
+def _wkt_keyword_cond():
+    return (F.col("text").isNotNull() &
+            (F.col("text").contains("POINT")
+             | F.col("text").contains("POLYGON")
+             | F.col("text").contains("LINESTRING")))
+
+
+def _latlong_pairs_col():
+    """array<struct<la,lo>> of BOUNDS-KEPT WGS84 matches, in match
+    order — filtering inside the array keeps posexplode's pos equal to
+    the kernel's entity_idx (which increments only for kept matches).
+
+    ONE full-text regex scan (group 0), then the two coordinate groups
+    are re-extracted from each ~30-char match string — matching the
+    Python kernel's single-finditer cost; ``regexp_extract_all`` per
+    group would scan the whole page once per group."""
+    ms = F.regexp_extract_all(F.col("text"), F.lit(_LATLONG_JVM), 0)
+    z = F.transform(ms, lambda m: F.struct(
+        F.regexp_extract(m, _LATLONG_JVM, 1).alias("la"),
+        F.regexp_extract(m, _LATLONG_JVM, 2).alias("lo")))
+    return F.filter(z, lambda p: (
+        (p["la"].cast("double") >= -90.0) & (p["la"].cast("double") <= 90.0)
+        & (p["lo"].cast("double") >= -180.0) & (p["lo"].cast("double") <= 180.0)))
+
+
 def extract_entities(pages: DataFrame, resolutions=cells.RESOLUTIONS,
-                     carry: tuple[str, ...] = ()) -> DataFrame:
+                     carry: tuple[str, ...] = (),
+                     engine: str = "arrow") -> DataFrame:
     """pages(url, text, ...) -> one row per extracted geo-entity with
     precomputed geometry stats and multi-resolution cell ids. ``carry``
     names extra page columns replicated onto each entity row (e.g.
     ``warc_ts`` for the streaming path) — the schema extends itself
-    from the input types."""
+    from the input types.
 
+    ``engine``:
+
+    - ``"arrow"`` (default): the single-pass Arrow kernel — one C-regex
+      scan per page, per-batch vectorization, no JVM expression tree in
+      the per-entity hot path.
+    - ``"hybrid"``: WGS84 lat/long pairs extracted entirely JVM-side
+      (``regexp_extract_all`` + array filter + posexplode) with only
+      WKT-keyword pages entering the Arrow kernel (entity_idx offset by
+      the page's lat/long count; repr-formatting edge pages routed to
+      the full kernel). Row-identical to "arrow" (parity-tested) but
+      MEASURED SLOWER and kept as a documented negative result: the
+      hypothesis was that moving the dominant regex JVM-side would fix
+      the local-mode python-worker oversubscription knee
+      (BENCH/BASELINE.md), but Catalyst's per-entity expression tree
+      (posexplode + per-match group extraction + decimal formatting)
+      costs ~2x the whole vectorized kernel (324 vs 165 core-seconds
+      on 1.5M pages at local[8]) — java.util.regex plus per-row
+      codegen expressions lose to one Arrow batch pipe + C sre here.
+    """
     schema = ENTITY_SCHEMA
     if carry:
         schema += "".join(f", {f.name} {f.dataType.simpleString()}"
                           for f in pages.select(*carry).schema.fields)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _extract_batch(pdf, carry)
+    if engine == "arrow":
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extract_batch(pdf, carry)
 
-    ents = pages.select("url", "text", *carry).mapInPandas(run, schema)
+        ents = pages.select("url", "text", *carry).mapInPandas(run, schema)
+    elif engine == "hybrid":
+        allp = pages.select("url", "text", *carry)
+        # pages that might contain a coordinate the JVM formatter can't
+        # print repr-identically (<1e-4 or >10 fractional digits —
+        # vanishingly rare in web text) take the full Arrow kernel;
+        # everything else takes the JVM fast path. The detector is a
+        # cheap textual over-approximation, so no pairs re-evaluation.
+        hard_cond = _hard_page_cond()
+        hard = allp.filter(F.col("text").isNotNull() & hard_cond)
+
+        def run_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extract_batch(pdf, carry)
+
+        hard_ents = hard.mapInPandas(run_full, schema)
+
+        base = allp.filter(F.col("text").isNotNull() & ~hard_cond)
+        pairs = base.select("url", *carry,
+                            F.posexplode(_latlong_pairs_col())
+                            .alias("entity_idx", "_p"))
+        lon = F.col("_p")["lo"].cast("double")
+        lat = F.col("_p")["la"].cast("double")
+        latlong = pairs.select(
+            "url", F.col("entity_idx").cast("int").alias("entity_idx"),
+            F.lit("wgs84").alias("source"),
+            F.concat(F.lit("POINT ("), _fmt_col(lon), F.lit(" "),
+                     _fmt_col(lat), F.lit(")")).alias("geom_wkt"),
+            F.lit("POINT").alias("geom_kind"),
+            F.lit(geom.KIND_RANK["POINT"]).cast("int").alias("kind_rank"),
+            F.lit(1).cast("int").alias("npoints"),
+            lon.alias("lon"), lat.alias("lat"),
+            lon.alias("xmin"), lat.alias("ymin"),
+            lon.alias("xmax"), lat.alias("ymax"), *carry)
+
+        wkt_pages = (base.filter(_wkt_keyword_cond())
+                     .withColumn("_idx0", F.size(_latlong_pairs_col())))
+
+        def run_wkt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extract_wkt_batch(pdf, carry)
+
+        wkt = (wkt_pages.select("url", "text", "_idx0", *carry)
+               .mapInPandas(run_wkt, schema))
+        ents = latlong.unionByName(wkt).unionByName(hard_ents)
+    else:
+        raise ValueError(f"unknown extraction engine {engine!r}")
     for r in resolutions:
         ents = ents.withColumn(f"cell_r{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
     return ents

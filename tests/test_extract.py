@@ -77,3 +77,32 @@ def test_synth_pages_partition_independent(spark):
     ka = sorted((r["url"], r["text"], r["lang"], r["warc_ts"]) for r in a)
     kb = sorted((r["url"], r["text"], r["lang"], r["warc_ts"]) for r in b)
     assert ka == kb
+
+
+def test_engine_parity_hybrid_vs_arrow(spark):
+    """The JVM-latlong + Arrow-WKT hybrid engine is row-identical to
+    the single-pass Arrow kernel on the synth corpus (all WKT kinds,
+    1-3 entities/page, both serializations) and on adversarial edge
+    pages: integral coords, bounds-violating matches interleaved with
+    kept ones (entity_idx must count only kept), null text, 10-digit
+    fractional coordinates (the hybrid formatting bound)."""
+    pages = synth.synth_pages(spark, 3000, partitions=6)
+    edge = spark.createDataFrame(
+        [("u1", "lat 95.5 long 10.0 junk lat 5 long 7 more lat -2.25 long 181 then lat 0.0000000001 long -0.1234567891"),
+         ("u2", None),
+         ("u3", "lat 42 long -71 geometry POINT (3.5 4) and POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)) end"),
+         ("u4", "POINT (1 2) before lat 1.5 long 2.5"),
+         ("u5", "no geo content at all")],
+        "url string, text string")
+    for df in (pages.select("url", "text"), edge):
+        a = extract.extract_entities(df, engine="arrow")
+        h = extract.extract_entities(df, engine="hybrid")
+        assert a.exceptAll(h).count() == 0
+        assert h.exceptAll(a).count() == 0
+        assert a.count() == h.count()
+    # the kept-only idx rule on u1: 95.5 and 181 are out of bounds
+    got = {(r["entity_idx"], r["geom_wkt"])
+           for r in extract.extract_entities(edge, engine="hybrid")
+           .filter(F.col("url") == "u1").collect()}
+    assert got == {(0, "POINT (7 5)"),
+                   (1, "POINT (-0.1234567891 1e-10)")}
