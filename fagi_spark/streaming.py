@@ -128,6 +128,39 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
         "append", GroupStateTimeout.NoTimeout))
 
 
+def conflate_stream(spark: SparkSession, src_path: str, gazetteer: DataFrame,
+                    out_path: str, checkpoint: str, k_neighbors: int = 1,
+                    radius_m: float = 2000.0,
+                    max_files_per_trigger: int | None = None):
+    """Incremental conflation: as page files land, geocode each
+    micro-batch and kNN-join it against a STATIC prepared gazetteer
+    (``fuse.prepare_geoms(...)`` output, materialized — the broadcast
+    build side), appending matches via ``foreachBatch``.
+
+    Exactly-once without streaming-sink support: each batch overwrites
+    its own ``batch_id=N`` partition directory, so a retried batch
+    replaces rather than duplicates its output (the standard idempotent
+    foreachBatch pattern); readers see the result as one
+    partition-discovered parquet table. Precedence dedup inside a batch
+    is batch-local — the global dedup runs at compaction, as with
+    ``write_entities``. Returns the started query (availableNow)."""
+    from . import joins
+
+    pages = stream_pages(spark, src_path, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ents = extract.extract_entities(batch_df)
+        ents = extract.dedup_by_precedence(ents)
+        ga = ents.select(F.col("url").alias("subject"),
+                         F.col("lon").alias("cx"), F.col("lat").alias("cy"))
+        (joins.knn_join(ga, gazetteer, k_neighbors, radius_m)
+         .write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}"))
+
+    return (pages.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def compact_entities(spark: SparkSession, sink_path: str,
                      store=None, stage: str = "entities_compacted") -> DataFrame:
     """Batch compaction over the streamed entity sink: the GLOBAL

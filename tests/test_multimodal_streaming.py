@@ -75,6 +75,37 @@ def test_streaming_geocode_matches_batch(spark, pages, tmp_path):
     assert diff.count() == 0
 
 
+def test_conflate_stream_matches_batch_knn(spark, pages, tmp_path):
+    """Micro-batch incremental conflation == the batch kNN pipeline on
+    the same corpus (synth urls are unique, so batch-local dedup is
+    global here)."""
+    from fagi_spark import fuse, joins, synth
+
+    src = str(tmp_path / "ksrc")
+    out = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+    pages.write.parquet(src)
+    gb = fuse.prepare_geoms(
+        spark.createDataFrame(synth.gazetteer_pdf(300, "b"))).persist()
+    gb.count()
+
+    q = streaming.conflate_stream(spark, src, gb, out, ckpt,
+                                  k_neighbors=2, radius_m=50000.0,
+                                  max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    ents = extract.geocode_pages(pages)
+    ga = ents.selectExpr("url AS subject", "lon AS cx", "lat AS cy")
+    want = joins.knn_join(ga, gb, 2, 50000.0)
+    cols = ["a_subject", "b_subject", "knn_rank"]
+    assert got.count() == want.count() > 0
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    # multiple micro-batches actually ran (idempotent per-batch dirs)
+    assert got.select("batch_id").distinct().count() > 1
+    gb.unpersist()
+
+
 def test_stream_then_compact_matches_batch_geocode(spark, pages, tmp_path):
     """The full streaming durability story: micro-batch ingest appends
     raw entities (no global dedup possible per-batch), then the batch
