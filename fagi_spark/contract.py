@@ -831,6 +831,38 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
 FROM toks k LEFT JOIN top ON top.doc_id = k.doc_id"""
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus composition report: per (lang, source, word-count decile
+    bucket) — row counts, char totals, exact median word count. The
+    one-pass reporting rollup a training-data pipeline runs before and
+    after every filter stage (one shuffle on the group key; percentile
+    is Spark's exact percentile, mirrored by DuckDB's
+    PERCENTILE_CONT on the same integer inputs)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.coalesce("text", F.lit("")).alias("text"))
+    n_words = F.size(F.split(F.col("text"), " "))
+    bucket = F.floor(n_words / F.lit(10)).cast("long")
+    return (docs.withColumn("_nw", n_words).withColumn("bucket", bucket)
+            .groupBy("lang", "source", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars"),
+                 F.expr("percentile(_nw, 0.5)").alias("median_words")))
+
+
+O_CORPUS_STATS = """WITH d AS (
+  SELECT doc_id, lang, source, COALESCE(text, '') AS text FROM documents),
+w AS (
+  SELECT lang, source, text,
+         LEN(STRING_SPLIT(text, ' ')) AS nw
+  FROM d)
+SELECT lang, source,
+       CAST(FLOOR(nw / 10) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY nw) AS median_words
+FROM w GROUP BY lang, source, FLOOR(nw / 10)"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force dot-product top-5 for the first 5 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2107,6 +2139,7 @@ QUERIES = {
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
+    "doc_corpus_stats": q_corpus_stats,
     "doc_ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "doc_minhash_candidates": q_minhash_candidates,
@@ -2176,6 +2209,7 @@ ORACLES = {
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
     "doc_lang_id": O_DOC_LANG,
     "doc_repetition": O_DOC_REPETITION,
+    "doc_corpus_stats": O_CORPUS_STATS,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "ann_topk": O_ANN_TOPK,
     "fagi_cluster_features": O_CLUSTER_FEATURES,
