@@ -366,20 +366,24 @@ Attribution (round 3, revised on measurement): rounds 1-2 blamed the
 sub-0.8 high-thread pair on single-socket MEMORY BANDWIDTH; the
 membench control below FALSIFIES that — the DRAM-bound triad scales
 8->32 at 0.86 with 226 GB/s of headroom. What the measurements do
-show: (a) even on a quiet box the pipeline saturates near 16 threads
-(local[16] ~= local[32]); (b) Spark stage metrics put the inflation
-JVM-side — executor cpuTime on the extract stage grows 5.4x from
-local[8] to local[32] for identical work and identical kernel code,
-with GC under 5% of it; (c) the pure-CPU no-Spark control
-itself only reaches 0.76 at 8->32 on this VM. Together: one JVM
-driving 32 task threads PLUS 32 Arrow-piped Python workers
-oversubscribes the 32 hardware threads ~2:1 during the overlapped
-extract stage, and that contention (not bandwidth, not GC) is the
-binding constraint. A real 8->32 EXECUTOR scale-out multiplies JVMs,
-pipes and GC along with cores and sizes executors so Python workers
-have dedicated slots — none of this contention replicates there. The
-2->8 (0.90) and 4->16 (0.79) pairs, below the oversubscription knee,
-are the truer cluster proxies. All numbers reported unadjusted.
+show: (a) Spark stage metrics put the inflation JVM-side — executor
+cpuTime on the extract stage grows 5.4x from local[8] to local[32]
+for identical work and identical kernel code, with GC under 5% of it;
+(b) the pure-CPU no-Spark control itself only reaches 0.76 at 8->32
+on this VM; (c) the knee is SENSITIVE TO ARROW BATCH SIZE — dropping
+maxRecordsPerBatch 5000 -> 2500 (now the session default) won an
+interleaved A/B at local[32] in all three rounds and lifted the
+32-thread best from 83k to 134k pages/sec, i.e. with one JVM driving
+32 task threads PLUS 32 Arrow-piped Python workers on 32 hardware
+threads (~2:1 oversubscription during the overlapped extract stage),
+smaller batches keep both sides of the pipe cache-resident and cut
+the latency each blocked JVM thread adds. The residual 0.59 vs the
+host's own 0.76 pure-CPU ceiling is this oversubscription contention
+— not bandwidth, not GC. A real 8->32 EXECUTOR scale-out multiplies
+JVMs, pipes and GC along with cores and sizes executors so Python
+workers have dedicated slots; none of this contention replicates
+there, which the below-the-knee pairs (2->8 at 0.90, 4->16 at 0.79)
+proxy more truly. All numbers reported unadjusted.
 """)
         mb_path = os.path.join(os.path.dirname(__file__), "BENCH",
                                "membench.json")

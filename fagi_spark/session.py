@@ -27,13 +27,13 @@ def get_spark(app: str = "fagi_spark", master: str | None = None,
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         # 5000-row Arrow batches: measured ~15% faster than 10000 on
-         # the 32-thread extraction pipeline (smaller batches stay
-         # cache-resident under full-core memory contention; 2500 was
-         # marginally faster still but doubles per-batch overhead for
-         # wider kernels). Interleaved min-of-2 at 1.5M pages:
-         # 2500=9.1s, 5000=9.5s, 10000=10.9s.
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+         # 2500-row Arrow batches: r3 interleaved A/B at local[32]
+         # (3 rounds, each pairing in the same noise epoch) had 2500
+         # beat 5000 in every round — 96.2/120.0/126.4k vs
+         # 72.3/93.0/115.0k pages/sec — confirming r2's "marginally
+         # faster" note; smaller batches stay cache-resident under
+         # full-core contention and cut per-batch python latency.
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2500")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.ui.enabled", "false"))
