@@ -309,6 +309,13 @@ def scaling_run(sf_dir: str, levels=SCALING_LEVELS,
     os.makedirs(os.path.dirname(state_path), exist_ok=True)
     with open(state_path, "w") as f:
         json.dump({"n_pages": n_pages, "pages_per_sec": merged}, f, indent=1)
+    missing = [n for n in levels if str(n) not in merged]
+    if missing:
+        # regen-only run with no/stale state (fresh clone, or corpus
+        # size changed): nothing to tabulate for these levels
+        print(json.dumps({"error": "no stored samples for levels",
+                          "missing": missing, "state": state_path}))
+        return
     for n in levels:
         res[n] = {"pages_per_sec": merged[str(n)]}
 
@@ -364,13 +371,18 @@ confound engine scaling with someone else's workload.
 
 Attribution (round 3, revised on measurement): rounds 1-2 blamed the
 sub-0.8 high-thread pair on single-socket MEMORY BANDWIDTH; the
-membench control below FALSIFIES that — the DRAM-bound triad scales
-8->32 at 0.86 with 226 GB/s of headroom. What the measurements do
+membench control below FALSIFIES that on absolute terms — the box
+sustains 200+ GB/s of DRAM traffic at 32 processes while the
+pipeline at its 134k pages/sec best moves only a few GB/s (~2.5 KB
+pages + entity intermediates), one to two PERCENT of capacity, so
+bandwidth cannot be the binding constraint regardless of where the
+triad's own efficiency lands in a given epoch. What the measurements
+do
 show: (a) Spark stage metrics put the inflation JVM-side — executor
 cpuTime on the extract stage grows 5.4x from local[8] to local[32]
 for identical work and identical kernel code, with GC under 5% of it;
-(b) the pure-CPU no-Spark control itself only reaches 0.76 at 8->32
-on this VM; (c) the knee is SENSITIVE TO ARROW BATCH SIZE — dropping
+(b) the pure-CPU no-Spark control itself falls well short of linear
+at 8->32 on this VM (~0.76 measured r3, see table); (c) the knee is SENSITIVE TO ARROW BATCH SIZE — dropping
 maxRecordsPerBatch 5000 -> 2500 (now the session default) won an
 interleaved A/B at local[32] in all three rounds and lifted the
 32-thread best from 83k to 134k pages/sec, i.e. with one JVM driving
@@ -378,7 +390,7 @@ interleaved A/B at local[32] in all three rounds and lifted the
 threads (~2:1 oversubscription during the overlapped extract stage),
 smaller batches keep both sides of the pipe cache-resident and cut
 the latency each blocked JVM thread adds. The residual 0.59 vs the
-host's own 0.76 pure-CPU ceiling is this oversubscription contention
+host's own pure-CPU ceiling is this oversubscription contention
 — not bandwidth, not GC. A real 8->32 EXECUTOR scale-out multiplies
 JVMs, pipes and GC along with cores and sizes executors so Python
 workers have dedicated slots; none of this contention replicates
@@ -396,12 +408,15 @@ proxy more truly. All numbers reported unadjusted.
 `tools/membench.py` (numpy, separate processes, no JVM/Spark anywhere):
 a STREAM-triad kernel (DRAM-bandwidth-bound, 256 MB arrays) and an
 L1-resident FMA kernel (compute-bound, ~no DRAM traffic), both run at
-the same process counts as the Spark pairs. If the single memory
-controller capped the high-thread Spark pair, the triad would flatten
-over the same range — it does not (8->32 eff 0.86, 226 GB/s aggregate
-at 32), which falsifies the round-1/2 bandwidth attribution; the
-pure-CPU kernel's own 0.76 at 8->32 sets this VM's host-side scaling
-ceiling for ANY 32-process workload.
+the same process counts as the Spark pairs. The decisive control
+number is ABSOLUTE: the triad sustains 200+ GB/s aggregate at 32
+processes, while the Spark pipeline's own DRAM demand is a few GB/s —
+1-2% of capacity — so the round-1/2 bandwidth attribution is
+falsified whatever the triad's per-epoch efficiency ratio (it swings
+0.60-0.86 at 8->32 across invocations with the same host noise that
+moves the Spark numbers); the pure-CPU kernel's own sub-linear 8->32
+sets this VM's host-side scaling ceiling for ANY 32-process
+workload.
 
 | kernel | """ + " | ".join(f"n={n}" for n in mb["levels"]) +
                     " | eff 2→8 | eff 4→16 | eff 8→32 |\n")

@@ -139,12 +139,22 @@ class CheckpointStore:
                 # Every writer holds the lock across replace->publish,
                 # so an id > LATEST dir observed WITH the lock held can
                 # only be a dead writer's orphan (its stale lock was
-                # broken above) — safe to repair. Residual hazard: a
-                # writer paused >stale_s inside the replace->publish
-                # window loses its lock; that is the known limit of
-                # lock-breaking (Iceberg's optimistic commit is the
-                # real-deployment answer).
-                shutil.rmtree(final)
+                # broken above) — repairable. Guard actually enforced:
+                # the orphan must be OLDER than our own staging write;
+                # a FRESHER dir means a paused-but-alive writer lost
+                # its lock to staleness mid-publish, and destroying its
+                # just-renamed data would be the silent loss this lock
+                # exists to prevent — claim the next id instead.
+                try:
+                    orphan_fresh = (os.path.getmtime(final)
+                                    >= os.path.getmtime(staging))
+                except OSError:
+                    orphan_fresh = True  # can't prove it's old: keep it
+                if orphan_fresh:
+                    snap_id += 1
+                    final = os.path.join(d, f"snap_{snap_id}")
+                else:
+                    shutil.rmtree(final)
             last_err = None
             for _ in range(5):
                 try:
@@ -186,6 +196,12 @@ class CheckpointStore:
         unlinks)."""
         deadline = time.time() + timeout_s
         while True:
+            if time.time() > deadline:
+                # checked FIRST so no error path below can skip it
+                # (a persistently unreadable lock file must raise, not
+                # busy-spin forever)
+                raise TimeoutError(
+                    f"commit lock {lock_path} held for >{timeout_s}s")
             try:
                 fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, str(os.getpid()).encode())
@@ -204,13 +220,22 @@ class CheckpointStore:
                             pass  # alive, other uid
                     if holder_dead or (os.path.getmtime(lock_path)
                                        < time.time() - stale_s):
-                        os.unlink(lock_path)  # dead/stale holder
+                        # break the dead/stale lock ATOMICALLY: rename
+                        # to a unique name, then unlink the renamed
+                        # file. Exactly one waiter wins the rename;
+                        # every other waiter's rename/stat raises
+                        # ENOENT and loops — unlike a bare unlink,
+                        # this can never delete a DIFFERENT waiter's
+                        # freshly created lock (the old TOCTOU race:
+                        # two waiters both judge the holder dead, one
+                        # re-locks, the other's queued unlink removed
+                        # the live lock).
+                        broken = f"{lock_path}.broken.{os.getpid()}"
+                        os.rename(lock_path, broken)
+                        os.unlink(broken)
                         continue
                 except OSError:
-                    continue  # holder released between stat and unlink
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"commit lock {lock_path} held for >{timeout_s}s")
+                    pass  # holder released / another waiter broke it
                 time.sleep(0.05)
 
     def load(self, spark: SparkSession, stage: str,

@@ -63,8 +63,14 @@ def resolve_links(links: DataFrame, geo_a: DataFrame, geo_b: DataFrame,
     skew-join splitting handles residual imbalance (hot subjects are
     rare — hot *cells* are handled in joins.py instead)."""
     if late_fetch:
-        ref_a = F.broadcast(links.select(F.col("node_a").alias("subject")).distinct())
-        ref_b = F.broadcast(links.select(F.col("node_b").alias("subject")).distinct())
+        # no forced broadcast hint: the distinct link-subject set is
+        # usually small (size-based planning + AQE pick a broadcast
+        # semi-join on their own), but links grow with the corpus and a
+        # mandatory F.broadcast() of a multi-GB subject set would OOM
+        # the driver at exactly the scale late_fetch exists for — there
+        # the planner's shuffle semi-join is the right physical shape.
+        ref_a = links.select(F.col("node_a").alias("subject")).distinct()
+        ref_b = links.select(F.col("node_b").alias("subject")).distinct()
         geo_a = geo_a.join(ref_a, "subject", "leftsemi")
         geo_b = geo_b.join(ref_b, "subject", "leftsemi")
     a = prepare_geoms(geo_a)

@@ -152,8 +152,15 @@ def predicate_inventory(meta: DataFrame, sample: int = PROPERTY_MATCH_SAMPLE):
     ``collect_list`` array that would OOM the executor. The subsequent
     ``collect_list("kind")`` is bounded by construction (<= sample).
     Dominant-kind ties break by kind name (deterministic across
-    processes — a bare ``max(set(...))`` varies with str hash seed)."""
-    rows = (kind_inventory(meta, sample)
+    processes — a bare ``max(set(...))`` varies with str hash seed).
+
+    NULL objects are excluded BEFORE sampling: they sort first under
+    the window's ascending order, so a predicate with a handful of
+    NULLs plus millions of word values would otherwise sample only
+    NULLs and flip its dominant kind to 'text' (the pre-r2
+    collect_list path dropped NULLs implicitly; this preserves that
+    semantics)."""
+    rows = (kind_inventory(meta.filter(F.col("object").isNotNull()), sample)
             .groupBy("predicate")
             .agg(F.collect_list("kind").alias("kinds"))
             .collect())

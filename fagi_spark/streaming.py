@@ -93,27 +93,62 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
         else:
             start_s, last_s, n = None, None, 0
         closed = []
+        # very-late events (more than a gap BEFORE the open session's
+        # start) sessionize among THEMSELVES (vstart/vlast/vn): batch
+        # session_stats would group consecutive very-late events into
+        # one earlier session, not singletons. Resolution is deferred
+        # to the end of the batch because a later moderately-late event
+        # can lower start_s enough that the very-late run belongs to
+        # the open session after all (the batch is ascending, so
+        # start_s only moves down and the final comparison is the
+        # right one).
+        vstart = vlast = None
+        vn = 0
+
+        def resolve_vrun(cur_start, cur_n):
+            """Fold the pending very-late run into the current open
+            session when its tail lands within one gap of the (possibly
+            lowered) session start; otherwise emit it as its own closed
+            session. Returns the adjusted (start, n)."""
+            nonlocal vstart, vlast, vn
+            if vstart is not None:
+                if cur_start is not None and cur_start - vlast <= gap_seconds:
+                    cur_start = min(cur_start, vstart)
+                    cur_n += vn
+                else:
+                    closed.append((key[0], vn, vstart, vlast))
+                vstart, vlast, vn = None, None, 0
+            return cur_start, cur_n
+
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
         for t in batch[ts]:
             t_s = t.timestamp()
             if start_s is None:
                 start_s, last_s, n = t_s, t_s, 1
             elif t_s - last_s > gap_seconds:
+                # the open session is closing: first fold any pending
+                # very-late run into it (or emit the run separately) —
+                # resolution cannot wait for batch end because the
+                # session it belongs with is being emitted NOW
+                start_s, n = resolve_vrun(start_s, n)
                 closed.append((key[0], n, start_s, last_s))
                 start_s, last_s, n = t_s, t_s, 1
             elif t_s < start_s - gap_seconds:
-                # very-late event: more than a gap BEFORE the open
-                # session's start. Batch session_stats would see it as
-                # its own earlier closed session — emit it as such
-                # rather than stretching the open session backward
-                # (which would break stream==batch parity).
-                closed.append((key[0], 1, t_s, t_s))
+                if vstart is None:
+                    vstart, vlast, vn = t_s, t_s, 1
+                elif t_s - vlast > gap_seconds:
+                    closed.append((key[0], vn, vstart, vlast))
+                    vstart, vlast, vn = t_s, t_s, 1
+                else:
+                    vlast = max(vlast, t_s)
+                    vn += 1
             else:
                 # a moderately-late cross-batch event may sort before
                 # the open session's bounds — extend within one gap
                 start_s = min(start_s, t_s)
                 last_s = max(last_s, t_s)
                 n += 1
+        start_s, n = resolve_vrun(start_s, n)
         state.update((start_s, last_s, n))
         if closed:
             yield pd.DataFrame({

@@ -297,3 +297,56 @@ def test_stateful_sessionize_very_late_event_is_own_session(spark, tmp_path):
         (2, t0 + dt.timedelta(minutes=100),
          t0 + dt.timedelta(minutes=110)),                       # the original open session
     }
+
+
+def test_stateful_sessionize_very_late_run_groups_and_merges(spark, tmp_path):
+    """Code-review r3: (a) consecutive very-late events within one gap
+    of each other must form ONE earlier session, not singletons;
+    (b) a very-late run ending within a gap of the open session's
+    start must merge into it — both matching batch session_stats over
+    the full event stream."""
+    import datetime as dt
+
+    from fagi_spark import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(minutes, user=9):
+        return (user, t0 + dt.timedelta(minutes=minutes))
+
+    src = str(tmp_path / "vrun_src")
+    schema = "user_id long, ts timestamp"
+    # user 9: open session at 100,110; very-late RUN at 0,10 (one
+    #   session), then closer at 240.
+    # user 7: open session at 100; very-late run at 50,80 — 80 is
+    #   within one gap (30min) of 100, so the whole run MERGES into
+    #   the open session; closer at 300.
+    spark.createDataFrame([row(100), row(110), row(100, 7)], schema) \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([row(0), row(10), row(240),
+                           row(50, 7), row(80, 7), row(300, 7)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming.sessionize_stream(stream, gap_seconds=1800.0)
+         .writeStream.format("memory").queryName("vrun_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"], r["start_ts"], r["end_ts"])
+           for r in spark.sql("SELECT * FROM vrun_mem").collect()}
+    m = dt.timedelta
+    assert got == {
+        (9, 2, t0, t0 + m(minutes=10)),                   # grouped run
+        (9, 2, t0 + m(minutes=100), t0 + m(minutes=110)),  # open closed by 240
+        (7, 3, t0 + m(minutes=50), t0 + m(minutes=100)),   # run merged into open
+    }
+    # exact batch twin over the SAME full event set
+    allrows = [row(100), row(110), row(0), row(10), row(240),
+               row(100, 7), row(50, 7), row(80, 7), row(300, 7)]
+    batch = {(r["user_id"], r["n_events"], r["start_ts"], r["end_ts"])
+             for r in ev.session_stats(
+                 spark.createDataFrame(allrows, schema), gap_seconds=1800.0)
+             .collect()}
+    # batch also reports the still-open trailing sessions (240 / 300)
+    assert got <= batch

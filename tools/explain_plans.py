@@ -81,6 +81,13 @@ def main():
     # link-referenced subjects before any parse
     arrow_first = lf_text.find("ArrowEvalPython")
     semi_first = lf_text.find("LeftSemi")
+    if not (0 <= arrow_first < semi_first):
+        # enforced, not just narrated: formatted plans print parents
+        # before children, so the Arrow eval must appear before (above)
+        # the semi prune or the LATE_FETCH structure has regressed
+        raise SystemExit(
+            f"LATE_FETCH structural check failed: ArrowEvalPython@"
+            f"{arrow_first} vs LeftSemi@{semi_first}")
     add("flagship_join LATE_FETCH (J2, Constants.java:19)", lf_plan,
         ["left_semi_prune", "broadcast_join"],
         "the reference's flagship optimization: both RAW-WKT geometry "

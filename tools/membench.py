@@ -52,8 +52,10 @@ def _mem_worker(q):
         np.multiply(c, 0.5, out=a)
         np.add(a, b, out=a)
     dt = time.perf_counter() - t0
-    # triad moves 3 arrays/iter (read b, read c, write a)
-    gb = MEM_ITERS * 3 * MEM_N * 8 / 1e9
+    # the two-ufunc form moves FIVE array traversals per iteration:
+    # multiply reads c + writes a (2), add reads a,b + writes a (3) —
+    # not the 3 of a fused single-pass STREAM triad (numpy can't fuse)
+    gb = MEM_ITERS * 5 * MEM_N * 8 / 1e9
     q.put(gb / dt)
 
 
