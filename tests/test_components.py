@@ -119,6 +119,27 @@ def test_neardup_clusters_and_dedup(spark):
     assert kept == [0, 10, 11, 12, 13, 14]
 
 
+def test_cc_randomized_many_seeds_match_union_find(spark):
+    """Randomized parity sweep (SURVEY §5.5 style): across graph shapes
+    — sparse, dense, chain-heavy, star-heavy — the star-contraction
+    result equals union-find exactly."""
+    import random
+    for seed, n_nodes, n_edges in [(1, 30, 10), (2, 50, 120), (3, 80, 40),
+                                   (4, 120, 60), (5, 25, 300)]:
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(n_nodes), rnd.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        if seed == 3:  # chain-heavy: splice in long paths
+            edges += [(i, i + 1) for i in range(0, 70)]
+        if seed == 4:  # star-heavy: one hub
+            edges += [(0, i) for i in range(60, 110)]
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in components.connected_components(e).collect()}
+        want = _cc_bruteforce([(a, b) for a, b in edges if a != b])
+        assert got == want, f"seed {seed}"
+
+
 def test_cc_max_iter_raises(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(40)],
                               "id_a long, id_b long")
