@@ -155,6 +155,71 @@ def cell_bbox_wkt(df: DataFrame, res: int, cell: str = "cell",
         f("x0"), F.lit(" "), f("y0"), F.lit("))")))
 
 
+def tile_pyramid(df: DataFrame, base_res: int = 13,
+                 levels: tuple[int, ...] = (10, 7),
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Multi-resolution tile pyramid: per-cell point counts at
+    ``base_res`` plus every coarser level in ``levels`` — the
+    map-tiling rollup behind the reference's multi-zoom map panel
+    (OSMController.js zoom levels over the PostGIS-clustered geometry,
+    schema.sql:38-39) and the north-star's "cells at multiple
+    resolutions".
+
+    Scale shape: raw rows shuffle ONCE — the base-resolution groupBy
+    (map-side combine, so each partition sends at most one row per
+    distinct base cell). Every coarser level is derived from that
+    already-tiny aggregate by exact integer shifts of (ix, iy)
+    (parent cell = child indices >> Δres), never from raw rows; at
+    100 TB the coarse levels cost ~nothing and the pyramid never
+    rescans the input. All arithmetic is integer and mirrored in SQL
+    by ``sql_tile_pyramid`` for the value-exact oracle."""
+    if any(r >= base_res for r in levels):
+        raise ValueError("levels must all be coarser than base_res")
+    b = with_cell(df, base_res, lon=lon, lat=lat)
+    base = b.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_points"))
+    out = base.select(
+        F.lit(base_res).cast("long").alias("res"),
+        pack_cell(F.col("ix"), F.col("iy"), base_res).alias("cell"),
+        F.col("n_points"))
+    for rc in levels:
+        d = base_res - rc
+        lvl = (base.groupBy(F.shiftright(F.col("ix"), d).alias("cix"),
+                            F.shiftright(F.col("iy"), d).alias("ciy"))
+                   .agg(F.sum("n_points").alias("n_points"))
+                   .select(F.lit(rc).cast("long").alias("res"),
+                           pack_cell(F.col("cix"), F.col("ciy"), rc).alias("cell"),
+                           F.col("n_points")))
+        out = out.unionByName(lvl)
+    return out
+
+
+def sql_tile_pyramid(lon_expr: str, lat_expr: str, from_clause: str,
+                     base_res: int = 13,
+                     levels: tuple[int, ...] = (10, 7)) -> str:
+    """DuckDB mirror of ``tile_pyramid``: same base (ix, iy) grid
+    expressions, same integer-shift parent derivation (``// 2^d`` ==
+    shiftright for the non-negative indices), same pack formula."""
+    parts = [
+        f"pts AS (SELECT {sql_ix(lon_expr, base_res)} AS ix, "
+        f"{sql_iy(lat_expr, base_res)} AS iy {from_clause})",
+        "base AS (SELECT ix, iy, COUNT(*) AS n_points FROM pts GROUP BY ix, iy)",
+    ]
+    sel = [
+        f"SELECT CAST({base_res} AS BIGINT) AS res, "
+        f"CAST({base_res} * {1 << _RES_SHIFT} + ix * {1 << base_res} + iy AS BIGINT) AS cell, "
+        f"CAST(n_points AS BIGINT) AS n_points FROM base"
+    ]
+    for rc in levels:
+        d = base_res - rc
+        sel.append(
+            f"SELECT CAST({rc} AS BIGINT) AS res, "
+            f"CAST({rc} * {1 << _RES_SHIFT} + (ix // {1 << d}) * {1 << rc} "
+            f"+ (iy // {1 << d}) AS BIGINT) AS cell, "
+            f"CAST(SUM(n_points) AS BIGINT) AS n_points "
+            f"FROM base GROUP BY ix // {1 << d}, iy // {1 << d}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def bbox_cells_range(res: int, xmin: float, ymin: float, xmax: float, ymax: float):
     """Inclusive (ix0, ix1, iy0, iy1) index ranges covering a bbox — the
     viewport prefilter (BatchFindLinkServlet.java:395-417) as partition

@@ -480,6 +480,23 @@ FROM c"""
 O_CELL_BOUNDS = _o_cell_bounds()
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
+    points — per-cell counts at every zoom level, coarser levels
+    derived from the finest aggregate by exact integer shifts (one
+    raw-row shuffle total; see cells.tile_pyramid)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.tile_pyramid(a, base_res=13, levels=(10, 7))
+
+
+O_TILE_PYRAMID = f"""WITH {GEO_A_CTE},
+{cells.sql_tile_pyramid("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                        "FROM geo_a WHERE kind = 'POINT'",
+                        base_res=13, levels=(10, 7)).removeprefix("WITH ")}"""
+
+
 def q_rasterize_polygons(spark, sf_dir):
     """Vector->raster: center-sample rasterization of the B squares at
     res 13 — the real ray-cast kernel runs; the oracle mirrors it with
@@ -2034,6 +2051,36 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM sess GROUP BY user_id, session_id"""
 
 
+def q_events_user_sessions(spark, sf_dir):
+    """Per-user session-duration stats (30-min gap): session count,
+    event count, sum/max session duration in exact integer micros."""
+    from . import events as ev
+    return ev.user_session_summary(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_USER_SESSIONS = """WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+FROM per_sess GROUP BY user_id"""
+
+
 def q_mm_html_decode(spark, sf_dir):
     """Multimodal: html binary -> text, asserting the byte-identical
     text-per-url invariant inline (mismatch count must be 0)."""
@@ -2124,6 +2171,7 @@ QUERIES = {
     "fagi_bbox_viewport": q_bbox_viewport,
     "fagi_unlinked_viewport": q_unlinked_viewport,
     "fagi_tile_assign": q_tile_assign,
+    "fagi_tile_pyramid": q_tile_pyramid,
     "fagi_cell_join": q_cell_join,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
@@ -2173,6 +2221,7 @@ QUERIES = {
     "fagi_metadata_chain_keep": q_metadata_chain_keep,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
+    "events_user_sessions": q_events_user_sessions,
     "fagi_serialization_probe": q_serialization_probe,
 }
 
@@ -2194,6 +2243,7 @@ ORACLES = {
     "fagi_bbox_viewport": O_BBOX_VIEWPORT,
     "fagi_unlinked_viewport": O_UNLINKED_VIEWPORT,
     "fagi_tile_assign": O_TILE_ASSIGN,
+    "fagi_tile_pyramid": O_TILE_PYRAMID,
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
@@ -2228,6 +2278,7 @@ ORACLES = {
     "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
+    "events_user_sessions": O_EVENTS_USER_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,
     "mm_image_features": O_MM_IMAGE_FEATURES,
     "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,

@@ -59,3 +59,25 @@ def session_stats(events: DataFrame, gap_seconds: float = 1800.0,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min(ts).alias("start_ts"),
                  F.max(ts).alias("end_ts")))
+
+
+def user_session_summary(events: DataFrame, gap_seconds: float = 1800.0,
+                         ts: str = "ts", user: str = "user_id") -> DataFrame:
+    """Per-user session-duration rollup on top of ``session_stats``:
+    number of sessions, total events, and sum/max session duration.
+
+    Durations are integer microseconds (``unix_micros(end) -
+    unix_micros(start)``) so every aggregate is exact long arithmetic —
+    order-independent and bit-identical to the SQL oracle. Two shuffles
+    total, both on the user key (the second groupBy reuses the
+    sessionize partitioning's key family, so AQE can often collapse the
+    exchange)."""
+    s = session_stats(events, gap_seconds, ts, user)
+    dur = (F.unix_micros(F.col("end_ts").cast("timestamp"))
+           - F.unix_micros(F.col("start_ts").cast("timestamp")))
+    return (s.withColumn("dur_us", dur)
+            .groupBy(user)
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.sum("dur_us").alias("sum_dur_us"),
+                 F.max("dur_us").alias("max_dur_us")))

@@ -126,3 +126,35 @@ def test_unpack_exact_at_max_res(spark):
         cells.unpack_iy(F.col("cell"), res).alias("iy2"))
     for r in back.collect():
         assert (r["ix2"], r["iy2"]) == (r["ix"], r["iy"])
+
+
+def test_tile_pyramid_invariants(spark):
+    import random
+    rng = random.Random(7)
+    pts = [(rng.uniform(-179, 179), rng.uniform(-89, 89)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    pyr = cells.tile_pyramid(df, base_res=13, levels=(10, 7)).collect()
+    by_res = {}
+    for r in pyr:
+        by_res.setdefault(r.res, {})[r.cell] = r.n_points
+    # every level accounts for every input point
+    assert set(by_res) == {13, 10, 7}
+    for res, cellmap in by_res.items():
+        assert sum(cellmap.values()) == len(pts)
+        assert all(c >> 58 == res for c in cellmap)
+    # parent count == sum of its children (exact integer-shift lineage)
+    for child_res, parent_res in [(13, 10), (10, 7)]:
+        d = child_res - parent_res
+        rolled = {}
+        for c, n in by_res[child_res].items():
+            ix = (c - (child_res << 58)) >> child_res
+            iy = (c - (child_res << 58)) % (1 << child_res)
+            pc = (parent_res << 58) | ((ix >> d) << parent_res) | (iy >> d)
+            rolled[pc] = rolled.get(pc, 0) + n
+        assert rolled == by_res[parent_res]
+
+
+def test_tile_pyramid_rejects_finer_levels():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cells.tile_pyramid(None, base_res=10, levels=(13,))
