@@ -695,6 +695,44 @@ SELECT MD5(text) AS content_hash,
 FROM aug GROUP BY MD5(text) HAVING COUNT(*) > 1"""
 
 
+def q_doc_latest_capture(spark, sf_dir):
+    """As-of dedup over repeated captures (textops.latest_capture):
+    each document gets 1 + doc_id % 3 deterministic captures with
+    strictly increasing warc_ts (integer micros -> timestamp), and the
+    operator keeps the latest per key. The winning capture index and
+    its timestamp are emitted as exact longs so the window semantics
+    (not just the row count) are oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.pmod(F.col("doc_id"), F.lit(3)))).alias("capture"))
+    caps = caps.withColumn(
+        "warc_ts",
+        F.timestamp_micros(F.lit(1_600_000_000_000_000)
+                           + F.col("doc_id") * F.lit(1_000_000)
+                           + F.col("capture") * F.lit(86_400_000_000)))
+    win = textops.latest_capture(caps, key="doc_id", ts="warc_ts")
+    return win.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("capture").cast("long").alias("capture"),
+                      F.unix_micros("warc_ts").alias("latest_ts_us"))
+
+
+O_DOC_LATEST_CAPTURE = """WITH caps AS (
+  SELECT doc_id, UNNEST(RANGE(0, (doc_id % 3) + 1)) AS capture FROM documents),
+t AS (
+  SELECT doc_id, capture,
+         1600000000000000 + doc_id * 1000000 + capture * 86400000000 AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY 1600000000000000 + doc_id * 1000000
+                                     + capture * 86400000000 DESC) AS rn
+  FROM caps)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(capture AS BIGINT) AS capture,
+       CAST(ts_us AS BIGINT) AS latest_ts_us
+FROM t WHERE rn = 1"""
+
+
 def q_doc_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_token_count(docs)
@@ -2181,6 +2219,7 @@ QUERIES = {
     "fagi_metadata_concat": q_metadata_concat,
     "fagi_rdf_type_filter": q_rdf_type_filter,
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_latest_capture": q_doc_latest_capture,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2253,6 +2292,7 @@ ORACLES = {
     "fagi_metadata_concat": O_METADATA_CONCAT,
     "fagi_rdf_type_filter": O_RDF_TYPE,
     "doc_exact_dedup": O_DOC_DEDUP,
+    "doc_latest_capture": O_DOC_LATEST_CAPTURE,
     "doc_token_count": O_DOC_TOKENS,
     "doc_quality": O_DOC_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,

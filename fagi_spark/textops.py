@@ -111,6 +111,25 @@ def dedup_exact(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     return df.join(w_min, key, "leftsemi")
 
 
+def latest_capture(df: DataFrame, key: str = "url", ts: str = "warc_ts",
+                   tiebreak: tuple[str, ...] = ()) -> DataFrame:
+    """As-of dedup over repeated captures: keep the most recent row per
+    ``key`` (Common-Crawl semantics — the same url is re-crawled every
+    snapshot; "latest revision wins"). Pass ``tiebreak`` columns for a
+    deterministic winner when two captures share a timestamp.
+
+    Scale shape: the ``row_number() == 1`` filter compiles to
+    WindowGroupLimit (Spark 3.5+), so each map partition forwards only
+    its per-key winner into the single shuffle — the same plan
+    ``extract.dedup_precedence`` rides. No groupBy+self-join, no
+    collect."""
+    from pyspark.sql import Window
+    order = [F.col(ts).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy count
     (runs of letters / digits / single punctuation)."""

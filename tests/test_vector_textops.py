@@ -145,3 +145,23 @@ def test_repetition_signals(spark):
     assert got[3] == (1.0 - 1.0 / 4.0, 1.0)
     assert got[4] == (0.0, 0.0)
     assert got[5][1] == 0.0
+
+
+def test_latest_capture_semantics_and_plan(spark):
+    from pyspark.sql import functions as F
+    from fagi_spark import textops
+    df = (spark.createDataFrame(
+        [("u1", 1, "a"), ("u1", 3, "b"), ("u1", 2, "c"), ("u2", 5, "d")],
+        "url string, t int, payload string")
+        .withColumn("warc_ts", F.timestamp_seconds("t")))
+    out = {r.url: r.payload for r in textops.latest_capture(df).collect()}
+    assert out == {"u1": "b", "u2": "d"}
+    # timestamp tie -> tiebreak column decides deterministically
+    ties = (spark.createDataFrame([("u", 1, "x"), ("u", 1, "y")],
+                                  "url string, t int, payload string")
+            .withColumn("warc_ts", F.timestamp_seconds("t")))
+    got = textops.latest_capture(ties, tiebreak=("payload",)).collect()
+    assert [(r.url, r.payload) for r in got] == [("u", "y")]
+    # rn==1 compiles to WindowGroupLimit: per-partition winners only shuffle
+    plan = textops.latest_capture(df)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
