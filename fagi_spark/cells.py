@@ -165,32 +165,32 @@ def tile_pyramid(df: DataFrame, base_res: int = 13,
     schema.sql:38-39) and the north-star's "cells at multiple
     resolutions".
 
-    Scale shape: raw rows shuffle ONCE — the base-resolution groupBy
-    (map-side combine, so each partition sends at most one row per
-    distinct base cell). Every coarser level is derived from that
-    already-tiny aggregate by exact integer shifts of (ix, iy)
-    (parent cell = child indices >> Δres), never from raw rows; at
-    100 TB the coarse levels cost ~nothing and the pyramid never
-    rescans the input. All arithmetic is integer and mirrored in SQL
-    by ``sql_tile_pyramid`` for the value-exact oracle."""
+    Scale shape: ONE scan of the raw rows and ONE shuffle. Each point
+    explodes into its (res, cell) pair per level — the coarser cell is
+    an exact integer shift of the base (ix, iy) (parent = child
+    indices >> Δres), so no re-derivation from lon/lat — and a single
+    groupBy(res, cell) with map-side combine collapses each map
+    partition to at most one row per distinct touched cell before the
+    exchange. (The tempting alternative — aggregate the base level
+    first and roll coarser levels up from that frame via union — plans
+    as THREE scans of the input because static exchange reuse does not
+    dedupe the union branches; measured, not guessed.) All arithmetic
+    is integer and mirrored in SQL by ``sql_tile_pyramid`` for the
+    value-exact oracle."""
     if any(r >= base_res for r in levels):
         raise ValueError("levels must all be coarser than base_res")
     b = with_cell(df, base_res, lon=lon, lat=lat)
-    base = b.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_points"))
-    out = base.select(
-        F.lit(base_res).cast("long").alias("res"),
-        pack_cell(F.col("ix"), F.col("iy"), base_res).alias("cell"),
-        F.col("n_points"))
+    pairs = [F.struct(F.lit(base_res).cast("long").alias("res"),
+                      pack_cell(F.col("ix"), F.col("iy"), base_res).alias("cell"))]
     for rc in levels:
         d = base_res - rc
-        lvl = (base.groupBy(F.shiftright(F.col("ix"), d).alias("cix"),
-                            F.shiftright(F.col("iy"), d).alias("ciy"))
-                   .agg(F.sum("n_points").alias("n_points"))
-                   .select(F.lit(rc).cast("long").alias("res"),
-                           pack_cell(F.col("cix"), F.col("ciy"), rc).alias("cell"),
-                           F.col("n_points")))
-        out = out.unionByName(lvl)
-    return out
+        pairs.append(F.struct(
+            F.lit(rc).cast("long").alias("res"),
+            pack_cell(F.shiftright(F.col("ix"), d),
+                      F.shiftright(F.col("iy"), d), rc).alias("cell")))
+    return (b.select(F.explode(F.array(*pairs)).alias("rc"))
+             .groupBy(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"))
+             .agg(F.count(F.lit(1)).alias("n_points")))
 
 
 def sql_tile_pyramid(lon_expr: str, lat_expr: str, from_clause: str,

@@ -187,6 +187,32 @@ def main():
         "WindowGroupLimit — per-partition winners only hit the final "
         "shuffle.")
 
+    # 10b. tile pyramid: one scan, one shuffle across all zoom levels
+    pyr_pts = pts.select("subject", F.col("cx").alias("lon"),
+                         F.col("cy").alias("lat"))
+    from fagi_spark import cells as _cells
+    pyr_plan = _cells.tile_pyramid(pyr_pts, 13, (10, 7))
+    pyr_text = plan_text(pyr_plan)
+    import re as _re
+    # count scan operators in the details listing only ("(N) Scan ...");
+    # the tree rendering above it would double-count each one
+    n_scans = len(_re.findall(r"^\(\d+\) Scan ", pyr_text, _re.M))
+    if n_scans != 1:
+        raise SystemExit(
+            f"tile_pyramid structural check failed: {n_scans} input scans "
+            "(must be exactly 1 — the union-of-rollups shape rescans the "
+            "input per level)")
+    add("tile_pyramid (multi-resolution rollup)", pyr_plan,
+        ["partial_agg"],
+        "every point explodes into its (res, cell) pair per zoom level "
+        "(coarser cells are integer shifts of the base indices, computed "
+        "once) and ONE groupBy(res, cell) with map-side combine collapses "
+        "each map partition to at most one row per touched cell before "
+        "the single exchange. Structurally enforced here: exactly one "
+        "input scan — the union-of-per-level-rollups alternative plans "
+        "as three scans because static exchange reuse does not dedupe "
+        "union branches.")
+
     # 10. connected components: one large-star round over LSH edges
     from fagi_spark import components
     edges = spark.createDataFrame(
