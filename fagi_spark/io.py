@@ -126,3 +126,33 @@ def merge_replace(target_meta: DataFrame, fused_geoms: DataFrame,
                             F.lit(None).cast("string").alias("lang"),
                             F.lit("http://www.opengis.net/ont/geosparql#wktLiteral").alias("dtype"))
     return kept.unionByName(new_rows)
+
+
+def read_entities_viewport(spark: SparkSession, path: str,
+                           xmin: float, ymin: float, xmax: float, ymax: float,
+                           res: int = 7, cell_col: str | None = None,
+                           max_cells: int = 4096) -> DataFrame:
+    """Viewport read of a cell-partitioned entity table (the layout
+    ``jobs.ingest`` writes: ``partitionBy("cell_r7")`` — the engine's
+    Iceberg-partition-layout analog). The bbox becomes an IN-list over
+    the partition column, which Spark turns into ``PartitionFilters``
+    — whole cell directories are skipped at file-listing time, before
+    any row group is opened. That is the 100 TB viewport story: a city
+    bbox touches a handful of the 2^14 res-7 directories, so the scan
+    cost is proportional to the viewport, not the corpus.
+
+    ``max_cells`` guards against planet-sized bboxes degenerating into
+    a giant IN-list (at that point a full scan is the right plan —
+    raise or widen ``res`` deliberately)."""
+    from . import cells as _c
+    col = cell_col or f"cell_r{res}"
+    ix0, ix1, iy0, iy1 = _c.bbox_cells_range(res, xmin, ymin, xmax, ymax)
+    n = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if n > max_cells:
+        raise ValueError(
+            f"viewport covers {n} res-{res} cells (> {max_cells}); "
+            "use a coarser partition resolution or a full scan")
+    base = res * (1 << 58)
+    wanted = [base + (ix << res) + iy
+              for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)]
+    return spark.read.parquet(path).filter(F.col(col).isin(wanted))

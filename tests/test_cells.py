@@ -158,3 +158,43 @@ def test_tile_pyramid_rejects_finer_levels():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cells.tile_pyramid(None, base_res=10, levels=(13,))
+
+
+def test_read_entities_viewport_prunes_partitions(spark, tmp_path):
+    import random
+    from fagi_spark import io as fio
+    rng = random.Random(3)
+    rows = [(f"u{i}", rng.uniform(-179.0, 179.0), rng.uniform(-89.0, 89.0))
+            for i in range(300)]
+    df = (spark.createDataFrame(rows, "url string, lon double, lat double")
+          .withColumn("cell_r7", cells.cell_col(F.col("lon"), F.col("lat"), 7)))
+    out = str(tmp_path / "ents")
+    df.write.mode("overwrite").partitionBy("cell_r7").parquet(out)
+
+    got = fio.read_entities_viewport(spark, out, -10.0, -10.0, 10.0, 10.0, res=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the bbox must reach the scan as a partition-directory filter
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and "cell_r7" in seg[1][:300]
+
+    # pruned read == manual cell filter over the full table; covers bbox
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(7, -10.0, -10.0, 10.0, 10.0)
+    wanted = {(7 << 58) + (ix << 7) + iy
+              for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)}
+    expect = {u for u, lon, lat in rows
+              if cell_of(lon, lat) in wanted}
+    assert {r.url for r in got.collect()} == expect
+    in_bbox = {u for u, lon, lat in rows
+               if -10.0 <= lon <= 10.0 and -10.0 <= lat <= 10.0}
+    assert in_bbox <= expect
+
+    with pytest.raises(ValueError):
+        fio.read_entities_viewport(spark, out, -180, -90, 180, 90, res=7,
+                                   max_cells=4)
+
+
+def cell_of(lon, lat, res=7):
+    n = 1 << res
+    ix = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+    iy = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
+    return (res << 58) + (ix << res) + iy
