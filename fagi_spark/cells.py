@@ -80,6 +80,12 @@ def pack_cell(ix: Column, iy: Column, res: int) -> Column:
             + ix * F.lit(1 << res) + iy)
 
 
+def pack_cell_value(ix: int, iy: int, res: int) -> int:
+    """Python-side twin of ``pack_cell`` for driver-side literals
+    (partition IN-lists, test fixtures) — ONE place owns the layout."""
+    return (res << _RES_SHIFT) | (ix << res) | iy
+
+
 def cell_col(lon: Column, lat: Column, res: int) -> Column:
     return pack_cell(ix_col(lon, res), iy_col(lat, res), res)
 
@@ -179,9 +185,11 @@ def tile_pyramid(df: DataFrame, base_res: int = 13,
     value-exact oracle."""
     if any(r >= base_res for r in levels):
         raise ValueError("levels must all be coarser than base_res")
+    if len(set(levels)) != len(levels):
+        raise ValueError("duplicate levels would double-count points")
     b = with_cell(df, base_res, lon=lon, lat=lat)
     pairs = [F.struct(F.lit(base_res).cast("long").alias("res"),
-                      pack_cell(F.col("ix"), F.col("iy"), base_res).alias("cell"))]
+                      F.col("cell").alias("cell"))]
     for rc in levels:
         d = base_res - rc
         pairs.append(F.struct(

@@ -2072,7 +2072,9 @@ def q_events_sessions(spark, sf_dir):
     return ev.session_stats(_t(spark, sf_dir, "events"))
 
 
-O_EVENTS_SESSIONS = """WITH s AS (
+# shared 30-min-gap sessionize CTEs (s -> sess), used by BOTH events
+# session oracles so the gap logic lives in exactly one SQL string
+_SESSIONIZE_CTE = """s AS (
   SELECT user_id, ts,
          CASE WHEN LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
@@ -2082,7 +2084,9 @@ sess AS (
   SELECT user_id, ts,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM s)
+  FROM s)"""
+
+O_EVENTS_SESSIONS = f"""WITH {_SESSIONIZE_CTE}
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
@@ -2096,17 +2100,7 @@ def q_events_user_sessions(spark, sf_dir):
     return ev.user_session_summary(_t(spark, sf_dir, "events"))
 
 
-O_EVENTS_USER_SESSIONS = """WITH s AS (
-  SELECT user_id, ts,
-         CASE WHEN LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events),
-sess AS (
-  SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM s),
+O_EVENTS_USER_SESSIONS = f"""WITH {_SESSIONIZE_CTE},
 per_sess AS (
   SELECT user_id, session_id, COUNT(*) AS n_events,
          EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS dur_us

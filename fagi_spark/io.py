@@ -131,7 +131,8 @@ def merge_replace(target_meta: DataFrame, fused_geoms: DataFrame,
 def read_entities_viewport(spark: SparkSession, path: str,
                            xmin: float, ymin: float, xmax: float, ymax: float,
                            res: int = 7, cell_col: str | None = None,
-                           max_cells: int = 4096) -> DataFrame:
+                           max_cells: int = 4096,
+                           refine: tuple[str, str] | None = ("lon", "lat")) -> DataFrame:
     """Viewport read of a cell-partitioned entity table (the layout
     ``jobs.ingest`` writes: ``partitionBy("cell_r7")`` — the engine's
     Iceberg-partition-layout analog). The bbox becomes an IN-list over
@@ -143,7 +144,14 @@ def read_entities_viewport(spark: SparkSession, path: str,
 
     ``max_cells`` guards against planet-sized bboxes degenerating into
     a giant IN-list (at that point a full scan is the right plan —
-    raise or widen ``res`` deliberately)."""
+    raise or widen ``res`` deliberately).
+
+    ``refine`` names the (lon, lat) columns for the exact-bbox filter
+    applied after the cell prune — the engine's prune-then-refine
+    viewport convention (same as ``joins.bbox_join``); the refine
+    predicate additionally pushes into parquet row-group filters. Pass
+    ``refine=None`` to get the raw cell superset (e.g. when the table
+    carries only geometries, not point columns)."""
     from . import cells as _c
     col = cell_col or f"cell_r{res}"
     ix0, ix1, iy0, iy1 = _c.bbox_cells_range(res, xmin, ymin, xmax, ymax)
@@ -152,7 +160,11 @@ def read_entities_viewport(spark: SparkSession, path: str,
         raise ValueError(
             f"viewport covers {n} res-{res} cells (> {max_cells}); "
             "use a coarser partition resolution or a full scan")
-    base = res * (1 << 58)
-    wanted = [base + (ix << res) + iy
+    wanted = [_c.pack_cell_value(ix, iy, res)
               for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)]
-    return spark.read.parquet(path).filter(F.col(col).isin(wanted))
+    out = spark.read.parquet(path).filter(F.col(col).isin(wanted))
+    if refine is not None:
+        lon, lat = refine
+        out = out.filter(F.col(lon).between(xmin, xmax)
+                         & F.col(lat).between(ymin, ymax))
+    return out

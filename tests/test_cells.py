@@ -154,10 +154,11 @@ def test_tile_pyramid_invariants(spark):
         assert rolled == by_res[parent_res]
 
 
-def test_tile_pyramid_rejects_finer_levels():
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+def test_tile_pyramid_rejects_bad_levels():
+    with pytest.raises(ValueError):
         cells.tile_pyramid(None, base_res=10, levels=(13,))
+    with pytest.raises(ValueError):
+        cells.tile_pyramid(None, base_res=13, levels=(10, 10))
 
 
 def test_read_entities_viewport_prunes_partitions(spark, tmp_path):
@@ -177,24 +178,22 @@ def test_read_entities_viewport_prunes_partitions(spark, tmp_path):
     seg = plan.split("PartitionFilters: [", 1)
     assert len(seg) == 2 and "cell_r7" in seg[1][:300]
 
-    # pruned read == manual cell filter over the full table; covers bbox
-    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(7, -10.0, -10.0, 10.0, 10.0)
-    wanted = {(7 << 58) + (ix << 7) + iy
-              for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)}
-    expect = {u for u, lon, lat in rows
-              if cell_of(lon, lat) in wanted}
-    assert {r.url for r in got.collect()} == expect
+    # default (prune-then-refine) read == exact bbox rows
     in_bbox = {u for u, lon, lat in rows
                if -10.0 <= lon <= 10.0 and -10.0 <= lat <= 10.0}
+    assert {r.url for r in got.collect()} == in_bbox
+
+    # refine=None returns the raw cell superset (covers the bbox)
+    raw = fio.read_entities_viewport(spark, out, -10.0, -10.0, 10.0, 10.0,
+                                     res=7, refine=None)
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(7, -10.0, -10.0, 10.0, 10.0)
+    wanted = {cells.pack_cell_value(ix, iy, 7)
+              for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)}
+    bycell = {r.url: r.cell_r7 for r in df.select("url", "cell_r7").collect()}
+    expect = {u for u, c in bycell.items() if c in wanted}
+    assert {r.url for r in raw.collect()} == expect
     assert in_bbox <= expect
 
     with pytest.raises(ValueError):
         fio.read_entities_viewport(spark, out, -180, -90, 180, 90, res=7,
                                    max_cells=4)
-
-
-def cell_of(lon, lat, res=7):
-    n = 1 << res
-    ix = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
-    iy = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
-    return (res << 58) + (ix << res) + iy
