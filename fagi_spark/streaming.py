@@ -69,6 +69,32 @@ def tile_counts_stream(entities: DataFrame, res: int = 7,
                     "tile", "n_entities"))
 
 
+def tile_pyramid_stream(entities: DataFrame,
+                        resolutions=cells.RESOLUTIONS,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked multi-resolution tile rollup — the streaming twin of
+    ``cells.tile_pyramid`` with the same one-shuffle shape: each entity
+    explodes into its (res, cell) pair per zoom level (the cell_r{N}
+    columns ``extract`` already computed) and ONE stateful aggregation
+    keyed (window, res, cell) maintains every zoom level's counts.
+    Late entities beyond the watermark are dropped; the batch
+    compaction recomputes exact pyramids from the entity sink."""
+    pairs = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("res"),
+                 F.col(f"cell_r{r}").alias("cell")) for r in resolutions])
+    return (entities
+            .withWatermark("warc_ts", watermark)
+            .select("warc_ts", F.explode(pairs).alias("rc"))
+            .groupBy(F.window("warc_ts", window).alias("win"),
+                     F.col("rc.res").alias("res"),
+                     F.col("rc.cell").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_entities"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "res", "cell", "n_entities"))
+
+
 SESSION_OUT_SCHEMA = ("user_id bigint, n_events bigint, "
                       "start_ts timestamp, end_ts timestamp")
 SESSION_STATE_SCHEMA = "start_s double, last_s double, n bigint"

@@ -350,3 +350,27 @@ def test_stateful_sessionize_very_late_run_groups_and_merges(spark, tmp_path):
              .collect()}
     # batch also reports the still-open trailing sessions (240 / 300)
     assert got <= batch
+
+
+def test_streaming_tile_pyramid_matches_batch(spark, pages, tmp_path):
+    """Stream pyramid == batch cells.tile_pyramid per (res, cell) once
+    windows are summed out (one 6h window covers the synth corpus)."""
+    from fagi_spark import cells
+    src = str(tmp_path / "src3")
+    pages.write.parquet(src)
+    stream = streaming.stream_pages(spark, src, max_files_per_trigger=2)
+    pyr = streaming.tile_pyramid_stream(streaming.stream_geocode(stream),
+                                        resolutions=(7, 10, 13),
+                                        window="6 hours", watermark="1 hour")
+    q = (pyr.writeStream.format("memory").queryName("pyr_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.res, r.cell): r.n
+           for r in spark.sql(
+               "SELECT res, cell, SUM(n_entities) AS n FROM pyr_mem "
+               "GROUP BY res, cell").collect()}
+    ents = extract.extract_entities(pages)
+    want = {(r.res, r.cell): r.n_points
+            for r in cells.tile_pyramid(ents, base_res=13, levels=(10, 7))
+            .collect()}
+    assert got == want
