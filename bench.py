@@ -226,6 +226,17 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("ann_topk", lambda: contract.q_ann_topk(spark, sf_dir).count())
     timed("doc_quality_lang", lambda: contract.q_doc_quality(spark, sf_dir).count())
 
+    # 4. multi-resolution tile pyramid over the sf-corpus entities
+    # (extraction untimed — the pyramid's own cost is the number:
+    # one Generate + one shuffle across all three zoom levels)
+    from fagi_spark import cells as _cells
+    from fagi_spark import extract as _extract
+    ents_pyr = _extract.geocode_pages(pages).persist()
+    ents_pyr.count()
+    timed("tile_pyramid",
+          lambda: _cells.tile_pyramid(ents_pyr, 13, (10, 7)).count())
+    ents_pyr.unpersist()
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "fagi_spark headline suite (north-rule pipeline + operators)",

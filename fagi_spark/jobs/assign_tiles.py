@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=10)
     p.add_argument("--bbox", nargs=4, type=float, default=None,
                    metavar=("XMIN", "YMIN", "XMAX", "YMAX"))
+    p.add_argument("--pyramid", default=None, metavar="LEVELS",
+                   help="comma-separated coarser resolutions (e.g. 10,7): "
+                        "write the multi-resolution tile pyramid with "
+                        "--res as the base level instead of one flat "
+                        "rollup (cells.tile_pyramid: one scan, one "
+                        "shuffle across all levels)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     spark = get_spark("fagi_tiles", master=args.master)
@@ -34,9 +40,14 @@ def main(argv=None):
     geo = ents.select("url", F.col("lon").alias("cx"), F.col("lat").alias("cy"))
     if args.bbox:
         geo = joins.bbox_join(geo, *args.bbox, res=args.res)
-    tiles = (geo.groupBy(cells.cell_col(F.col("cx"), F.col("cy"), args.res)
-                         .alias("tile"))
-             .agg(F.count(F.lit(1)).alias("n_entities")))
+    if args.pyramid:
+        levels = tuple(int(x) for x in args.pyramid.split(","))
+        tiles = cells.tile_pyramid(geo, base_res=args.res, levels=levels,
+                                   lon="cx", lat="cy")
+    else:
+        tiles = (geo.groupBy(cells.cell_col(F.col("cx"), F.col("cy"), args.res)
+                             .alias("tile"))
+                 .agg(F.count(F.lit(1)).alias("n_entities")))
     tiles.write.mode("overwrite").parquet(args.out)
     return 0
 
