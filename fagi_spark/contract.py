@@ -886,6 +886,86 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
 FROM toks k LEFT JOIN top ON top.doc_id = k.doc_id"""
 
 
+# planted rows so the too_short / weird_words branches fire (the synth
+# corpus has no short or long-word documents); mirrored in the oracle
+_FILTER_PLANT = [(900001, "tiny doc here"),
+                 (900002, " ".join(["abcdefghijklmnopqrs"] * 12))]
+
+
+def q_doc_filter_decision(spark, sf_dir):
+    """C4/Gopher-style composite keep/drop decision with the first
+    failed rule as the reason (textops.with_filter_decision) — the
+    per-rule attrition report of a corpus curation pass. Two planted
+    rows exercise the too_short and weird_words branches."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = spark.createDataFrame(_FILTER_PLANT, "doc_id long, text string")
+    return (textops.with_filter_decision(docs.unionByName(plant))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "filter_reason",
+                    F.col("keep").cast("long").alias("keep")))
+
+
+_FILTER_PLANT_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _FILTER_PLANT)
+
+O_DOC_FILTER_DECISION = f"""WITH documents_aug AS (
+  SELECT doc_id, text FROM documents UNION ALL {_FILTER_PLANT_SQL}),
+q AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) > 0
+              THEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) > 0
+              THEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LOWER(x) IN {{stops}})) AS DOUBLE)
+                   / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+              ELSE 0.0 END AS swr
+  FROM documents_aug),
+toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ') AS ws
+  FROM documents_aug),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN LEN(ws) > 0
+              THEN 1.0 - CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE)
+                         / CAST(LEN(ws) AS DOUBLE)
+              ELSE 0.0 END AS dwf
+  FROM toks),
+dec AS (
+  SELECT q.doc_id,
+         CASE WHEN q.n_words < 10 THEN 'too_short'
+              WHEN q.mwl > 12.0 THEN 'weird_words'
+              WHEN q.swr < 0.05 THEN 'low_stopwords'
+              WHEN dup.dwf > 0.5 THEN 'repetitive'
+              ELSE 'keep' END AS filter_reason
+  FROM q JOIN dup ON dup.doc_id = q.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, filter_reason,
+       CAST(filter_reason = 'keep' AS BIGINT) AS keep
+FROM dec""".replace("{stops}", _STOP_SQL)
+
+
+def q_corpus_vocab(spark, sf_dir):
+    """Per-language top-20 vocabulary (textops.corpus_vocab):
+    explode -> two-level count with map-side combine -> WindowGroupLimit
+    top-k, ties broken by word for a deterministic cut."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return textops.corpus_vocab(docs, k=20)
+
+
+O_CORPUS_VOCAB = """WITH w AS (
+  SELECT lang,
+         UNNEST(STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ')) AS word
+  FROM documents),
+c AS (SELECT lang, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY lang, word),
+r AS (SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+      FROM c)
+SELECT lang, word, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus composition report: per (lang, source, word-count decile
     bucket) — row counts, char totals, exact median word count. The
@@ -2214,6 +2294,8 @@ QUERIES = {
     "fagi_rdf_type_filter": q_rdf_type_filter,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_latest_capture": q_doc_latest_capture,
+    "doc_filter_decision": q_doc_filter_decision,
+    "doc_corpus_vocab": q_corpus_vocab,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2287,6 +2369,8 @@ ORACLES = {
     "fagi_rdf_type_filter": O_RDF_TYPE,
     "doc_exact_dedup": O_DOC_DEDUP,
     "doc_latest_capture": O_DOC_LATEST_CAPTURE,
+    "doc_filter_decision": O_DOC_FILTER_DECISION,
+    "doc_corpus_vocab": O_CORPUS_VOCAB,
     "doc_token_count": O_DOC_TOKENS,
     "doc_quality": O_DOC_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,

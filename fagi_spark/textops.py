@@ -111,6 +111,53 @@ def dedup_exact(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     return df.join(w_min, key, "leftsemi")
 
 
+def with_filter_decision(df: DataFrame, key: str = "doc_id",
+                         text: str = "text", min_words: int = 10,
+                         max_mean_word_len: float = 12.0,
+                         min_stopword_ratio: float = 0.05,
+                         max_dup_word_frac: float = 0.5) -> DataFrame:
+    """C4/Gopher-style composite keep/drop decision: the quality and
+    repetition signals folded into one ``keep`` boolean plus the FIRST
+    failed rule as ``filter_reason`` (the per-rule attrition a corpus
+    curation report needs). Rule order: too_short -> weird_words ->
+    low_stopwords -> repetitive -> keep. All comparisons run on ratios
+    produced by the same IEEE ops as the SQL oracle, so the decision
+    is value-exact; the underlying signals stay available via
+    ``with_quality`` / ``with_repetition``."""
+    r = with_repetition(with_quality(df, text), key, text)
+    reason = (F.when(F.col("n_words") < min_words, F.lit("too_short"))
+              .when(F.col("mean_word_len") > max_mean_word_len,
+                    F.lit("weird_words"))
+              .when(F.col("stopword_ratio") < min_stopword_ratio,
+                    F.lit("low_stopwords"))
+              .when(F.col("dup_word_frac") > max_dup_word_frac,
+                    F.lit("repetitive"))
+              .otherwise(F.lit("keep")))
+    return (r.withColumn("filter_reason", reason)
+             .withColumn("keep", F.col("filter_reason") == "keep"))
+
+
+def corpus_vocab(df: DataFrame, lang: str = "lang", text: str = "text",
+                 k: int = 20) -> DataFrame:
+    """Per-language vocabulary: the top-``k`` normalized words by
+    document-corpus frequency (ties broken by word order so the cut is
+    deterministic). Shape at scale: explode -> groupBy(lang, word)
+    with map-side combine (the wide shuffle carries one row per
+    distinct word per partition, not one per token), then the top-k
+    window compiles to WindowGroupLimit — only per-partition
+    candidates reach the final shuffle."""
+    from pyspark.sql import Window
+    words = (df.select(F.col(lang),
+                       F.explode(F.split(normalize_text(F.col(text)), " "))
+                       .alias("word"))
+             .filter(F.col("word") != ""))
+    counts = words.groupBy(lang, "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(lang).orderBy(F.col("n").desc(), F.col("word").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(lang, "word", "n", F.col("rank").cast("long").alias("rank")))
+
+
 def latest_capture(df: DataFrame, key: str = "url", ts: str = "warc_ts",
                    tiebreak: tuple[str, ...] = ()) -> DataFrame:
     """As-of dedup over repeated captures: keep the most recent row per

@@ -165,3 +165,39 @@ def test_latest_capture_semantics_and_plan(spark):
     # rn==1 compiles to WindowGroupLimit: per-partition winners only shuffle
     plan = textops.latest_capture(df)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_filter_decision_rule_order_and_reasons(spark):
+    from fagi_spark import textops
+    rows = [
+        (1, "short text"),                                   # 2 words
+        (2, " ".join(["abcdefghijklmnopqrs"] * 12)),          # long words
+        (3, " ".join(["zig", "zag"] * 10)),                   # no stopwords
+        (4, "the " + " ".join(["the"] * 19)),                 # dup words (all stopwords)
+        (5, "the quick brown fox jumps over a lazy dog and "
+            "then runs far away home tonight quietly alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.filter_reason, r.keep)
+           for r in textops.with_filter_decision(df).collect()}
+    assert out[1] == ("too_short", False)
+    assert out[2] == ("weird_words", False)
+    assert out[3] == ("low_stopwords", False)
+    # doc 4 is 100% stopwords AND 95% duplicate words: stopword rule
+    # passes, so the FIRST failing rule is repetitive
+    assert out[4] == ("repetitive", False)
+    assert out[5] == ("keep", True)
+
+
+def test_corpus_vocab_topk_deterministic(spark):
+    from fagi_spark import textops
+    rows = [("en", "a a a b b c"), ("en", "b d"), ("de", "x y x")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = [(r.lang, r.word, r.n, r.rank)
+           for r in textops.corpus_vocab(df, k=2)
+           .orderBy("lang", "rank").collect()]
+    assert got == [("de", "x", 2, 1), ("de", "y", 1, 2),
+                   ("en", "a", 3, 1), ("en", "b", 3, 2)]
+    plan = textops.corpus_vocab(df, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
