@@ -1024,6 +1024,44 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM r WHERE rn <= 5"""
 
 
+def q_hybrid_lang_ann(spark, sf_dir):
+    """Hybrid metadata+vector retrieval: restrict the ANN corpus to
+    English documents (semi-join embeddings against the documents
+    table on id), then exact top-3 by dot product for the first 3
+    query vectors — the filtered-retrieval composition a curation/RAG
+    pipeline runs. The semi-join prunes BEFORE any scoring and the
+    corpus side still never shuffles (broadcast queries + window
+    top-k, same shape as ann_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    en = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    sub = emb.join(en.select(F.col("doc_id").alias("vec_id")),
+                   "vec_id", "leftsemi")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = vector.brute_force_topk(q, sub, k=3)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+O_HYBRID_LANG_ANN = """WITH sub AS (
+  SELECT e.* FROM embeddings e
+  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+                                 x -> x[1] * x[2])) AS score
+  FROM q, sub e WHERE e.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM p)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, score
+FROM r WHERE rn <= 3"""
+
+
 # ---- near-dup / ANN with SQL-mirrored hash family ---------------------------
 
 def q_minhash_candidates(spark, sf_dir):
@@ -2305,6 +2343,7 @@ QUERIES = {
     "doc_corpus_stats": q_corpus_stats,
     "doc_ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_minhash_candidates": q_minhash_candidates,
     "doc_neardup_clusters": q_neardup_clusters,
     "doc_simhash": q_simhash,
@@ -2380,6 +2419,7 @@ ORACLES = {
     "doc_corpus_stats": O_CORPUS_STATS,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "ann_topk": O_ANN_TOPK,
+    "ann_hybrid_lang_topk": O_HYBRID_LANG_ANN,
     "fagi_cluster_features": O_CLUSTER_FEATURES,
     "fagi_learning_features": O_LEARNING_FEATURES,
     "fagi_schema_kind_inventory": O_SCHEMA_KIND_INVENTORY,
