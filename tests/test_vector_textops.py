@@ -201,3 +201,30 @@ def test_corpus_vocab_topk_deterministic(spark):
     plan = textops.corpus_vocab(df, k=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_latest_capture_random_parity(spark):
+    """Random multi-capture tables vs a pure-python reference."""
+    import random
+    from fagi_spark import textops
+    from pyspark.sql import functions as F
+    rng = random.Random(11)
+    rows = []
+    for u in range(40):
+        for c in range(rng.randint(1, 5)):
+            rows.append((f"u{u}", rng.randint(0, 10**6), f"p{u}_{c}"))
+    # drop equal (url, t) pairs so the winner is unique without tiebreak
+    seen, uniq = set(), []
+    for u, t, p in rows:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            uniq.append((u, t, p))
+    df = (spark.createDataFrame(uniq, "url string, t long, payload string")
+          .withColumn("warc_ts", F.timestamp_seconds("t")))
+    got = {(r.url, r.payload) for r in textops.latest_capture(df).collect()}
+    best = {}
+    for u, t, p in uniq:
+        if u not in best or t > best[u][0]:
+            best[u] = (t, p)
+    want = {(u, p) for u, (t, p) in best.items()}
+    assert got == want
