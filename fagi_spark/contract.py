@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cells, extract, fuse, joins, metadata_fuse, textops, vector
+from . import cells, curation, extract, fuse, joins, metadata_fuse, textops, vector
 from .discover import literal_kind_filter, tf_unique_filter
 
 M_PER_DEG = 111195.0
@@ -2303,6 +2303,152 @@ SELECT url,
 FROM b, (SELECT UNNEST(RANGE(0, 8)) AS i) g"""
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation (fagi_spark/curation.py): the crawl->training hygiene
+# stages — PII scrub, per-domain caps, decontamination, boilerplate
+# removal, stratified sampling — each value-exact vs DuckDB.
+# ---------------------------------------------------------------------------
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction (curation.with_pii_scrub): an email + phone pair is
+    planted on doc_id % 5 == 0 so the scrub is non-vacuous; redaction
+    counts and the scrubbed text are value-checked. Regexes restricted
+    to Java==RE2 syntax."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or +12-345-6789")))
+        .otherwise(F.col("text")))
+    return (curation.with_pii_scrub(aug)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_emails").cast("long").alias("n_emails"),
+                    F.col("n_phones").cast("long").alias("n_phones"),
+                    "text_clean"))
+
+
+_PII_SQL = curation.sql_pii_scrub("text")
+O_DOC_PII_SCRUB = f"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +12-345-6789'
+              ELSE text END AS text
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({_PII_SQL['n_emails']} AS BIGINT) AS n_emails,
+       CAST({_PII_SQL['n_phones']} AS BIGINT) AS n_phones,
+       {_PII_SQL['text_clean']} AS text_clean
+FROM aug"""
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-domain volume cap (curation.domain_cap, k=5, lowest doc_id
+    wins): the WindowGroupLimit shape means each map task forwards at
+    most k rows per domain into the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.domain_cap(docs, domain="source", key="doc_id", k=5)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "source",
+                    F.col("rank_in_domain").cast("long")
+                    .alias("rank_in_domain")))
+
+
+O_DOC_DOMAIN_CAP = """WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rn AS BIGINT) AS rank_in_domain
+FROM r WHERE rn <= 5"""
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate, 8-gram
+    overlap): the eval set is the first 8 tokens of every doc_id % 50
+    document, so each source doc (and any 8-gram collision) is flagged
+    with its distinct shared-shingle count."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = (docs.filter(F.col("doc_id") % 50 == 0)
+          .filter(F.size(F.split("text", " ")) >= 8)
+          .select(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+                  .alias("text")))
+    return (curation.decontaminate(docs, ev, n=8)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_shared").cast("long").alias("n_shared")))
+
+
+O_DOC_DECONTAMINATE = """WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, t, UNNEST(RANGE(1, GREATEST(LEN(t) - 6, 1))) AS i
+      FROM toks),
+grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+7], ' ') AS shingle
+          FROM g),
+ev AS (SELECT DISTINCT
+         ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:8], ' ') AS shingle
+       FROM documents
+       WHERE doc_id % 50 = 0 AND LEN(STRING_SPLIT(text, ' ')) >= 8)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT grams.shingle) AS BIGINT) AS n_shared
+FROM grams JOIN ev USING (shingle)
+GROUP BY doc_id"""
+
+
+def q_doc_strip_boilerplate(spark, sf_dir):
+    """Boilerplate line removal (curation.strip_boilerplate): a cookie
+    banner and a footer line are planted on doc_id % 4 == 0; lines in
+    more than 3 distinct docs are dropped and the remainder reassembled
+    in original order."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("we use cookies accept all\n"), F.col("text"),
+                        F.lit("\ncopyright footer 2020")))
+        .otherwise(F.col("text")))
+    return (curation.strip_boilerplate(aug, max_docs=3)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text_clean"))
+
+
+O_DOC_STRIP_BOILERPLATE = """WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'we use cookies accept all' || CHR(10) || text
+                   || CHR(10) || 'copyright footer 2020'
+              ELSE text END AS text
+  FROM documents),
+ls AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS lst FROM aug),
+e AS (SELECT doc_id, lst, UNNEST(RANGE(1, LEN(lst) + 1)) AS pos FROM ls),
+lines AS (SELECT doc_id, pos, lst[pos] AS line FROM e),
+bp AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 3),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       STRING_AGG(line, CHR(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id"""
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (curation.stratified_sample):
+    en kept at 25%, de at 50%, everything else at 75%, decided by the
+    poly fold of md5(doc_id) — partition-independent and exactly
+    mirrored in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return (curation.stratified_sample(docs, {"en": 0.25, "de": 0.5},
+                                       default_rate=0.75)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang"))
+
+
+_SAMP_BUCKET = textops.sql_poly_base("MD5(CAST(doc_id AS VARCHAR))") + " % 100000"
+O_DOC_STRATIFIED_SAMPLE = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE ({_SAMP_BUCKET}) < CASE WHEN lang = 'de' THEN 50000
+                              WHEN lang = 'en' THEN 25000
+                              ELSE 75000 END"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -2377,6 +2523,11 @@ QUERIES = {
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
     "fagi_serialization_probe": q_serialization_probe,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_domain_cap": q_doc_domain_cap,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_strip_boilerplate": q_doc_strip_boilerplate,
+    "doc_stratified_sample": q_doc_stratified_sample,
 }
 
 ORACLES = {
@@ -2450,6 +2601,11 @@ ORACLES = {
     "fagi_cluster_assign": O_CLUSTER_ASSIGN,
     "fagi_learning_predict": _o_learning_predict(),
     "fagi_tag_predict": _o_tag_predict(),
+    "doc_pii_scrub": O_DOC_PII_SCRUB,
+    "doc_domain_cap": O_DOC_DOMAIN_CAP,
+    "doc_decontaminate": O_DOC_DECONTAMINATE,
+    "doc_strip_boilerplate": O_DOC_STRIP_BOILERPLATE,
+    "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

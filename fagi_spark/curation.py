@@ -1,0 +1,198 @@
+"""Corpus-curation operators for a web-scale training-data pipeline.
+
+Beyond the FAGI operator surface (SURVEY.md §2), these are the stages a
+100 TB crawl->training pipeline runs over the `(url, warc_ts, html,
+text, lang)` page table after extraction and dedup: PII redaction,
+per-domain volume caps, benchmark decontamination, boilerplate line
+removal (CCNet-style line-frequency filter), and deterministic
+stratified sampling. Every operator is a pure DataFrame plan — no
+Python on the hot path — and each has a value-exact DuckDB oracle in
+the contract (fagi_spark/contract.py) built from the same string/int
+ops on both sides.
+
+Scale notes per operator are in the docstrings; none performs an
+all-pairs comparison, collects to the driver, or shuffles more than
+the data it must (the boilerplate filter broadcasts only the small
+high-frequency line set back against the corpus).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import _poly_base_expr
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+#
+# Patterns are deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+# greedy +/{m,}, literal escapes — no backrefs or lookaround.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def with_pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails then phone numbers from `text`, appending
+    `n_emails`, `n_phones`, `text_clean`.
+
+    Phones are counted/replaced on the email-scrubbed string so the
+    two passes compose deterministically (mirrored as nested
+    REGEXP_REPLACE in the oracle). Pure codegen'd string ops — scales
+    as a map-only stage, no shuffle.
+    """
+    c = F.col(text)
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return (df
+            .withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
+            .withColumn("n_phones",
+                        F.regexp_count(after_email, F.lit(PHONE_RE)))
+            .withColumn("text_clean",
+                        F.regexp_replace(after_email, PHONE_RE, "<PHONE>")))
+
+
+def sql_pii_scrub(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of with_pii_scrub's three output columns."""
+    after_email = f"REGEXP_REPLACE({text_expr}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return {
+        "n_emails": f"LEN(REGEXP_EXTRACT_ALL({text_expr}, '{EMAIL_RE}'))",
+        "n_phones": f"LEN(REGEXP_EXTRACT_ALL({after_email}, '{PHONE_RE}'))",
+        "text_clean":
+            f"REGEXP_REPLACE({after_email}, '{PHONE_RE}', '<PHONE>', 'g')",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Per-domain volume cap
+# ---------------------------------------------------------------------------
+
+def domain_cap(df: DataFrame, domain: str = "source", key: str = "doc_id",
+               k: int = 10) -> DataFrame:
+    """Keep at most `k` documents per domain, deterministically (lowest
+    key wins), appending `rank_in_domain` (1-based).
+
+    Common-Crawl curation caps over-represented hosts so one template
+    farm can't dominate the training mix. The row_number-<=k filter
+    compiles to WindowGroupLimit: each map task forwards only its
+    local top-k per domain into the shuffle, so a domain with 10^9
+    pages moves k rows per input partition, not 10^9.
+    """
+    w = Window.partitionBy(domain).orderBy(F.col(key).asc())
+    return (df.withColumn("rank_in_domain", F.row_number().over(w))
+            .filter(F.col("rank_in_domain") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def word_ngrams(colname: str, n: int):
+    """Array column of word n-grams of a space-tokenized text column.
+
+    Guarded so texts shorter than n tokens yield an empty array
+    (sequence(0, -1) would otherwise count DOWN in Spark).
+    """
+    toks = f"split({colname}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) END")
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, key: str = "doc_id",
+                  text: str = "text", eval_text: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Flag training documents sharing any word n-gram with an
+    evaluation set: returns (key, n_shared) for contaminated docs,
+    n_shared = number of DISTINCT eval n-grams the doc contains.
+
+    The standard pre-training hygiene step (n-gram overlap against
+    benchmark suites). Plan: distinct doc shingles exploded ->
+    equi-join against the distinct eval-shingle set -> count per doc.
+    The eval set is benchmarks (thousands of rows), so its shingle
+    side broadcasts; the corpus side streams map-only through the
+    broadcast join and only matched (doc, shingle) pairs — a tiny
+    fraction — reach the aggregation shuffle. No all-pairs anywhere.
+    """
+    doc_sh = df.select(
+        F.col(key),
+        F.explode(F.array_distinct(word_ngrams(text, n))).alias("shingle"))
+    eval_sh = (eval_df
+               .select(F.explode(F.array_distinct(word_ngrams(eval_text, n)))
+                       .alias("shingle"))
+               .distinct())
+    return (doc_sh.join(F.broadcast(eval_sh), "shingle")
+            .groupBy(key)
+            .agg(F.count_distinct("shingle").alias("n_shared")))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet-style line-frequency filter)
+# ---------------------------------------------------------------------------
+
+def boilerplate_lines(df: DataFrame, key: str = "doc_id",
+                      text: str = "text", max_docs: int = 3) -> DataFrame:
+    """Lines occurring in more than `max_docs` distinct documents —
+    cookie banners, nav menus, footers. One shuffle (groupBy line)."""
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"))
+    return (lines.groupBy("line")
+            .agg(F.count_distinct(key).alias("n_docs"))
+            .filter(F.col("n_docs") > max_docs))
+
+
+def strip_boilerplate(df: DataFrame, key: str = "doc_id",
+                      text: str = "text", max_docs: int = 3) -> DataFrame:
+    """Remove high-document-frequency lines from every document and
+    reassemble the remainder in original line order as `text_clean`.
+
+    Documents whose every line is boilerplate drop out of the result
+    (there is nothing left to train on). The high-frequency line set
+    is small by construction (only lines repeated across >max_docs
+    docs), so the anti-join broadcasts it; the corpus pays one
+    explode + one groupBy-per-doc shuffle. Within-doc duplicate lines
+    and ordering are preserved via posexplode + sort on pos.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"))
+    bp = boilerplate_lines(df, key=key, text=text, max_docs=max_docs)
+    kept = lines.join(F.broadcast(bp.select("line")), "line", "left_anti")
+    return (kept.groupBy(key)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias("text_clean")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      default_rate: float = 1.0, key: str = "doc_id",
+                      strata: str = "lang", mod: int = 100_000) -> DataFrame:
+    """Keep each row iff poly_hash(md5(str(key))) % mod < rate[stratum]*mod.
+
+    Deterministic (re-runs and resumes pick the same rows — no RNG
+    state), partition-independent (the hash depends only on the key),
+    and exactly reproducible in SQL via textops.sql_poly_base over
+    MD5(CAST(key AS VARCHAR)). The poly fold runs over the 32-char md5
+    hex digest, not the raw key: folding short numeric ids directly
+    leaves the bucket in a narrow band (3-digit ids all land below
+    57k of 100k — measured), while the digest is uniform. A pure
+    filter: no shuffle, fully pushed into the scan stage. This is the
+    language/quality re-weighting step of a training-mix builder.
+    """
+    thresholds = {s: int(round(r * mod)) for s, r in rates.items()}
+    default_thr = int(round(default_rate * mod))
+    df2 = df.withColumn("_sample_key", F.md5(F.col(key).cast("string")))
+    bucket = _poly_base_expr("_sample_key") % F.lit(mod)
+    thr = F.lit(default_thr)
+    for s, t in thresholds.items():
+        thr = F.when(F.col(strata) == F.lit(s), F.lit(t)).otherwise(thr)
+    return df2.filter(bucket < thr).drop("_sample_key")

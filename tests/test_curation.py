@@ -1,0 +1,98 @@
+"""Corpus-curation operators (fagi_spark/curation.py): PII scrub,
+domain caps, decontamination, boilerplate removal, stratified sampling.
+The contract queries value-check each against DuckDB; these tests pin
+the semantic corners (ordering, within-doc duplicates, partition
+independence, plan shape) that the hash compare can't isolate."""
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import curation
+
+
+def test_pii_scrub_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a.b-c@x-y.org and d@e.io now"),
+         (1, "call +1-555-1234 or +99-123-4567"),
+         (2, "clean text no pii"),
+         (3, "edge a@b.c not an email (tld too short)")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in curation.with_pii_scrub(df).collect()}
+    assert (rows[0].n_emails, rows[0].n_phones) == (2, 0)
+    assert rows[0].text_clean == "mail <EMAIL> and <EMAIL> now"
+    assert (rows[1].n_emails, rows[1].n_phones) == (0, 2)
+    assert rows[1].text_clean == "call <PHONE> or <PHONE>"
+    assert rows[2].text_clean == "clean text no pii"
+    # {2,} floor: single-letter TLD is not redacted
+    assert rows[3].n_emails == 0 and "a@b.c" in rows[3].text_clean
+
+
+def test_domain_cap_deterministic_and_plan(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "doc_id long, source string")
+    out = curation.domain_cap(df, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        # lowest doc_ids win within each domain
+        assert r.doc_id < 12 and 1 <= r.rank_in_domain <= 4
+    plan = curation.domain_cap(df, k=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_decontaminate_overlap(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e f"),      # contains eval gram "a b c"
+         (1, "x a b c d y"),      # contains it mid-string
+         (2, "c b a d e f"),      # same tokens, wrong order -> clean
+         (3, "a b")],             # shorter than n -> clean
+        "doc_id long, text string")
+    ev = spark.createDataFrame([("a b c",), ("q r s",)], "text string")
+    got = {r.doc_id: r.n_shared
+           for r in curation.decontaminate(train, ev, n=3).collect()}
+    assert got == {0: 1, 1: 1}
+
+
+def test_decontaminate_counts_distinct_eval_grams(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c a b c q r s")], "doc_id long, text string")
+    ev = spark.createDataFrame([("a b c",), ("q r s",)], "text string")
+    [r] = curation.decontaminate(train, ev, n=3).collect()
+    assert r.n_shared == 2  # repeated "a b c" counted once
+
+
+def test_strip_boilerplate_order_and_within_doc_dups(spark):
+    bp = "accept cookies"
+    rows = [(i, f"{bp}\nbody {i}\nmid\nbody {i}\n{bp}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_clean
+           for r in curation.strip_boilerplate(df, max_docs=4).collect()}
+    # "accept cookies" (5 docs) and "mid" (5 docs) are boilerplate;
+    # the duplicated per-doc body line survives twice, in order
+    assert out[2] == "body 2\nbody 2"
+
+
+def test_strip_boilerplate_all_boilerplate_doc_drops(spark):
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(4)] + [(9, "same line\nunique")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text_clean
+           for r in curation.strip_boilerplate(df, max_docs=3).collect()}
+    assert out == {9: "unique"}
+
+
+def test_stratified_sample_rates_and_partition_independence(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(4000)],
+        "doc_id long, lang string")
+    out = curation.stratified_sample(df, {"en": 0.2, "de": 0.8})
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_lang["en"] / 2000 - 0.2) < 0.05
+    assert abs(by_lang["de"] / 2000 - 0.8) < 0.05
+    # the decision depends only on the key: repartitioning changes nothing
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id for r in
+        curation.stratified_sample(df.repartition(13), {"en": 0.2, "de": 0.8})
+        .select("doc_id").collect())
+    assert ids == ids2
