@@ -144,6 +144,31 @@ def main():
         "onto the corpus. The agg branch's scan is pruned to "
         "(doc_id, text) — two scans beats shuffling full documents.")
 
+    # 5b. curation: per-domain cap + decontamination + boilerplate strip
+    from fagi_spark import curation
+    add("domain_cap (curation)", curation.domain_cap(docs, k=5),
+        ["window_group_limit"],
+        "row_number<=k compiles to WindowGroupLimit: each map task "
+        "forwards at most k rows per domain into the shuffle, so a "
+        "host with 10^9 pages moves k rows per input partition, not "
+        "10^9 — the cap never materializes the full domain.")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("text"))
+    add("decontaminate (curation)", curation.decontaminate(docs, ev, n=8),
+        ["broadcast_join", "partial_agg"],
+        "the distinct eval-shingle set (benchmark-sized) broadcasts; "
+        "the corpus side streams its exploded distinct shingles "
+        "map-only through the BroadcastHashJoin, and only matched "
+        "(doc, shingle) pairs — a tiny fraction — reach the "
+        "count-distinct shuffle. No all-pairs comparison anywhere.")
+    add("strip_boilerplate (curation)", curation.strip_boilerplate(docs),
+        ["broadcast_join", "partial_agg"],
+        "the high-document-frequency line set is small by construction "
+        "(only lines repeated across >max_docs docs), so the LeftAnti "
+        "join against it broadcasts; the corpus pays one explode + the "
+        "line-frequency partial aggregate + one per-doc regroup — "
+        "document text never shuffles twice.")
+
     # 6. minhash signatures: explode + partial MIN aggs
     add("minhash_signatures", textops.minhash_signatures(docs),
         ["partial_agg"],
