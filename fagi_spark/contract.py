@@ -734,14 +734,19 @@ FROM t WHERE rn = 1"""
 
 
 def q_doc_token_count(spark, sf_dir):
+    """Whitespace tokens + the BPE-ish subword proxy (letter/digit runs
+    and single punctuation), both value-checked."""
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_token_count(docs)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.col("n_tokens").cast("long").alias("n_tokens")))
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_subwords").cast("long").alias("n_subwords")))
 
 
 O_DOC_TOKENS = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+            AS BIGINT) AS n_subwords
 FROM documents"""
 
 

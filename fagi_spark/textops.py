@@ -182,8 +182,13 @@ def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
     (runs of letters / digits / single punctuation)."""
     return (df.withColumn("n_tokens", F.size(F.split(F.col(text), " ")))
               .withColumn("n_subwords",
-                          F.size(F.regexp_extract_all(F.col(text),
-                                                      F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")))))
+                          F.size(F.regexp_extract_all(
+                              F.col(text),
+                              F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"),
+                              # idx=0 (whole match): the pattern has no
+                              # capture groups and Spark's default idx=1
+                              # raises REGEX_GROUP_INDEX at eval time
+                              0))))
 
 
 def with_quality(df: DataFrame, text: str = "text") -> DataFrame:

@@ -228,3 +228,16 @@ def test_latest_capture_random_parity(spark):
             best[u] = (t, p)
     want = {(u, p) for u, (t, p) in best.items()}
     assert got == want
+
+
+def test_token_count_subwords(spark):
+    """BPE-ish subword proxy: letter runs, digit runs, single punct."""
+    from fagi_spark import textops
+    df = spark.createDataFrame(
+        [(0, "hello world42, it's 3.14!"), (1, ""), (2, "a-b c")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in textops.with_token_count(df).collect()}
+    # hello|world|42|,|it|'|s|3|.|14|! -> 11
+    assert rows[0].n_subwords == 11 and rows[0].n_tokens == 4
+    assert rows[1].n_subwords == 0
+    assert rows[2].n_subwords == 4  # a|-|b|c
