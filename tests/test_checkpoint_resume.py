@@ -186,3 +186,30 @@ def test_commit_replace_nonrace_oserror_is_raised(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # lock must not be left behind by the failed commit
     assert not os.path.exists(os.path.join(str(tmp_path), "s2", ".commit.lock"))
+
+
+def test_curate_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
+    """Curation chain: crash after the filter stage; relaunch resumes
+    (earlier snapshots untouched) and the final mix equals a fresh
+    uninterrupted run — stage determinism end to end."""
+    from fagi_spark.jobs import curate
+
+    out = str(tmp_path / "cur")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        curate.run(spark, out, n_pages=400, fail_after="filtered")
+    store = CheckpointStore(out)
+    ids_before = {s: store.latest(s)
+                  for s in ("captures", "latest", "scrubbed", "filtered")}
+    assert store.latest("mix") is None
+
+    res = curate.run(spark, out, n_pages=400)
+    for s, snap in ids_before.items():
+        assert res["store"].latest(s) == snap  # resumed, not recomputed
+    resumed = {r.url for r in res["mix"].select("url").collect()}
+
+    fresh = curate.run(spark, str(tmp_path / "cur2"), n_pages=400)
+    assert resumed == {r.url for r in fresh["mix"].select("url").collect()}
+    # the latest-capture stage dropped every stale snapshot
+    assert res["latest"].filter("text LIKE 'OLD SNAPSHOT %'").count() == 0
+    lin = res["store"].lineage("scrubbed")
+    assert lin["metrics"]["n_rows"] == 400
