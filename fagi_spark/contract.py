@@ -2454,6 +2454,23 @@ WHERE ({_SAMP_BUCKET}) < CASE WHEN lang = 'de' THEN 50000
                               ELSE 75000 END"""
 
 
+def q_doc_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch (fagi_spark/sketch.py): the
+    ESTIMATE itself is value-checked, not just bounded — the poly-of-
+    md5 hash family and the single IEEE division are identical on both
+    engines. k=64 over the document texts."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    return (sketch.kmv_distinct(docs, "text", k=64)
+            .select(F.col("n_seen").cast("long").alias("n_seen"),
+                    F.col("h_k").cast("long").alias("h_k"), "est"))
+
+
+def _o_kmv():
+    from . import sketch
+    return sketch.sql_kmv_distinct("documents", "text", k=64)
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -2533,6 +2550,7 @@ QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_kmv_distinct": q_doc_kmv_distinct,
 }
 
 ORACLES = {
@@ -2611,6 +2629,7 @@ ORACLES = {
     "doc_decontaminate": O_DOC_DECONTAMINATE,
     "doc_strip_boilerplate": O_DOC_STRIP_BOILERPLATE,
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
+    "doc_kmv_distinct": _o_kmv(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

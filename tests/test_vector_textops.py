@@ -241,3 +241,35 @@ def test_token_count_subwords(spark):
     assert rows[0].n_subwords == 11 and rows[0].n_tokens == 4
     assert rows[1].n_subwords == 0
     assert rows[2].n_subwords == 4  # a|-|b|c
+
+
+def test_kmv_sketch_exhaustive_exact(spark):
+    from fagi_spark import sketch
+    df = spark.createDataFrame([(f"v{i % 50}",) for i in range(500)],
+                               "text string")
+    [r] = sketch.kmv_distinct(df, "text", k=64).collect()
+    assert (r.n_seen, r.est) == (50, 50.0)
+
+
+def test_kmv_sketch_estimate_accuracy(spark):
+    from fagi_spark import sketch
+    df = spark.createDataFrame([(f"value-{i}",) for i in range(5000)],
+                               "text string")
+    [r] = sketch.kmv_distinct(df, "text", k=64).collect()
+    assert r.n_seen == 64
+    # k=64 -> stderr ~ 1/sqrt(62) ~ 12.7%; 3 sigma
+    assert abs(r.est - 5000) / 5000 < 0.38
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    from fagi_spark import sketch
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "text string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)]
+                              + [(f"a{i}",) for i in range(100)],  # overlap
+                              "text string")
+    merged = sorted(r.h for r in
+                    sketch.kmv_merge(sketch.kmv_bottom_k(a, "text"),
+                                     sketch.kmv_bottom_k(b, "text")).collect())
+    direct = sorted(r.h for r in
+                    sketch.kmv_bottom_k(a.unionByName(b), "text").collect())
+    assert merged == direct
