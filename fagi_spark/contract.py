@@ -2454,6 +2454,95 @@ WHERE ({_SAMP_BUCKET}) < CASE WHEN lang = 'de' THEN 50000
                               ELSE 75000 END"""
 
 
+# 4 subspaces x 4 codewords x 16 dims — deterministic fixed codebooks
+# from the same hyperplane generator the LSH/IVF constants use
+_PQ_CODEBOOKS = [[vector._hyperplane(16, 4 * j + i, seed=23)
+                  for i in range(4)] for j in range(4)]
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (vector.ivfpq_fixed_topk): coarse cell equi-join +
+    asymmetric-distance scoring from 4-byte PQ codes — the
+    10^12-vector layout (codes instead of floats) made value-exact by
+    inlining both the coarse centroids and the per-subspace codebooks
+    into the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = vector.ivfpq_fixed_topk(q, emb, _IVF_FIXED_CENTROIDS,
+                                  _PQ_CODEBOOKS, k=5)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+def _sql_dot_lits(a_expr: str, cw) -> str:
+    """Sequential left-fold dot product — LIST_REDUCE, not LIST_SUM:
+    LIST_SUM's summation order is not guaranteed to be the plain left
+    fold, while this fold is bit-identical to F.aggregate. Every
+    literal carries an ``e0`` exponent so DuckDB parses it as DOUBLE
+    at the token level — a bare 17-digit literal is typed
+    DECIMAL(18,17), which loses an ULP BEFORE any cast back to double
+    (measured: 0.16489497914621032 parses one ULP low via DECIMAL)."""
+    lits = ", ".join(_dlit(v) for v in cw)
+    return (f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+            f"LIST_TRANSFORM(LIST_ZIP({a_expr}, [{lits}]), "
+            f"x -> x[1] * x[2])), (acc, v) -> acc + v)")
+
+
+def _dlit(v) -> str:
+    """A float literal DuckDB is guaranteed to parse as DOUBLE with the
+    exact bits of ``v``: repr, with e0 appended when repr has no
+    exponent (exponent-form tokens are typed DOUBLE directly)."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _o_ivfpq(k: int = 5) -> str:
+    sub = 16
+    dists = []
+    for c in _IVF_FIXED_CENTROIDS:
+        ss = _dlit(sum(float(v) * float(v) for v in c))
+        dists.append(f"(-2.0 * {_sql_dot_lits('CAST(embedding AS DOUBLE[])', c)}"
+                     f" + {ss})")
+    darr = "[" + ", ".join(dists) + "]"
+    code_exprs = []
+    for j, cws in enumerate(_PQ_CODEBOOKS):
+        sl = f"(CAST(embedding AS DOUBLE[]))[{j * sub + 1}:{j * sub + sub}]"
+        ds = []
+        for cw in cws:
+            ss = _dlit(sum(float(v) * float(v) for v in cw))
+            ds.append(f"(-2.0 * {_sql_dot_lits(sl, cw)} + {ss})")
+        dj = "[" + ", ".join(ds) + "]"
+        code_exprs.append(f"LIST_INDEXOF({dj}, LIST_MIN({dj})) - 1")
+    codes = "[" + ", ".join(code_exprs) + "]"
+    terms = []
+    for j, cws in enumerate(_PQ_CODEBOOKS):
+        sl = f"(CAST(q.qv AS DOUBLE[]))[{j * sub + 1}:{j * sub + sub}]"
+        lut = "[" + ", ".join(_sql_dot_lits(sl, cw) for cw in cws) + "]"
+        terms.append(f"({lut})[c.pq_code[{j + 1}] + 1]")
+    # explicit left association — bit-identical to Spark's chained `+`
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = f"({adc} + {t})"
+    return f"""WITH e AS (
+  SELECT vec_id, embedding,
+         LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS cell,
+         {codes} AS pq_code
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM e WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {adc} AS score
+  FROM q JOIN e c ON q.cell = c.cell AND c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, score
+FROM r WHERE rn <= {k}"""
+
+
 def q_doc_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct-count sketch (fagi_spark/sketch.py): the
     ESTIMATE itself is value-checked, not just bounded — the poly-of-
@@ -2551,6 +2640,7 @@ QUERIES = {
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 ORACLES = {
@@ -2630,6 +2720,7 @@ ORACLES = {
     "doc_strip_boilerplate": O_DOC_STRIP_BOILERPLATE,
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     "doc_kmv_distinct": _o_kmv(),
+    "ann_ivfpq_topk": _o_ivfpq(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -273,3 +273,53 @@ def test_kmv_merge_equals_union_sketch(spark):
     direct = sorted(r.h for r in
                     sketch.kmv_bottom_k(a.unionByName(b), "text").collect())
     assert merged == direct
+
+
+def test_pq_encode_and_ivfpq_matches_python_reference(spark):
+    """IVF-PQ: codes and ADC top-k equal a pure-python replay."""
+    from fagi_spark import vector
+    from fagi_spark.contract import _IVF_FIXED_CENTROIDS, _PQ_CODEBOOKS
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def pydot(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc += float(x) * float(y)
+        return acc
+
+    def argmin_code(e, cents, off=0, width=None):
+        ds = []
+        for c in cents:
+            ss = float(sum(float(v) * float(v) for v in c))
+            seg = e[off:off + width] if width else e
+            ds.append((-2.0 * pydot(seg, c)) + ss)
+        return ds.index(min(ds))
+
+    enc = {r.vec_id: list(r.pq_code) for r in
+           vector.pq_fixed_encode(emb, _PQ_CODEBOOKS).collect()}
+    for vid, e in rows.items():
+        want = [argmin_code(e, cws, 16 * j, 16)
+                for j, cws in enumerate(_PQ_CODEBOOKS)]
+        assert enc[vid] == want
+        assert all(0 <= c < 4 for c in enc[vid])
+
+    got = [(r.query_id, r.neighbor_id, r.rank) for r in
+           vector.ivfpq_fixed_topk(emb.filter("vec_id < 3"), emb,
+                                   _IVF_FIXED_CENTROIDS, _PQ_CODEBOOKS, k=3)
+           .orderBy("query_id", "rank").collect()]
+    # python replay
+    cells = {vid: argmin_code(e, _IVF_FIXED_CENTROIDS) for vid, e in rows.items()}
+    want = []
+    for q in range(3):
+        cands = []
+        for vid, e in rows.items():
+            if vid == q or cells[vid] != cells[q]:
+                continue
+            adc = 0.0
+            for j, cws in enumerate(_PQ_CODEBOOKS):
+                adc += pydot(rows[q][16 * j:16 * j + 16], cws[enc[vid][j]])
+            cands.append((-adc, vid))
+        for rank, (_, vid) in enumerate(sorted(cands)[:3], 1):
+            want.append((q, vid, rank))
+    assert got == want
