@@ -246,6 +246,22 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
           lambda: _cells.tile_pyramid(ents_pyr, 13, (10, 7)).count())
     ents_pyr.unpersist()
 
+    # 5. curation chain over the sf-scaled page corpus: PII scrub ->
+    # composite quality filter -> exact dedup -> stratified mix (the
+    # jobs/curate.py stages minus checkpointing), one pass end-to-end
+    from fagi_spark import curation as _curation
+
+    def _curate_count():
+        scrub = (_curation.with_pii_scrub(pages)
+                 .drop("text").withColumnRenamed("text_clean", "text"))
+        filt = (_textops.with_filter_decision(scrub, key="url", min_words=5)
+                .filter(F.col("keep")))
+        ded = _textops.dedup_exact(filt, key="url")
+        return _curation.stratified_sample(
+            ded, {"en": 0.5, "de": 0.8}, default_rate=1.0, key="url").count()
+
+    timed("curation_chain", _curate_count)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "fagi_spark headline suite (north-rule pipeline + operators)",
