@@ -212,6 +212,20 @@ def main():
         "WindowGroupLimit — per-partition winners only hit the final "
         "shuffle.")
 
+    # 9b. IVF-PQ: cell equi-join + ADC from codes alone
+    add("ivfpq_fixed_topk (ANN compressed-domain search)",
+        vector.ivfpq_fixed_topk(emb.filter(F.col("vec_id") < 5), emb,
+                                contract._IVF_FIXED_CENTROIDS,
+                                contract._PQ_CODEBOOKS, k=5),
+        ["window_group_limit", "broadcast_join"],
+        "the corpus embeddings are read ONCE (cell assignment + PQ "
+        "encode in the same map stage — 4-byte codes replace 64 "
+        "floats); candidates come from the coarse-cell equi-join and "
+        "are scored by asymmetric distance against the codes, never "
+        "touching the original vectors again. The top-k window "
+        "compiles to WindowGroupLimit. At 10^12 vectors this is the "
+        "only layout whose working set fits a cluster.")
+
     # 10b. tile pyramid: one scan, one shuffle across all zoom levels
     pyr_pts = pts.select("subject", F.col("cx").alias("lon"),
                          F.col("cy").alias("lat"))
