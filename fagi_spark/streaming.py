@@ -254,3 +254,20 @@ def write_entities(entities: DataFrame, out_path: str, checkpoint: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def curate_stream(pages: DataFrame, rates=None) -> DataFrame:
+    """Streaming curation: the stateless stages of jobs/curate.py (PII
+    scrub -> composite quality filter -> deterministic stratified
+    sample) over a page stream. Identical kernels to the batch path,
+    so stream == batch row-for-row (tested); the stateful stages
+    (latest-capture dedup, exact content dedup) run at compaction,
+    the same split as micro_batch_dedup vs compact_entities."""
+    from . import curation, textops
+    scrub = (curation.with_pii_scrub(pages)
+             .drop("text").withColumnRenamed("text_clean", "text"))
+    filt = (textops.with_filter_decision(scrub, key="url", min_words=5,
+                                         repetition_mode="local")
+            .filter(F.col("keep")))
+    return curation.stratified_sample(filt, rates or {"en": 0.5, "de": 0.8},
+                                      default_rate=1.0, key="url")

@@ -115,7 +115,8 @@ def with_filter_decision(df: DataFrame, key: str = "doc_id",
                          text: str = "text", min_words: int = 10,
                          max_mean_word_len: float = 12.0,
                          min_stopword_ratio: float = 0.05,
-                         max_dup_word_frac: float = 0.5) -> DataFrame:
+                         max_dup_word_frac: float = 0.5,
+                         repetition_mode: str = "agg") -> DataFrame:
     """C4/Gopher-style composite keep/drop decision: the quality and
     repetition signals folded into one ``keep`` boolean plus the FIRST
     failed rule as ``filter_reason`` (the per-rule attrition a corpus
@@ -124,7 +125,8 @@ def with_filter_decision(df: DataFrame, key: str = "doc_id",
     produced by the same IEEE ops as the SQL oracle, so the decision
     is value-exact; the underlying signals stay available via
     ``with_quality`` / ``with_repetition``."""
-    r = with_repetition(with_quality(df, text), key, text)
+    r = with_repetition(with_quality(df, text), key, text,
+                        mode=repetition_mode)
     reason = (F.when(F.col("n_words") < min_words, F.lit("too_short"))
               .when(F.col("mean_word_len") > max_mean_word_len,
                     F.lit("weird_words"))
@@ -211,17 +213,24 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def with_repetition(df: DataFrame, key: str = "doc_id",
-                    text: str = "text") -> DataFrame:
+                    text: str = "text", mode: str = "agg") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1 of the
     Gopher paper — published repetition heuristics for web-corpus
     cleaning): per document,
 
     - ``dup_word_frac``: 1 - distinct words / words (pure array math);
     - ``top_bigram_frac``: occurrences of the most frequent word bigram
-      over total bigrams — explode + two-level groupBy, so the per-doc
-      mode never materializes a per-row map and the shape is one
-      shuffle keyed on (doc, bigram) then (doc): scales to documents of
-      any length with map-side combine.
+      over total bigrams.
+
+    ``mode="agg"`` (default): explode + two-level groupBy — the per-doc
+    mode never materializes a per-row map; one shuffle keyed on
+    (doc, bigram) then (doc) with map-side combine, scaling to
+    documents of any length. ``mode="local"``: the same number from
+    pure array math on the row (count each distinct bigram in place)
+    — no shuffle and streaming-legal (no aggregation), at
+    O(distinct_bigrams x n) per row, the right trade for typical web
+    pages in a micro-batch map stage. Both modes produce identical
+    values (tested).
 
     Degenerate docs (<2 words, so no bigrams) score 0.0 on
     ``top_bigram_frac``; empty text scores 0.0 on both."""
@@ -234,6 +243,18 @@ def with_repetition(df: DataFrame, key: str = "doc_id",
         F.sequence(F.lit(0), n - 2),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))).otherwise(
             F.array().cast("array<string>"))
+    if mode == "local":
+        bg = F.col("_bgs")
+        top = F.array_max(F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b))))
+        frac = (F.when(F.size(bg) > 0,
+                       top.cast("double") / F.size(bg).cast("double"))
+                .otherwise(F.lit(0.0)))
+        return (df.withColumn("_bgs", bigrams)
+                .withColumn("dup_word_frac", dup_word)
+                .withColumn("top_bigram_frac", frac)
+                .drop("_bgs"))
     ex = df.select(F.col(key), F.explode(bigrams).alias("_bg"))
     cnt = ex.groupBy(key, "_bg").agg(F.count(F.lit(1)).alias("_c"))
     top = cnt.groupBy(key).agg(F.max("_c").alias("_top"),

@@ -374,3 +374,23 @@ def test_streaming_tile_pyramid_matches_batch(spark, pages, tmp_path):
             for r in cells.tile_pyramid(ents, base_res=13, levels=(10, 7))
             .collect()}
     assert got == want
+
+
+def test_streaming_curation_matches_batch(spark, pages, tmp_path):
+    """The stateless curation chain produces identical rows streamed
+    vs batch (same kernels; sample decided by key hash only)."""
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    pages.write.parquet(src)
+
+    q = streaming.write_entities(
+        streaming.curate_stream(streaming.stream_pages(spark, src,
+                                                       max_files_per_trigger=2)),
+        out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("url", "lang", "text")
+    want = streaming.curate_stream(pages).select("url", "lang", "text")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0

@@ -323,3 +323,13 @@ def test_pq_encode_and_ivfpq_matches_python_reference(spark):
         for rank, (_, vid) in enumerate(sorted(cands)[:3], 1):
             want.append((q, vid, rank))
     assert got == want
+
+
+def test_repetition_local_equals_agg(spark):
+    from fagi_spark import textops
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "dup_word_frac", "top_bigram_frac"]
+    agg = textops.with_repetition(docs, mode="agg").select(cols)
+    loc = textops.with_repetition(docs, mode="local").select(cols)
+    assert agg.exceptAll(loc).count() == 0
+    assert loc.exceptAll(agg).count() == 0
