@@ -2454,6 +2454,38 @@ WHERE ({_SAMP_BUCKET}) < CASE WHEN lang = 'de' THEN 50000
                               ELSE 75000 END"""
 
 
+def q_doc_url_parts(spark, sf_dir):
+    """URL structure extraction (curation.with_url_parts): urls are
+    planted deterministically per doc (three path shapes + a non-URL
+    row per 97 docs to exercise the empty-parts path)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = (F.when(F.col("doc_id") % 97 == 0, F.lit("not a url"))
+           .otherwise(F.concat(
+               F.lit("https://www."), F.col("source"),
+               F.lit(".example.org"),
+               F.element_at(F.array(F.lit("/a/b/c"), F.lit("/p"), F.lit("")),
+                            (F.col("doc_id") % 3 + 1).cast("int")))))
+    aug = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      url.alias("url"))
+    return (curation.with_url_parts(aug)
+            .select("doc_id", "scheme", "host", "registered_domain",
+                    F.col("path_depth").cast("long").alias("path_depth")))
+
+
+_URL_SQL = curation.sql_url_parts("url")
+O_DOC_URL_PARTS = f"""WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'not a url'
+              ELSE 'https://www.' || source || '.example.org' ||
+                   (['/a/b/c', '/p', ''])[CAST(doc_id % 3 AS INT) + 1]
+         END AS url
+  FROM documents)
+SELECT doc_id, {_URL_SQL['scheme']} AS scheme, {_URL_SQL['host']} AS host,
+       {_URL_SQL['registered_domain']} AS registered_domain,
+       CAST({_URL_SQL['path_depth']} AS BIGINT) AS path_depth
+FROM aug"""
+
+
 # 4 subspaces x 4 codewords x 16 dims — deterministic fixed codebooks
 # from the same hyperplane generator the LSH/IVF constants use
 _PQ_CODEBOOKS = [[vector._hyperplane(16, 4 * j + i, seed=23)
@@ -2641,6 +2673,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "doc_url_parts": q_doc_url_parts,
 }
 
 ORACLES = {
@@ -2721,6 +2754,7 @@ ORACLES = {
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     "doc_kmv_distinct": _o_kmv(),
     "ann_ivfpq_topk": _o_ivfpq(),
+    "doc_url_parts": O_DOC_URL_PARTS,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

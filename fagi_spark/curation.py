@@ -196,3 +196,56 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     for s, t in thresholds.items():
         thr = F.when(F.col(strata) == F.lit(s), F.lit(t)).otherwise(thr)
     return df2.filter(bucket < thr).drop("_sample_key")
+
+
+# ---------------------------------------------------------------------------
+# URL structure
+# ---------------------------------------------------------------------------
+#
+# One capture-group regex, Java==RE2-safe, applied three times — the
+# scan stays map-only and codegen'd. Group 1 scheme, 2 host, 3 path.
+
+URL_RE = r"^([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)"
+
+
+def with_url_parts(df: DataFrame, url: str = "url") -> DataFrame:
+    """Split a crawl URL into scheme / host / registered domain /
+    path_depth — the keys per-host curation groups on (domain caps,
+    blocklists, host-level quality rollups).
+
+    ``registered_domain`` is the last two host labels (example.co.uk
+    style public-suffix lists are a lookup-table refinement on top;
+    the two-label rule is the deterministic, oracle-mirrorable core).
+    Non-matching strings yield empty parts, never errors.
+    """
+    c = F.col(url)
+    host = F.regexp_extract(c, URL_RE, 2)
+    path = F.regexp_extract(c, URL_RE, 3)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    reg = F.when(n >= 2,
+                 F.concat_ws(".", F.element_at(labels, n - 1),
+                             F.element_at(labels, n))).otherwise(host)
+    return (df.withColumn("scheme", F.regexp_extract(c, URL_RE, 1))
+            .withColumn("host", host)
+            .withColumn("registered_domain", reg)
+            .withColumn("path_depth",
+                        F.size(F.filter(F.split(path, "/"),
+                                        lambda x: x != ""))))
+
+
+def sql_url_parts(url_expr: str) -> dict[str, str]:
+    """DuckDB twins of with_url_parts' four output columns."""
+    host = f"REGEXP_EXTRACT({url_expr}, '{URL_RE}', 2)"
+    path = f"REGEXP_EXTRACT({url_expr}, '{URL_RE}', 3)"
+    labels = f"STRING_SPLIT({host}, '.')"
+    return {
+        "scheme": f"REGEXP_EXTRACT({url_expr}, '{URL_RE}', 1)",
+        "host": host,
+        "registered_domain":
+            f"CASE WHEN LEN({labels}) >= 2 THEN "
+            f"({labels})[LEN({labels}) - 1] || '.' || ({labels})[LEN({labels})] "
+            f"ELSE {host} END",
+        "path_depth":
+            f"LEN(LIST_FILTER(STRING_SPLIT({path}, '/'), x -> x <> ''))",
+    }

@@ -96,3 +96,22 @@ def test_stratified_sample_rates_and_partition_independence(spark):
         curation.stratified_sample(df.repartition(13), {"en": 0.2, "de": 0.8})
         .select("doc_id").collect())
     assert ids == ids2
+
+
+def test_url_parts(spark):
+    from fagi_spark import curation
+    df = spark.createDataFrame(
+        [(0, "https://www.news.example.co/a/b/c?q=1#frag"),
+         (1, "http://example.org"),
+         (2, "not a url"),
+         (3, "ftp://files.archive.example.net/data/")],
+        "doc_id long, url string")
+    rows = {r.doc_id: r for r in curation.with_url_parts(df).collect()}
+    assert (rows[0].scheme, rows[0].host, rows[0].registered_domain,
+            rows[0].path_depth) == ("https", "www.news.example.co",
+                                    "example.co", 3)
+    assert (rows[1].host, rows[1].registered_domain, rows[1].path_depth) == \
+        ("example.org", "example.org", 0)
+    assert (rows[2].scheme, rows[2].host, rows[2].path_depth) == ("", "", 0)
+    assert (rows[3].scheme, rows[3].registered_domain,
+            rows[3].path_depth) == ("ftp", "example.net", 1)
