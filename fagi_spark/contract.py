@@ -2454,6 +2454,36 @@ WHERE ({_SAMP_BUCKET}) < CASE WHEN lang = 'de' THEN 50000
                               ELSE 75000 END"""
 
 
+def q_doc_token_stats_by_lang(spark, sf_dir):
+    """Tokenizer-fertility report: per language, document count, total
+    whitespace tokens, total BPE-ish subwords, and the corpus-level
+    subwords-per-token ratio — the number a tokenizer budget planner
+    reads per language. One partial-agg shuffle keyed on lang."""
+    docs = _t(spark, sf_dir, "documents")
+    t = textops.with_token_count(docs)
+    return (t.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.sum("n_subwords").cast("long").alias("total_subwords"))
+            .withColumn("subwords_per_token",
+                        F.col("total_subwords").cast("double")
+                        / F.col("total_tokens").cast("double")))
+
+
+O_DOC_TOKEN_STATS_BY_LANG = """WITH t AS (
+  SELECT lang,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+           AS n_subwords
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+       CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+         AS subwords_per_token
+FROM t GROUP BY lang"""
+
+
 def q_doc_url_parts(spark, sf_dir):
     """URL structure extraction (curation.with_url_parts): urls are
     planted deterministically per doc (three path shapes + a non-URL
@@ -2674,6 +2704,7 @@ QUERIES = {
     "doc_kmv_distinct": q_doc_kmv_distinct,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_url_parts": q_doc_url_parts,
+    "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
 }
 
 ORACLES = {
@@ -2755,6 +2786,7 @@ ORACLES = {
     "doc_kmv_distinct": _o_kmv(),
     "ann_ivfpq_topk": _o_ivfpq(),
     "doc_url_parts": O_DOC_URL_PARTS,
+    "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -115,3 +115,45 @@ def test_url_parts(spark):
     assert (rows[2].scheme, rows[2].host, rows[2].path_depth) == ("", "", 0)
     assert (rows[3].scheme, rows[3].registered_domain,
             rows[3].path_depth) == ("ftp", "example.net", 1)
+
+
+def test_pii_scrub_idempotent_random(spark):
+    """Scrubbing a scrubbed corpus is a no-op (random payloads)."""
+    import random
+    rng = random.Random(7)
+    words = ["alpha", "beta", "x9", "mail", "www", "-", "+12-345-6789",
+             "bob@example.com", "a.b@c-d.org", "@", "no@tld", "t.io"]
+    rows = [(i, " ".join(rng.choices(words, k=rng.randint(0, 12))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = (curation.with_pii_scrub(df).drop("text")
+            .withColumnRenamed("text_clean", "text"))
+    twice = curation.with_pii_scrub(once)
+    assert twice.filter("n_emails != 0 OR n_phones != 0").count() == 0
+    assert twice.filter("text_clean != text").count() == 0
+
+
+def test_strip_boilerplate_random_parity(spark):
+    """Random multi-line docs vs a pure-python reference."""
+    import random
+    rng = random.Random(13)
+    pool = [f"line{i}" for i in range(6)]  # small pool -> real collisions
+    rows = [(d, "\n".join(rng.choices(pool, k=rng.randint(1, 6))))
+            for d in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    max_docs = 8
+    got = {r.doc_id: r.text_clean
+           for r in curation.strip_boilerplate(df, max_docs=max_docs).collect()}
+    # python reference
+    from collections import defaultdict
+    docs_per_line = defaultdict(set)
+    for d, t in rows:
+        for ln in t.split("\n"):
+            docs_per_line[ln].add(d)
+    bp = {ln for ln, ds in docs_per_line.items() if len(ds) > max_docs}
+    want = {}
+    for d, t in rows:
+        kept = [ln for ln in t.split("\n") if ln not in bp]
+        if kept:
+            want[d] = "\n".join(kept)
+    assert got == want
