@@ -347,13 +347,24 @@ def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                        num_hashes: int = 32, bands: int = 8,
                        shingle_k: int = 3,
-                       hash_family: str = "xxhash") -> DataFrame:
+                       hash_family: str = "xxhash",
+                       max_bucket: int | None = None) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, hash each band, self-join on (band_idx, band_hash) ->
     candidate near-duplicate pairs (a < b). The join is an equi-join on
     the band key — shuffle-partitioned, no cartesian. In "poly" mode the
     band key is the comma-joined signature slice itself (injective —
-    what the SQL oracle compares); "xxhash" compresses it to a long."""
+    what the SQL oracle compares); "xxhash" compresses it to a long.
+
+    ``max_bucket`` is the hot-bucket guard for warehouse scale: a
+    boilerplate mirror cluster of m identical pages puts m rows in one
+    band bucket and the self-join emits m^2/2 pairs — at m=10^6 that
+    is 5*10^11 pairs from ONE bucket. Buckets larger than the cap emit
+    STAR edges instead (min-key representative -> every other member):
+    linear in m, and connected-components downstream sees the same
+    components, which is all near-dup clustering consumes. Buckets at
+    or under the cap keep the exhaustive pairs. None = no guard
+    (exact oracle mode)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, key, text, num_hashes, shingle_k, hash_family)
     band_slice = F.concat_ws(",", F.transform(
@@ -364,6 +375,21 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     banded = (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
               .withColumn("band_hash", band_key)
               .select(key, "band", "band_hash"))
+    if max_bucket is not None:
+        stats = (banded.groupBy("band", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("_n"), F.min(key).alias("_rep")))
+        tagged = banded.join(stats, ["band", "band_hash"])
+        small = tagged.filter(F.col("_n") <= max_bucket)
+        left = small.select(F.col(key).alias("id_a"), "band", "band_hash")
+        right = small.select(F.col(key).alias("id_b"), "band", "band_hash")
+        dense = (left.join(right, ["band", "band_hash"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+        star = (tagged.filter((F.col("_n") > max_bucket)
+                              & (F.col(key) != F.col("_rep")))
+                .select(F.col("_rep").alias("id_a"),
+                        F.col(key).alias("id_b")))
+        return dense.unionByName(star).distinct()
     left = banded.select(F.col(key).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(key).alias("id_b"), "band", "band_hash")
     return (left.join(right, ["band", "band_hash"])

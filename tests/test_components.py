@@ -145,3 +145,28 @@ def test_cc_max_iter_raises(spark):
                               "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         components.connected_components(e, max_iter=1)
+
+
+def test_minhash_hot_bucket_guard_preserves_components(spark):
+    """A planted mega-cluster of identical docs: the capped candidate
+    set is linear (star edges) yet connected-components equals the
+    uncapped result; normal-size buckets keep exhaustive pairs."""
+    from fagi_spark import components, textops
+    from pyspark.sql import functions as F
+    rows = ([(i, "the same boilerplate mirror page body here") for i in range(40)]
+            + [(100 + i, f"unique doc {i} talks about topic {i} alone x y z w")
+               for i in range(10)]
+            + [(200, "a near pair first variant alpha beta gamma delta"),
+               (201, "a near pair first variant alpha beta gamma delta")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = textops.minhash_candidates(df, num_hashes=8, bands=2)
+    capped = textops.minhash_candidates(df, num_hashes=8, bands=2,
+                                        max_bucket=5)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 40 * 39 // 2          # quadratic blowup uncapped
+    assert n_capped < n_full / 5           # star edges are linear
+    cc_full = components.connected_components(full, "id_a", "id_b")
+    cc_capped = components.connected_components(capped, "id_a", "id_b")
+    lab_full = {(r[0], r[1]) for r in cc_full.collect()}
+    lab_capped = {(r[0], r[1]) for r in cc_capped.collect()}
+    assert lab_full == lab_capped
