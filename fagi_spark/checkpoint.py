@@ -187,6 +187,52 @@ class CheckpointStore:
                 pass
         return snap_id
 
+    def vacuum(self, stage: str, keep_last: int = 2) -> list[int]:
+        """Expire old snapshots (Iceberg expire_snapshots analog):
+        delete committed snapshot dirs and their lineage files beyond
+        the newest ``keep_last``, never touching the published LATEST.
+        Runs under the same per-stage commit lock as publish, so it
+        cannot race a live writer's replace->publish window or delete
+        an in-flight staging dir (those are ``_staging_*``-named and
+        skipped entirely). Returns the expired snapshot ids.
+
+        At warehouse scale this is the retention job that keeps a
+        resumable pipeline's checkpoint root from growing without
+        bound while still leaving a time-travel window."""
+        import re
+        import shutil
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        d = self._stage_dir(stage)
+        cur = self.latest(stage)
+        if cur is None:
+            return []
+        lock_path = os.path.join(d, ".commit.lock")
+        lock_fd = self._acquire_lock(lock_path)
+        removed = []
+        try:
+            ids = sorted(int(m.group(1))
+                         for f in os.listdir(d)
+                         if (m := re.fullmatch(r"snap_(\d+)", f)))
+            # keep the newest keep_last PUBLISHED ids (ids beyond
+            # LATEST are unpublished writer state — never touched)
+            published = [i for i in ids if i <= cur]
+            for i in published[:-keep_last]:
+                shutil.rmtree(os.path.join(d, f"snap_{i}"),
+                              ignore_errors=True)
+                try:
+                    os.unlink(os.path.join(d, f"snap_{i}.lineage.json"))
+                except OSError:
+                    pass
+                removed.append(i)
+        finally:
+            os.close(lock_fd)
+            try:
+                os.unlink(lock_path)
+            except OSError:
+                pass
+        return removed
+
     @staticmethod
     def _acquire_lock(lock_path: str, timeout_s: float = 60.0,
                       stale_s: float = 300.0) -> int:

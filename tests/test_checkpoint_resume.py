@@ -213,3 +213,23 @@ def test_curate_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     assert res["latest"].filter("text LIKE 'OLD SNAPSHOT %'").count() == 0
     lin = res["store"].lineage("scrubbed")
     assert lin["metrics"]["n_rows"] == 400
+
+
+def test_vacuum_expires_old_snapshots_keeps_time_travel_window(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    for n in (10, 20, 30, 40):
+        store.commit(spark.range(n).toDF("v"), "s")
+    assert store.latest("s") == 3
+    removed = store.vacuum("s", keep_last=2)
+    assert removed == [0, 1]
+    # LATEST and the retained window still load; lineage follows
+    assert store.load(spark, "s").count() == 40
+    assert store.load(spark, "s", snapshot_id=2).count() == 30
+    assert store.lineage("s", 2)["n_rows"] == 30
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        store.load(spark, "s", snapshot_id=0).count()
+    # idempotent; keep_last=1 trims to just LATEST
+    assert store.vacuum("s", keep_last=2) == []
+    assert store.vacuum("s", keep_last=1) == [2]
+    assert store.load(spark, "s").count() == 40
