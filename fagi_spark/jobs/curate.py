@@ -131,6 +131,9 @@ def main(argv=None):
     p.add_argument("--n-pages", type=int, default=20000)
     p.add_argument("--fail-after", default=None, choices=STAGES)
     p.add_argument("--master", default=None)
+    p.add_argument("--vacuum-keep", type=int, default=None,
+                   help="after a successful run, expire snapshots per "
+                        "stage beyond the newest N (retention job)")
     args = p.parse_args(argv)
     spark = get_spark("fagi_curate", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
@@ -139,6 +142,11 @@ def main(argv=None):
         lin = out["store"].lineage(stage)
         print(f"{stage}: {lin['n_rows']} rows in {lin['n_files']} files, "
               f"metrics={lin['metrics']}")
+    if args.vacuum_keep is not None:
+        for stage in STAGES:
+            expired = out["store"].vacuum(stage, keep_last=args.vacuum_keep)
+            if expired:
+                print(f"{stage}: expired snapshots {expired}")
     return 0
 
 
