@@ -2484,6 +2484,79 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY lang"""
 
 
+_EV_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, the events table base
+
+
+def q_events_asof_join(spark, sf_dir):
+    """AS-OF join (events.asof_join — the union-merge distributed
+    shape): every event picks up the latest per-user dimension version
+    at-or-before its timestamp. Versions planted at days 1/8/15 per
+    user, so early events exercise the no-version NULL path. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from . import events as ev_ops
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    vers = (ev.select("user_id").distinct()
+            .select("user_id",
+                    F.explode(F.array(F.lit(1), F.lit(8), F.lit(15)))
+                    .alias("vday"))
+            .select("user_id",
+                    F.timestamp_micros(
+                        F.lit(_EV_EPOCH_US)
+                        + F.col("vday").cast("long") * F.lit(86_400_000_000))
+                    .alias("vts"),
+                    (F.col("user_id") * 100 + F.col("vday")).cast("long")
+                    .alias("version_tag")))
+    out = ev_ops.asof_join(ev, vers)
+    return out.select(F.col("event_id").cast("long").alias("event_id"),
+                      F.col("user_id").cast("long").alias("user_id"),
+                      F.unix_micros("ts").alias("ts_us"), "version_tag")
+
+
+O_EVENTS_ASOF_JOIN = f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+vd AS (SELECT user_id, UNNEST([1, 8, 15]) AS vday FROM u),
+vers AS (SELECT user_id,
+                MAKE_TIMESTAMP({_EV_EPOCH_US} + vday * 86400000000) AS vts,
+                CAST(user_id * 100 + vday AS BIGINT) AS version_tag
+         FROM vd)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       EPOCH_US(e.ts) AS ts_us, v.version_tag AS version_tag
+FROM events e ASOF LEFT JOIN vers v
+  ON e.user_id = v.user_id AND e.ts >= v.vts"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval range join (events.interval_range_join — time-bucket
+    equi-join, the 1-D twin of the spatial cell join): events against
+    100 planted overlapping windows (6h cadence, 1-5h widths)."""
+    from . import events as ev_ops
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    hour_us = 3_600_000_000
+    iv = spark.range(0, 100).select(
+        F.col("id").cast("long").alias("interval_id"),
+        F.timestamp_micros(F.lit(_EV_EPOCH_US)
+                           + F.col("id") * F.lit(6 * hour_us)).alias("start"),
+        F.timestamp_micros(F.lit(_EV_EPOCH_US) + F.col("id") * F.lit(6 * hour_us)
+                           + (F.lit(1) + F.col("id") % 5) * F.lit(hour_us))
+        .alias("end"))
+    out = ev_ops.interval_range_join(ev, iv)
+    return out.select(F.col("event_id").cast("long").alias("event_id"),
+                      "interval_id", F.unix_micros("ts").alias("ts_us"))
+
+
+O_EVENTS_RANGE_JOIN = f"""WITH iv AS (
+  SELECT CAST(i AS BIGINT) AS interval_id,
+         MAKE_TIMESTAMP({_EV_EPOCH_US} + i * 21600000000) AS s,
+         MAKE_TIMESTAMP({_EV_EPOCH_US} + i * 21600000000
+                        + (1 + i % 5) * 3600000000) AS e
+  FROM RANGE(0, 100) t(i))
+SELECT CAST(ev.event_id AS BIGINT) AS event_id, iv.interval_id,
+       EPOCH_US(ev.ts) AS ts_us
+FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e"""
+
+
 def q_doc_url_parts(spark, sf_dir):
     """URL structure extraction (curation.with_url_parts): urls are
     planted deterministically per doc (three path shapes + a non-URL
@@ -2705,6 +2778,8 @@ QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_url_parts": q_doc_url_parts,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -2787,6 +2862,8 @@ ORACLES = {
     "ann_ivfpq_topk": _o_ivfpq(),
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
+    "events_asof_join": O_EVENTS_ASOF_JOIN,
+    "events_range_join": O_EVENTS_RANGE_JOIN,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

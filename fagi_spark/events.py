@@ -81,3 +81,75 @@ def user_session_summary(events: DataFrame, gap_seconds: float = 1800.0,
                  F.sum("n_events").alias("n_events"),
                  F.sum("dur_us").alias("sum_dur_us"),
                  F.max("dur_us").alias("max_dur_us")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+              left_ts: str = "ts", right_ts: str = "vts") -> DataFrame:
+    """AS-OF join (backward, inclusive): every left row gains the most
+    recent right row whose ``right_ts <= left_ts`` for the same key,
+    NULLs when no version precedes it — left-join semantics, matching
+    DuckDB's ``ASOF LEFT JOIN`` (the contract oracle).
+
+    Spark has no native as-of join; the distributed shape here is the
+    canonical union-merge: tag both sides, one shuffle on the key, one
+    per-partition sort by (ts, side), then a running ``last(...,
+    ignorenulls)`` carries the latest version forward onto each event
+    row. Version rows sort BEFORE event rows at an equal timestamp, so
+    the match is inclusive. Never a per-row range probe, never a
+    cross join; cost is sort-merge-like regardless of how many events
+    share a key. At warehouse scale both sides arrive
+    partition-pruned; the window's sort rides the shuffle's
+    partitioning (no extra exchange)."""
+    r_extra = [c for c in right.columns if c not in (on, right_ts)]
+    l_cols = left.columns
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_ver", F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in r_extra) + ">"))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.struct(*[F.col(c) for c in r_extra]).alias("_ver"))
+    for c in l_cols:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # side flag: versions (0) order before events (1) at equal _t
+    lt = lt.withColumn("_side", F.lit(1)).select(*l_cols, "_t", "_ver", "_side")
+    rt = rt.withColumn("_side", F.lit(0)).select(*l_cols, "_t", "_ver", "_side")
+    w = (Window.partitionBy(on).orderBy("_t", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = lt.unionByName(rt).withColumn(
+        "_cur", F.last("_ver", ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"_cur.{c}").alias(c) for c in r_extra])
+    return out
+
+
+def interval_range_join(events: DataFrame, intervals: DataFrame,
+                        ts: str = "ts", start: str = "start",
+                        end: str = "end",
+                        bucket_seconds: int = 3600) -> DataFrame:
+    """Range (interval) join: every (event, interval) pair with
+    ``start <= ts < end`` — via time-bucket equi-join, the 1-D twin of
+    the spatial cell join (joins.cell-ring): each interval explodes to
+    the coarse buckets it spans, each event maps to its single bucket,
+    and the equi-join on the bucket bounds the comparison to
+    co-bucketed pairs — never the events x intervals cross product.
+    An event belongs to exactly one bucket, so a multi-bucket interval
+    still pairs with it at most once (no dedup needed). Size
+    ``bucket_seconds`` to the typical interval length; skewed buckets
+    fall to AQE skew-join handling like any hot cell."""
+    b = F.lit(int(bucket_seconds) * 1_000_000)
+    ev = events.withColumn("_bk", F.floor(F.unix_micros(F.col(ts)) / b))
+    iv = intervals.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start)) / b),
+            # end is exclusive, but an interval ending exactly on a
+            # bucket edge still owns no event there; sequence is
+            # inclusive so the edge bucket is probed and the exact
+            # predicate below decides
+            F.floor(F.unix_micros(F.col(end)) / b))))
+    j = ev.join(iv, "_bk")
+    return (j.filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+            .drop("_bk"))

@@ -1,0 +1,70 @@
+"""As-of join and interval range join (fagi_spark/events.py)."""
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from fagi_spark import events as ev
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(0, 1, _ts("2024-01-01T00:30")),   # before any version -> NULL
+         (1, 1, _ts("2024-01-01T01:00")),   # exactly at v1 -> inclusive
+         (2, 1, _ts("2024-01-01T02:30")),   # between v1 and v2 -> v1
+         (3, 1, _ts("2024-01-05T00:00")),   # after v2 -> v2
+         (4, 2, _ts("2024-01-01T09:00"))],  # other key -> its own v
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T01:00"), "u1v1"),
+         (1, _ts("2024-01-01T03:00"), "u1v2"),
+         (2, _ts("2024-01-01T08:00"), "u2v1")],
+        "user_id long, vts timestamp, tag string")
+    got = {r.event_id: r.tag for r in ev.asof_join(left, right).collect()}
+    assert got == {0: None, 1: "u1v1", 2: "u1v1", 3: "u1v2", 4: "u2v1"}
+
+
+def test_asof_join_random_parity(spark):
+    import random
+    rng = random.Random(3)
+    left = [(i, rng.randint(0, 5), rng.randint(0, 10_000)) for i in range(300)]
+    right = [(u, t, f"v{u}_{t}") for u in range(6)
+             for t in sorted(rng.sample(range(10_000), 4))]
+    ldf = (spark.createDataFrame(left, "event_id long, user_id long, s long")
+           .withColumn("ts", F.timestamp_seconds("s")).drop("s"))
+    rdf = (spark.createDataFrame(right, "user_id long, v long, tag string")
+           .withColumn("vts", F.timestamp_seconds("v")).drop("v"))
+    got = {r.event_id: r.tag for r in ev.asof_join(ldf, rdf).collect()}
+    vers = {}
+    for u, t, tag in right:
+        vers.setdefault(u, []).append((t, tag))
+    want = {}
+    for i, u, s in left:
+        best = None
+        for t, tag in vers.get(u, []):
+            if t <= s and (best is None or t > best[0]):
+                best = (t, tag)
+        want[i] = best[1] if best else None
+    assert got == want
+
+
+def test_interval_range_join_buckets_and_edges(spark):
+    evs = (spark.createDataFrame(
+        [(0, 0), (1, 3600), (2, 5399), (3, 5400), (4, 9000)],
+        "event_id long, s long")
+        .withColumn("ts", F.timestamp_seconds("s")).drop("s"))
+    iv = (spark.createDataFrame(
+        [(0, 0, 5400),        # spans 2 buckets at 1h bucketing
+         (1, 3600, 7200)],
+        "interval_id long, a long, b long")
+        .withColumn("start", F.timestamp_seconds("a"))
+        .withColumn("end", F.timestamp_seconds("b")).drop("a", "b"))
+    got = sorted((r.event_id, r.interval_id) for r in
+                 ev.interval_range_join(evs, iv).collect())
+    # end exclusive: event 3 (t=5400) joins interval 1 only; events 1
+    # and 2 hit both intervals; event 4 matches nothing; no dup pairs
+    # even though interval 0 spans two buckets
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 1)]
