@@ -431,20 +431,20 @@ smaller batches keep both sides of the pipe cache-resident and cut
 the latency each blocked JVM thread adds; (d) NEW r3 — the
 multi-process control below (4 concurrent local[8] JVMs over corpus
 shards: the per-executor process topology of a real scale-out, built
-on this box) SPLITS the shortfall quantitatively. Its best pair
-efficiency (0.69) sits ABOVE the single-JVM 8->32 pair (0.58) and
-just under the VM's own pure-CPU ceiling (0.76): per-executor process
-isolation — separate heaps, pipes, dedicated python-worker pools —
-recovers the 0.58->0.69 slice (the single-JVM contention share), and
-the remaining 0.69->1.0 gap matches what this VM denies EVERY
-workload at 32 threads, JVM or not (the 0.76 fma control). A real
-8->32 executor scale-out grants both: per-executor isolation AND 4x
+on this box) brackets the shortfall. Best samples: single-JVM 8->32
+~0.6, 4-JVM topology ~0.7, pure-CPU no-Spark ceiling ~0.76 —
+per-executor process isolation (separate heaps, pipes, dedicated
+python-worker pools) recovers most of the single-JVM contention
+share, and the remaining gap to 1.0 is what this VM denies EVERY
+32-thread workload, JVM or not (the fma control). A real 8->32
+executor scale-out grants both: per-executor isolation AND 4x
 aggregate hardware (sockets, caches, memory channels). The
-below-the-knee pairs (2->8 at 0.90, 4->16 at 0.79) stay inside the
-VM's capacity envelope and remain the truthful sandbox proxy for
-that. All numbers reported unadjusted; controls swing with the same
-co-tenant epochs as everything else (multiproc samples this session:
-0.34, 0.47, 0.69, 0.64 as one noise epoch cleared).
+below-the-knee pairs (2->8 and 4->16, both >= 0.8 in the r3-late
+quiet-epoch sweep of every level) stay inside the VM's capacity
+envelope and remain the truthful sandbox proxy for that. All numbers
+reported unadjusted; controls swing with the same co-tenant epochs as
+everything else (multiproc samples this session: 0.34, 0.47, 0.69,
+0.64, 0.60 across epochs).
 """)
         mp_path = os.path.join(os.path.dirname(__file__), "BENCH",
                                "multiproc.json")
@@ -463,8 +463,8 @@ of a real cluster, minus the extra hardware. Best across invocations:
 single {mp['t_single_s']}s, concurrent slowest-worker
 {mp['t_quad_worst_s']}s -> efficiency **{mp['efficiency']}** (1.0 =
 perfect executor-style scale-out on this box). Read together with the
-other controls: single-JVM 8->32 = 0.58, this 4-JVM topology = 0.69,
-pure-CPU no-Spark ceiling = 0.76 — executor-style process isolation
+other controls (single-JVM 8->32 ~0.6, this 4-JVM topology ~0.7,
+pure-CPU no-Spark ceiling ~0.76): executor-style process isolation
 recovers most of the single-JVM contention share, and the rest is the
 VM's own 32-thread capacity, which only real added hardware lifts.
 """)
