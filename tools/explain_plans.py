@@ -226,6 +226,31 @@ def main():
         "compiles to WindowGroupLimit. At 10^12 vectors this is the "
         "only layout whose working set fits a cluster.")
 
+    # 9c. as-of join + interval range join over events
+    from fagi_spark import contract as _c
+    asof_plan = _c.q_events_asof_join(spark, SF)
+    add("asof_join (events, union-merge)", asof_plan, ["partial_agg"],
+        "no native as-of join in Spark: both sides tag-union, shuffle "
+        "ONCE on the key, and a running last(version, ignorenulls) "
+        "window carries the latest at-or-before version onto each "
+        "event — never a per-row range probe, never a cross join; the "
+        "window sort rides the union's key partitioning.")
+    range_plan = _c.q_events_range_join(spark, SF)
+    range_text = plan_text(range_plan)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in range_text:
+            raise SystemExit(
+                f"range_join structural check failed: {bad} in plan — "
+                "the bucket equi-join has degenerated to a cross product")
+    add("interval_range_join (events, time buckets)", range_plan,
+        ["broadcast_join"],
+        "intervals explode to the coarse time buckets they span and "
+        "the join is an EQUI-join on the bucket (structurally "
+        "enforced here: no CartesianProduct / BroadcastNestedLoopJoin "
+        "in the plan; the small exploded interval side broadcasts) "
+        "with the exact start<=ts<end predicate as a post-filter — "
+        "the 1-D twin of the spatial cell join.")
+
     # 10b. tile pyramid: one scan, one shuffle across all zoom levels
     pyr_pts = pts.select("subject", F.col("cx").alias("lon"),
                          F.col("cy").alias("lat"))
