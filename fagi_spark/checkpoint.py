@@ -233,6 +233,18 @@ class CheckpointStore:
                 pass
         return removed
 
+    def diff(self, spark: SparkSession, stage: str, from_id: int,
+             to_id: int | None = None):
+        """Changelog between two snapshots of a stage (Iceberg
+        incremental-read analog): returns (added, removed) DataFrames —
+        rows in ``to_id`` (default LATEST) but not ``from_id``, and
+        vice versa, multiset semantics via exceptAll. Feeds incremental
+        consumers (re-tile only changed cells, re-export only changed
+        links) without replaying the whole table."""
+        new = self.load(spark, stage, to_id)
+        old = self.load(spark, stage, from_id)
+        return new.exceptAll(old), old.exceptAll(new)
+
     @staticmethod
     def _acquire_lock(lock_path: str, timeout_s: float = 60.0,
                       stale_s: float = 300.0) -> int:

@@ -233,3 +233,15 @@ def test_vacuum_expires_old_snapshots_keeps_time_travel_window(spark, tmp_path):
     assert store.vacuum("s", keep_last=2) == []
     assert store.vacuum("s", keep_last=1) == [2]
     assert store.load(spark, "s").count() == 40
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.commit(spark.range(0, 10).toDF("v"), "s")
+    store.commit(spark.range(3, 14).toDF("v"), "s")   # +10..13, -0..2
+    added, removed = store.diff(spark, "s", from_id=0)
+    assert sorted(r.v for r in added.collect()) == [10, 11, 12, 13]
+    assert sorted(r.v for r in removed.collect()) == [0, 1, 2]
+    # identity window
+    a2, r2 = store.diff(spark, "s", from_id=1, to_id=1)
+    assert a2.count() == 0 and r2.count() == 0
