@@ -304,3 +304,28 @@ def promote_hot_cells(df: DataFrame, hot: DataFrame, fine_res: int,
                           .otherwise(F.col(cell)))
              .drop("_hot_cell", "_is_hot"))
     return out
+
+
+def tile_counts_update(prev: DataFrame, added: DataFrame,
+                       removed: DataFrame, res: int = 7,
+                       lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Incremental maintenance of a (tile, n_entities) rollup from a
+    snapshot changelog (checkpoint.CheckpointStore.diff): merge the
+    previous counts with per-cell +added/-removed deltas instead of
+    rescanning the whole entity table. Cost is proportional to the
+    CHANGE — the only shuffle keys are the touched cells — which at a
+    10^12-row warehouse is the difference between a daily full rebuild
+    and a minutes-long delta merge. Tiles whose count reaches zero
+    drop out, exactly matching a fresh full rollup (tested)."""
+    da = (added.groupBy(cell_col(F.col(lon), F.col(lat), res).alias("tile"))
+          .agg(F.count(F.lit(1)).alias("_add")))
+    dr = (removed.groupBy(cell_col(F.col(lon), F.col(lat), res).alias("tile"))
+          .agg(F.count(F.lit(1)).alias("_rem")))
+    merged = (prev.join(da, "tile", "full")
+              .join(dr, "tile", "full")
+              .select("tile",
+                      (F.coalesce(F.col("n_entities"), F.lit(0))
+                       + F.coalesce(F.col("_add"), F.lit(0))
+                       - F.coalesce(F.col("_rem"), F.lit(0)))
+                      .alias("n_entities")))
+    return merged.filter(F.col("n_entities") > 0)

@@ -197,3 +197,29 @@ def test_read_entities_viewport_prunes_partitions(spark, tmp_path):
     with pytest.raises(ValueError):
         fio.read_entities_viewport(spark, out, -180, -90, 180, 90, res=7,
                                    max_cells=4)
+
+
+def test_tile_counts_update_matches_full_rebuild(spark):
+    """Incremental tile maintenance from a changelog == full rollup."""
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [(i, (i * 37 % 340) / 10.0 - 17.0, (i * 53 % 160) / 10.0 - 8.0)
+             for i in ids], "id long, lon double, lat double")
+
+    v1 = pts(range(200))
+    v2 = pts(list(range(50, 200)) + list(range(300, 380)))  # -50, +80
+
+    def rollup(df):
+        return (df.groupBy(cells.cell_col(F.col("lon"), F.col("lat"), 5)
+                           .alias("tile"))
+                .agg(F.count(F.lit(1)).alias("n_entities")))
+
+    added = v2.exceptAll(v1)
+    removed = v1.exceptAll(v2)
+    inc = cells.tile_counts_update(rollup(v1), added, removed, res=5)
+    full = rollup(v2)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
