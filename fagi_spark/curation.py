@@ -145,22 +145,32 @@ def boilerplate_lines(df: DataFrame, key: str = "doc_id",
 
 
 def strip_boilerplate(df: DataFrame, key: str = "doc_id",
-                      text: str = "text", max_docs: int = 3) -> DataFrame:
+                      text: str = "text", max_docs: int = 3,
+                      hint_broadcast: bool = True) -> DataFrame:
     """Remove high-document-frequency lines from every document and
     reassemble the remainder in original line order as `text_clean`.
 
     Documents whose every line is boilerplate drop out of the result
     (there is nothing left to train on). The high-frequency line set
-    is small by construction (only lines repeated across >max_docs
-    docs), so the anti-join broadcasts it; the corpus pays one
-    explode + one groupBy-per-doc shuffle. Within-doc duplicate lines
-    and ordering are preserved via posexplode + sort on pos.
+    is usually small (only lines repeated across >max_docs docs), so
+    the anti-join broadcasts it; the corpus pays one explode + one
+    groupBy-per-doc shuffle. Within-doc duplicate lines and ordering
+    are preserved via posexplode + sort on pos.
+
+    Scale caveat: on a template-farm-heavy crawl the boilerplate set
+    itself can exceed broadcast size (10^8+ distinct lines each in >
+    max_docs docs). There, pass ``hint_broadcast=False`` so the
+    anti-join plans as a shuffle join on the line hash instead of
+    forcing a driver-side build.
     """
     lines = df.select(
         F.col(key),
         F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"))
     bp = boilerplate_lines(df, key=key, text=text, max_docs=max_docs)
-    kept = lines.join(F.broadcast(bp.select("line")), "line", "left_anti")
+    bp_side = bp.select("line")
+    if hint_broadcast:
+        bp_side = F.broadcast(bp_side)
+    kept = lines.join(bp_side, "line", "left_anti")
     return (kept.groupBy(key)
             .agg(F.array_join(
                 F.transform(

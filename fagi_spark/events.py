@@ -99,7 +99,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     cross join; cost is sort-merge-like regardless of how many events
     share a key. At warehouse scale both sides arrive
     partition-pruned; the window's sort rides the shuffle's
-    partitioning (no extra exchange)."""
+    partitioning (no extra exchange). Hot-key caveat: one key with
+    10^9 events sorts inside a single partition — pre-split such keys
+    by coarse time range (key, t_bucket) and seed each bucket with
+    the version in force at its open, the 1-D analog of
+    cells.promote_hot_cells."""
     r_extra = [c for c in right.columns if c not in (on, right_ts)]
     l_cols = left.columns
     lt = left.withColumn("_t", F.col(left_ts)).withColumn(
