@@ -2695,6 +2695,27 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+_BM25_TERMS = ("spark", "vector", "customer")
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25-style keyword retrieval (fagi_spark/retrieval.py): integer
+    conditional-agg term/doc frequencies, one broadcast scalar-stats
+    row, log-free rational idf so the SCORE is value-exact, TakeOrdered
+    top-k. Retrieval twin of FAGI's lexical candidate ranking
+    (VirtuosoImporter.java TF filter feeding JW scoring)."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+def _o_bm25():
+    from . import retrieval
+    return retrieval.sql_bm25_topk(_BM25_TERMS, k=20)
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -2780,6 +2801,7 @@ QUERIES = {
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "doc_bm25_topk": q_doc_bm25_topk,
 }
 
 ORACLES = {
@@ -2864,6 +2886,7 @@ ORACLES = {
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,
+    "doc_bm25_topk": _o_bm25(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -1,0 +1,170 @@
+"""Keyword retrieval: BM25-style top-k over the document corpus.
+
+FAGI's discovery stage ranks candidate links by lexical similarity
+(VirtuosoImporter.java's TF filter + Jaro-Winkler scoring); the same
+need — "given a few query terms, surface the best-matching documents
+out of a 10^12-row corpus" — shows up in training-data curation as
+keyword retrieval.  This module implements a BM25-style ranker the
+Spark-first way:
+
+* tokenization, term frequencies and document frequencies are INTEGER
+  conditional aggregations (``SUM(CASE WHEN token = t ...)``) — fully
+  order-independent, map-side-combinable, whole-stage-codegen;
+* the corpus statistics (N, avgdl as an exact SUM/COUNT pair, per-term
+  document frequencies) reduce to ONE scalar row that is
+  broadcast-joined back — no second shuffle of the corpus;
+* the final score is scalar per-row float math (plain + - * /), and the
+  idf uses the log-free rational form ``(N - df + 0.5) / (df + 0.5)``
+  so the whole score is reproducible bit-for-bit in ANSI SQL (the
+  classic ``ln``-idf is a monotone transform of it per term; with the
+  standard BM25 saturation this variant is the Lucene "BM25 without
+  the log" simplification, chosen here so the DuckDB oracle can check
+  VALUES, not just ranks);
+* top-k is a global ``ORDER BY ... LIMIT k`` — Spark plans TakeOrdered
+  (per-partition heaps, only k rows per partition reach the driver
+  stage), which is the right physical shape at any corpus size.
+
+Scale note: the per-term column expansion is linear in the QUERY's
+term count (queries are a handful of terms), not in the vocabulary —
+the corpus is scanned once, filtered to query terms before any
+aggregation, so at 100 TB the shuffle carries at most
+|docs containing a query term| x O(1) integer columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _norm_terms(terms) -> list:
+    out = sorted({str(t).lower() for t in terms})
+    if not out:
+        raise ValueError("bm25_topk requires at least one query term")
+    return out
+
+
+def bm25_topk(docs: DataFrame, terms, k: int = 10,
+              k1: float = 1.5, b: float = 0.75,
+              key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Top-``k`` documents for ``terms`` under log-free BM25.
+
+    Returns (key, rank, score) with rank 1..k, ties broken by key.
+    Whitespace tokenization (the corpus token model used throughout
+    textops); terms are lower-cased and deduplicated.
+
+    Two passes over the tokenize projection by design (global df/avgdl
+    stats, then scoring) — the classic TF-IDF shape. At warehouse
+    scale, checkpoint the ``per_doc`` projection (key + dl + q tf
+    longs, a ~50-byte row) once and let both passes read that instead
+    of re-tokenizing the raw text; the resumable jobs in
+    ``fagi_spark.jobs`` snapshot exactly such projections.
+    """
+    terms = _norm_terms(terms)
+    toks = docs.select(
+        F.col(key),
+        F.split(F.lower(F.col(text)), " ").alias("_toks"))
+    # Per-doc integer term frequencies + doc length. size() of the split
+    # array counts every token (empty-string tokens from double spaces
+    # included — mirrored in the SQL helper below).
+    def _match(term):
+        # one-arg closure (a default-arg lambda would be read by
+        # pyspark as the two-arg (element, index) form)
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_toks", _match(term))).cast("long").alias(f"tf_{i}")
+        for i, term in enumerate(terms)]
+    per_doc = toks.select(
+        F.col(key),
+        F.size("_toks").cast("long").alias("dl"),
+        *tf_cols)
+    # Keep only docs matching >= 1 term BEFORE any join (the corpus
+    # statistics still need the full frame, computed next).
+    hit_filter = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        hit_filter = c if hit_filter is None else (hit_filter | c)
+
+    stats_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ]
+    for i in range(len(terms)):
+        stats_aggs.append(
+            F.sum(F.when(F.col(f"tf_{i}") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"df_{i}"))
+    stats = per_doc.agg(*stats_aggs)
+
+    hits = per_doc.filter(hit_filter)
+    joined = hits.crossJoin(F.broadcast(stats))
+
+    # avgdl as an explicit exact-integer SUM / COUNT division (AVG's
+    # internal accumulation order is implementation-defined; this is
+    # one IEEE division of two exact integers on both engines).
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score: Column | None = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                  + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        s = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+        score = s if score is None else (score + s)
+
+    scored = joined.select(F.col(key), score.alias("score"))
+    top = (scored.orderBy(F.col("score").desc(), F.col(key).asc())
+           .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col(key).asc())
+    return top.select(F.col(key), F.row_number().over(w).alias("rank"),
+                      "score")
+
+
+def sql_bm25_topk(terms, k: int = 10, k1: float = 1.5, b: float = 0.75,
+                  key: str = "doc_id", text: str = "text",
+                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bm25_topk` — identical tokenization,
+    identical left-associated float expression tree, rational idf.
+    Constants are emitted with an ``e0`` exponent so DuckDB types them
+    DOUBLE at the token level (see contract._dlit rationale)."""
+    terms = _norm_terms(terms)
+
+    def dlit(v: float) -> str:
+        return repr(float(v)) + "e0"
+
+    tf_exprs = ", ".join(
+        f"CAST(LEN(LIST_FILTER(_toks, t -> t = '{term}')) AS BIGINT) AS tf_{i}"
+        for i, term in enumerate(terms))
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    hit = " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    score_terms = []
+    for i in range(len(terms)):
+        idf = (f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + {dlit(0.5)})"
+               f" / (CAST(df_{i} AS DOUBLE) + {dlit(0.5)}))")
+        denom = (f"(CAST(tf_{i} AS DOUBLE) + {dlit(k1)} * ({dlit(1.0)} - {dlit(b)}"
+                 f" + {dlit(b)} * (CAST(dl AS DOUBLE)"
+                 f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))")
+        score_terms.append(
+            f"({idf} * ((CAST(tf_{i} AS DOUBLE) * {dlit(k1 + 1.0)}) / {denom}))")
+    # Left-associated sum, parenthesized to match Spark's fold order.
+    score = score_terms[0]
+    for st in score_terms[1:]:
+        score = f"({score} + {st})"
+    return f"""WITH toks AS (
+  SELECT {key}, STR_SPLIT(LOWER({text}), ' ') AS _toks FROM {table}
+), per_doc AS (
+  SELECT {key}, CAST(LEN(_toks) AS BIGINT) AS dl, {tf_exprs} FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_exprs} FROM per_doc
+)
+SELECT {key}, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {key} ASC) AS BIGINT) AS rank,
+       score
+FROM (
+  SELECT per_doc.{key}, {score} AS score
+  FROM per_doc CROSS JOIN stats
+  WHERE {hit}
+) ORDER BY score DESC, {key} ASC LIMIT {k}"""
