@@ -2695,6 +2695,27 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+def q_doc_heavy_tokens(spark, sf_dir):
+    """Count-min heavy hitters (fagi_spark/sketch.py): the bounded-
+    memory hot-key detector behind salting / hot-cell promotion. w=16
+    forces real slot collisions over the 31-token vocabulary, so the
+    over-counting path (min over d=4 rows) is exercised, and the whole
+    grid is still value-exact integer math on both engines."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    out = sketch.cms_heavy_hitters(toks, "tok", threshold=900, w=16)
+    return out.select("tok", F.col("est").cast("long").alias("est"))
+
+
+def _o_cms():
+    from . import sketch
+    return sketch.sql_cms_heavy_hitters(
+        "(SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS tok FROM documents)",
+        "tok", threshold=900, w=16)
+
+
 _BM25_TERMS = ("spark", "vector", "customer")
 
 
@@ -2802,6 +2823,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_heavy_tokens": q_doc_heavy_tokens,
 }
 
 ORACLES = {
@@ -2887,6 +2909,7 @@ ORACLES = {
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,
     "doc_bm25_topk": _o_bm25(),
+    "doc_heavy_tokens": _o_cms(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact
