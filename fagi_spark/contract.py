@@ -447,6 +447,28 @@ SELECT subject,
 FROM geo_a WHERE kind = 'POINT'"""
 
 
+def q_zorder_index(spark, sf_dir):
+    """Z-order layout key (cells.zorder_col): Morton interleave of the
+    res-10 ix/iy — the sort key behind write_zordered's file-skipping
+    layout (Iceberg zorder() analog). Pure integer shift/mask math,
+    value-exact."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    c = cells.with_cell(a, 10)
+    return c.select(
+        "subject", "ix", "iy",
+        cells.zorder_col(F.col("ix"), F.col("iy"), 10).alias("zval"))
+
+
+def _o_zorder(res: int = 10) -> str:
+    ix = cells.sql_ix("CAST(v AS DOUBLE)/100.0", res)
+    iy = cells.sql_iy("CAST(w AS DOUBLE)/100.0", res)
+    return f"""WITH {GEO_A_CTE},
+c AS (SELECT subject, {ix} AS ix, {iy} AS iy FROM geo_a WHERE kind = 'POINT')
+SELECT subject, ix, iy, {cells.sql_zorder('ix', 'iy', res)} AS zval FROM c"""
+
+
 def q_cell_bounds(spark, sf_dir):
     """Raster->vector: decode res-10 tile ids back into bbox corner
     doubles (cells.with_cell_bounds — the vector-tile geometry of each
@@ -2824,6 +2846,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_heavy_tokens": q_doc_heavy_tokens,
+    "fagi_zorder_index": q_zorder_index,
 }
 
 ORACLES = {
@@ -2910,6 +2933,7 @@ ORACLES = {
     "events_range_join": O_EVENTS_RANGE_JOIN,
     "doc_bm25_topk": _o_bm25(),
     "doc_heavy_tokens": _o_cms(),
+    "fagi_zorder_index": _o_zorder(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact
