@@ -168,3 +168,33 @@ def read_entities_viewport(spark: SparkSession, path: str,
         out = out.filter(F.col(lon).between(xmin, xmax)
                          & F.col(lat).between(ymin, ymax))
     return out
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str = "cell",
+                   num_buckets: int = 64, sort: bool = True) -> None:
+    """Materialize a frame hash-bucketed on ``key`` — the co-located
+    join layout. Two tables bucketed identically on the join key
+    (entities and the gazetteer, both on ``cell``) join WITHOUT ANY
+    shuffle exchange: each task zips bucket i with bucket i, and with
+    ``sort=True`` the per-bucket sort also drops the SortMergeJoin's
+    sort step. This is Spark's native bucketing (Hive-compatible
+    murmur3 bucket files + catalog metadata), the engine's analog of
+    the reference pre-CLUSTERing both PostGIS tables on geometry
+    (schema.sql:38-39, 66-67) so every join walks co-located data.
+
+    At 10^12 rows the conflation join's shuffle is THE dominant cost;
+    bucketing both sides at ingest amortizes that single shuffle into
+    the write and every later join (discovery, fusion re-runs,
+    incremental conflation) rides the layout for free.
+    tests/test_bucketed_join.py asserts the no-Exchange plan shape.
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read of a bucketed table (spark.read.parquet(path) would
+    drop the bucket metadata and re-shuffle on join)."""
+    return spark.table(name)
