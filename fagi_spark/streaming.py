@@ -222,6 +222,58 @@ def conflate_stream(spark: SparkSession, src_path: str, gazetteer: DataFrame,
             .trigger(availableNow=True).start())
 
 
+def conflate_two_streams(a: DataFrame, b: DataFrame, radius_m: float,
+                         lag_seconds: float = 3600.0,
+                         watermark: str = "1 hour",
+                         res: int | None = None) -> DataFrame:
+    """Stream-STREAM conflation: two live entity feeds (columns
+    ``subject, lon, lat, warc_ts``) joined as they arrive — e.g. two
+    crawl sources discovering the same places near-simultaneously.
+    This is the live twin of ``joins.radius_join``: same cell-ring
+    candidate equi-join (ring exploded on the B side), same exact
+    distance refine; plus the event-time range ``|a.ts - b.ts| <=
+    lag_seconds`` that makes unbounded dual-stream state finite —
+    with both sides watermarked, Spark evicts join state older than
+    watermark + lag, so the state store holds a bounded time slice of
+    each feed regardless of how long the streams run.
+
+    Returns the joined streaming frame (a_subject, b_subject,
+    a_ts, b_ts, distance_m); batch parity with radius_join + the time
+    filter is tested (stream == batch for on-time data)."""
+    from . import geom, joins
+
+    radius_deg = radius_m / geom.METERS_PER_DEGREE
+    if res is None:
+        res = cells.res_for_radius_deg(radius_deg)
+    k = cells.ring_k_for_radius(radius_deg, res)
+
+    aw = (a.select(F.col("subject").alias("a_subject"),
+                   F.col("lon").alias("a_cx"), F.col("lat").alias("a_cy"),
+                   F.col("warc_ts").alias("a_ts"))
+          .withWatermark("a_ts", watermark))
+    bw = (b.select(F.col("subject").alias("b_subject"),
+                   F.col("lon").alias("b_cx"), F.col("lat").alias("b_cy"),
+                   F.col("warc_ts").alias("b_ts"))
+          .withWatermark("b_ts", watermark))
+    aw = cells.with_cell(aw, res, lon="a_cx", lat="a_cy", prefix="a_")
+    bw = cells.with_cell(bw, res, lon="b_cx", lat="b_cy", prefix="b_")
+    bw = cells.explode_ring(bw, res, k, ix="b_ix", iy="b_iy",
+                            out="probe_cell")
+
+    lag = f"INTERVAL {int(lag_seconds)} SECONDS"
+    cond = ((F.col("a_cell") == F.col("probe_cell"))
+            & (F.col("b_ts") >= F.expr(f"a_ts - {lag}"))
+            & (F.col("b_ts") <= F.expr(f"a_ts + {lag}")))
+    joined = aw.join(bw, cond, "inner")
+    dist = joins.DIST_DEG(F.col("a_cx"), F.col("a_cy"),
+                          F.col("b_cx"), F.col("b_cy"))
+    return (joined.withColumn("dist_deg", dist)
+            .filter(F.col("dist_deg") <= F.lit(radius_deg))
+            .select("a_subject", "b_subject", "a_ts", "b_ts",
+                    (F.col("dist_deg") * F.lit(geom.METERS_PER_DEGREE))
+                    .alias("distance_m")))
+
+
 def compact_entities(spark: SparkSession, sink_path: str,
                      store=None, stage: str = "entities_compacted") -> DataFrame:
     """Batch compaction over the streamed entity sink: the GLOBAL

@@ -394,3 +394,63 @@ def test_streaming_curation_matches_batch(spark, pages, tmp_path):
     want = streaming.curate_stream(pages).select("url", "lang", "text")
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_conflate_two_streams_matches_batch(spark, tmp_path):
+    """Stream-STREAM conflation: two watermarked entity feeds joined by
+    cell-ring + event-time range == batch radius_join + the same time
+    filter. Watermark is wider than the data span so no state eviction
+    confounds the correctness check (eviction policy is the documented
+    scale behavior, not the semantics under test)."""
+    import pandas as pd
+
+    from fagi_spark import joins
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    na, nb = 120, 150
+
+    def feed(n, tag, mult):
+        return pd.DataFrame({
+            "subject": [f"{tag}{i}" for i in range(n)],
+            "lon": [10.0 + ((i * mult) % 100) * 0.0005 for i in range(n)],
+            "lat": [50.0 + ((i * (mult + 4)) % 100) * 0.0005 for i in range(n)],
+            "warc_ts": [base + pd.Timedelta(seconds=(i * 97) % 7200)
+                        for i in range(n)],
+        })
+
+    a_pdf, b_pdf = feed(na, "a", 7), feed(nb, "b", 13)
+    a_src, b_src = str(tmp_path / "fa"), str(tmp_path / "fb")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ba = spark.createDataFrame(a_pdf)
+    bb = spark.createDataFrame(b_pdf)
+    ba.repartition(3).write.parquet(a_src)
+    bb.repartition(3).write.parquet(b_src)
+
+    sa = (spark.readStream.schema(ba.schema)
+          .option("maxFilesPerTrigger", 1).parquet(a_src))
+    sb = (spark.readStream.schema(bb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(b_src))
+    joined = streaming.conflate_two_streams(sa, sb, radius_m=200.0,
+                                            lag_seconds=900.0,
+                                            watermark="4 hours")
+    q = (joined.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    # independent batch expectation: cell-ring radius join + time filter
+    ga = ba.selectExpr("subject", "lon AS cx", "lat AS cy")
+    gb = bb.selectExpr("subject", "lon AS cx", "lat AS cy",
+                       "lon AS xmin", "lon AS xmax", "'POINT' AS geom_kind")
+    cand = joins.radius_join(ga, gb, 200.0)
+    cand = (cand
+            .join(ba.selectExpr("subject AS a_subject", "warc_ts AS a_ts"),
+                  "a_subject")
+            .join(bb.selectExpr("subject AS b_subject", "warc_ts AS b_ts"),
+                  "b_subject")
+            .filter(F.abs(F.unix_timestamp("a_ts") - F.unix_timestamp("b_ts"))
+                    <= 900))
+    want = cand.select("a_subject", "b_subject", "a_ts", "b_ts", "distance_m")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
