@@ -1155,6 +1155,43 @@ WHERE a.doc_id < b.doc_id"""
 O_MINHASH_CANDIDATES = _o_minhash()
 
 
+_SPAN_PLANT = ("all rights reserved this page is part of "
+               "the example archive collection")
+
+
+def q_doc_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 suffix-array
+    dedup, Spark-shaped: k-gram posexplode -> count -> run-merge): a
+    shared 12-word boilerplate sentence is planted at the tail of every
+    6th document (key-shifted copies, mirrored in the oracle CTE) so
+    cross-document verbatim spans exist; any natural corpus repeats are
+    found identically on both sides. Poly hash family for the oracle;
+    xxhash64 stays the scale default (pytest-covered)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    plant = (docs.filter(F.col("doc_id") % 6 == 0)
+             .select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" " + _SPAN_PLANT)).alias("text")))
+    out = textops.duplicate_spans(docs.unionByName(plant), k=8,
+                                  min_count=2, hash_family="poly")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "span_start", "span_end",
+                      F.col("n_grams").cast("long").alias("n_grams"))
+
+
+O_DOC_DUPLICATE_SPANS = f"""WITH aug AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, COALESCE(text, '') || ' {_SPAN_PLANT}'
+  FROM documents WHERE doc_id % 6 = 0),
+{textops.sql_duplicate_spans('aug', k=8, min_count=2)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM runs GROUP BY doc_id, grp"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """End-to-end near-dup CLUSTERING: LSH candidates (poly family) ->
     exact shingle-Jaccard verify (>= 0.5) -> alternating large-star/
@@ -2801,6 +2838,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_minhash_candidates": q_minhash_candidates,
+    "doc_duplicate_spans": q_doc_duplicate_spans,
     "doc_neardup_clusters": q_neardup_clusters,
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
@@ -2911,6 +2949,7 @@ ORACLES = {
     "mm_image_features": O_MM_IMAGE_FEATURES,
     "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,
     "doc_minhash_candidates": O_MINHASH_CANDIDATES,
+    "doc_duplicate_spans": O_DOC_DUPLICATE_SPANS,
     "doc_neardup_clusters": O_NEARDUP_CLUSTERS,
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
@@ -420,6 +421,105 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                        F.col("n_inter").cast("double")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")))
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def duplicate_spans(df: DataFrame, key: str = "doc_id", text: str = "text",
+                    k: int = 8, min_count: int = 2,
+                    hash_family: str = "xxhash") -> DataFrame:
+    """EXACT-substring duplicate spans — the Spark re-expression of the
+    suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): maximal runs of word positions whose
+    k-gram occurs >= ``min_count`` times corpus-wide (any second
+    occurrence counts, including within the same document, matching the
+    paper's any-repeat criterion). Distinct from the MinHash/SimHash
+    NEAR-dup family: this finds verbatim repeated passages (boilerplate,
+    licence blocks, quoted chunks) inside otherwise-unique documents.
+
+    Shape (no suffix array needed at this granularity): posexplode the
+    sliding word k-grams (rows ~ total corpus words — the same cost
+    class as the shingle explode in minhash_signatures) -> groupBy gram
+    hash with COUNT (map-side combine, one shuffle) -> equi-join
+    positions back to the >=min_count hashes -> per-doc window merge of
+    consecutive duplicated positions (pos - row_number run grouping)
+    into maximal spans. Documents shorter than ``k`` words contribute
+    nothing. ``hash_family``: "xxhash" (scale default) or "poly"
+    (SQL-mirrored, used by the driver oracle).
+
+    Returns (key, span_start, span_end, n_grams): inclusive word
+    indices into the NORMALIZED (lowercased, space-collapsed) token
+    sequence; span_end covers the last word of the last duplicated
+    k-gram."""
+    words = F.split(normalize_text(F.col(text)), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(F.col(key), F.posexplode(grams).alias("pos", "_gram"))
+    if hash_family == "poly":
+        pos = pos.withColumn("gh", _poly_base_expr("_gram")).drop("_gram")
+    else:
+        pos = pos.withColumn("gh", F.xxhash64("_gram")).drop("_gram")
+    dup = (pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_count).select("gh"))
+    hit = pos.join(dup, "gh", "leftsemi")
+    w = Window.partitionBy(key).orderBy("pos")
+    runs = hit.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (runs.groupBy(key, "_grp")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .drop("_grp"))
+
+
+def sql_duplicate_spans(source: str, key: str = "doc_id", text: str = "text",
+                        k: int = 8, min_count: int = 2) -> str:
+    """DuckDB mirror of duplicate_spans(hash_family="poly") over the CTE
+    or table named ``source`` — same normalization, same poly gram hash,
+    same run-merge window."""
+    gram = f"ARRAY_TO_STRING(ws[p+1:p+{k}], ' ')"
+    return f"""toks AS (
+  SELECT {key}, STRING_SPLIT(LOWER(REGEXP_REPLACE({text}, ' +', ' ', 'g')), ' ') AS ws
+  FROM {source}),
+g AS (
+  SELECT {key}, UNNEST(range(0, LEN(ws) - {k} + 1)) AS p, ws
+  FROM toks WHERE LEN(ws) >= {k}),
+gh AS (SELECT {key}, p, {sql_poly_base(gram)} AS h FROM g),
+dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= {min_count}),
+hit AS (SELECT {key}, p FROM gh WHERE h IN (SELECT h FROM dup)),
+runs AS (
+  SELECT {key}, p,
+         p - ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY p) AS grp
+  FROM hit)"""
+
+
+def strip_duplicate_spans(df: DataFrame, key: str = "doc_id",
+                          text: str = "text", k: int = 8,
+                          min_count: int = 2,
+                          hash_family: str = "xxhash") -> DataFrame:
+    """Remove every duplicated span found by ``duplicate_spans`` from
+    the normalized token stream (Lee et al.'s ExactSubstr deletion).
+    Per-doc span lists are collected into one array column — size is
+    O(words in the doc), the same per-row bound as the token array
+    itself, never corpus-sized. Documents with no duplicated span pass
+    through unchanged (normalized). Output: (key, text) with covered
+    words dropped."""
+    spans = (duplicate_spans(df, key, text, k, min_count, hash_family)
+             .groupBy(key)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("_spans")))
+    words = F.split(normalize_text(F.col(text)), " ")
+    out = (df.select(F.col(key), words.alias("_ws"))
+           .join(spans, key, "left")
+           .withColumn("_spans", F.coalesce(
+               "_spans", F.array().cast(
+                   "array<struct<span_start:long,span_end:long>>")))
+           .withColumn("_kept", F.filter(
+               "_ws",
+               lambda wd, i: ~F.exists(
+                   "_spans",
+                   lambda s: (s["span_start"] <= i) & (i <= s["span_end"])))))
+    return out.select(F.col(key), F.concat_ws(" ", "_kept").alias(text))
 
 
 def with_simhash(df: DataFrame, text: str = "text", bits: int = 64,

@@ -333,3 +333,50 @@ def test_repetition_local_equals_agg(spark):
     loc = textops.with_repetition(docs, mode="local").select(cols)
     assert agg.exceptAll(loc).count() == 0
     assert loc.exceptAll(agg).count() == 0
+
+
+def test_duplicate_spans_exact_and_strip(spark):
+    """Lee-et-al-style exact-substring dedup: planted cross-doc
+    boilerplate and a self-repeating doc produce exactly the expected
+    maximal spans; stripping removes them and leaves clean docs
+    unchanged. xxhash64 scale path == poly oracle path."""
+    boiler = ("all rights reserved this page is part of the example "
+              "archive collection")
+    rows = [
+        (1, "unique alpha text one two three " + boiler + " tail words"),
+        (2, "different beta content four five six seven " + boiler),
+        (3, "no duplicates at all in this particular document body"),
+        (4, "repeat me " * 6),  # self-repeat counts (any-repeat rule)
+        (5, "short doc"),       # < k words: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_grams)
+           for r in textops.duplicate_spans(df, k=8).collect()}
+    # boiler is 12 words -> 5 consecutive dup 8-grams; doc1 offset 6,
+    # doc2 offset 7; doc4 is 12 tokens of pure repeat (trailing space
+    # adds an empty token: 13) -> one span covering the whole doc
+    assert (1, 6, 17, 5) in got and (2, 7, 18, 5) in got
+    assert len([g for g in got if g[0] == 3]) == 0
+    assert len([g for g in got if g[0] == 4]) == 1
+    poly = {(r.doc_id, r.span_start, r.span_end, r.n_grams)
+            for r in textops.duplicate_spans(df, k=8,
+                                             hash_family="poly").collect()}
+    assert got == poly
+    stripped = {r.doc_id: r.text
+                for r in textops.strip_duplicate_spans(df, k=8).collect()}
+    assert stripped[1] == "unique alpha text one two three tail words"
+    assert stripped[2] == "different beta content four five six seven"
+    assert stripped[3] == rows[2][1]
+    assert boiler not in stripped[1] and boiler not in stripped[2]
+
+
+def test_duplicate_spans_partition_independent(spark):
+    """Span output is a pure function of the corpus — stable under
+    repartitioning (the window merge keys on (doc, pos) only)."""
+    rows = [(i, f"w{i} " * 4 + "common shared eight word block here now ok "
+             + f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, textops.duplicate_spans(df, k=8).collect()))
+    b = sorted(map(tuple, textops.duplicate_spans(
+        df.repartition(13), k=8).collect()))
+    assert a == b and len(a) == 40
