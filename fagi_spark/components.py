@@ -150,11 +150,36 @@ def neardup_clusters(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 
 def dedup_near(df: DataFrame, key: str = "doc_id", text: str = "text",
-               **kwargs) -> DataFrame:
-    """Keep one canonical row (the component-minimum key) per near-dup
-    cluster — the end-to-end Common-Crawl dedup: rows survive iff their
-    key IS their component id (singletons trivially qualify)."""
+               policy: str = "min_key", **kwargs) -> DataFrame:
+    """Keep one canonical row per near-dup cluster — the end-to-end
+    Common-Crawl dedup. ``policy`` picks the survivor:
+
+    - ``min_key``: the component-minimum key (rows survive iff their
+      key IS their component id; singletons trivially qualify). Zero
+      extra work — the component labeling already carries the answer.
+    - ``longest``: the member with the most normalized words, ties
+      broken by minimum key — the keep-the-fullest-capture rule used
+      by production crawl dedup. One extra shuffle: a row_number
+      window over (component) ordered by (n_words DESC, key ASC),
+      which compiles to WindowGroupLimit (only per-partition leaders
+      reach the shuffle), so component size never hits memory.
+    """
     comp = neardup_clusters(df, key, text, **kwargs)
-    keep = (comp.filter(F.col("node") == F.col("component"))
-            .select(F.col("node").alias(key)))
+    if policy == "min_key":
+        keep = (comp.filter(F.col("node") == F.col("component"))
+                .select(F.col("node").alias(key)))
+    elif policy == "longest":
+        from pyspark.sql.window import Window
+        n_words = F.size(
+            F.split(textops.normalize_text(
+                F.coalesce(F.col(text), F.lit(""))), " "))
+        sized = (df.select(F.col(key), n_words.alias("_nw"))
+                 .join(comp, F.col(key) == F.col("node")))
+        w = Window.partitionBy("component").orderBy(
+            F.desc("_nw"), F.asc("node"))
+        keep = (sized.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select(F.col("node").alias(key)))
+    else:
+        raise ValueError(f"unknown dedup_near policy: {policy!r}")
     return df.join(keep, key, "leftsemi")

@@ -1192,6 +1192,56 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
 FROM runs GROUP BY doc_id, grp"""
 
 
+def q_doc_strip_spans(spark, sf_dir):
+    """ExactSubstr DELETION (Lee et al. 2022 §4.2): every duplicated
+    span found by duplicate_spans is removed from the normalized token
+    stream; clean documents pass through (normalized) unchanged. Same
+    planted boilerplate as doc_duplicate_spans so the deletion path is
+    exercised on real cross-document repeats. Output is projected to
+    (doc_id, kept_words, text_md5) — scalar columns, md5 keeps the
+    compared frame small while still value-exact on the full text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    plant = (docs.filter(F.col("doc_id") % 6 == 0)
+             .select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" " + _SPAN_PLANT)).alias("text")))
+    out = textops.strip_duplicate_spans(docs.unionByName(plant), k=8,
+                                        min_count=2, hash_family="poly")
+    kept = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " ")))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      kept.cast("long").alias("kept_words"),
+                      F.md5("text").alias("text_md5"))
+
+
+O_DOC_STRIP_SPANS = f"""WITH aug AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, COALESCE(text, '') || ' {_SPAN_PLANT}'
+  FROM documents WHERE doc_id % 6 = 0),
+{textops.sql_duplicate_spans('aug', k=8, min_count=2)},
+spans AS (
+  SELECT doc_id, grp, MIN(p) AS s, MAX(p) + 7 AS e
+  FROM runs GROUP BY doc_id, grp),
+tok AS (
+  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(0, LEN(ws))) AS i
+  FROM toks),
+kept AS (
+  SELECT t.doc_id, t.i, t.w FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)),
+agg AS (
+  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY i) AS text,
+         COUNT(*) AS kept_words
+  FROM kept GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN COALESCE(a.text, '') = '' THEN 0
+                 ELSE a.kept_words END AS BIGINT) AS kept_words,
+       MD5(COALESCE(a.text, '')) AS text_md5
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """End-to-end near-dup CLUSTERING: LSH candidates (poly family) ->
     exact shingle-Jaccard verify (>= 0.5) -> alternating large-star/
@@ -1244,6 +1294,49 @@ FROM reach GROUP BY src"""
 
 
 O_NEARDUP_CLUSTERS = _o_neardup_clusters()
+
+
+def q_neardup_keep(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster (the keep-one
+    step that turns clustering into dedup): policy "longest" keeps the
+    member with the most normalized words, ties broken by min doc_id.
+    The %9 plant appends " extra tail" to copies, so the PLANTED
+    (higher-id, longer) document wins its cluster — distinguishing this
+    policy from min_key and making the query non-vacuous. Output is
+    the surviving corpus projected to (doc_id, n_words)."""
+    from . import components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    plant = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" extra tail")).alias("text")))
+    aug = docs.unionByName(plant)
+    out = components.dedup_near(aug, policy="longest", num_hashes=32,
+                                bands=8, threshold=0.5, hash_family="poly")
+    n_words = F.size(F.split(textops.normalize_text(F.col("text")), " "))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      n_words.cast("long").alias("n_words"))
+
+
+def _o_neardup_keep() -> str:
+    base = O_NEARDUP_CLUSTERS
+    head, select = base.rsplit("\nSELECT ", 1)
+    return f"""{head},
+comp AS (SELECT {select}),
+nw AS (SELECT doc_id,
+       LEN(STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ')) AS n_words
+       FROM aug),
+ranked AS (
+  SELECT c.node, nw.n_words,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY nw.n_words DESC, c.node ASC) AS r
+  FROM comp c JOIN nw ON nw.doc_id = c.node)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words
+FROM ranked WHERE r = 1"""
+
+
+O_NEARDUP_KEEP = _o_neardup_keep()
 
 
 def q_simhash(spark, sf_dir):
@@ -2839,7 +2932,9 @@ QUERIES = {
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_minhash_candidates": q_minhash_candidates,
     "doc_duplicate_spans": q_doc_duplicate_spans,
+    "doc_strip_spans": q_doc_strip_spans,
     "doc_neardup_clusters": q_neardup_clusters,
+    "doc_neardup_keep": q_neardup_keep,
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
     "fagi_discover_links": q_discover_links,
@@ -2950,7 +3045,9 @@ ORACLES = {
     "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,
     "doc_minhash_candidates": O_MINHASH_CANDIDATES,
     "doc_duplicate_spans": O_DOC_DUPLICATE_SPANS,
+    "doc_strip_spans": O_DOC_STRIP_SPANS,
     "doc_neardup_clusters": O_NEARDUP_CLUSTERS,
+    "doc_neardup_keep": O_NEARDUP_KEEP,
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,

@@ -119,6 +119,28 @@ def test_neardup_clusters_and_dedup(spark):
     assert kept == [0, 10, 11, 12, 13, 14]
 
 
+def test_dedup_near_longest_policy(spark):
+    """policy="longest" keeps the fullest capture per cluster: doc 2
+    (21 words: "prefix " + base) beats docs 0 (20) and 1 (21 words,
+    tie broken by min id... doc 1 is base+" extra" = 21 words too, so
+    the tie-break picks min(node)=1 over 2). Singletons all survive;
+    min_key and longest differ on the planted cluster."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = [(0, base), (1, base + " extra"), (2, "prefix " + base)]
+    rows += [(10 + i, f"unique document number {i} with words " +
+              " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in components.dedup_near(
+        docs, policy="longest", threshold=0.3).collect())
+    # docs 1 and 2 both have 21 words > doc 0's 20; tie -> min id 1
+    assert kept == [1, 10, 11, 12, 13, 14]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        components.dedup_near(docs, policy="nope")
+
+
 def test_cc_randomized_many_seeds_match_union_find(spark):
     """Randomized parity sweep (SURVEY §5.5 style): across graph shapes
     — sparse, dense, chain-heavy, star-heavy — the star-contraction
