@@ -2741,6 +2741,33 @@ SELECT doc_id, {_URL_SQL['scheme']} AS scheme, {_URL_SQL['host']} AS host,
 FROM aug"""
 
 
+def q_doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (curation.pack_sequences):
+    documents laid end-to-end in doc_id order, cut into 128-token
+    packs, one row per (doc, pack) segment. The Spark side computes
+    the global prefix sum with the distributed quantile-bucket
+    two-pass plan; the oracle is the declarative one-window form —
+    both must emit identical int64 segment geometry."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"))
+    out = curation.pack_sequences(docs, ctx=128, buckets=32)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "pack_id", "doc_offset", "pack_offset", "seg_len")
+
+
+O_DOC_PACK_SEQUENCES = f"""WITH pk_t AS (
+  SELECT doc_id, LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS n_tokens
+  FROM documents),
+{curation.sql_pack_sequences('pk_t', ctx=128)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(pack_id * 128, st) - st AS BIGINT) AS doc_offset,
+       CAST(GREATEST(pack_id * 128, st) - pack_id * 128 AS BIGINT) AS pack_offset,
+       CAST(LEAST((pack_id + 1) * 128, cum) - GREATEST(pack_id * 128, st)
+            AS BIGINT) AS seg_len
+FROM pk_seg"""
+
+
 # 4 subspaces x 4 codewords x 16 dims — deterministic fixed codebooks
 # from the same hyperplane generator the LSH/IVF constants use
 _PQ_CODEBOOKS = [[vector._hyperplane(16, 4 * j + i, seed=23)
@@ -2974,6 +3001,7 @@ QUERIES = {
     "doc_kmv_distinct": q_doc_kmv_distinct,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_url_parts": q_doc_url_parts,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3064,6 +3092,7 @@ ORACLES = {
     "doc_kmv_distinct": _o_kmv(),
     "ann_ivfpq_topk": _o_ivfpq(),
     "doc_url_parts": O_DOC_URL_PARTS,
+    "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

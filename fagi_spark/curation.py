@@ -259,3 +259,112 @@ def sql_url_parts(url_expr: str) -> dict[str, str]:
         "path_depth":
             f"LEN(LIST_FILTER(STRING_SPLIT({path}, '/'), x -> x <> ''))",
     }
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, key: str = "doc_id",
+                   tokens: str = "n_tokens", ctx: int = 2048,
+                   buckets: int = 256) -> DataFrame:
+    """Pack documents into fixed-length training sequences — the
+    concat-and-chunk packing GPT-style pretraining uses: lay the
+    documents end-to-end in ``key`` order into one virtual token
+    stream, cut the stream into consecutive ``ctx``-token windows
+    ("packs"), and emit one row per (document, pack) SEGMENT:
+
+      (key, pack_id, doc_offset, pack_offset, seg_len)
+
+    — document slice [doc_offset, doc_offset+seg_len) lands in pack
+    ``pack_id`` at position ``pack_offset``. A long document spans
+    several packs; several short documents share one pack. Rows with
+    ``tokens <= 0`` contribute nothing. ``key`` must be numeric and
+    unique (same precondition as minhash/simhash — the total order
+    must be well-defined).
+
+    The only global dependency is an EXCLUSIVE PREFIX SUM of token
+    counts in key order. A naive ``SUM() OVER (ORDER BY key)`` plans a
+    single-partition window — one reducer sees the whole corpus, the
+    classic scale killer. Instead, the prefix sum is computed in two
+    distributed passes over order-compatible buckets:
+
+      1. ``buckets-1`` key quantile boundaries are collected ONCE on
+         the driver (percentile_approx — one tiny aggregate job) and
+         inlined as a literal array; every row's bucket is the count
+         of boundaries below its key — a pure codegen expression, so
+         the row->bucket map is IDENTICAL in every pass by
+         construction. (An earlier design used repartitionByRange +
+         spark_partition_id, but range-boundary sampling reseeds per
+         query execution, so pids are not guaranteed stable across the
+         totals pass and the window pass — a silent-corruption
+         hazard.)
+      2. one token total per bucket (map-side combine; O(buckets)
+         scalars to the driver) becomes the bucket's exclusive offset,
+         broadcast-joined back;
+      3. a per-bucket cumulative window (partitionBy bucket — never a
+         global window) plus the bucket offset.
+
+    The result depends only on the total key order, never on where
+    bucket boundaries fall (prefix sums are associative) —
+    tests/test_curation.py proves bucket-count independence. All
+    arithmetic is int64 (exact to 2^63 total tokens; 100 TB of text is
+    ~2.5e13 tokens), so the DuckDB oracle matches bit-for-bit.
+    """
+    d = (df.select(F.col(key).alias("_k"),
+                   F.col(tokens).cast("long").alias("_n"))
+         .filter(F.col("_n") > 0))
+    qs = [i / buckets for i in range(1, buckets)]
+    row = d.select(F.percentile_approx("_k", qs).alias("b")).first()
+    bounds = sorted(set(row["b"] or [])) if row is not None else []
+    spark = df.sparkSession
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("_k")))
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("_b", bucket)
+    bucket_totals = {r["_b"]: r["_t"] for r in
+                     d.groupBy("_b").agg(F.sum("_n").alias("_t")).collect()}
+    running, offsets = 0, []
+    for b in sorted(bucket_totals):
+        offsets.append((b, running))
+        running += bucket_totals[b]
+    if not offsets:
+        offsets = [(0, 0)]  # empty input: join matches nothing anyway
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_b int, _off long"))
+    w = Window.partitionBy("_b").orderBy("_k")
+    c = (d.join(off_df, "_b")
+         .withColumn("_cum", F.sum("_n").over(w) + F.col("_off"))
+         .withColumn("_st", F.col("_cum") - F.col("_n"))
+         .withColumnRenamed("_k", key))
+    first = F.expr(f"_st div {ctx}")
+    last = F.expr(f"(_cum - 1) div {ctx}")
+    seg = c.withColumn("pack_id", F.explode(F.sequence(first, last)))
+    seg_start = F.greatest(F.col("pack_id") * ctx, F.col("_st"))
+    seg_end = F.least((F.col("pack_id") + 1) * ctx, F.col("_cum"))
+    return seg.select(
+        F.col(key),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (seg_start - F.col("_st")).cast("long").alias("doc_offset"),
+        (seg_start - F.col("pack_id") * ctx).cast("long").alias("pack_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"))
+
+
+def sql_pack_sequences(source: str, key: str = "doc_id",
+                       tokens: str = "n_tokens", ctx: int = 2048) -> str:
+    """DuckDB mirror of ``pack_sequences`` over table/CTE ``source``
+    (which must expose ``key`` and ``tokens``): the declarative
+    one-window form — the distributed two-pass Spark plan must produce
+    exactly these integers."""
+    return f"""pk_c AS (
+  SELECT {key}, CAST({tokens} AS BIGINT) AS n,
+         CAST(SUM(CAST({tokens} AS BIGINT)) OVER (ORDER BY {key})
+              AS BIGINT) AS cum
+  FROM {source} WHERE {tokens} > 0),
+pk_seg AS (
+  SELECT {key}, n, cum, cum - n AS st,
+         UNNEST(range((cum - n) // {ctx}, (cum - 1) // {ctx} + 1)) AS pack_id
+  FROM pk_c)"""

@@ -157,3 +157,57 @@ def test_strip_boilerplate_random_parity(spark):
         if kept:
             want[d] = "\n".join(kept)
     assert got == want
+
+
+def _pack_reference(rows, ctx):
+    """Driver-side concat-and-chunk reference for pack_sequences."""
+    out, cum = [], 0
+    for k, n in sorted(rows):
+        if n <= 0:
+            continue
+        st, cum = cum, cum + n
+        p = st // ctx
+        while p * ctx < cum:
+            s, e = max(p * ctx, st), min((p + 1) * ctx, cum)
+            out.append((k, p, s - st, s - p * ctx, e - s))
+            p += 1
+    return sorted(out)
+
+
+def test_pack_sequences_parity_and_bucket_independence(spark):
+    """The distributed quantile-bucket prefix sum equals the
+    sequential concat-and-chunk reference for every bucket count —
+    the output is a pure function of (key order, token counts), never
+    of bucket boundaries. Covers docs spanning multiple packs (n>ctx),
+    zero-token drops, and pack-sharing short docs."""
+    import random
+    rnd = random.Random(11)
+    rows = [(i, rnd.choice([0, 1, 3, 17, 64, 200])) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want = _pack_reference(rows, 64)
+    assert any(n > 64 for _, n in rows)  # multi-pack spans exercised
+    for buckets in (1, 5, 64):
+        got = sorted(map(tuple, curation.pack_sequences(
+            df, ctx=64, buckets=buckets).collect()))
+        assert got == want, f"buckets={buckets}"
+    # segment geometry invariants: packs are exactly full except the last
+    by_pack = {}
+    for _, p, _, po, sl in want:
+        by_pack.setdefault(p, []).append((po, sl))
+    last = max(by_pack)
+    for p, segs in by_pack.items():
+        segs.sort()
+        covered = sum(s for _, s in segs)
+        assert covered == 64 or (p == last and covered <= 64)
+        pos = 0
+        for po, sl in segs:  # contiguous, no overlap, no gap
+            assert po == pos
+            pos += sl
+
+
+def test_pack_sequences_empty_and_zero(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert curation.pack_sequences(empty, ctx=64).count() == 0
+    zeros = spark.createDataFrame([(1, 0), (2, -3)],
+                                  "doc_id long, n_tokens long")
+    assert curation.pack_sequences(zeros, ctx=64).count() == 0
