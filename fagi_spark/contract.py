@@ -2768,6 +2768,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_id AS BIGINT) AS pack_id,
 FROM pk_seg"""
 
 
+def q_doc_lang_mixture(spark, sf_dir):
+    """Temperature-based language-mixture weights (alpha=0.5, the
+    XLM-R sampling rule): per-language token totals -> sqrt-amplified
+    shares. The float weight IS value-compared: both sides fold the
+    lang-sorted sqrt list left-associatively (F.aggregate vs
+    LIST_REDUCE(LIST_PREPEND(0.0, LIST(.. ORDER BY lang)))) and apply
+    the same sqrt/divide sequence per row, per the repo's
+    IEEE-determinism rules."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"))
+    out = curation.lang_mixture_weights(docs, alpha=0.5)
+    return out.select("lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "raw_share", "weight", "boost")
+
+
+O_DOC_LANG_MIXTURE = f"""WITH lm_src AS (
+  SELECT COALESCE(lang, 'und') AS lang,
+         LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS n_tokens
+  FROM documents),
+{curation.sql_lang_mixture('lm_src')}
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS raw_share,
+       SQRT(CAST(n_tokens AS DOUBLE)) / den AS weight,
+       (SQRT(CAST(n_tokens AS DOUBLE)) / den)
+         / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS boost
+FROM lm_lc, lm_tot"""
+
+
 # 4 subspaces x 4 codewords x 16 dims — deterministic fixed codebooks
 # from the same hyperplane generator the LSH/IVF constants use
 _PQ_CODEBOOKS = [[vector._hyperplane(16, 4 * j + i, seed=23)
@@ -3002,6 +3031,7 @@ QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_url_parts": q_doc_url_parts,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_lang_mixture": q_doc_lang_mixture,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3093,6 +3123,7 @@ ORACLES = {
     "ann_ivfpq_topk": _o_ivfpq(),
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
+    "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

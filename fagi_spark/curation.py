@@ -368,3 +368,78 @@ pk_seg AS (
   SELECT {key}, n, cum, cum - n AS st,
          UNNEST(range((cum - n) // {ctx}, (cum - 1) // {ctx} + 1)) AS pack_id
   FROM pk_c)"""
+
+
+# ---------------------------------------------------------------------------
+# Language-mixture rebalancing (temperature sampling weights)
+# ---------------------------------------------------------------------------
+
+
+def lang_mixture_weights(df: DataFrame, lang: str = "lang",
+                         tokens: str = "n_tokens",
+                         alpha: float = 0.5) -> DataFrame:
+    """Temperature-based corpus rebalancing weights (the multilingual
+    sampling rule of XLM-R / mT5: sample language l with probability
+    proportional to c_l^alpha, alpha < 1 up-weighting low-resource
+    languages). Returns one row per language:
+
+      (lang, n_tokens, raw_share, weight, boost)
+
+    where weight = c^alpha / sum_l c^alpha, raw_share = c / total, and
+    boost = weight / raw_share (how much the language is over- or
+    under-sampled vs its natural share).
+
+    One partial-agg shuffle to (lang) — the grouped frame is
+    O(#languages) rows, so the normalizing sum is computed by folding
+    a LANG-SORTED array with F.aggregate: the fold order is part of
+    the operator's contract, making the float denominator reproducible
+    run-to-run AND mirrorable into the DuckDB oracle
+    (LIST_REDUCE(LIST_PREPEND(0.0, LIST(... ORDER BY lang)))), per the
+    repo's IEEE-determinism rules. alpha=0.5 uses sqrt (a correctly-
+    rounded IEEE op on both engines); alpha=1.0 is the identity.
+    Other alphas fall back to pow(), which is NOT guaranteed
+    identically rounded across engines — use them for production runs,
+    not oracle-compared queries."""
+    if alpha == 0.5:
+        def amp(c):
+            return F.sqrt(c.cast("double"))
+    elif alpha == 1.0:
+        def amp(c):
+            return c.cast("double")
+    else:
+        def amp(c):
+            return F.pow(c.cast("double"), F.lit(float(alpha)))
+    lc = (df.groupBy(F.col(lang).alias("lang"))
+          .agg(F.sum(F.col(tokens).cast("long")).alias("n_tokens")))
+    totals = lc.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("lang", "n_tokens"))),
+                lambda x: amp(x["n_tokens"])),
+            F.lit(0.0), lambda acc, v: acc + v).alias("_den"))
+    return (lc.crossJoin(F.broadcast(totals))
+            .select("lang", "n_tokens",
+                    (F.col("n_tokens").cast("double")
+                     / F.col("_tot").cast("double")).alias("raw_share"),
+                    (amp(F.col("n_tokens")) / F.col("_den")).alias("weight"),
+                    ((amp(F.col("n_tokens")) / F.col("_den"))
+                     / (F.col("n_tokens").cast("double")
+                        / F.col("_tot").cast("double"))).alias("boost")))
+
+
+def sql_lang_mixture(source: str, lang: str = "lang",
+                     tokens: str = "n_tokens") -> str:
+    """DuckDB mirror of lang_mixture_weights(alpha=0.5) over
+    table/CTE ``source``: same lang-sorted left-associative fold for
+    the denominator, same sqrt/divide sequence per row."""
+    return f"""lm_lc AS (
+  SELECT {lang} AS lang, CAST(SUM(CAST({tokens} AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM {source} GROUP BY {lang}),
+lm_tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                        LIST(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+           (acc, v) -> acc + v) AS den
+  FROM lm_lc)"""

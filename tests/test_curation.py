@@ -211,3 +211,29 @@ def test_pack_sequences_empty_and_zero(spark):
     zeros = spark.createDataFrame([(1, 0), (2, -3)],
                                   "doc_id long, n_tokens long")
     assert curation.pack_sequences(zeros, ctx=64).count() == 0
+
+
+def test_lang_mixture_weights(spark):
+    """alpha=0.5 up-weights low-resource langs (boost > 1 iff below
+    the mean share), weights sum to ~1, alpha=1.0 reproduces raw
+    shares exactly, and the result is partition-independent."""
+    import math
+    rows = [("en", 1000), ("de", 100), ("fr", 10)]
+    df = spark.createDataFrame(
+        [(l, n) for l, n in rows for _ in range(1)],
+        "lang string, n_tokens long")
+    out = {r.lang: r for r in curation.lang_mixture_weights(df).collect()}
+    den = sum(math.sqrt(n) for _, n in sorted(rows))
+    for l, n in rows:
+        assert out[l].n_tokens == n
+        assert out[l].weight == math.sqrt(n) / den
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    assert out["fr"].boost > 1.0 > out["en"].boost
+    # alpha=1: weight == raw_share bit-for-bit
+    for r in curation.lang_mixture_weights(df, alpha=1.0).collect():
+        assert r.weight == r.raw_share and r.boost == 1.0
+    # partition independence
+    a = sorted(map(tuple, curation.lang_mixture_weights(df).collect()))
+    b = sorted(map(tuple, curation.lang_mixture_weights(
+        df.repartition(7)).collect()))
+    assert a == b
