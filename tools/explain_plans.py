@@ -327,6 +327,54 @@ def main():
     spark.sql("DROP TABLE IF EXISTS plans_ents_b")
     spark.sql("DROP TABLE IF EXISTS plans_gaz_b")
 
+    # 12. duplicate spans: corpus-wide k-gram count + per-doc run merge
+    add("duplicate_spans (ExactSubstr dedup)",
+        textops.duplicate_spans(docs, k=8),
+        ["partial_agg"],
+        "the k-gram posexplode feeds a COUNT groupBy with map-side "
+        "combine (one narrow (hash, count) shuffle — the same cost "
+        "class as the minhash shingle explode), the >=min_count hash "
+        "set semi-joins positions back, and the run merge is a window "
+        "partitioned BY DOCUMENT (pos - row_number grouping) — no "
+        "global ordering anywhere, so span extraction scales with the "
+        "corpus, not with one reducer.")
+
+    # 13. sequence packing: the distributed prefix sum must never plan
+    # a global (unpartitioned) window
+    pk_docs = docs.select("doc_id", F.size(F.split(
+        F.coalesce("text", F.lit("")), " ")).alias("n_tokens"))
+    pk_plan = curation.pack_sequences(pk_docs, ctx=128, buckets=32)
+    pk_text = plan_text(pk_plan)
+    for m in _re.finditer(r"windowspecdefinition\(([^,]*),", pk_text):
+        if not m.group(1).strip().startswith("_b"):
+            raise SystemExit(
+                "pack_sequences structural check failed: window not "
+                f"partitioned by bucket ({m.group(0)}) — the prefix sum "
+                "has degenerated to a single-reducer global window")
+    add("pack_sequences (concat-and-chunk packing)", pk_plan,
+        ["broadcast_join"],
+        "the global token prefix sum is computed over inlined quantile "
+        "buckets: per-bucket totals (map-side combine, O(buckets) rows "
+        "to the driver) become broadcast offsets, and the cumulative "
+        "window is partitioned BY BUCKET — structurally enforced here: "
+        "every windowspecdefinition in the plan partitions on _b, so "
+        "no stage ever funnels the corpus through one reducer. Bucket "
+        "assignment is a literal-array filter() lambda — evaluated "
+        "JVM-side but not whole-stage-fused (the same known HOF "
+        "limitation noted for ivf_fixed_topk); no Python anywhere.")
+
+    # 14. keep-longest canonical selection rides WindowGroupLimit
+    add("dedup_near longest (canonical selection)",
+        components.dedup_near(
+            docs.limit(200), policy="longest", threshold=0.5),
+        ["window_group_limit", "partial_agg"],
+        "the per-cluster keep-longest winner is a row_number()=1 "
+        "filter over (component; n_words DESC, node ASC) — compiles "
+        "to WindowGroupLimit, so each map task forwards one candidate "
+        "per component into the shuffle and a 10^6-member mirror "
+        "cluster moves 10^6 rows exactly once (the component labels), "
+        "never again for the selection.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
