@@ -228,10 +228,18 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     # the pre-shuffle explode+hash stage would run single-threaded —
     # input shaping only (at warehouse scale the corpus is many files);
     # minhash is partition-independent, results unchanged.
+    from fagi_spark import curation as _curation
     from fagi_spark import textops as _textops
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
     timed("minhash_lsh_dedup",
           lambda: _textops.minhash_candidates(docs, num_hashes=32, bands=8).count())
+    timed("duplicate_spans",
+          lambda: _textops.duplicate_spans(docs, k=8).count())
+    timed("pack_sequences",
+          lambda: _curation.pack_sequences(
+              docs.select("doc_id", F.size(F.split(F.coalesce(
+                  "text", F.lit("")), " ")).alias("n_tokens")),
+              ctx=2048).count())
     timed("ann_topk", lambda: contract.q_ann_topk(spark, sf_dir).count())
     timed("doc_quality_lang", lambda: contract.q_doc_quality(spark, sf_dir).count())
 
@@ -249,7 +257,6 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     # 5. curation chain over the sf-scaled page corpus: PII scrub ->
     # composite quality filter -> exact dedup -> stratified mix (the
     # jobs/curate.py stages minus checkpointing), one pass end-to-end
-    from fagi_spark import curation as _curation
 
     def _curate_count():
         scrub = (_curation.with_pii_scrub(pages)

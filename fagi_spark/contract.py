@@ -2768,6 +2768,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_id AS BIGINT) AS pack_id,
 FROM pk_seg"""
 
 
+def q_doc_surprisal(spark, sf_dir):
+    """Unigram corpus-surprisal quality score (textops.with_surprisal)
+    — the CCNet-perplexity analog made integer-exact: the per-token
+    bucket floor(log10(total/count)) is the digit count of an integer
+    quotient, so sums and centibucket means are value-comparable with
+    zero float ops."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.with_surprisal(docs)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "surp_sum", "n_scored", "surp_centi")
+
+
+O_DOC_SURPRISAL = f"""WITH {textops.sql_surprisal('documents')}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.surp_sum, 0) AS BIGINT) AS surp_sum,
+       CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(CASE WHEN COALESCE(a.n_scored, 0) > 0
+                 THEN (100 * a.surp_sum) // a.n_scored
+                 ELSE 0 END AS BIGINT) AS surp_centi
+FROM documents d LEFT JOIN sp_agg a ON d.doc_id = a.doc_id"""
+
+
 def q_doc_lang_mixture(spark, sf_dir):
     """Temperature-based language-mixture weights (alpha=0.5, the
     XLM-R sampling rule): per-language token totals -> sqrt-amplified
@@ -3032,6 +3054,7 @@ QUERIES = {
     "doc_url_parts": q_doc_url_parts,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_lang_mixture": q_doc_lang_mixture,
+    "doc_surprisal": q_doc_surprisal,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3124,6 +3147,7 @@ ORACLES = {
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
+    "doc_surprisal": O_DOC_SURPRISAL,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

@@ -575,3 +575,71 @@ def simhash_hamming(col_a, col_b):
     """Hamming distance between two packed simhash longs."""
     x = col_a.bitwiseXOR(col_b)
     return F.bit_count(x)
+
+
+def with_surprisal(df: DataFrame, key: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """Unigram corpus-surprisal quality score — the integer-exact
+    stand-in for CCNet's LM-perplexity filter: rare-token-heavy
+    (gibberish, boilerplate-hash, OCR-noise) documents score HIGH,
+    common-word prose scores LOW. Per token, the surprisal bucket is
+
+        sb(w) = floor(log10(N_total / count(w)))
+
+    computed EXACTLY as ``length(str(N_total div count(w))) - 1`` —
+    the digit count of an integer quotient, pure int/string ops, so
+    the score is value-comparable across engines with no
+    transcendental in sight (the repo's IEEE rules). Appends per doc:
+
+      surp_sum   — sum of per-token surprisal buckets (int64)
+      n_scored   — tokens scored (non-empty normalized tokens)
+      surp_centi — mean bucket in centibuckets: (100*surp_sum) div n
+
+    Plan: explode normalized tokens -> token-frequency groupBy
+    (map-side combine; stop-word heads are exactly the keys AQE's
+    skew handling splits) -> equi-join tokens to their counts -> one
+    per-doc SUM. The corpus-total N is a broadcast one-row aggregate,
+    the same scalar pattern as fusion_scores. Two narrow shuffles
+    (token, then key); document text never shuffles."""
+    tok = df.select(
+        F.col(key),
+        F.explode(F.split(normalize_text(F.coalesce(F.col(text),
+                                                    F.lit(""))), " "))
+        .alias("_w")).filter(F.col("_w") != "")
+    freq = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_tot"))
+    scored = (tok.join(freq, "_w")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_sb", F.length(F.expr(
+                  "CAST(_tot DIV _c AS STRING)")) - 1))
+    agg = (scored.groupBy(key)
+           .agg(F.sum("_sb").cast("long").alias("surp_sum"),
+                F.count(F.lit(1)).cast("long").alias("n_scored")))
+    out = (df.join(agg, key, "left")
+           .withColumn("surp_sum", F.coalesce("surp_sum", F.lit(0)))
+           .withColumn("n_scored", F.coalesce("n_scored", F.lit(0))))
+    return out.withColumn(
+        "surp_centi",
+        F.when(F.col("n_scored") > 0,
+               F.expr("CAST(100 * surp_sum AS BIGINT) DIV n_scored"))
+        .otherwise(F.lit(0)).cast("long"))
+
+
+def sql_surprisal(source: str, key: str = "doc_id",
+                  text: str = "text") -> str:
+    """DuckDB mirror of with_surprisal over table/CTE ``source``: same
+    normalization, same digit-count integer-quotient bucket."""
+    norm = f"LOWER(REGEXP_REPLACE({text}, ' +', ' ', 'g'))"
+    return f"""sp_tok AS (
+  SELECT {key}, UNNEST(STRING_SPLIT({norm}, ' ')) AS w
+  FROM {source} WHERE {text} IS NOT NULL),
+sp_tok2 AS (SELECT {key}, w FROM sp_tok WHERE w <> ''),
+sp_freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM sp_tok2 GROUP BY w),
+sp_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM sp_freq),
+sp_scored AS (
+  SELECT t.{key}, LENGTH(CAST(tot // c AS VARCHAR)) - 1 AS sb
+  FROM sp_tok2 t JOIN sp_freq f ON t.w = f.w, sp_tot),
+sp_agg AS (
+  SELECT {key}, CAST(SUM(sb) AS BIGINT) AS surp_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_scored
+  FROM sp_scored GROUP BY {key})"""

@@ -380,3 +380,24 @@ def test_duplicate_spans_partition_independent(spark):
     b = sorted(map(tuple, textops.duplicate_spans(
         df.repartition(13), k=8).collect()))
     assert a == b and len(a) == 40
+
+
+def test_surprisal_hand_fixture(spark):
+    """Digit-count surprisal on a corpus small enough to check by
+    hand: 10 total tokens; 'the' x5 -> 10//5=2 -> sb 0; 'cat'/'sat'
+    x2 -> 10//2=5 -> sb 0; 'zebra' x1 -> 10//1=10 -> sb 1. Rare-token
+    docs score higher; empty/null docs score 0; repartitioning
+    changes nothing."""
+    rows = [(1, "the the the cat sat"),
+            (2, "the the cat sat zebra"),
+            (3, None),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.surp_sum, r.n_scored, r.surp_centi)
+           for r in textops.with_surprisal(df).collect()}
+    assert got[1] == (0, 5, 0)
+    assert got[2] == (1, 5, 20)   # one rare token in 5 -> 100*1//5
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
+    rep = {r.doc_id: (r.surp_sum, r.n_scored, r.surp_centi)
+           for r in textops.with_surprisal(df.repartition(5)).collect()}
+    assert rep == got
