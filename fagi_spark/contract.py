@@ -2768,6 +2768,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_id AS BIGINT) AS pack_id,
 FROM pk_seg"""
 
 
+def q_doc_chunk_overlap(spark, sf_dir):
+    """RAG-style overlapping chunking (curation.chunk_docs): 48-token
+    windows, 8-token overlap; chunk text projected to md5 so the
+    compared frame stays scalar and small. Map-only on the Spark side
+    — the one Generate is the whole plan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.chunk_docs(docs, size=48, overlap=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_id", "chunk_start", "chunk_len",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
+O_DOC_CHUNK_OVERLAP = f"""WITH {curation.sql_chunk_docs(
+    'documents', size=48, overlap=8)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, chunk_start, chunk_len,
+       MD5(chunk_text) AS chunk_md5
+FROM ch"""
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Unigram corpus-surprisal quality score (textops.with_surprisal)
     — the CCNet-perplexity analog made integer-exact: the per-token
@@ -3055,6 +3074,7 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_lang_mixture": q_doc_lang_mixture,
     "doc_surprisal": q_doc_surprisal,
+    "doc_chunk_overlap": q_doc_chunk_overlap,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3148,6 +3168,7 @@ ORACLES = {
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_surprisal": O_DOC_SURPRISAL,
+    "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

@@ -443,3 +443,62 @@ lm_tot AS (
                         LIST(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
            (acc, v) -> acc + v) AS den
   FROM lm_lc)"""
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_docs(df: DataFrame, key: str = "doc_id", text: str = "text",
+               size: int = 256, overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    retrieval/embedding prep step (RAG chunking): chunk i starts at
+    token ``i * (size - overlap)`` and covers up to ``size`` tokens of
+    the whitespace token stream. A start is emitted only if it is 0 or
+    the previous chunk did not already reach the document end (no
+    fully-contained tail chunks). Emits one row per chunk:
+
+      (key, chunk_id, chunk_start, chunk_len, chunk_text)
+
+    Map-only — a Generate over a per-row integer sequence; no shuffle,
+    no Python. Unlike pack_sequences (corpus-global concat-and-chunk
+    for pretraining), chunking is per-document and embarrassingly
+    parallel."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    ws = F.split(F.coalesce(F.col(text), F.lit("")), " ")
+    n = F.size(ws)
+    upper = F.greatest(F.lit(1), n - size + stride)
+    starts = F.sequence(F.lit(0), upper - 1, F.lit(stride))
+    d = df.select(F.col(key), ws.alias("_ws"), n.alias("_n"),
+                  F.posexplode(starts).alias("chunk_id", "_s"))
+    chunk_len = F.least(F.lit(size), F.col("_n") - F.col("_s"))
+    return d.select(
+        F.col(key),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_s").cast("long").alias("chunk_start"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.array_join(F.slice("_ws", F.col("_s") + 1, chunk_len), " ")
+        .alias("chunk_text"))
+
+
+def sql_chunk_docs(source: str, key: str = "doc_id", text: str = "text",
+                   size: int = 256, overlap: int = 32) -> str:
+    """DuckDB mirror of chunk_docs over table/CTE ``source``."""
+    stride = size - overlap
+    return f"""ch_t AS (
+  SELECT {key}, STRING_SPLIT(COALESCE({text}, ''), ' ') AS ws
+  FROM {source}),
+ch_s AS (
+  SELECT {key}, ws, LEN(ws) AS n,
+         UNNEST(range(0, GREATEST(1, LEN(ws) - {size} + {stride}), {stride}))
+           AS s
+  FROM ch_t),
+ch AS (
+  SELECT {key}, CAST(s // {stride} AS BIGINT) AS chunk_id,
+         CAST(s AS BIGINT) AS chunk_start,
+         CAST(LEAST({size}, n - s) AS BIGINT) AS chunk_len,
+         ARRAY_TO_STRING(ws[s + 1:s + {size}], ' ') AS chunk_text
+  FROM ch_s)"""

@@ -33,7 +33,7 @@ from fagi_spark.checkpoint import CheckpointStore
 from fagi_spark.session import get_spark
 
 STAGES = ("captures", "latest", "scrubbed", "stripped", "filtered",
-          "deduped", "mix")
+          "deduped", "mix", "packed")
 
 # deterministic per-language mix rates for the final sampling stage
 MIX_RATES = {"en": 0.5, "de": 0.8}
@@ -120,9 +120,25 @@ def run(spark, out: str, n_pages: int, fail_after: str | None = None,
                                            default_rate=1.0, key="url"),
         observe={"n_mix": F.count(F.lit(1))})
     maybe_fail("mix")
+
+    # 8. sequence packing: the mix laid end-to-end (url-hash order)
+    # into fixed 2048-token training windows — the artifact a trainer
+    # actually reads. Distributed quantile-bucket prefix sum; the
+    # observed metrics are the training-volume headline.
+    packed = store.run_stage(
+        spark, "packed",
+        lambda: curation.pack_sequences(
+            mix.select(F.xxhash64("url").alias("doc_id"),
+                       F.size(F.split(F.coalesce("text", F.lit("")), " "))
+                       .alias("n_tokens")),
+            ctx=2048),
+        observe={"n_segments": F.count(F.lit(1)),
+                 "n_packs": F.count_distinct(F.col("pack_id")),
+                 "n_tokens_packed": F.sum("seg_len")})
+    maybe_fail("packed")
     return {"captures": caps, "latest": latest, "scrubbed": scrubbed,
             "stripped": stripped, "filtered": filtered, "deduped": deduped,
-            "mix": mix, "store": store}
+            "mix": mix, "packed": packed, "store": store}
 
 
 def main(argv=None):

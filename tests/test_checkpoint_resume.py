@@ -213,6 +213,13 @@ def test_curate_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     assert res["latest"].filter("text LIKE 'OLD SNAPSHOT %'").count() == 0
     lin = res["store"].lineage("scrubbed")
     assert lin["metrics"]["n_rows"] == 400
+    # packing conservation: every mix token lands in exactly one segment
+    from pyspark.sql import functions as F
+    total_tokens = res["mix"].agg(F.sum(F.size(F.split(
+        F.coalesce("text", F.lit("")), " ")))).first()[0]
+    plin = res["store"].lineage("packed")
+    assert plin["metrics"]["n_tokens_packed"] == total_tokens
+    assert plin["metrics"]["n_packs"] >= 1
 
 
 def test_vacuum_expires_old_snapshots_keeps_time_travel_window(spark, tmp_path):

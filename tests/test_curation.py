@@ -237,3 +237,31 @@ def test_lang_mixture_weights(spark):
     b = sorted(map(tuple, curation.lang_mixture_weights(
         df.repartition(7)).collect()))
     assert a == b
+
+
+def test_chunk_docs_windows(spark):
+    """Overlap chunking: short docs yield one chunk; long docs tile
+    with stride size-overlap; no tail chunk is fully contained in its
+    predecessor; reassembling stride-prefixes reproduces the doc."""
+    words = " ".join(f"w{i}" for i in range(25))
+    rows = [(1, words), (2, "tiny doc"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, curation.chunk_docs(
+        df, size=10, overlap=4).collect()))
+    by_doc = {}
+    for k, cid, st, ln, txt in out:
+        by_doc.setdefault(k, []).append((cid, st, ln, txt))
+    # doc1: 25 words, stride 6 -> starts 0,6,12,18 (24 would be inside
+    # [18,25) reach? prev end=28>=25 -> stop): 4 chunks
+    assert [c[1] for c in by_doc[1]] == [0, 6, 12, 18]
+    assert by_doc[1][0][3].startswith("w0 w1")
+    assert by_doc[1][-1] == (3, 18, 7, " ".join(f"w{i}" for i in range(18, 25)))
+    # every consecutive pair overlaps by exactly 4 words
+    toks = words.split(" ")
+    for cid, st, ln, txt in by_doc[1]:
+        assert txt == " ".join(toks[st:st + ln])
+    assert by_doc[2] == [(0, 0, 2, "tiny doc")]
+    assert by_doc[3] == [(0, 0, 1, "")]
+    import pytest as _p
+    with _p.raises(ValueError):
+        curation.chunk_docs(df, size=10, overlap=10)
