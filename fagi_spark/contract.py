@@ -2787,6 +2787,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, chunk_start, chunk_len,
 FROM ch"""
 
 
+def q_doc_temperature_sample(spark, sf_dir):
+    """Temperature resampling (curation.temperature_sample): the
+    mixture weights applied as per-language keep thresholds
+    floor(min(1, T*w_l/c_l) * mod) — integer thresholds derived from
+    the same IEEE double sequence on both engines, keep decisions by
+    the stratified_sample poly-of-md5 mechanism. T=10000 forces real
+    subsampling of the high-resource languages at sf0.01 while rare
+    languages keep rate 1.0."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"))
+    out = curation.temperature_sample(docs, target_tokens=10_000)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+_MD5_POLY = textops.sql_poly_base("MD5(CAST(doc_id AS VARCHAR))")
+O_DOC_TEMPERATURE_SAMPLE = f"""WITH lm_src AS (
+  SELECT doc_id, COALESCE(lang, 'und') AS lang,
+         LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS n_tokens
+  FROM documents),
+{curation.sql_lang_mixture('lm_src')},
+ts_thr AS (
+  SELECT lang,
+         CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+               (CAST(10000.0 AS DOUBLE) * (SQRT(CAST(n_tokens AS DOUBLE)) / den))
+               / CAST(n_tokens AS DOUBLE)) * CAST(100000.0 AS DOUBLE))
+           AS BIGINT) AS thr
+  FROM lm_lc, lm_tot)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM lm_src s JOIN ts_thr t ON s.lang = t.lang
+WHERE {_MD5_POLY} % 100000 < t.thr"""
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Unigram corpus-surprisal quality score (textops.with_surprisal)
     — the CCNet-perplexity analog made integer-exact: the per-token
@@ -3075,6 +3110,7 @@ QUERIES = {
     "doc_lang_mixture": q_doc_lang_mixture,
     "doc_surprisal": q_doc_surprisal,
     "doc_chunk_overlap": q_doc_chunk_overlap,
+    "doc_temperature_sample": q_doc_temperature_sample,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3169,6 +3205,7 @@ ORACLES = {
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_surprisal": O_DOC_SURPRISAL,
     "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,
+    "doc_temperature_sample": O_DOC_TEMPERATURE_SAMPLE,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

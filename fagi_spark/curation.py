@@ -502,3 +502,33 @@ ch AS (
          CAST(LEAST({size}, n - s) AS BIGINT) AS chunk_len,
          ARRAY_TO_STRING(ws[s + 1:s + {size}], ' ') AS chunk_text
   FROM ch_s)"""
+
+
+def temperature_sample(df: DataFrame, target_tokens: int,
+                       key: str = "doc_id", lang: str = "lang",
+                       tokens: str = "n_tokens", alpha: float = 0.5,
+                       mod: int = 100_000) -> DataFrame:
+    """Apply temperature rebalancing to the corpus: sample language l
+    at rate min(1, target_tokens * w_l / c_l) where w_l is the
+    alpha-temperature mixture weight (lang_mixture_weights) and c_l
+    the language's token total — i.e. resize the corpus toward
+    ``target_tokens`` while shifting mass to low-resource languages.
+    Keep decisions reuse the stratified_sample mechanism (poly hash of
+    md5(key) vs an integer threshold) so the sample is deterministic,
+    partition-independent, and resumable; thresholds are
+    floor(rate * mod) computed from the same IEEE double sequence on
+    both engines, making the whole op value-exact despite the float
+    rates. The per-language threshold table is O(#languages) and
+    broadcast — one map-only filter over the corpus."""
+    w = lang_mixture_weights(df, lang, tokens, alpha)
+    rate = F.least(F.lit(1.0),
+                   (F.lit(float(target_tokens)) * F.col("weight"))
+                   / F.col("n_tokens").cast("double"))
+    dims = w.select(F.col("lang").alias("_lg"),
+                    F.floor(rate * F.lit(float(mod))).cast("long")
+                    .alias("_thr"))
+    df2 = df.withColumn("_sample_key", F.md5(F.col(key).cast("string")))
+    bucket = _poly_base_expr("_sample_key") % F.lit(mod)
+    return (df2.join(F.broadcast(dims), F.col(lang) == F.col("_lg"))
+            .filter(bucket < F.col("_thr"))
+            .drop("_sample_key", "_lg", "_thr"))

@@ -265,3 +265,22 @@ def test_chunk_docs_windows(spark):
     import pytest as _p
     with _p.raises(ValueError):
         curation.chunk_docs(df, size=10, overlap=10)
+
+
+def test_temperature_sample_rebalances(spark):
+    """Low-resource languages keep everything (rate clamps at 1);
+    the high-resource language is subsampled toward the temperature
+    mix; the keep set is deterministic and partition-independent."""
+    rows = ([(i, "en", 100) for i in range(400)]
+            + [(1000 + i, "fr", 100) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = curation.temperature_sample(df, target_tokens=20_000)
+    kept = {(r.doc_id, r.lang) for r in out.collect()}
+    n_fr = sum(1 for _, l in kept if l == "fr")
+    n_en = sum(1 for _, l in kept if l == "en")
+    assert n_fr == 20           # rate 1.0: every fr row survives
+    # en rate = 20000 * w_en / 40000 < 1 -> genuine subsample
+    assert 0 < n_en < 400
+    again = {(r.doc_id, r.lang) for r in curation.temperature_sample(
+        df.repartition(9), target_tokens=20_000).collect()}
+    assert again == kept
