@@ -325,8 +325,20 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
     else:
         bucket = F.lit(0)
     d = d.withColumn("_b", bucket)
-    bucket_totals = {r["_b"]: r["_t"] for r in
-                     d.groupBy("_b").agg(F.sum("_n").alias("_t")).collect()}
+    stats = d.groupBy("_b").agg(
+        F.sum("_n").alias("_t"), F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct("_k").alias("_keys")).collect()
+    dup_rows = sum(r["_rows"] - r["_keys"] for r in stats)
+    if dup_rows:
+        # a tied key makes the cumulative window's RANGE frame hand
+        # BOTH rows the combined running sum — overlapping segments
+        # and silently wrong geometry. Fail loudly instead: at 64-bit
+        # hash-key scale (~2.5e10 docs) birthday ties are EXPECTED,
+        # and the caller must dedup or widen the key.
+        raise ValueError(
+            f"pack_sequences requires unique keys; found {dup_rows} "
+            "duplicate key row(s)")
+    bucket_totals = {r["_b"]: r["_t"] for r in stats}
     running, offsets = 0, []
     for b in sorted(bucket_totals):
         offsets.append((b, running))
@@ -529,6 +541,10 @@ def temperature_sample(df: DataFrame, target_tokens: int,
                     .alias("_thr"))
     df2 = df.withColumn("_sample_key", F.md5(F.col(key).cast("string")))
     bucket = _poly_base_expr("_sample_key") % F.lit(mod)
-    return (df2.join(F.broadcast(dims), F.col(lang) == F.col("_lg"))
+    # eqNullSafe: a NULL-language group gets its own mixture weight and
+    # threshold; a plain == join would silently drop every NULL-lang
+    # row while still counting its tokens in the denominator
+    return (df2.join(F.broadcast(dims),
+                     F.col(lang).eqNullSafe(F.col("_lg")))
             .filter(bucket < F.col("_thr"))
             .drop("_sample_key", "_lg", "_thr"))

@@ -425,7 +425,8 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 def duplicate_spans(df: DataFrame, key: str = "doc_id", text: str = "text",
                     k: int = 8, min_count: int = 2,
-                    hash_family: str = "xxhash") -> DataFrame:
+                    hash_family: str = "xxhash",
+                    hint_broadcast: bool = True) -> DataFrame:
     """EXACT-substring duplicate spans — the Spark re-expression of the
     suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
     Makes Language Models Better"): maximal runs of word positions whose
@@ -448,7 +449,20 @@ def duplicate_spans(df: DataFrame, key: str = "doc_id", text: str = "text",
     Returns (key, span_start, span_end, n_grams): inclusive word
     indices into the NORMALIZED (lowercased, space-collapsed) token
     sequence; span_end covers the last word of the last duplicated
-    k-gram."""
+    k-gram.
+
+    Deliberate trade-off: the gram-position lineage is EVALUATED TWICE
+    (once aggregated into the duplicated-hash set, once as the probe
+    side of the semi-join) — Catalyst does not reuse an exchange
+    across the two branches. The alternative single-scan shape (a
+    COUNT window over Window.partitionBy(gh)) shuffles every
+    (key, pos, gh) row corpus-wide with no map-side combine; here the
+    only wide data movement is the narrow (gh, partial-count) shuffle
+    plus the semi-join, whose duplicated-hash build side is usually
+    small (``hint_broadcast=True`` pins it to a broadcast so the probe
+    stays map-only; disable on boilerplate-saturated crawls where the
+    duplicated-gram set itself is huge). Re-running the explode is
+    embarrassingly parallel CPU — the cheaper currency at 100 TB."""
     words = F.split(normalize_text(F.col(text)), " ")
     grams = F.when(
         F.size(words) >= k,
@@ -462,7 +476,8 @@ def duplicate_spans(df: DataFrame, key: str = "doc_id", text: str = "text",
         pos = pos.withColumn("gh", F.xxhash64("_gram")).drop("_gram")
     dup = (pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
            .filter(F.col("_c") >= min_count).select("gh"))
-    hit = pos.join(dup, "gh", "leftsemi")
+    hit = pos.join(F.broadcast(dup) if hint_broadcast else dup,
+                   "gh", "leftsemi")
     w = Window.partitionBy(key).orderBy("pos")
     runs = hit.withColumn("_grp", F.col("pos") - F.row_number().over(w))
     return (runs.groupBy(key, "_grp")

@@ -284,3 +284,25 @@ def test_temperature_sample_rebalances(spark):
     again = {(r.doc_id, r.lang) for r in curation.temperature_sample(
         df.repartition(9), target_tokens=20_000).collect()}
     assert again == kept
+
+
+def test_temperature_sample_null_lang_not_dropped(spark):
+    """NULL-language rows form their own mixture group and survive at
+    rate 1.0 when the budget allows — a plain == join would silently
+    drop them all (review finding r3)."""
+    rows = ([(i, "en", 100) for i in range(50)]
+            + [(100 + i, None, 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    kept = curation.temperature_sample(df, target_tokens=1_000_000)
+    assert kept.count() == 60  # rate clamps to 1.0 everywhere
+    assert kept.filter(F.col("lang").isNull()).count() == 10
+
+
+def test_pack_sequences_rejects_duplicate_keys(spark):
+    """Tied keys would hand both rows the combined running sum (RANGE
+    window frame) — silently overlapping segments. The operator must
+    fail loudly instead."""
+    df = spark.createDataFrame([(1, 5), (1, 7), (2, 3)],
+                               "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="unique keys"):
+        curation.pack_sequences(df, ctx=8)
