@@ -241,6 +241,17 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
                   "text", F.lit("")), " ")).alias("n_tokens")),
               ctx=2048).count())
     timed("ann_topk", lambda: contract.q_ann_topk(spark, sf_dir).count())
+    # GEMM fast path of the same exact search (one BLAS matmul per
+    # Arrow batch instead of a column fold per pair); parity pytest'd.
+    # 200-query workload: GEMM cost is ~flat in query count (measured
+    # 0.7->1.0s for 5->1000 queries at sf0.1) while the fold path is
+    # linear (0.6->2.4s) — this entry times the regime batch retrieval
+    # actually runs in.
+    from fagi_spark import vector as _vector
+    emb_g = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("ann_gemm_200q",
+          lambda: _vector.brute_force_topk_gemm(
+              emb_g.filter(F.col("vec_id") < 200), emb_g, k=5).count())
     timed("doc_quality_lang", lambda: contract.q_doc_quality(spark, sf_dir).count())
 
     # 4. multi-resolution tile pyramid over the sf-corpus entities

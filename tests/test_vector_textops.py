@@ -401,3 +401,25 @@ def test_surprisal_hand_fixture(spark):
     rep = {r.doc_id: (r.surp_sum, r.n_scored, r.surp_centi)
            for r in textops.with_surprisal(df.repartition(5)).collect()}
     assert rep == got
+
+
+def test_brute_force_gemm_matches_fold_path(spark):
+    """The GEMM fast path returns the same (query, neighbor, rank)
+    assignment as the fold-based exact search, with scores equal to
+    accumulation-order tolerance — for dot and cosine, including the
+    self-match exclusion and per-batch partial top-k merge."""
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.repartition(7)  # several batches -> real partial merges
+    q = emb.filter("vec_id < 4")
+    for metric in ("dot", "cosine"):
+        a = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+             for r in vector.brute_force_topk(q, emb, 5, metric=metric).collect()}
+        b = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+             for r in vector.brute_force_topk_gemm(q, emb, 5, metric=metric).collect()}
+        assert set(a) == set(b)
+        for key in a:
+            assert a[key][0] == b[key][0], (metric, key)
+            assert abs(a[key][1] - b[key][1]) < 1e-9
