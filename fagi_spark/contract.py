@@ -2787,6 +2787,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, chunk_start, chunk_len,
 FROM ch"""
 
 
+def q_doc_bpe_encode(spark, sf_dir):
+    """Learned-BPE encoding (bpe.train_bpe + apply_bpe, Sennrich et
+    al. 2016): 20 merges trained ON the documents table, then every
+    doc encoded. Deterministic (lexicographic tie-breaks) but the
+    training loop is iterative argmax — not SQL-expressible, so this
+    is a rows-only query; exact parity with a pure-Python reference
+    implementation is pinned in tests/test_bpe.py."""
+    from . import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=20)
+    out = bpe.apply_bpe(docs, merges)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
+
+
 def q_doc_temperature_sample(spark, sf_dir):
     """Temperature resampling (curation.temperature_sample): the
     mixture weights applied as per-language keep thresholds
@@ -3111,6 +3127,7 @@ QUERIES = {
     "doc_surprisal": q_doc_surprisal,
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "doc_temperature_sample": q_doc_temperature_sample,
+    "doc_bpe_encode": q_doc_bpe_encode,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
