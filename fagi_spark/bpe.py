@@ -72,13 +72,13 @@ def train_bpe(df: DataFrame, text: str = "text", n_merges: int = 50,
     ordered merge list [(sym_a, sym_b), ...]. Stops early when no pair
     reaches ``min_freq``. Ties on count break by lexicographic pair
     order (deterministic, partition-independent)."""
-    spark = df.sparkSession
     syms = _word_freq(df, text).select(
         "freq",
         F.concat(F.split(F.col("word"), ""),
                  F.array(F.lit(END))).alias("syms"))
     syms = syms.localCheckpoint()
     merges: list = []
+    prev = None
     for r in range(n_merges):
         pairs = syms.select(
             "freq",
@@ -110,10 +110,25 @@ def train_bpe(df: DataFrame, text: str = "text", n_merges: int = 50,
                     _merge_pair_in_seq(list(s), _a, _b, _j)
                     for s in pdf["syms"]]
                 yield pdf
-        syms = syms.mapInPandas(apply_merge,
-                                "freq bigint, syms array<string>")
+        new = syms.mapInPandas(apply_merge,
+                               "freq bigint, syms array<string>")
+        # materialize EVERY round: un-materialized rounds would chain
+        # r mapInPandas stages into one task on the next count job —
+        # the measured per-worker pipe trap (CLAUDE.md). persist+count
+        # keeps one cached copy; the periodic localCheckpoint bounds
+        # the recompute chain (on cache eviction) to checkpoint_every
+        # rounds and truncates the plan.
         if (r + 1) % checkpoint_every == 0:
-            syms = syms.localCheckpoint()
+            new = new.localCheckpoint()  # eager — cuts lineage
+        else:
+            new = new.persist()
+            new.count()
+        if prev is not None:
+            try:
+                prev.unpersist()  # superseded copy; checkpointed
+            except Exception:     # frames no-op here and their blocks
+                pass              # are reclaimed by the ContextCleaner
+        prev, syms = new, new
     return merges
 
 
@@ -136,24 +151,22 @@ def encode_word(word: str, ranks: dict) -> list:
 
 def apply_bpe(df: DataFrame, merges: list, key: str = "doc_id",
               text: str = "text") -> DataFrame:
-    """Encode ``text`` with a learned merge table: appends
-    ``bpe_tokens`` (array<string>) and ``n_bpe_tokens``. One Arrow
-    batch UDF; the merge table rides the closure (it is n_merges
-    tuples — KBs); per-batch word memoization makes the per-word
-    python loop amortize across repeated words."""
+    """Encode ``text`` with a learned merge table. Returns
+    (key, bpe_tokens array<string>, n_bpe_tokens) — one row per input
+    row, key type preserved from the input schema. One Arrow batch
+    UDF; the merge table rides the closure (n_merges tuples — KBs);
+    per-batch word memoization amortizes the per-word python loop
+    across repeated words. Tokenization is the SAME Spark expression
+    training used (normalize_text + split), evaluated JVM-side and
+    handed to the UDF as a word array — train and encode cannot
+    diverge on normalization by construction."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-
-    import re as _re
 
     def enc(batches):
         cache: dict = {}
         for pdf in batches:
             toks, counts = [], []
-            for t in pdf[text]:
-                # mirror _word_freq's tokenization exactly:
-                # normalize_text (lowercase + collapse ' +') then
-                # split(' ') with empties dropped
-                words = _re.sub(" +", " ", (t or "").lower()).split(" ")
+            for words in pdf["_words"]:
                 out: list = []
                 for w in words:
                     if not w:
@@ -168,6 +181,11 @@ def apply_bpe(df: DataFrame, merges: list, key: str = "doc_id",
             yield pd.DataFrame({key: pdf[key], "bpe_tokens": toks,
                                 "n_bpe_tokens": counts})
 
-    out_schema = (f"{key} long, bpe_tokens array<string>, "
+    key_type = dict(df.dtypes)[key]
+    src = df.select(
+        key,
+        F.split(normalize_text(F.coalesce(F.col(text), F.lit(""))),
+                " ").alias("_words"))
+    out_schema = (f"{key} {key_type}, bpe_tokens array<string>, "
                   "n_bpe_tokens long")
-    return df.select(key, text).mapInPandas(enc, out_schema)
+    return src.mapInPandas(enc, out_schema)

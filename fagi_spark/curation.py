@@ -312,9 +312,11 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
     arithmetic is int64 (exact to 2^63 total tokens; 100 TB of text is
     ~2.5e13 tokens), so the DuckDB oracle matches bit-for-bit.
     """
+    # NULL keys have no place in a total order — dropped with the
+    # zero-token rows rather than silently landing in bucket 0
     d = (df.select(F.col(key).alias("_k"),
                    F.col(tokens).cast("long").alias("_n"))
-         .filter(F.col("_n") > 0))
+         .filter((F.col("_n") > 0) & F.col("_k").isNotNull()))
     qs = [i / buckets for i in range(1, buckets)]
     row = d.select(F.percentile_approx("_k", qs).alias("b")).first()
     bounds = sorted(set(row["b"] or [])) if row is not None else []
@@ -325,20 +327,11 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
     else:
         bucket = F.lit(0)
     d = d.withColumn("_b", bucket)
-    stats = d.groupBy("_b").agg(
-        F.sum("_n").alias("_t"), F.count(F.lit(1)).alias("_rows"),
-        F.count_distinct("_k").alias("_keys")).collect()
-    dup_rows = sum(r["_rows"] - r["_keys"] for r in stats)
-    if dup_rows:
-        # a tied key makes the cumulative window's RANGE frame hand
-        # BOTH rows the combined running sum — overlapping segments
-        # and silently wrong geometry. Fail loudly instead: at 64-bit
-        # hash-key scale (~2.5e10 docs) birthday ties are EXPECTED,
-        # and the caller must dedup or widen the key.
-        raise ValueError(
-            f"pack_sequences requires unique keys; found {dup_rows} "
-            "duplicate key row(s)")
-    bucket_totals = {r["_b"]: r["_t"] for r in stats}
+    # stats pass stays O(buckets): one total per bucket, map-side
+    # combined (a count_distinct dup check here would shuffle one row
+    # per corpus key — the movement this function exists to avoid)
+    bucket_totals = {r["_b"]: r["_t"] for r in
+                     d.groupBy("_b").agg(F.sum("_n").alias("_t")).collect()}
     running, offsets = 0, []
     for b in sorted(bucket_totals):
         offsets.append((b, running))
@@ -348,8 +341,18 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
     off_df = F.broadcast(
         spark.createDataFrame(offsets, "_b int, _off long"))
     w = Window.partitionBy("_b").orderBy("_k")
+    # tie guard, zero extra shuffle: a duplicated key would hand BOTH
+    # rows the combined running sum (RANGE window frame) — silently
+    # overlapping segments. At 64-bit hash-key scale (~2.5e10 docs)
+    # birthday ties are EXPECTED; fail loudly inside the window pass
+    # itself (lag rides the same sort). _guard feeds _cum so Catalyst
+    # cannot prune the check away.
+    not_tied = F.coalesce(F.lag("_k").over(w) != F.col("_k"), F.lit(True))
+    guard = F.when(not_tied, F.lit(0)).otherwise(F.raise_error(F.lit(
+        "pack_sequences requires unique keys; found a duplicated key "
+        "(dedup or widen the key)"))).cast("long")
     c = (d.join(off_df, "_b")
-         .withColumn("_cum", F.sum("_n").over(w) + F.col("_off"))
+         .withColumn("_cum", F.sum("_n").over(w) + F.col("_off") + guard)
          .withColumn("_st", F.col("_cum") - F.col("_n"))
          .withColumnRenamed("_k", key))
     first = F.expr(f"_st div {ctx}")

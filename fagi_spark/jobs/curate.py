@@ -128,9 +128,15 @@ def run(spark, out: str, n_pages: int, fail_after: str | None = None,
     packed = store.run_stage(
         spark, "packed",
         lambda: curation.pack_sequences(
+            # pack_sequences requires UNIQUE numeric keys and fails
+            # loudly on ties; at corpus scale two urls WILL eventually
+            # share an xxhash64 (64-bit birthday), so collisions are
+            # merged by construction — the rare merged pair packs as
+            # one virtual doc, token totals conserved exactly
             mix.select(F.xxhash64("url").alias("doc_id"),
                        F.size(F.split(F.coalesce("text", F.lit("")), " "))
-                       .alias("n_tokens")),
+                       .alias("n_tokens"))
+            .groupBy("doc_id").agg(F.sum("n_tokens").alias("n_tokens")),
             ctx=2048),
         observe={"n_segments": F.count(F.lit(1)),
                  "n_packs": F.count_distinct(F.col("pack_id")),

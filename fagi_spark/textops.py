@@ -511,7 +511,8 @@ runs AS (
 def strip_duplicate_spans(df: DataFrame, key: str = "doc_id",
                           text: str = "text", k: int = 8,
                           min_count: int = 2,
-                          hash_family: str = "xxhash") -> DataFrame:
+                          hash_family: str = "xxhash",
+                          hint_broadcast: bool = True) -> DataFrame:
     """Remove every duplicated span found by ``duplicate_spans`` from
     the normalized token stream (Lee et al.'s ExactSubstr deletion).
     Per-doc span lists are collected into one array column — size is
@@ -519,7 +520,8 @@ def strip_duplicate_spans(df: DataFrame, key: str = "doc_id",
     itself, never corpus-sized. Documents with no duplicated span pass
     through unchanged (normalized). Output: (key, text) with covered
     words dropped."""
-    spans = (duplicate_spans(df, key, text, k, min_count, hash_family)
+    spans = (duplicate_spans(df, key, text, k, min_count, hash_family,
+                             hint_broadcast=hint_broadcast)
              .groupBy(key)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("_spans")))

@@ -43,7 +43,13 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     score = dot_double(F.col("q_vec"), F.col("c_vec"))
     if metric == "cosine":
-        score = score / (norm_double(F.col("q_vec")) * norm_double(F.col("c_vec")))
+        den = norm_double(F.col("q_vec")) * norm_double(F.col("c_vec"))
+        # zero-norm vectors are EXCLUDED from cosine ranking (under
+        # ANSI mode 0/0 raises DIVIDE_BY_ZERO; pre-ANSI it silently
+        # produced NaN-first ranks — neither is an answer). The GEMM
+        # path applies the same rule.
+        pairs = pairs.filter(den != 0)
+        score = score / den
     scored = pairs.withColumn("score", score)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
@@ -355,15 +361,19 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             S = C @ Q.T  # (batch, n_queries)
             if use_cosine:
                 cn = np.sqrt((C * C).sum(axis=1))
-                S = S / (cn[:, None] * qn[None, :])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = S / (cn[:, None] * qn[None, :])
             rows = {"query_id": [], "neighbor_id": [], "score": []}
             kk = min(k, len(ids))
             for j in range(len(qids)):
                 col = S[:, j].copy()
-                col[ids == qids[j]] = -np.inf  # self-match excluded
+                # zero-norm cosine scores are NaN: EXCLUDED, matching
+                # the fold path's den != 0 filter
+                sort_col = np.where(np.isnan(col), -np.inf, col)
+                sort_col[ids == qids[j]] = -np.inf  # self-match excluded
                 # local top-k, ties by ascending id (same as the window)
-                idx = np.lexsort((ids, -col))[:kk]
-                keep = col[idx] != -np.inf
+                idx = np.lexsort((ids, -sort_col))[:kk]
+                keep = sort_col[idx] != -np.inf
                 rows["query_id"].extend([qids[j]] * int(keep.sum()))
                 rows["neighbor_id"].extend(ids[idx][keep].tolist())
                 rows["score"].extend(col[idx][keep].tolist())

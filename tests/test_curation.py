@@ -300,9 +300,20 @@ def test_temperature_sample_null_lang_not_dropped(spark):
 
 def test_pack_sequences_rejects_duplicate_keys(spark):
     """Tied keys would hand both rows the combined running sum (RANGE
-    window frame) — silently overlapping segments. The operator must
-    fail loudly instead."""
+    window frame) — silently overlapping segments. The guard rides the
+    window pass itself (zero extra shuffle), so it fires at action
+    time as a raised Spark error."""
     df = spark.createDataFrame([(1, 5), (1, 7), (2, 3)],
                                "doc_id long, n_tokens long")
-    with pytest.raises(ValueError, match="unique keys"):
-        curation.pack_sequences(df, ctx=8)
+    with pytest.raises(Exception, match="unique keys"):
+        curation.pack_sequences(df, ctx=8).count()
+
+
+def test_pack_sequences_null_key_dropped_not_flagged(spark):
+    """A NULL key has no place in the total order: the row is dropped
+    with the zero-token rows — it must neither corrupt bucket 0 nor
+    trip the duplicate-key guard."""
+    df = spark.createDataFrame([(None, 5), (1, 5), (2, 3)],
+                               "doc_id long, n_tokens long")
+    out = sorted(map(tuple, curation.pack_sequences(df, ctx=8).collect()))
+    assert out == _pack_reference([(1, 5), (2, 3)], 8)

@@ -423,3 +423,18 @@ def test_brute_force_gemm_matches_fold_path(spark):
         for key in a:
             assert a[key][0] == b[key][0], (metric, key)
             assert abs(a[key][1] - b[key][1]) < 1e-9
+
+
+def test_brute_force_gemm_zero_norm_cosine_excluded(spark):
+    """A zero-norm vector has no cosine direction: both exact paths
+    EXCLUDE it (under ANSI mode the naive division would raise
+    DIVIDE_BY_ZERO; numpy would produce NaN and sort it arbitrarily).
+    Finite neighbors fill the ranks identically on both paths."""
+    rows = [(0, [1.0] * 8), (1, [0.0] * 8), (2, [0.5] * 8), (3, [-1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    a = [(r.rank, r.neighbor_id) for r in vector.brute_force_topk(
+        q, emb, 3, metric="cosine").collect()]
+    b = [(r.rank, r.neighbor_id) for r in vector.brute_force_topk_gemm(
+        q, emb, 3, metric="cosine").collect()]
+    assert a == b == [(1, 2), (2, 3)]  # zero-norm vec_id=1 excluded
