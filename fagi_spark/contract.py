@@ -2787,6 +2787,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, chunk_start, chunk_len,
 FROM ch"""
 
 
+def q_doc_canonical_url(spark, sf_dir):
+    """URL canonicalization (curation.with_canonical_url): planted
+    URLs cycle through mixed-case hosts, default/explicit ports,
+    tracking params, out-of-order params, fragments, and a non-URL
+    row — every branch of the canonicalizer fires."""
+    docs = _t(spark, sf_dir, "documents")
+    url = (F.when(F.col("doc_id") % 7 == 0, F.lit("not a url at all"))
+           .otherwise(F.concat(
+               F.element_at(F.array(F.lit("HTTP://"), F.lit("https://"),
+                                    F.lit("http://")),
+                            (F.col("doc_id") % 3 + 1).cast("int")),
+               F.lit("WWW.Example"), (F.col("doc_id") % 5).cast("string"),
+               F.lit(".ORG"),
+               F.element_at(F.array(F.lit(":80"), F.lit(":443"),
+                                    F.lit(":8080"), F.lit("")),
+                            (F.col("doc_id") % 4 + 1).cast("int")),
+               F.element_at(F.array(F.lit("/A/b"), F.lit("")),
+                            (F.col("doc_id") % 2 + 1).cast("int")),
+               F.lit("?z=2&utm_source=x&a=1&fbclid=y#frag"))))
+    aug = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      url.alias("url"))
+    return (curation.with_canonical_url(aug)
+            .select("doc_id", "url", "canonical_url"))
+
+
+O_DOC_CANONICAL_URL = f"""WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'not a url at all'
+              ELSE (['HTTP://', 'https://', 'http://'])[CAST(doc_id % 3 AS INT) + 1]
+                   || 'WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+                   || ([':80', ':443', ':8080', ''])[CAST(doc_id % 4 AS INT) + 1]
+                   || (['/A/b', ''])[CAST(doc_id % 2 AS INT) + 1]
+                   || '?z=2&utm_source=x&a=1&fbclid=y#frag'
+         END AS url
+  FROM documents)
+SELECT doc_id, url, {curation.sql_canonical_url('url')} AS canonical_url
+FROM aug"""
+
+
 def q_doc_bpe_encode(spark, sf_dir):
     """Learned-BPE encoding (bpe.train_bpe + apply_bpe, Sennrich et
     al. 2016): 20 merges trained ON the documents table, then every
@@ -3128,6 +3167,7 @@ QUERIES = {
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "doc_temperature_sample": q_doc_temperature_sample,
     "doc_bpe_encode": q_doc_bpe_encode,
+    "doc_canonical_url": q_doc_canonical_url,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3223,6 +3263,7 @@ ORACLES = {
     "doc_surprisal": O_DOC_SURPRISAL,
     "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,
     "doc_temperature_sample": O_DOC_TEMPERATURE_SAMPLE,
+    "doc_canonical_url": O_DOC_CANONICAL_URL,
     "doc_token_stats_by_lang": O_DOC_TOKEN_STATS_BY_LANG,
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,

@@ -551,3 +551,65 @@ def temperature_sample(df: DataFrame, target_tokens: int,
                      F.col(lang).eqNullSafe(F.col("_lg")))
             .filter(bucket < F.col("_thr"))
             .drop("_sample_key", "_lg", "_thr"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+#
+# One Java==RE2-safe regex; the same crawl-dedup-key normalization every
+# warehouse applies before grouping by url: lowercase scheme/host, strip
+# default ports, drop fragments, drop tracking params, sort the rest.
+
+CANON_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?"
+            r"([^?#]*)(\?[^#]*)?")
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def with_canonical_url(df: DataFrame, url: str = "url") -> DataFrame:
+    """Append ``canonical_url``: lowercase scheme and host, default
+    port stripped (http:80 / https:443), fragment dropped, tracking
+    query params (utm_*/fbclid/gclid/msclkid) removed, remaining
+    params sorted, empty path normalized to '/'. Rows that do not
+    parse as absolute URLs pass through unchanged. Map-only codegen'd
+    string/array ops — no shuffle, no Python."""
+    u = F.col(url)
+    scheme = F.lower(F.regexp_extract(u, CANON_RE, 1))
+    host = F.lower(F.regexp_extract(u, CANON_RE, 2))
+    port = F.regexp_extract(u, CANON_RE, 3)
+    path = F.regexp_extract(u, CANON_RE, 4)
+    rawq = F.regexp_extract(u, CANON_RE, 5)
+    port_kept = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")), F.lit("")
+    ).otherwise(port)
+    params = F.array_sort(F.filter(
+        F.split(F.substring(rawq, 2, 1 << 20), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
+    q = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_kept,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+    return df.withColumn(
+        "canonical_url", F.when(scheme == "", u).otherwise(canon))
+
+
+def sql_canonical_url(url_expr: str) -> str:
+    """DuckDB twin of with_canonical_url's output column."""
+    scheme = f"LOWER(REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 1))"
+    host = f"LOWER(REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 2))"
+    port = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 3)"
+    path = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 4)"
+    rawq = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 5)"
+    port_kept = (f"CASE WHEN ({scheme} = 'http' AND {port} = ':80') OR "
+                 f"({scheme} = 'https' AND {port} = ':443') "
+                 f"THEN '' ELSE {port} END")
+    params = (f"LIST_SORT(LIST_FILTER(STRING_SPLIT(SUBSTRING({rawq}, 2), "
+              f"'&'), p -> p <> '' AND NOT REGEXP_MATCHES(p, "
+              f"'{TRACKING_RE}')))")
+    q = f"ARRAY_TO_STRING({params}, '&')"
+    canon = (f"{scheme} || '://' || {host} || {port_kept} || "
+             f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END) || "
+             f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)")
+    return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"

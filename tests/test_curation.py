@@ -317,3 +317,21 @@ def test_pack_sequences_null_key_dropped_not_flagged(spark):
                                "doc_id long, n_tokens long")
     out = sorted(map(tuple, curation.pack_sequences(df, ctx=8).collect()))
     assert out == _pack_reference([(1, 5), (2, 3)], 8)
+
+
+def test_canonical_url_hand_cases(spark):
+    cases = [
+        ("HTTP://WWW.Ex.ORG:80/A/b?z=2&utm_source=x&a=1#f",
+         "http://www.ex.org/A/b?a=1&z=2"),
+        ("https://Host.com:443", "https://host.com/"),
+        ("https://host.com:8080/p?fbclid=q", "https://host.com:8080/p"),
+        ("http://h.io:443/x", "http://h.io:443/x"),  # not http's default
+        ("not a url", "not a url"),                   # pass-through
+        ("ftp://Files.net/a", "ftp://files.net/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.canonical_url
+           for r in curation.with_canonical_url(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
