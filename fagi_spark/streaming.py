@@ -55,6 +55,34 @@ def micro_batch_dedup(entities: DataFrame) -> DataFrame:
     return best.select("_e.*")
 
 
+def dedup_stream(pages: DataFrame, ts: str = "warc_ts",
+                 watermark: str = "2 hours",
+                 within_watermark: bool = True) -> DataFrame:
+    """Cross-micro-batch EXACT content dedup: the first arrival of
+    each content fingerprint (md5 of normalized text — same key as
+    textops.dedup_exact) survives; later duplicate captures are
+    dropped ACROSS batch boundaries via Structured Streaming's keyed
+    dedup state — the stateful complement of micro_batch_dedup (which
+    is batch-local) and of compact_entities (which dedups at rest).
+
+    ``within_watermark=True`` (default) uses
+    ``dropDuplicatesWithinWatermark``: state for a fingerprint is
+    dropped once the watermark passes it, so memory is bounded by the
+    duplicate-arrival horizon — a duplicate arriving more than
+    ``watermark`` of event time later is re-emitted (at 100 TB/day of
+    crawl this is the only viable mode; pair it with the batch
+    compaction job for the long tail). ``False`` keeps global state —
+    exactly-once per content for the stream's lifetime, state grows
+    with distinct contents."""
+    from . import textops
+
+    df = textops.with_fingerprint(pages)
+    if within_watermark:
+        return (df.withWatermark(ts, watermark)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+    return df.dropDuplicates(["fingerprint"])
+
+
 def tile_counts_stream(entities: DataFrame, res: int = 7,
                        window: str = "1 hour",
                        watermark: str = "2 hours") -> DataFrame:

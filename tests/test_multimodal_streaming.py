@@ -454,3 +454,39 @@ def test_conflate_two_streams_matches_batch(spark, tmp_path):
     want = cand.select("a_subject", "b_subject", "a_ts", "b_ts", "distance_m")
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_dedup_stream_across_micro_batches(spark, pages, tmp_path):
+    """Planted duplicate texts arrive in DIFFERENT micro-batches
+    (one file per trigger); the keyed dedup state still suppresses
+    them — the surviving fingerprint set equals the batch-distinct
+    set, with exactly one row per content."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = pages.limit(40).select("url", "warc_ts", "html", "text", "lang")
+    # same text under new urls, slightly later capture time
+    dup = (base.limit(15)
+           .withColumn("url", F.concat(F.col("url"), F.lit("#mirror")))
+           .withColumn("warc_ts",
+                       F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")))
+    base.repartition(1).write.parquet(src)
+    dup.repartition(1).write.mode("append").parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files_per_trigger=1)
+    deduped = streaming.dedup_stream(stream, watermark="4 hours")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    from fagi_spark import textops
+    want_fps = {r.fingerprint for r in
+                textops.with_fingerprint(base.unionByName(dup))
+                .select("fingerprint").distinct().collect()}
+    assert {r.fingerprint for r in got.select("fingerprint").collect()} \
+        == want_fps
+    per_fp = got.groupBy("fingerprint").count().filter("count > 1").count()
+    assert per_fp == 0
+    assert got.count() == 40  # every duplicate suppressed exactly once
