@@ -345,6 +345,51 @@ def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 32,
     return df.join(minhash_signatures(df, key, text, num_hashes, shingle_k), key)
 
 
+def minhash_bands(df: DataFrame, key: str = "doc_id", text: str = "text",
+                  num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+                  hash_family: str = "xxhash") -> DataFrame:
+    """The banded LSH rows (key, band, band_hash) — the PERSISTENT
+    near-dup index of a crawl warehouse: write it once per corpus
+    (``io.write_bucketed(..., "band_hash")`` makes later probe joins
+    shuffle-free on the index side) and let each day's crawl increment
+    probe it via ``minhash_probe`` instead of recomputing signatures
+    for the whole corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, key, text, num_hashes, shingle_k, hash_family)
+    band_slice = F.concat_ws(",", F.transform(
+        F.slice("minhash", F.col("band") * rows_per_band + 1, rows_per_band),
+        lambda x: x.cast("string")))
+    band_key = (band_slice if hash_family == "poly"
+                else F.xxhash64(band_slice, F.col("band")))
+    return (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+            .withColumn("band_hash", band_key)
+            .select(key, "band", "band_hash"))
+
+
+def minhash_probe(new_df: DataFrame, index: DataFrame,
+                  key: str = "doc_id", text: str = "text",
+                  num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+                  hash_family: str = "xxhash") -> DataFrame:
+    """Incremental near-dup candidates: band the NEW documents with
+    the same parameters as the stored index (``minhash_bands`` output;
+    keys must be disjoint from the increment's) and equi-join — every
+    pair involving at least one new document, including new-new pairs,
+    as (id_a < id_b) DISTINCT. Cost is O(increment) signature work
+    plus one band equi-join against the index; the existing corpus is
+    never re-read for shingling. With the index written bucketed on
+    band_hash, the probe side alone shuffles."""
+    bn = minhash_bands(new_df, key, text, num_hashes, bands, shingle_k,
+                       hash_family)
+    both = index.unionByName(bn)
+    a = bn.select(F.col(key).alias("_ka"), "band", "band_hash")
+    b = both.select(F.col(key).alias("_kb"), "band", "band_hash")
+    j = (a.join(b, ["band", "band_hash"])
+         .filter(F.col("_ka") != F.col("_kb")))
+    return (j.select(F.least("_ka", "_kb").alias("id_a"),
+                     F.greatest("_ka", "_kb").alias("id_b"))
+            .distinct())
+
+
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                        num_hashes: int = 32, bands: int = 8,
                        shingle_k: int = 3,
@@ -366,16 +411,8 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     components, which is all near-dup clustering consumes. Buckets at
     or under the cap keep the exhaustive pairs. None = no guard
     (exact oracle mode)."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, key, text, num_hashes, shingle_k, hash_family)
-    band_slice = F.concat_ws(",", F.transform(
-        F.slice("minhash", F.col("band") * rows_per_band + 1, rows_per_band),
-        lambda x: x.cast("string")))
-    band_key = (band_slice if hash_family == "poly"
-                else F.xxhash64(band_slice, F.col("band")))
-    banded = (sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-              .withColumn("band_hash", band_key)
-              .select(key, "band", "band_hash"))
+    banded = minhash_bands(df, key, text, num_hashes, bands, shingle_k,
+                           hash_family)
     if max_bucket is not None:
         stats = (banded.groupBy("band", "band_hash")
                  .agg(F.count(F.lit(1)).alias("_n"), F.min(key).alias("_rep")))

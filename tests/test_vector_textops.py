@@ -438,3 +438,31 @@ def test_brute_force_gemm_zero_norm_cosine_excluded(spark):
     b = [(r.rank, r.neighbor_id) for r in vector.brute_force_topk_gemm(
         q, emb, 3, metric="cosine").collect()]
     assert a == b == [(1, 2), (2, 3)]  # zero-norm vec_id=1 excluded
+
+
+def test_minhash_probe_incremental_equals_full(spark):
+    """Probing a stored band index with a crawl increment yields
+    exactly the full-recompute candidate pairs that involve at least
+    one new document (old-old pairs are already known)."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight looking for dinner")
+    rows = [(i, f"unique doc {i} " + " ".join(f"w{i}x{j}" for j in range(15)))
+            for i in range(10)]
+    rows += [(100, base), (101, base + " tail")]
+    old = spark.createDataFrame(rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(200, "prefix " + base),            # near-dups 100/101
+         (201, "totally fresh content " + " ".join(f"q{j}" for j in range(15))),
+         (202, "prefix " + base)],           # also matches 200
+        "doc_id long, text string")
+    idx = textops.minhash_bands(old)
+    incr = {(r.id_a, r.id_b)
+            for r in textops.minhash_probe(new, idx).collect()}
+    full = {(r.id_a, r.id_b)
+            for r in textops.minhash_candidates(
+                old.unionByName(new)).collect()}
+    new_keys = {200, 201, 202}
+    want = {p for p in full if p[0] in new_keys or p[1] in new_keys}
+    assert incr == want
+    assert (200, 202) in incr  # new-new pair found too
+    assert all(p[0] < p[1] for p in incr)
