@@ -235,6 +235,17 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
           lambda: _textops.minhash_candidates(docs, num_hashes=32, bands=8).count())
     timed("duplicate_spans",
           lambda: _textops.duplicate_spans(docs, k=8).count())
+    # incremental near-dup: the persistent band index is built once
+    # (untimed — it is the stored warehouse artifact); the timed cost
+    # is probing a 5% crawl increment against it, vs minhash_lsh_dedup
+    # above which re-shingles the whole corpus
+    mh_idx = _textops.minhash_bands(docs).persist()
+    mh_idx.count()
+    mh_inc = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    timed("minhash_probe_incr",
+          lambda: _textops.minhash_probe(mh_inc, mh_idx).count())
+    mh_idx.unpersist()
     timed("pack_sequences",
           lambda: _curation.pack_sequences(
               docs.select("doc_id", F.size(F.split(F.coalesce(
