@@ -252,3 +252,42 @@ def test_snapshot_diff_changelog(spark, tmp_path):
     # identity window
     a2, r2 = store.diff(spark, "s", from_id=1, to_id=1)
     assert a2.count() == 0 and r2.count() == 0
+
+
+def test_dedup_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
+    """Dedup chain: crash after candidates; relaunch resumes (earlier
+    snapshots untouched) and the survivor set equals a fresh run. The
+    planted mirrors collapse: exactly one survivor per cluster, and
+    every 'mirror of' copy (longer by two words) beats its original
+    under the keep-longest policy."""
+    from fagi_spark.jobs import dedup
+
+    out = str(tmp_path / "dd")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dedup.run(spark, out, n_docs=600, fail_after="candidates")
+    store = CheckpointStore(out)
+    before = {s: store.latest(s) for s in ("docs", "bands", "candidates")}
+    assert store.latest("kept") is None
+
+    res = dedup.run(spark, out, n_docs=600)
+    for s, snap in before.items():
+        assert res["store"].latest(s) == snap  # resumed, not recomputed
+    kept = {r.doc_id for r in res["kept"].select("doc_id").collect()}
+
+    fresh = dedup.run(spark, str(tmp_path / "dd2"), n_docs=600)
+    assert kept == {r.doc_id for r in fresh["kept"].select("doc_id").collect()}
+
+    n_docs = res["docs"].count()
+    n_mirrors = res["docs"].filter("text LIKE 'mirror of %'").count()
+    assert n_mirrors > 10
+    # mirror families collapse to one survivor each, and the mirror
+    # (two words longer) wins keep-longest; allow a small LSH miss
+    # tail (short pages can fall under the Jaccard threshold)
+    n_kept = len(kept)
+    assert n_docs - n_mirrors <= n_kept <= n_docs - int(0.9 * n_mirrors)
+    surviving_mirrors = res["kept"].filter("text LIKE 'mirror of %'").count()
+    assert surviving_mirrors >= int(0.9 * n_mirrors)
+    # and the collapse count equals the surviving-mirror count: each
+    # clustered family dropped exactly its original
+    assert n_docs - n_kept == res["docs"].count() - res["clusters"] \
+        .select("component").distinct().count()
