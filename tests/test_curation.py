@@ -335,3 +335,78 @@ def test_canonical_url_hand_cases(spark):
            for r in curation.with_canonical_url(df).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# ---- pack/chunk properties (hypothesis) -----------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=0,
+                max_size=60),
+       st.sampled_from([16, 64, 257]))
+def test_pack_sequences_properties(spark, token_counts, ctx):
+    """For ANY corpus shape: (1) token conservation — every token of
+    every doc lands in exactly one segment; (2) segments tile each doc
+    contiguously from 0; (3) every pack except the last is exactly
+    full; (4) pack offsets tile each pack contiguously."""
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long") \
+        if rows else spark.createDataFrame([], "doc_id long, n_tokens long")
+    segs = [tuple(r) for r in curation.pack_sequences(df, ctx=ctx,
+                                                      buckets=5).collect()]
+    by_doc, by_pack = {}, {}
+    for k, p, do, po, sl in segs:
+        assert sl > 0
+        by_doc.setdefault(k, []).append((do, sl))
+        by_pack.setdefault(p, []).append((po, sl))
+    for i, n in rows:
+        got = sorted(by_doc.get(i, []))
+        want_total = n if n > 0 else 0
+        assert sum(s for _, s in got) == want_total
+        pos = 0
+        for do, sl in got:
+            assert do == pos
+            pos += sl
+    if by_pack:
+        last = max(by_pack)
+        for p, ss in by_pack.items():
+            ss.sort()
+            covered = sum(s for _, s in ss)
+            assert covered == ctx or (p == last and covered <= ctx)
+            pos = 0
+            for po, sl in ss:
+                assert po == pos
+                pos += sl
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=12),
+       st.sampled_from([(10, 0), (10, 4), (7, 6)]))
+def test_chunk_docs_properties(spark, word_counts, size_overlap):
+    """For ANY doc lengths: chunk starts advance by stride, every
+    chunk slice matches the source tokens, the final chunk reaches the
+    document end, and no chunk is contained in its predecessor."""
+    size, overlap = size_overlap
+    stride = size - overlap
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate(word_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.chunk_docs(df, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in rows:
+        toks = t.split(" ")  # '' -> [''] matches operator semantics
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert chunks[0].chunk_start == 0
+        for j, c in enumerate(chunks):
+            assert c.chunk_start == j * stride
+            assert c.chunk_text == " ".join(
+                toks[c.chunk_start:c.chunk_start + c.chunk_len])
+        assert chunks[-1].chunk_start + chunks[-1].chunk_len == len(toks)
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.chunk_start + cur.chunk_len \
+                > prev.chunk_start + prev.chunk_len
