@@ -380,6 +380,12 @@ def minhash_probe(new_df: DataFrame, index: DataFrame,
     band_hash, the probe side alone shuffles."""
     bn = minhash_bands(new_df, key, text, num_hashes, bands, shingle_k,
                        hash_family)
+    # bn feeds BOTH the probe side and the union — and union branches
+    # do not reuse exchanges (the measured tile_pyramid finding), so a
+    # lazy bn would shingle the increment twice. Materialize once: the
+    # banded increment is increment-sized (bands rows per new doc),
+    # tiny next to the corpus index.
+    bn = bn.localCheckpoint()
     both = index.unionByName(bn)
     a = bn.select(F.col(key).alias("_ka"), "band", "band_hash")
     b = both.select(F.col(key).alias("_kb"), "band", "band_hash")

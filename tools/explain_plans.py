@@ -327,6 +327,37 @@ def main():
     spark.sql("DROP TABLE IF EXISTS plans_ents_b")
     spark.sql("DROP TABLE IF EXISTS plans_gaz_b")
 
+    # 11b. incremental near-dup probe: only the increment pays
+    # shingling — structurally enforced: exactly one Generate (the
+    # increment's shingle explode); the index side is a plain scan
+    import tempfile as _tf
+    idx_dir = _tf.mkdtemp(prefix="plans_mh_idx_")
+    textops.minhash_bands(docs).write.parquet(f"{idx_dir}/bands")
+    idx = spark.read.parquet(f"{idx_dir}/bands")
+    inc = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    probe_plan = textops.minhash_probe(inc, idx)
+    probe_text = plan_text(probe_plan)
+    n_gen = len(_re.findall(r"^\(\d+\) Generate", probe_text, _re.M))
+    n_scan = len(_re.findall(r"^\(\d+\) Scan parquet", probe_text, _re.M))
+    if n_gen != 0 or n_scan != 1:
+        raise SystemExit(
+            f"minhash_probe structural check failed: {n_gen} Generate / "
+            f"{n_scan} parquet scans (want 0/1 — the increment's "
+            "shingle+band explodes are materialized ONCE up front and "
+            "the stored index must be read as-is, never re-shingled)")
+    add("minhash_probe (incremental near-dup)", probe_plan,
+        [],
+        "the committed band index is read as-is (exactly one parquet "
+        "scan, structurally enforced) and the probe plan contains ZERO "
+        "Generate operators: the increment's shingle/band explodes run "
+        "once into a materialized increment-sized frame (a lazy plan "
+        "would shingle the increment twice — union branches do not "
+        "reuse exchanges, the tile_pyramid finding). A 100 TB corpus "
+        "is never re-shingled to dedup a 1 TB daily increment; "
+        "bucketing the stored index on band_hash (io.write_bucketed) "
+        "additionally removes its side of the join shuffle.")
+
     # 12. duplicate spans: corpus-wide k-gram count + per-doc run merge
     add("duplicate_spans (ExactSubstr dedup)",
         textops.duplicate_spans(docs, k=8),
