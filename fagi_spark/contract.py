@@ -2826,6 +2826,30 @@ SELECT doc_id, url, {curation.sql_canonical_url('url')} AS canonical_url
 FROM aug"""
 
 
+def q_doc_quality_learned(spark, sf_dir):
+    """Learned fastText-style quality filter (curation.train_quality_
+    classifier + predict_quality): trained on a planted prose-vs-
+    gibberish sample derived from the documents table, then scored
+    over every document. pyspark.ml path (hashed features + LBFGS
+    logistic fit) — rows-only; classification accuracy on held-out
+    planted classes is pinned in tests/test_curation.py."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    gib = F.concat_ws(" ", F.array(*[
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(f"_{i}"))), 1, 9)
+        for i in range(8)]))
+    labeled = (docs.filter(F.col("doc_id") % 2 == 0)
+               .select("text", F.lit(1.0).alias("label"))
+               .unionByName(docs.filter(F.col("doc_id") % 2 == 1)
+                            .select(gib.alias("text"),
+                                    F.lit(0.0).alias("label"))))
+    model = curation.train_quality_classifier(labeled)
+    out = curation.predict_quality(model, docs)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("quality_keep").cast("long").alias("keep"))
+
+
 def q_doc_bpe_encode(spark, sf_dir):
     """Learned-BPE encoding (bpe.train_bpe + apply_bpe, Sennrich et
     al. 2016): 20 merges trained ON the documents table, then every
@@ -3167,6 +3191,7 @@ QUERIES = {
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "doc_temperature_sample": q_doc_temperature_sample,
     "doc_bpe_encode": q_doc_bpe_encode,
+    "doc_quality_learned": q_doc_quality_learned,
     "doc_canonical_url": q_doc_canonical_url,
     "doc_token_stats_by_lang": q_doc_token_stats_by_lang,
     "events_asof_join": q_events_asof_join,

@@ -613,3 +613,66 @@ def sql_canonical_url(url_expr: str) -> str:
              f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END) || "
              f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)")
     return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+
+def quality_features(df: DataFrame, text: str = "text",
+                     n_features: int = 4096) -> DataFrame:
+    """Hashed bag-of-words+bigrams feature vector (the fastText linear
+    recipe: unigram + bigram hash buckets) appended as ``features``.
+    Built from pyspark.ml's Tokenizer-free column ops + HashingTF —
+    one map-only stage, no vocabulary collection, so the featurizer
+    itself needs no fit and scales as a pure map."""
+    from pyspark.ml.feature import HashingTF
+
+    words = F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(
+                        "_", F.element_at(words, i + 1),
+                        F.element_at(words, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.withColumn("_toks", F.concat(words, bigrams))
+    tf = HashingTF(inputCol="_toks", outputCol="features",
+                   numFeatures=n_features)
+    return tf.transform(toks).drop("_toks")
+
+
+def train_quality_classifier(labeled: DataFrame, text: str = "text",
+                             label: str = "label",
+                             n_features: int = 4096, max_iter: int = 50):
+    """Fit the fastText-style quality filter: hashed unigram+bigram
+    features -> binary LogisticRegression (label 1.0 = keep-worthy
+    prose, 0.0 = reject). This is the learned stage of a production
+    quality pipeline (a 'wiki-like' classifier) sitting downstream of
+    the rule-based with_filter_decision; training input is a LABELED
+    SAMPLE (thousands of rows — driver-side cost is the lr fit), while
+    prediction is a distributed map over the full corpus."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = quality_features(labeled, text, n_features)
+    lr = LogisticRegression(maxIter=max_iter, labelCol=label,
+                            featuresCol="features")
+    return lr.fit(feats.select("features", F.col(label).cast("double")
+                               .alias(label)))
+
+
+def predict_quality(model, df: DataFrame, text: str = "text",
+                    n_features: int = 4096,
+                    threshold: float = 0.5) -> DataFrame:
+    """Score the corpus with a trained quality classifier: appends
+    ``quality_prob`` (P(keep)) and ``quality_keep``. Model weights
+    ride the broadcast closure; scoring is map-only."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_features(df, text, n_features)
+    scored = model.transform(feats)
+    prob = F.element_at(vector_to_array("probability"), 2)
+    return (scored.withColumn("quality_prob", prob)
+            .withColumn("quality_keep", prob >= F.lit(threshold))
+            .drop("features", "rawPrediction", "probability", "prediction"))

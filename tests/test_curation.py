@@ -410,3 +410,36 @@ def test_chunk_docs_properties(spark, word_counts, size_overlap):
         for prev, cur in zip(chunks, chunks[1:]):
             assert cur.chunk_start + cur.chunk_len \
                 > prev.chunk_start + prev.chunk_len
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """fastText-style learned filter: clean prose vs keyboard-mash
+    gibberish, trained on one half, evaluated on a held-out half —
+    high accuracy both ways, deterministic scoring, and the scored
+    frame keeps its original columns."""
+    import random
+    rnd = random.Random(5)
+    prose_words = ("the quick brown fox jumps over a lazy dog near the "
+                   "old stone bridge by the river bank at dawn").split()
+    rows = []
+    for i in range(120):
+        good = " ".join(rnd.choices(prose_words, k=20))
+        bad = " ".join("".join(rnd.choices("qwxzjv", k=7)) for _ in range(8))
+        rows.append((2 * i, good, 1.0))
+        rows.append((2 * i + 1, bad, 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = df.filter("doc_id % 4 < 2")
+    test = df.filter("doc_id % 4 >= 2")
+    model = curation.train_quality_classifier(train)
+    scored = curation.predict_quality(model, test)
+    ok = scored.filter(
+        (F.col("quality_keep") & (F.col("label") == 1.0))
+        | (~F.col("quality_keep") & (F.col("label") == 0.0))).count()
+    n = test.count()
+    assert ok / n >= 0.95
+    assert set(scored.columns) >= {"doc_id", "text", "label",
+                                   "quality_prob", "quality_keep"}
+    again = curation.predict_quality(model, test)
+    a = sorted((r.doc_id, r.quality_prob) for r in scored.collect())
+    b = sorted((r.doc_id, r.quality_prob) for r in again.collect())
+    assert a == b
