@@ -169,17 +169,30 @@ def dedup_near(df: DataFrame, key: str = "doc_id", text: str = "text",
         keep = (comp.filter(F.col("node") == F.col("component"))
                 .select(F.col("node").alias(key)))
     elif policy == "longest":
-        from pyspark.sql.window import Window
-        n_words = F.size(
-            F.split(textops.normalize_text(
-                F.coalesce(F.col(text), F.lit(""))), " "))
-        sized = (df.select(F.col(key), n_words.alias("_nw"))
-                 .join(comp, F.col(key) == F.col("node")))
-        w = Window.partitionBy("component").orderBy(
-            F.desc("_nw"), F.asc("node"))
-        keep = (sized.withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
-                .select(F.col("node").alias(key)))
+        keep = keep_longest_keys(df, comp, key, text)
     else:
         raise ValueError(f"unknown dedup_near policy: {policy!r}")
     return df.join(keep, key, "leftsemi")
+
+
+def keep_longest_keys(df: DataFrame, clusters: DataFrame,
+                      key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keys of the longest member per component (most normalized
+    words, ties broken by minimum key) — THE canonical-survivor policy,
+    shared by ``dedup_near(policy="longest")`` and the committed-label
+    path in jobs/dedup.py so the tie-break can never drift between
+    them. ``clusters`` is ``connected_components`` output
+    (node, component). Compiles to WindowGroupLimit: only
+    per-partition leaders reach the shuffle, so component size never
+    hits executor memory."""
+    from pyspark.sql.window import Window
+    n_words = F.size(
+        F.split(textops.normalize_text(
+            F.coalesce(F.col(text), F.lit(""))), " "))
+    sized = (df.select(F.col(key), n_words.alias("_nw"))
+             .join(clusters, F.col(key) == F.col("node")))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_nw"), F.asc("node"))
+    return (sized.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("node").alias(key)))

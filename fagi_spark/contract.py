@@ -2798,8 +2798,13 @@ def q_doc_canonical_url(spark, sf_dir):
                F.element_at(F.array(F.lit("HTTP://"), F.lit("https://"),
                                     F.lit("http://")),
                             (F.col("doc_id") % 3 + 1).cast("int")),
-               F.lit("WWW.Example"), (F.col("doc_id") % 5).cast("string"),
-               F.lit(".ORG"),
+               F.when(F.col("doc_id") % 11 == 0, F.lit("User:Pw@"))
+               .otherwise(F.lit("")),
+               F.when(F.col("doc_id") % 13 == 0, F.lit("[2001:DB8::1]"))
+               .otherwise(F.concat(
+                   F.lit("WWW.Example"),
+                   (F.col("doc_id") % 5).cast("string"),
+                   F.lit(".ORG"))),
                F.element_at(F.array(F.lit(":80"), F.lit(":443"),
                                     F.lit(":8080"), F.lit("")),
                             (F.col("doc_id") % 4 + 1).cast("int")),
@@ -2816,7 +2821,9 @@ O_DOC_CANONICAL_URL = f"""WITH aug AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CASE WHEN doc_id % 7 = 0 THEN 'not a url at all'
               ELSE (['HTTP://', 'https://', 'http://'])[CAST(doc_id % 3 AS INT) + 1]
-                   || 'WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END)
+                   || (CASE WHEN doc_id % 13 = 0 THEN '[2001:DB8::1]'
+                            ELSE 'WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.ORG' END)
                    || ([':80', ':443', ':8080', ''])[CAST(doc_id % 4 AS INT) + 1]
                    || (['/A/b', ''])[CAST(doc_id % 2 AS INT) + 1]
                    || '?z=2&utm_source=x&a=1&fbclid=y#frag'

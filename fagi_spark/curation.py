@@ -561,8 +561,8 @@ def temperature_sample(df: DataFrame, target_tokens: int,
 # warehouse applies before grouping by url: lowercase scheme/host, strip
 # default ports, drop fragments, drop tracking params, sort the rest.
 
-CANON_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?"
-            r"([^?#]*)(\?[^#]*)?")
+CANON_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*@)?"
+            r"(\[[^\]]*\]|[^/?#:@]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?")
 TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
 
 
@@ -570,15 +570,20 @@ def with_canonical_url(df: DataFrame, url: str = "url") -> DataFrame:
     """Append ``canonical_url``: lowercase scheme and host, default
     port stripped (http:80 / https:443), fragment dropped, tracking
     query params (utm_*/fbclid/gclid/msclkid) removed, remaining
-    params sorted, empty path normalized to '/'. Rows that do not
-    parse as absolute URLs pass through unchanged. Map-only codegen'd
-    string/array ops — no shuffle, no Python."""
+    params sorted, empty path normalized to '/'. Userinfo
+    (``user:pw@``, delimited by the LAST '@' before the path — the
+    greedy group) passes through case-preserved; bracketed IPv6 hosts
+    are lowercased whole (RFC 5952 canonical hex is lowercase) and
+    keep default-port stripping. Rows that do not parse as absolute
+    URLs pass through unchanged. Map-only codegen'd string/array ops —
+    no shuffle, no Python."""
     u = F.col(url)
     scheme = F.lower(F.regexp_extract(u, CANON_RE, 1))
-    host = F.lower(F.regexp_extract(u, CANON_RE, 2))
-    port = F.regexp_extract(u, CANON_RE, 3)
-    path = F.regexp_extract(u, CANON_RE, 4)
-    rawq = F.regexp_extract(u, CANON_RE, 5)
+    userinfo = F.regexp_extract(u, CANON_RE, 2)
+    host = F.lower(F.regexp_extract(u, CANON_RE, 3))
+    port = F.regexp_extract(u, CANON_RE, 4)
+    path = F.regexp_extract(u, CANON_RE, 5)
+    rawq = F.regexp_extract(u, CANON_RE, 6)
     port_kept = F.when(
         ((scheme == "http") & (port == ":80"))
         | ((scheme == "https") & (port == ":443")), F.lit("")
@@ -588,7 +593,7 @@ def with_canonical_url(df: DataFrame, url: str = "url") -> DataFrame:
         lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
     q = F.array_join(params, "&")
     canon = F.concat(
-        scheme, F.lit("://"), host, port_kept,
+        scheme, F.lit("://"), userinfo, host, port_kept,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
     return df.withColumn(
@@ -598,10 +603,11 @@ def with_canonical_url(df: DataFrame, url: str = "url") -> DataFrame:
 def sql_canonical_url(url_expr: str) -> str:
     """DuckDB twin of with_canonical_url's output column."""
     scheme = f"LOWER(REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 1))"
-    host = f"LOWER(REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 2))"
-    port = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 3)"
-    path = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 4)"
-    rawq = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 5)"
+    userinfo = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 2)"
+    host = f"LOWER(REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 3))"
+    port = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 4)"
+    path = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 5)"
+    rawq = f"REGEXP_EXTRACT({url_expr}, '{CANON_RE}', 6)"
     port_kept = (f"CASE WHEN ({scheme} = 'http' AND {port} = ':80') OR "
                  f"({scheme} = 'https' AND {port} = ':443') "
                  f"THEN '' ELSE {port} END")
@@ -609,7 +615,7 @@ def sql_canonical_url(url_expr: str) -> str:
               f"'&'), p -> p <> '' AND NOT REGEXP_MATCHES(p, "
               f"'{TRACKING_RE}')))")
     q = f"ARRAY_TO_STRING({params}, '&')"
-    canon = (f"{scheme} || '://' || {host} || {port_kept} || "
+    canon = (f"{scheme} || '://' || {userinfo} || {host} || {port_kept} || "
              f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END) || "
              f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)")
     return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"

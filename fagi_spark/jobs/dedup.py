@@ -31,7 +31,6 @@ import argparse
 import sys
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fagi_spark import components, synth, textops
 from fagi_spark.checkpoint import CheckpointStore
@@ -41,7 +40,8 @@ STAGES = ("docs", "bands", "candidates", "edges", "clusters", "kept")
 
 
 def run(spark, out: str, n_docs: int, fail_after: str | None = None,
-        dup_every: int = 7, threshold: float = 0.5):
+        dup_every: int = 7, threshold: float = 0.5,
+        max_bucket: int | None = 64):
     store = CheckpointStore(out)
 
     def maybe_fail(stage):
@@ -71,17 +71,14 @@ def run(spark, out: str, n_docs: int, fail_after: str | None = None,
                  "n_buckets": F.count_distinct("band", "band_hash")})
     maybe_fail("bands")
 
-    # 3. candidate pairs from the committed index (band self-join with
-    # the hot-bucket star guard — components downstream are identical).
-    def cands_df():
-        a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
-        b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
-        return (a.join(b, ["band", "band_hash"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
-
+    # 3. candidate pairs from the committed index: textops.band_pairs
+    # (the same self-join minhash_candidates uses) WITH the hot-bucket
+    # star guard — a boilerplate bucket of m docs emits m-1 star edges
+    # instead of m^2/2 pairs; connected components downstream see the
+    # same clusters for pairs that verify.
     cands = store.run_stage(
-        spark, "candidates", cands_df,
+        spark, "candidates",
+        lambda: textops.band_pairs(bands, "doc_id", max_bucket=max_bucket),
         observe={"n_pairs": F.count(F.lit(1))})
     maybe_fail("candidates")
 
@@ -101,19 +98,13 @@ def run(spark, out: str, n_docs: int, fail_after: str | None = None,
                  "n_clusters": F.count_distinct("component")})
     maybe_fail("clusters")
 
-    # 6. canonical keep: longest member per cluster survives
-    # (WindowGroupLimit — same policy as components.dedup_near but over
-    # the COMMITTED cluster labels, so a re-run never re-clusters).
+    # 6. canonical keep: longest member per cluster survives — the
+    # SHARED components.keep_longest_keys policy (identical tie-break
+    # to dedup_near(policy="longest")) over the COMMITTED cluster
+    # labels, so a re-run never re-clusters.
     def kept_df():
-        n_words = F.size(F.split(
-            textops.normalize_text(F.coalesce(F.col("text"), F.lit(""))),
-            " "))
-        sized = (docs.select("doc_id", "text", n_words.alias("_nw"))
-                 .join(clusters, F.col("doc_id") == F.col("node")))
-        w = Window.partitionBy("component").orderBy(
-            F.desc("_nw"), F.asc("node"))
-        return (sized.withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
+        keep = components.keep_longest_keys(docs, clusters, "doc_id", "text")
+        return (docs.join(keep, "doc_id", "leftsemi")
                 .select("doc_id", "text"))
 
     kept = store.run_stage(
@@ -132,10 +123,13 @@ def main(argv=None):
     p.add_argument("--fail-after", default=None, choices=STAGES)
     p.add_argument("--master", default=None)
     p.add_argument("--vacuum-keep", type=int, default=None)
+    p.add_argument("--max-bucket", type=int, default=64,
+                   help="hot-bucket star-guard cap for the candidates stage")
     args = p.parse_args(argv)
     spark = get_spark("fagi_dedup", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
-    out = run(spark, args.out, args.n_docs, args.fail_after)
+    out = run(spark, args.out, args.n_docs, args.fail_after,
+              max_bucket=args.max_bucket)
     for stage in STAGES:
         lin = out["store"].lineage(stage)
         print(f"{stage}: {lin['n_rows']} rows in {lin['n_files']} files, "

@@ -369,7 +369,9 @@ def minhash_bands(df: DataFrame, key: str = "doc_id", text: str = "text",
 def minhash_probe(new_df: DataFrame, index: DataFrame,
                   key: str = "doc_id", text: str = "text",
                   num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
-                  hash_family: str = "xxhash") -> DataFrame:
+                  hash_family: str = "xxhash",
+                  max_bucket: int | None = None,
+                  new_bands: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup candidates: band the NEW documents with
     the same parameters as the stored index (``minhash_bands`` output;
     keys must be disjoint from the increment's) and equi-join — every
@@ -377,22 +379,68 @@ def minhash_probe(new_df: DataFrame, index: DataFrame,
     as (id_a < id_b) DISTINCT. Cost is O(increment) signature work
     plus one band equi-join against the index; the existing corpus is
     never re-read for shingling. With the index written bucketed on
-    band_hash, the probe side alone shuffles."""
-    bn = minhash_bands(new_df, key, text, num_hashes, bands, shingle_k,
-                       hash_family)
-    # bn feeds BOTH the probe side and the union — and union branches
-    # do not reuse exchanges (the measured tile_pyramid finding), so a
-    # lazy bn would shingle the increment twice. Materialize once: the
-    # banded increment is increment-sized (bands rows per new doc),
-    # tiny next to the corpus index.
-    bn = bn.localCheckpoint()
-    both = index.unionByName(bn)
-    a = bn.select(F.col(key).alias("_ka"), "band", "band_hash")
-    b = both.select(F.col(key).alias("_kb"), "band", "band_hash")
-    j = (a.join(b, ["band", "band_hash"])
-         .filter(F.col("_ka") != F.col("_kb")))
-    return (j.select(F.least("_ka", "_kb").alias("id_a"),
-                     F.greatest("_ka", "_kb").alias("id_b"))
+    band_hash, the probe side alone shuffles.
+
+    ``max_bucket`` is the same hot-bucket star guard as
+    ``minhash_candidates`` (the batch path): a boilerplate bucket of m
+    index members hit by n increment members would emit O(m*n) pairs
+    unguarded; over the cap the bucket emits star edges
+    (min-key representative -> member) restricted to edges touching at
+    least one new document — old-old structure was already emitted by
+    the original corpus run.
+
+    ``new_bands`` (pre-computed ``minhash_bands`` output for the
+    increment) gives the caller control of materialization lifetime:
+    when None, the increment is banded here and materialized once
+    (it feeds both the probe side and the union, and union branches do
+    not reuse exchanges — the measured tile_pyramid finding) via
+    reliable ``checkpoint()`` when the session has a checkpoint dir,
+    else ``localCheckpoint()``. A long-lived driver issuing repeated
+    probes should pass its own persisted ``new_bands`` and unpersist
+    after the probe's sink action, so blocks never outlive the call."""
+    if new_bands is not None:
+        bn = new_bands
+    else:
+        bn = minhash_bands(new_df, key, text, num_hashes, bands, shingle_k,
+                           hash_family)
+        # localCheckpoint truncates lineage with non-replicated blocks:
+        # fine in local mode, but on a cluster an executor loss kills
+        # the query. Prefer the reliable checkpoint when configured.
+        sc = new_df.sparkSession.sparkContext
+        ckdir = sc.getCheckpointDir()
+        bn = bn.checkpoint(eager=True) if ckdir else bn.localCheckpoint()
+    if max_bucket is None:
+        both = index.unionByName(bn)
+        a = bn.select(F.col(key).alias("_ka"), "band", "band_hash")
+        b = both.select(F.col(key).alias("_kb"), "band", "band_hash")
+        j = (a.join(b, ["band", "band_hash"])
+             .filter(F.col("_ka") != F.col("_kb")))
+        return (j.select(F.least("_ka", "_kb").alias("id_a"),
+                         F.greatest("_ka", "_kb").alias("id_b"))
+                .distinct())
+    both = (index.withColumn("_new", F.lit(False))
+            .unionByName(bn.withColumn("_new", F.lit(True))))
+    stats = (both.groupBy("band", "band_hash")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.min(F.struct(key, "_new")).alias("_reps")))
+    tagged = both.join(stats, ["band", "band_hash"])
+    small = tagged.filter(F.col("_n") <= max_bucket)
+    a = small.select(F.col(key).alias("id_a"),
+                     F.col("_new").alias("_new_a"), "band", "band_hash")
+    b = small.select(F.col(key).alias("id_b"),
+                     F.col("_new").alias("_new_b"), "band", "band_hash")
+    dense = (a.join(b, ["band", "band_hash"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.col("_new_a") | F.col("_new_b")))
+             .select("id_a", "id_b"))
+    star = (tagged.filter((F.col("_n") > max_bucket)
+                          & (F.col(key) != F.col("_reps")[key])
+                          & (F.col("_new") | F.col("_reps")["_new"]))
+            .select(F.col("_reps")[key].alias("id_a"),
+                    F.col(key).alias("id_b")))
+    return (dense.unionByName(star)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
             .distinct())
 
 
@@ -419,6 +467,16 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     (exact oracle mode)."""
     banded = minhash_bands(df, key, text, num_hashes, bands, shingle_k,
                            hash_family)
+    return band_pairs(banded, key, max_bucket)
+
+
+def band_pairs(banded: DataFrame, key: str = "doc_id",
+               max_bucket: int | None = None) -> DataFrame:
+    """(id_a < id_b) DISTINCT candidate pairs from ``minhash_bands``
+    rows — the band self-join shared by ``minhash_candidates`` (which
+    bands and pairs in one call) and jobs that pair a COMMITTED band
+    index (jobs/dedup.py stage 3). ``max_bucket`` is the hot-bucket
+    star guard documented on ``minhash_candidates``."""
     if max_bucket is not None:
         stats = (banded.groupBy("band", "band_hash")
                  .agg(F.count(F.lit(1)).alias("_n"), F.min(key).alias("_rep")))

@@ -328,6 +328,14 @@ def test_canonical_url_hand_cases(spark):
         ("http://h.io:443/x", "http://h.io:443/x"),  # not http's default
         ("not a url", "not a url"),                   # pass-through
         ("ftp://Files.net/a", "ftp://files.net/a"),
+        # userinfo: case-preserved, host after the LAST '@' still
+        # lowercased + default-port stripped (r3 review fix: the old
+        # host group stopped at ':' so 'User:Pw' swallowed the host)
+        ("http://User:Pw@HOST.com:80/a", "http://User:Pw@host.com/a"),
+        ("http://a@b@C.io/x", "http://a@b@c.io/x"),
+        # bracketed IPv6: lowercased whole, default port stripped
+        ("https://[2001:DB8::1]:443/x", "https://[2001:db8::1]/x"),
+        ("https://[2001:DB8::1]:8443/x", "https://[2001:db8::1]:8443/x"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")

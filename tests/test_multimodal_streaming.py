@@ -464,9 +464,12 @@ def test_dedup_stream_across_micro_batches(spark, pages, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ck")
-    base = pages.limit(40).select("url", "warc_ts", "html", "text", "lang")
-    # same text under new urls, slightly later capture time
-    dup = (base.limit(15)
+    # orderBy before limit: a bare limit() may pick different rows on
+    # each of the three actions below (write base, write dup, compute
+    # want_fps), which would make dup not a subset of base
+    base = (pages.orderBy("url").limit(40)
+            .select("url", "warc_ts", "html", "text", "lang"))
+    dup = (base.orderBy("url").limit(15)
            .withColumn("url", F.concat(F.col("url"), F.lit("#mirror")))
            .withColumn("warc_ts",
                        F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")))

@@ -466,3 +466,33 @@ def test_minhash_probe_incremental_equals_full(spark):
     assert incr == want
     assert (200, 202) in incr  # new-new pair found too
     assert all(p[0] < p[1] for p in incr)
+
+
+def test_minhash_probe_hot_bucket_guard(spark):
+    """The probe's max_bucket star guard: a boilerplate bucket of 30
+    index docs hit by 5 new copies emits linear star edges instead of
+    the O(m*n) exhaustive pairs, every emitted pair touches a new doc,
+    and the new docs stay connected to the bucket's representative.
+    Small buckets keep exhaustive probe pairs (the unique near-pair
+    survives the guard identically)."""
+    boiler = "the same boilerplate mirror page body appears here again"
+    old_rows = ([(i, boiler) for i in range(30)]
+                + [(100, "a rare pair first variant alpha beta gamma delta")])
+    new_rows = ([(200 + i, boiler) for i in range(5)]
+                + [(300, "a rare pair first variant alpha beta gamma delta")])
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    idx = textops.minhash_bands(old, num_hashes=8, bands=2)
+    free = {(r.id_a, r.id_b) for r in
+            textops.minhash_probe(new, idx, num_hashes=8, bands=2).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              textops.minhash_probe(new, idx, num_hashes=8, bands=2,
+                                    max_bucket=10).collect()}
+    new_keys = set(range(200, 205)) | {300}
+    assert all(a in new_keys or b in new_keys for a, b in capped)
+    assert all(a < b for a, b in capped)
+    assert (100, 300) in capped            # small bucket: exhaustive pair kept
+    assert len(capped) < len(free) / 3     # hot bucket collapsed to stars
+    # every new boilerplate doc still reaches the bucket representative
+    rep = 0  # min doc_id of the hot bucket
+    assert all((rep, k) in capped for k in range(200, 205))
