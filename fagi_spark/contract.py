@@ -575,6 +575,37 @@ bc AS (SELECT subject AS b_subject,
 SELECT a_subject, b_subject, ac.cell AS cell FROM ac JOIN bc USING (cell)"""
 
 
+def q_intersects_join(spark, sf_dir):
+    """General polygon<->polygon ST_Intersects join
+    (joins.intersects_join): A squares vs B squares through the full
+    PBSM plan — auto resolution, cell equi-join, envelope prefilter,
+    report-once reference-point dedup, exact geoms_intersect
+    refinement. The exact kernel genuinely runs (containment ray-cast +
+    segment crossing + boundary touch); for the planted axis-aligned
+    squares exact intersects == closed envelope overlap, which the
+    oracle states directly. Concave/touching/contained general shapes
+    (where envelope overlap != intersects) are pinned in pytest
+    (tests/test_joins_geo.py::test_intersects_join_*)."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pa = fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
+    pb = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.intersects_join(pa, pb)
+
+
+O_INTERSECTS_JOIN = f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+pa AS (SELECT subject,
+              CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+              CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+       FROM geo_a WHERE kind = 'POLYGON'),
+pb AS (SELECT subject,
+              CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+              CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+       FROM geo_b WHERE kind = 'POLYGON')
+SELECT pa.subject AS a_subject, pb.subject AS b_subject
+FROM pa JOIN pb
+  ON pa.x0 <= pb.x1 AND pb.x0 <= pa.x1 AND pa.y0 <= pb.y1 AND pb.y0 <= pa.y1"""
+
+
 # ---- metadata / EAV operators ----------------------------------------------
 
 def q_literal_kind_filter(spark, sf_dir):
@@ -3127,6 +3158,7 @@ QUERIES = {
     "fagi_tile_assign": q_tile_assign,
     "fagi_tile_pyramid": q_tile_pyramid,
     "fagi_cell_join": q_cell_join,
+    "fagi_intersects_join": q_intersects_join,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_literal_kind_filter": q_literal_kind_filter,
@@ -3228,6 +3260,7 @@ ORACLES = {
     "fagi_tile_assign": O_TILE_ASSIGN,
     "fagi_tile_pyramid": O_TILE_PYRAMID,
     "fagi_cell_join": O_CELL_JOIN,
+    "fagi_intersects_join": O_INTERSECTS_JOIN,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_literal_kind_filter": O_LITERAL_KIND,

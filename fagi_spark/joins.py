@@ -190,6 +190,89 @@ def rasterize_polygons(polygons: DataFrame, res: int,
     return cand.mapInPandas(refine, RASTER_SCHEMA)
 
 
+def intersects_join(geo_a: DataFrame, geo_b: DataFrame,
+                    res: int | None = None, exact: bool = True) -> DataFrame:
+    """General ST_Intersects spatial join: every (a_subject, b_subject)
+    pair whose geometries intersect, boundary inclusive — the
+    polygon<->polygon generalization of pip_refine (which fixes one
+    side to points). The reference runs this class of predicate in
+    PostGIS (GeoClusterer.java:326-354 ST_Intersects); here it is the
+    classic PBSM (partition-based spatial-merge) plan, all candidate
+    work JVM-side:
+
+    1. ``res`` auto-chosen from BOTH sides' envelope size distribution
+       (pip_auto_res) so ~90% of geometries replicate to <=2x2 cells;
+    2. each side explodes its envelope's cell range at ``res`` and the
+       sides equi-join on the cell — never a cartesian;
+    3. closed envelope-overlap prefilter (codegen'd comparisons);
+    4. REPORT-ONCE dedup by the reference-point trick: a surviving
+       pair is kept only in the one cell containing the intersection
+       envelope's lower-left corner, so no DISTINCT shuffle is needed
+       and downstream sees each pair exactly once (Patel & DeWitt
+       1996, the duplicate-avoidance technique of PBSM);
+    5. exact ``geom.geoms_intersect`` refinement (vertex containment,
+       proper crossings, boundary touches) on surviving candidates
+       only — Arrow batches with a per-batch WKT parse cache.
+
+    ``exact=False`` stops after step 4: the envelope-overlap candidate
+    pairs (a coverage superset — right for tile layout and pruning).
+    Works for any geometry kinds (a POINT's envelope is one cell);
+    filter kinds upstream when only polygons are wanted."""
+    cols = ["subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"]
+    if res is None:
+        env = (geo_a.select("xmin", "ymin", "xmax", "ymax")
+               .unionByName(geo_b.select("xmin", "ymin", "xmax", "ymax")))
+        res = pip_auto_res(env)
+    a = _sided(geo_a, "a", cols)
+    b = _sided(geo_b, "b", cols)
+
+    def with_cells(df, p):
+        return (df.withColumn("pix", F.explode(F.sequence(
+                    cells.ix_col(F.col(f"{p}_xmin"), res),
+                    cells.ix_col(F.col(f"{p}_xmax"), res))))
+                .withColumn("piy", F.explode(F.sequence(
+                    cells.iy_col(F.col(f"{p}_ymin"), res),
+                    cells.iy_col(F.col(f"{p}_ymax"), res)))))
+
+    j = with_cells(a, "a").join(with_cells(b, "b"), ["pix", "piy"])
+    overlap = ((F.col("a_xmin") <= F.col("b_xmax"))
+               & (F.col("b_xmin") <= F.col("a_xmax"))
+               & (F.col("a_ymin") <= F.col("b_ymax"))
+               & (F.col("b_ymin") <= F.col("a_ymax")))
+    # the intersection envelope's lower-left corner lies in both sides'
+    # exploded ranges whenever the envelopes overlap, so exactly one
+    # joined cell claims the pair
+    ref_cell = ((F.col("pix") == cells.ix_col(
+                    F.greatest("a_xmin", "b_xmin"), res))
+                & (F.col("piy") == cells.iy_col(
+                    F.greatest("a_ymin", "b_ymin"), res)))
+    cand = j.filter(overlap & ref_cell)
+    if not exact:
+        return cand.select("a_subject", "b_subject")
+    cand = cand.select("a_subject", "a_geom_wkt", "b_subject", "b_geom_wkt")
+
+    def refine(batches):
+        cache: dict[str, object] = {}
+
+        def g_of(wkt):
+            g = cache.get(wkt)
+            if g is None:
+                g = geom.parse_wkt(wkt)
+                cache[wkt] = g if g is not None else False
+            return None if g is False else g
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.fromiter(
+                (geom.geoms_intersect(g_of(wa), g_of(wb))
+                 for wa, wb in zip(pdf["a_geom_wkt"], pdf["b_geom_wkt"])),
+                dtype=bool, count=len(pdf))
+            yield pdf.loc[keep, ["a_subject", "b_subject"]]
+
+    return cand.mapInPandas(refine, "a_subject string, b_subject string")
+
+
 def unlinked_entities(geo: DataFrame, links: DataFrame,
                       side: str = "a") -> DataFrame:
     """FetchUnlinkedServlet semantics (FetchUnlinkedServlet.java:219-241):

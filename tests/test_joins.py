@@ -127,3 +127,72 @@ def test_pip_auto_res_matches_fixed(spark):
     auto = {(x["point_subject"], x["poly_subject"])
             for x in joins.pip_refine(pts, polys, res=None).collect()}
     assert auto == fixed
+
+
+def _prep(spark, rows):
+    df = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    return fuse.prepare_geoms(df)
+
+
+def test_intersects_join_matches_bruteforce(spark):
+    """Full PBSM plan == all-pairs geoms_intersect on the fixture
+    squares (auto resolution, report-once dedup included)."""
+    import itertools
+    from fagi_spark import synth
+    geo_a, geo_b, _, _, _ = synth.synth_fixture(spark, 200, 150)
+    pa = fuse.prepare_geoms(geo_a).filter(F.col("geom_kind") == "POLYGON")
+    pb = fuse.prepare_geoms(geo_b).filter(F.col("geom_kind") == "POLYGON")
+    got = {(r.a_subject, r.b_subject)
+           for r in joins.intersects_join(pa, pb).collect()}
+    A = [(r.subject, geom.parse_wkt(r.geom_wkt)) for r in pa.collect()]
+    B = [(r.subject, geom.parse_wkt(r.geom_wkt)) for r in pb.collect()]
+    want = {(sa, sb) for (sa, a), (sb, b) in itertools.product(A, B)
+            if geom.geoms_intersect(a, b)}
+    assert got == want and len(got) > 0
+    # candidate mode emits each envelope-overlap pair exactly once
+    cand = joins.intersects_join(pa, pb, exact=False)
+    assert cand.count() == cand.distinct().count()
+
+
+def test_intersects_join_refinement_beats_bbox(spark):
+    """Shapes where envelope overlap and true intersection disagree —
+    the exact kernel must decide, not the prefilter:
+    - an L-shape whose notch swallows a small square (bbox overlap,
+      NO intersection)
+    - the same L-shape against a square crossing its arm (intersects)
+    - edge-touching squares (boundary-inclusive: intersects)
+    - corner-touching squares (intersects)
+    - containment without edge crossing (intersects)
+    - disjoint squares in the same cell (no intersection)"""
+    L = "POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))"
+    a = _prep(spark, [("L", L)])
+    b = _prep(spark, [
+        ("in_notch", "POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"),
+        ("crosses_arm", "POLYGON ((0.2 0.5, 0.8 0.5, 0.8 1.5, 0.2 1.5, 0.2 0.5))"),
+        ("edge_touch", "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))"),
+        ("corner_touch", "POLYGON ((3 1, 4 1, 4 2, 3 2, 3 1))"),
+        ("contained", "POLYGON ((0.2 0.2, 0.6 0.2, 0.6 0.6, 0.2 0.6, 0.2 0.2))"),
+        ("disjoint", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ])
+    got = {r.b_subject for r in joins.intersects_join(a, b, res=6).collect()}
+    assert got == {"crosses_arm", "edge_touch", "corner_touch", "contained"}
+    # the bbox candidate superset DOES include the notch shape
+    cand = {r.b_subject
+            for r in joins.intersects_join(a, b, res=6, exact=False).collect()}
+    assert "in_notch" in cand and "disjoint" not in cand
+
+
+def test_intersects_join_multipolygon_and_points(spark):
+    """MULTIPOLYGON parts hit independently; POINT envelopes work
+    (a point inside a polygon intersects it)."""
+    a = _prep(spark, [
+        ("mp", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+               "((10 10, 11 10, 11 11, 10 11, 10 10)))")])
+    b = _prep(spark, [
+        ("hits_part2", "POLYGON ((10.5 10.5, 12 10.5, 12 12, 10.5 12, 10.5 10.5))"),
+        ("between", "POLYGON ((4 4, 5 4, 5 5, 4 5, 4 4))"),
+        ("pt_inside", "POINT (0.5 0.5)"),
+        ("pt_out", "POINT (2 2)"),
+    ])
+    got = {r.b_subject for r in joins.intersects_join(a, b, res=5).collect()}
+    assert got == {"hits_part2", "pt_inside"}

@@ -127,6 +127,33 @@ def main():
         "the probe side is never replicated. One narrow probe projection "
         "-> BroadcastHashJoin -> distance filter, all one codegen span.")
 
+    # 3b. general ST_Intersects join: PBSM cell equi-join, no cartesian
+    pa = fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
+    pb = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    ij_plan = joins.intersects_join(pa, pb)
+    ij_text = plan_text(ij_plan)
+    if "CartesianProduct" in ij_text or "BroadcastNestedLoop" in ij_text:
+        raise SystemExit("intersects_join: candidate stage degenerated "
+                         "to a cartesian/nested-loop join")
+    # exactly one Arrow refine stage (the prepare_geoms WKT-stats
+    # ArrowEvalPython on each input side is expected and separate);
+    # formatted plans print each node twice (tree + detail), so count
+    # the detail-section headers only
+    import re as _re
+    n_mip = len(_re.findall(r"^\(\d+\) MapInPandas", ij_text, _re.M))
+    if n_mip != 1:
+        raise SystemExit("intersects_join: expected exactly one "
+                         f"MapInPandas exact-refine stage, got {n_mip}")
+    add("intersects_join (J6b, PBSM)", ij_plan,
+        ["codegen"],
+        "both polygon sides explode their envelope cell ranges and "
+        "equi-join on (pix, piy) — never a cartesian (enforced "
+        "structurally above); the closed envelope-overlap prefilter "
+        "and the reference-point report-once predicate are codegen'd "
+        "into the join's post-condition, so each surviving pair "
+        "reaches the single MapInPandas exact-refine stage exactly "
+        "once with no DISTINCT shuffle.")
+
     # 4. precedence dedup: WindowGroupLimit partial before the shuffle
     pages = synth.synth_pages(spark, 2000)
     ents = extract.extract_entities(pages)
