@@ -606,6 +606,48 @@ FROM pa JOIN pb
   ON pa.x0 <= pb.x1 AND pb.x0 <= pa.x1 AND pa.y0 <= pb.y1 AND pb.y0 <= pa.y1"""
 
 
+def q_dwithin_join(spark, sf_dir):
+    """True ST_DWithin join (joins.dwithin_join): exact shape-to-shape
+    min distance, not the centroid approximation — A points+squares vs
+    B points+squares within 2 km. The exact kernel (geom.min_distance:
+    vertex-vertex + vertex-to-edge-interior projections) genuinely
+    runs; for the planted axis-aligned boxes it reduces to the
+    separating-gap formula GREATEST(0,gap)^2 ... -> SQRT with the same
+    IEEE op sequence the oracle writes (a POINT is a degenerate box).
+    General-shape cases are pinned in pytest vs brute force."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pa = fuse.prepare_geoms(ga)
+    pb = fuse.prepare_geoms(gb)
+    return joins.dwithin_join(pa, pb, 2000.0)
+
+
+def _o_dwithin(radius_m: float = 2000.0) -> str:
+    from . import geom as _g
+    rdeg = _dlit(radius_m / _g.METERS_PER_DEGREE)
+    mpd = _dlit(_g.METERS_PER_DEGREE)
+    box = ("SELECT subject, CAST(v AS DOUBLE)/100.0 AS x0,"
+           " CAST(w AS DOUBLE)/100.0 AS y0,"
+           " CASE WHEN kind = 'POLYGON' THEN CAST(v + 8 AS DOUBLE)/100.0"
+           "      ELSE CAST(v AS DOUBLE)/100.0 END AS x1,"
+           " CASE WHEN kind = 'POLYGON' THEN CAST(w + 8 AS DOUBLE)/100.0"
+           "      ELSE CAST(w AS DOUBLE)/100.0 END AS y1")
+    return f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+pa AS ({box} FROM geo_a),
+pb AS ({box} FROM geo_b),
+gaps AS (
+  SELECT pa.subject AS a_subject, pb.subject AS b_subject,
+         GREATEST(0e0, pb.x0 - pa.x1, pa.x0 - pb.x1) AS gx,
+         GREATEST(0e0, pb.y0 - pa.y1, pa.y0 - pb.y1) AS gy
+  FROM pa JOIN pb
+    ON GREATEST(0e0, pb.x0 - pa.x1, pa.x0 - pb.x1) <= {rdeg}
+   AND GREATEST(0e0, pb.y0 - pa.y1, pa.y0 - pb.y1) <= {rdeg})
+SELECT a_subject, b_subject, SQRT(gx * gx + gy * gy) * {mpd} AS distance_m
+FROM gaps WHERE SQRT(gx * gx + gy * gy) <= {rdeg}"""
+
+
+# (O_DWITHIN_JOIN is materialized after _dlit's definition below)
+
+
 # ---- metadata / EAV operators ----------------------------------------------
 
 def q_literal_kind_filter(spark, sf_dir):
@@ -3033,6 +3075,9 @@ def _dlit(v) -> str:
     return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
 
 
+O_DWITHIN_JOIN = _o_dwithin()
+
+
 def _o_ivfpq(k: int = 5) -> str:
     sub = 16
     dists = []
@@ -3159,6 +3204,7 @@ QUERIES = {
     "fagi_tile_pyramid": q_tile_pyramid,
     "fagi_cell_join": q_cell_join,
     "fagi_intersects_join": q_intersects_join,
+    "fagi_dwithin_join": q_dwithin_join,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_literal_kind_filter": q_literal_kind_filter,
@@ -3261,6 +3307,7 @@ ORACLES = {
     "fagi_tile_pyramid": O_TILE_PYRAMID,
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_intersects_join": O_INTERSECTS_JOIN,
+    "fagi_dwithin_join": O_DWITHIN_JOIN,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_literal_kind_filter": O_LITERAL_KIND,

@@ -470,6 +470,62 @@ def geoms_intersect(ga: Geometry | None, gb: Geometry | None) -> bool:
 _POINT_FAST = re.compile(r"\s*POINT\s*\(\s*(-?[\d.Ee+-]+)\s+(-?[\d.Ee+-]+)\s*\)\s*\Z")
 
 
+def _points_paths_dist(pts: np.ndarray, paths: list) -> float:
+    """Min distance from any point in ``pts`` to the INTERIOR of any
+    segment in ``paths`` (projection parameter strictly inside (0,1));
+    endpoint-attained minima are excluded — the caller covers them with
+    direct vertex-vertex differences, keeping the arithmetic a single
+    subtraction per coordinate (the IEEE shape the SQL oracle mirrors
+    for axis-aligned inputs)."""
+    best = np.inf
+    for path in paths:
+        a, b = path[:-1], path[1:]
+        dx, dy = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
+        L2 = dx * dx + dy * dy
+        ok = L2 > 0
+        if not ok.any():
+            continue
+        # pts (N,1) vs segments (1,M)
+        wx = pts[:, 0:1] - a[None, :, 0]
+        wy = pts[:, 1:2] - a[None, :, 1]
+        t = (wx * dx[None, :] + wy * dy[None, :]) / np.where(ok, L2, 1.0)[None, :]
+        interior = ok[None, :] & (t > 0.0) & (t < 1.0)
+        if not interior.any():
+            continue
+        ex = wx - t * dx[None, :]
+        ey = wy - t * dy[None, :]
+        d2 = np.where(interior, ex * ex + ey * ey, np.inf)
+        best = min(best, float(np.sqrt(d2.min())))
+    return best
+
+
+def min_distance(ga: Geometry | None, gb: Geometry | None) -> float:
+    """Exact min planar distance between two geometries (degrees) —
+    the refinement kernel of joins.dwithin_join (ST_DWithin semantics;
+    the reference leaves this predicate to PostGIS). 0.0 when the
+    shapes intersect. Otherwise the minimum over (a) all vertex-vertex
+    pairs, computed as one subtraction per coordinate then
+    dx*dx + dy*dy -> sqrt (exactly the IEEE sequence the SQL oracle
+    writes for axis-aligned envelopes), and (b) vertex-to-segment-
+    interior projections on both sides: for non-intersecting shapes
+    the minimum is always attained at a vertex of one side, so (a)+(b)
+    is complete."""
+    if ga is None or gb is None:
+        return float("inf")
+    if geoms_intersect(ga, gb):
+        return 0.0
+    va, vb = _vertices(ga), _vertices(gb)
+    dx = va[:, None, 0] - vb[None, :, 0]
+    dy = va[:, None, 1] - vb[None, :, 1]
+    best = float(np.sqrt((dx * dx + dy * dy).min()))
+    pa, pb = _edge_paths(ga), _edge_paths(gb)
+    if pb:
+        best = min(best, _points_paths_dist(va, pb))
+    if pa:
+        best = min(best, _points_paths_dist(vb, pa))
+    return best
+
+
 def stats(wkt: str):
     """One-pass per-geometry stats used as precomputed columns:
     (kind, rank, npoints, cx, cy, xmin, ymin, xmax, ymax) or None."""

@@ -273,6 +273,98 @@ def intersects_join(geo_a: DataFrame, geo_b: DataFrame,
     return cand.mapInPandas(refine, "a_subject string, b_subject string")
 
 
+def dwithin_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
+                 res: int | None = None, exact: bool = True) -> DataFrame:
+    """True ST_DWithin join over arbitrary geometries: (a, b) pairs
+    whose SHAPES come within ``radius_m`` (minimum planar distance
+    between boundaries/interiors, not centroid distance — radius_join
+    is the centroid approximation; this is the exact predicate the
+    reference delegates to PostGIS ST_DWithin). Same PBSM shape as
+    intersects_join with the A-side envelope padded by the radius:
+
+    1. A explodes the cell range of its envelope GROWN by radius_deg,
+       B explodes its raw envelope; equi-join on cell;
+    2. codegen'd envelope-distance prefilter:
+       GREATEST(0, gap_x)^2 + GREATEST(0, gap_y)^2 <= radius_deg^2
+       (the separating-gap lower bound — identical IEEE ops to the
+       oracle's rectangle distance);
+    3. report-once on the padded-A/B envelope overlap's lower-left
+       corner cell — no DISTINCT shuffle;
+    4. exact geom.min_distance refinement on survivors only
+       (``exact=False`` stops after 3 and returns the candidates).
+
+    Output (a_subject, b_subject, distance_m); distance is the exact
+    shape-to-shape minimum (0.0 for intersecting shapes)."""
+    radius_deg = radius_m / geom.METERS_PER_DEGREE
+    cols = ["subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"]
+    if res is None:
+        env = (geo_a.select("xmin", "ymin", "xmax", "ymax")
+               .unionByName(geo_b.select("xmin", "ymin", "xmax", "ymax")))
+        res = pip_auto_res(env)
+        # the padded envelope must still replicate to a bounded ring
+        while res > 0 and (cells.cell_width_deg(res) < 2 * radius_deg
+                           or cells.cell_height_deg(res) < 2 * radius_deg):
+            res -= 1
+    a = _sided(geo_a, "a", cols)
+    b = _sided(geo_b, "b", cols)
+    r = F.lit(radius_deg)
+    a = (a.withColumn("pad_xmin", F.col("a_xmin") - r)
+         .withColumn("pad_ymin", F.col("a_ymin") - r)
+         .withColumn("pad_xmax", F.col("a_xmax") + r)
+         .withColumn("pad_ymax", F.col("a_ymax") + r))
+    aa = (a.withColumn("pix", F.explode(F.sequence(
+              cells.ix_col(F.col("pad_xmin"), res),
+              cells.ix_col(F.col("pad_xmax"), res))))
+          .withColumn("piy", F.explode(F.sequence(
+              cells.iy_col(F.col("pad_ymin"), res),
+              cells.iy_col(F.col("pad_ymax"), res)))))
+    bb = (b.withColumn("pix", F.explode(F.sequence(
+              cells.ix_col(F.col("b_xmin"), res),
+              cells.ix_col(F.col("b_xmax"), res))))
+          .withColumn("piy", F.explode(F.sequence(
+              cells.iy_col(F.col("b_ymin"), res),
+              cells.iy_col(F.col("b_ymax"), res)))))
+    j = aa.join(bb, ["pix", "piy"])
+    gap_x = F.greatest(F.lit(0.0), F.col("b_xmin") - F.col("a_xmax"),
+                       F.col("a_xmin") - F.col("b_xmax"))
+    gap_y = F.greatest(F.lit(0.0), F.col("b_ymin") - F.col("a_ymax"),
+                       F.col("a_ymin") - F.col("b_ymax"))
+    env_near = (gap_x * gap_x + gap_y * gap_y) <= (r * r)
+    ref_cell = ((F.col("pix") == cells.ix_col(
+                    F.greatest("pad_xmin", "b_xmin"), res))
+                & (F.col("piy") == cells.iy_col(
+                    F.greatest("pad_ymin", "b_ymin"), res)))
+    cand = j.filter(env_near & ref_cell)
+    if not exact:
+        return cand.select("a_subject", "b_subject")
+    cand = cand.select("a_subject", "a_geom_wkt", "b_subject", "b_geom_wkt")
+
+    def refine(batches):
+        cache: dict[str, object] = {}
+
+        def g_of(wkt):
+            g = cache.get(wkt)
+            if g is None:
+                g = geom.parse_wkt(wkt)
+                cache[wkt] = g if g is not None else False
+            return None if g is False else g
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dists = np.fromiter(
+                (geom.min_distance(g_of(wa), g_of(wb))
+                 for wa, wb in zip(pdf["a_geom_wkt"], pdf["b_geom_wkt"])),
+                dtype=np.float64, count=len(pdf))
+            keep = dists <= radius_deg
+            out = pdf.loc[keep, ["a_subject", "b_subject"]].copy()
+            out["distance_m"] = dists[keep] * geom.METERS_PER_DEGREE
+            yield out
+
+    return cand.mapInPandas(
+        refine, "a_subject string, b_subject string, distance_m double")
+
+
 def unlinked_entities(geo: DataFrame, links: DataFrame,
                       side: str = "a") -> DataFrame:
     """FetchUnlinkedServlet semantics (FetchUnlinkedServlet.java:219-241):

@@ -161,3 +161,34 @@ def test_intersect_translation_invariant(x, y, w, dx, dy):
     tb = geom.translate(gb, float(dx), float(dy))
     assert geom.geoms_intersect(ga, gb) == geom.geoms_intersect(ta, tb)
     assert geom.geoms_intersect(ga, ga)  # self-intersection always true
+
+
+def test_min_distance_hand_cases():
+    from fagi_spark.geom import min_distance, parse_wkt
+    sq = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    # diagonal separation: corner-to-corner
+    d = min_distance(sq, parse_wkt("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"))
+    assert abs(d - 2 ** 0.5) < 1e-12
+    # axis separation: edge-to-edge, attained at segment interiors
+    assert min_distance(sq, parse_wkt("POLYGON ((0.25 3, 0.75 3, 0.75 4, 0.25 4, 0.25 3))")) == 2.0
+    # intersecting / contained -> 0
+    assert min_distance(sq, parse_wkt("POLYGON ((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5))")) == 0.0
+    assert min_distance(sq, parse_wkt("POINT (0.5 0.5)")) == 0.0
+    # point to edge interior (perpendicular foot inside the edge)
+    assert min_distance(parse_wkt("POINT (0.5 -2)"), sq) == 2.0
+    # point to corner (foot outside both edges)
+    d = min_distance(parse_wkt("POINT (-3 -4)"), sq)
+    assert abs(d - 5.0) < 1e-12
+    # point-point
+    assert min_distance(parse_wkt("POINT (0 0)"), parse_wkt("POINT (3 4)")) == 5.0
+    # None -> inf
+    assert min_distance(None, sq) == float("inf")
+
+
+def test_min_distance_concave_interior_attained():
+    """Concave L vs a square sitting in the notch: envelope distance is
+    0 but true distance is the gap to the L's inner edges."""
+    from fagi_spark.geom import min_distance, parse_wkt
+    L = parse_wkt("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))")
+    probe = parse_wkt("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")
+    assert min_distance(L, probe) == 0.5

@@ -196,3 +196,39 @@ def test_intersects_join_multipolygon_and_points(spark):
     ])
     got = {r.b_subject for r in joins.intersects_join(a, b, res=5).collect()}
     assert got == {"hits_part2", "pt_inside"}
+
+
+def test_dwithin_join_matches_bruteforce(spark):
+    """PBSM ST_DWithin == all-pairs min_distance filter, including the
+    exact distance values and zero-distance intersecting pairs."""
+    import itertools
+    from fagi_spark import synth
+    geo_a, geo_b, _, _, _ = synth.synth_fixture(spark, 150, 120)
+    pa, pb = fuse.prepare_geoms(geo_a), fuse.prepare_geoms(geo_b)
+    R = 3000.0
+    got = {(r.a_subject, r.b_subject): r.distance_m
+           for r in joins.dwithin_join(pa, pb, R).collect()}
+    A = [(r.subject, geom.parse_wkt(r.geom_wkt)) for r in pa.collect()]
+    B = [(r.subject, geom.parse_wkt(r.geom_wkt)) for r in pb.collect()]
+    rd = R / geom.METERS_PER_DEGREE
+    want = {(sa, sb): geom.min_distance(a, b) * geom.METERS_PER_DEGREE
+            for (sa, a), (sb, b) in itertools.product(A, B)
+            if geom.min_distance(a, b) <= rd}
+    assert got == want and len(got) > 0
+
+
+def test_dwithin_join_shapes_not_centroids(spark):
+    """The predicate is shape distance, NOT centroid distance: two
+    long rectangles whose edges nearly touch match even though their
+    centroids are far apart; radius_join (centroid metric) misses
+    them."""
+    a = _prep(spark, [("bar_a", "POLYGON ((0 0, 10 0, 10 1, 0 1, 0 0))")])
+    b = _prep(spark, [("bar_b", "POLYGON ((0 1.001, 10 1.001, 10 2.001, 0 2.001, 0 1.001))")])
+    R = 0.002 * geom.METERS_PER_DEGREE  # 0.002 deg in meters
+    got = [(r.a_subject, r.b_subject, r.distance_m)
+           for r in joins.dwithin_join(a, b, R, res=6).collect()]
+    assert len(got) == 1
+    assert abs(got[0][2] / geom.METERS_PER_DEGREE - 0.001) < 1e-9
+    # centroid distance is 1.001 deg — far beyond the radius
+    cen = joins.radius_join(a, b, R, width_guard_deg=1e9)
+    assert cen.count() == 0

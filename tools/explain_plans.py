@@ -154,6 +154,21 @@ def main():
         "reaches the single MapInPandas exact-refine stage exactly "
         "once with no DISTINCT shuffle.")
 
+    # 3c. ST_DWithin join: same PBSM discipline with padded envelopes
+    dw_plan = joins.dwithin_join(fuse.prepare_geoms(ga),
+                                 fuse.prepare_geoms(gb), 2000.0)
+    dw_text = plan_text(dw_plan)
+    if "CartesianProduct" in dw_text or "BroadcastNestedLoop" in dw_text:
+        raise SystemExit("dwithin_join: candidate stage degenerated "
+                         "to a cartesian/nested-loop join")
+    add("dwithin_join (J6c, PBSM + padded envelopes)", dw_plan,
+        ["codegen"],
+        "the A side pads its envelope by the radius before exploding "
+        "cell ranges; the separating-gap prefilter (GREATEST(0,gap)^2 "
+        "sum vs radius^2) and report-once predicate are codegen'd; "
+        "only true near-pairs reach the exact min-distance Arrow "
+        "kernel. No cartesian (enforced structurally).")
+
     # 4. precedence dedup: WindowGroupLimit partial before the shuffle
     pages = synth.synth_pages(spark, 2000)
     ents = extract.extract_entities(pages)
