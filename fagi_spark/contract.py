@@ -648,6 +648,59 @@ FROM gaps WHERE SQRT(gx * gx + gy * gy) <= {rdeg}"""
 # (O_DWITHIN_JOIN is materialized after _dlit's definition below)
 
 
+def q_raster_iou(spark, sf_dir):
+    """Degree-of-overlap conflation feature (joins.raster_iou): IoU of
+    the linked pairs' center-sample raster footprints at res 13 — the
+    real rasterizer (ray-cast kernel) runs on both sides; counts and
+    the one float division mirror exactly in SQL."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    pa = fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
+    pb = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.raster_iou(pa, pb, links, res=13)
+
+
+def _o_raster_iou(res: int = 13) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+
+    def raster(src: str) -> str:
+        return f"""(
+  WITH p AS (
+    SELECT subject,
+           CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+           CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+    FROM {src} WHERE kind = 'POLYGON'),
+  gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)}, {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
+  gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)}, {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx)
+  SELECT subject, ix, iy FROM gxy
+  WHERE -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) >= x0
+    AND -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) < x1
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) >= y0
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) < y1)"""
+
+    return f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
+ra AS {raster('geo_a')},
+rb AS {raster('geo_b')},
+na AS (SELECT subject AS node_a, COUNT(*) AS n_a FROM ra GROUP BY 1),
+nb AS (SELECT subject AS node_b, COUNT(*) AS n_b FROM rb GROUP BY 1),
+inter AS (
+  SELECT l.node_a, l.node_b, COUNT(*) AS n_inter
+  FROM links l
+  JOIN ra ON ra.subject = l.node_a
+  JOIN rb ON rb.subject = l.node_b AND rb.ix = ra.ix AND rb.iy = ra.iy
+  GROUP BY 1, 2)
+SELECT l.node_a, l.node_b, n_a, n_b,
+       COALESCE(n_inter, 0) AS n_inter,
+       CAST(COALESCE(n_inter, 0) AS DOUBLE)
+         / CAST(n_a + n_b - COALESCE(n_inter, 0) AS DOUBLE) AS iou
+FROM links l
+JOIN na USING (node_a) JOIN nb USING (node_b)
+LEFT JOIN inter ON inter.node_a = l.node_a AND inter.node_b = l.node_b"""
+
+
+O_RASTER_IOU = _o_raster_iou()
+
+
 # ---- metadata / EAV operators ----------------------------------------------
 
 def q_literal_kind_filter(spark, sf_dir):
@@ -3205,6 +3258,7 @@ QUERIES = {
     "fagi_cell_join": q_cell_join,
     "fagi_intersects_join": q_intersects_join,
     "fagi_dwithin_join": q_dwithin_join,
+    "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_literal_kind_filter": q_literal_kind_filter,
@@ -3308,6 +3362,7 @@ ORACLES = {
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_intersects_join": O_INTERSECTS_JOIN,
     "fagi_dwithin_join": O_DWITHIN_JOIN,
+    "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_literal_kind_filter": O_LITERAL_KIND,

@@ -190,6 +190,45 @@ def rasterize_polygons(polygons: DataFrame, res: int,
     return cand.mapInPandas(refine, RASTER_SCHEMA)
 
 
+def raster_iou(polys_a: DataFrame, polys_b: DataFrame, links: DataFrame,
+               res: int = 13, mode: str = "center") -> DataFrame:
+    """Degree-of-overlap score per linked pair: IoU of the two
+    geometries' raster footprints at ``res`` — the distributable
+    geometry-similarity feature for conflation suitability (the
+    reference scores linked-pair geometry agreement for its fusion
+    recommendations; an area IoU needs polygon clipping, the raster
+    IoU needs only the existing rasterizer and two equi-joins, and
+    converges to it as res grows).
+
+    Plan shape: rasterize both sides once (rasterize_polygons — bbox
+    explode + center-sample refine); per-subject cell counts are one
+    partial-agg groupBy each; the intersection count joins
+    links -> A-cells on the subject then B-cells on
+    (subject, cell) — both equi-joins, co-partitioned on the pair for
+    the final count. Links whose footprints share no cell keep
+    iou = 0.0 via the left join. Output
+    (node_a, node_b, n_a, n_b, n_inter, iou)."""
+    ra = rasterize_polygons(polys_a, res, mode)
+    rb = rasterize_polygons(polys_b, res, mode)
+    na = ra.groupBy(F.col("subject").alias("node_a")) \
+           .agg(F.count(F.lit(1)).alias("n_a"))
+    nb = rb.groupBy(F.col("subject").alias("node_b")) \
+           .agg(F.count(F.lit(1)).alias("n_b"))
+    lr = (links.join(ra.withColumnRenamed("subject", "node_a"), "node_a")
+          .select("node_a", "node_b", "cell"))
+    inter = (lr.join(rb.withColumnRenamed("subject", "node_b"),
+                     ["node_b", "cell"])
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (links.join(na, "node_a").join(nb, "node_b")
+           .join(inter, ["node_a", "node_b"], "left")
+           .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+           .withColumn("iou", F.col("n_inter").cast("double")
+                       / (F.col("n_a") + F.col("n_b")
+                          - F.col("n_inter")).cast("double")))
+    return out.select("node_a", "node_b", "n_a", "n_b", "n_inter", "iou")
+
+
 def intersects_join(geo_a: DataFrame, geo_b: DataFrame,
                     res: int | None = None, exact: bool = True) -> DataFrame:
     """General ST_Intersects spatial join: every (a_subject, b_subject)

@@ -232,3 +232,28 @@ def test_dwithin_join_shapes_not_centroids(spark):
     # centroid distance is 1.001 deg — far beyond the radius
     cen = joins.radius_join(a, b, R, width_guard_deg=1e9)
     assert cen.count() == 0
+
+
+def test_raster_iou_hand_cases(spark):
+    """IoU of raster footprints: identical -> 1.0, disjoint -> 0.0,
+    half-overlap -> 1/3 (cells: 2 each, 1 shared at res where each
+    square is 2x1 cells)."""
+    # res 3 cells: 45 deg wide, 22.5 deg tall; squares spanning 2x1 cells
+    A = _prep(spark, [
+        ("same", "POLYGON ((0 0, 89 0, 89 22, 0 22, 0 0))"),
+        ("half", "POLYGON ((0 0, 89 0, 89 22, 0 22, 0 0))"),
+        ("disj", "POLYGON ((0 0, 44 0, 44 22, 0 22, 0 0))"),
+    ])
+    B = _prep(spark, [
+        ("b_same", "POLYGON ((0 0, 89 0, 89 22, 0 22, 0 0))"),
+        ("b_half", "POLYGON ((45 0, 134 0, 134 22, 45 22, 45 0))"),
+        ("b_disj", "POLYGON ((90 0, 134 0, 134 22, 90 22, 90 0))"),
+    ])
+    links = spark.createDataFrame(
+        [("same", "b_same"), ("half", "b_half"), ("disj", "b_disj")],
+        "node_a string, node_b string")
+    got = {r.node_a: (r.n_a, r.n_b, r.n_inter, r.iou)
+           for r in joins.raster_iou(A, B, links, res=3).collect()}
+    assert got["same"] == (2, 2, 2, 1.0)
+    assert got["half"] == (2, 2, 1, 1.0 / 3.0)
+    assert got["disj"] == (1, 1, 0, 0.0)
