@@ -175,6 +175,10 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("flagship_join", lambda: contract.q_flagship_join(spark, sf_dir).count())
     timed("knn_join", lambda: contract.q_knn_join(spark, sf_dir).count())
     timed("pip_refine", lambda: contract.q_pip_refine(spark, sf_dir).count())
+    timed("intersects_join",
+          lambda: contract.q_intersects_join(spark, sf_dir).count())
+    timed("dwithin_join", lambda: contract.q_dwithin_join(spark, sf_dir).count())
+    timed("raster_iou", lambda: contract.q_raster_iou(spark, sf_dir).count())
     timed("fusion_actions", lambda: contract.QUERIES["fagi_keep_most_points"](spark, sf_dir).count())
     timed("metadata_fusion", lambda: contract.q_metadata_keep_left(spark, sf_dir).count())
 
