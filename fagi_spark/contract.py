@@ -659,6 +659,28 @@ def q_raster_iou(spark, sf_dir):
     return joins.raster_iou(pa, pb, links, res=13)
 
 
+def q_knn_shape(spark, sf_dir):
+    """Shape-distance kNN conflation matching (joins.knn_shape_join):
+    top-3 nearest B shapes per A shape within 5 km by exact
+    min-distance, ties broken on b_subject. The window compiles to
+    WindowGroupLimit; the oracle mirrors rank and values."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pa = fuse.prepare_geoms(ga)
+    pb = fuse.prepare_geoms(gb)
+    return joins.knn_shape_join(pa, pb, 3, 5000.0)
+
+
+def _o_knn_shape(radius_m: float = 5000.0, k: int = 3) -> str:
+    base = _o_dwithin(radius_m)
+    return f"""WITH d AS ({base})
+SELECT * FROM (
+  SELECT a_subject, b_subject, distance_m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a_subject
+              ORDER BY distance_m, b_subject) AS INT) AS knn_rank
+  FROM d)
+WHERE knn_rank <= {k}"""
+
+
 def _o_raster_iou(res: int = 13) -> str:
     w = 360.0 / (1 << res)
     h = 180.0 / (1 << res)
@@ -3129,6 +3151,7 @@ def _dlit(v) -> str:
 
 
 O_DWITHIN_JOIN = _o_dwithin()
+O_KNN_SHAPE = _o_knn_shape()
 
 
 def _o_ivfpq(k: int = 5) -> str:
@@ -3258,6 +3281,7 @@ QUERIES = {
     "fagi_cell_join": q_cell_join,
     "fagi_intersects_join": q_intersects_join,
     "fagi_dwithin_join": q_dwithin_join,
+    "fagi_knn_shape": q_knn_shape,
     "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
@@ -3362,6 +3386,7 @@ ORACLES = {
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_intersects_join": O_INTERSECTS_JOIN,
     "fagi_dwithin_join": O_DWITHIN_JOIN,
+    "fagi_knn_shape": O_KNN_SHAPE,
     "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,

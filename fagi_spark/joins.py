@@ -404,6 +404,28 @@ def dwithin_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
         refine, "a_subject string, b_subject string, distance_m double")
 
 
+def knn_shape_join(geo_a: DataFrame, geo_b: DataFrame, k_neighbors: int,
+                   max_radius_m: float, res: int | None = None) -> DataFrame:
+    """k nearest B geometries per A geometry by TRUE shape distance
+    (geom.min_distance), bounded by ``max_radius_m`` — the
+    conflation-matching pattern of knn_join (radius search + re-rank)
+    lifted from centroids to shapes: dwithin_join supplies the bounded
+    candidate set, then one row_number window per A subject ordered by
+    (distance_m, b_subject) keeps the top k. The window compiles to
+    WindowGroupLimit, so only per-partition leaders reach the rank
+    shuffle; the radius bound keeps the candidate volume linear in the
+    data (a kNN with no radius would need unbounded ring expansion —
+    callers widen the radius instead, the same contract knn_join
+    documents). Ties in distance break deterministically on
+    b_subject."""
+    from pyspark.sql.window import Window
+    cand = dwithin_join(geo_a, geo_b, max_radius_m, res=res)
+    w = Window.partitionBy("a_subject").orderBy(
+        F.asc("distance_m"), F.asc("b_subject"))
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k_neighbors))
+
+
 def unlinked_entities(geo: DataFrame, links: DataFrame,
                       side: str = "a") -> DataFrame:
     """FetchUnlinkedServlet semantics (FetchUnlinkedServlet.java:219-241):

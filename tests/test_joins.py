@@ -257,3 +257,26 @@ def test_raster_iou_hand_cases(spark):
     assert got["same"] == (2, 2, 2, 1.0)
     assert got["half"] == (2, 2, 1, 1.0 / 3.0)
     assert got["disj"] == (1, 1, 0, 0.0)
+
+
+def test_knn_shape_join_rank_and_k(spark):
+    """Shape-kNN: ranks follow exact shape distance (a long bar beats
+    a closer-centroid small square), at most k rows per A subject."""
+    a = _prep(spark, [("q", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")])
+    b = _prep(spark, [
+        # bar: centroid at x=6 but its left edge is only 0.5 away
+        ("bar", "POLYGON ((1.5 0, 10.5 0, 10.5 1, 1.5 1, 1.5 0))"),
+        ("sq_near", "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"),    # dist 1
+        ("sq_far", "POLYGON ((4 0, 5 0, 5 1, 4 1, 4 0))"),     # dist 3
+        ("sq_out", "POLYGON ((40 0, 41 0, 41 1, 40 1, 40 0))"),
+    ])
+    R = 5.0 * geom.METERS_PER_DEGREE
+    got = [(r.b_subject, r.knn_rank, r.distance_m / geom.METERS_PER_DEGREE)
+           for r in joins.knn_shape_join(a, b, 2, R, res=4)
+           .orderBy("knn_rank").collect()]
+    assert [(s, k) for s, k, _ in got] == [("bar", 1), ("sq_near", 2)]
+    assert abs(got[0][2] - 0.5) < 1e-12
+    # k=3 admits sq_far but never the out-of-radius square
+    got3 = {r.b_subject for r in
+            joins.knn_shape_join(a, b, 3, R, res=4).collect()}
+    assert got3 == {"bar", "sq_near", "sq_far"}
