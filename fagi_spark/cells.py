@@ -322,6 +322,36 @@ def write_zordered(df: DataFrame, path: str, res: int,
 # (SURVEY.md §4 "custom work": dense city cells blow up the cell join.)
 # ---------------------------------------------------------------------------
 
+def quadkey_col(ix: Column, iy: Column, res: int) -> Column:
+    """res-character quadkey ('0'-'3' per level, most significant
+    first; digit = ix bit + 2*iy bit) — the string tile address
+    Bing/Leaflet-style XYZ tile servers key on (the reference's UI is
+    a Leaflet map fetching such tiles). Defining property: the first d
+    characters ARE the ancestor tile's quadkey at res d, so a prefix
+    range scan selects a whole subtree and the pyramid rollup is a
+    substring groupBy. Static concat of shift-mask terms — all
+    codegen."""
+    digits = []
+    for k in range(res - 1, -1, -1):
+        dig = (F.shiftright(ix, k).bitwiseAND(F.lit(1))
+               + F.shiftright(iy, k).bitwiseAND(F.lit(1)) * F.lit(2))
+        digits.append(dig.cast("string"))
+    return F.concat(*digits) if digits else F.lit("")
+
+
+def sql_quadkey(ix_expr: str, iy_expr: str, res: int) -> str:
+    """DuckDB mirror of quadkey_col (same digit terms)."""
+    parts = [f"CAST(((({ix_expr}) >> {k}) & 1) + ((({iy_expr}) >> {k}) & 1) * 2 "
+             f"AS VARCHAR)" for k in range(res - 1, -1, -1)]
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+def tile_id_col(ix: Column, iy: Column, res: int) -> Column:
+    """Slippy-style 'z/x/y' tile path string for XYZ tile URLs."""
+    return F.concat(F.lit(f"{res}/"), ix.cast("string"),
+                    F.lit("/"), iy.cast("string"))
+
+
 def cell_stats(df: DataFrame, cell: str = "cell") -> DataFrame:
     return df.groupBy(cell).agg(F.count(F.lit(1)).alias("cell_rows"))
 

@@ -502,6 +502,38 @@ FROM c"""
 O_CELL_BOUNDS = _o_cell_bounds()
 
 
+def q_quadkey(spark, sf_dir):
+    """Quadkey tile addressing (cells.quadkey_col): the string XYZ
+    tile key per A point at res 10, the slippy z/x/y path, and the
+    res-7 ANCESTOR quadkey computed structurally (quadkey of ix>>3,
+    iy>>3) — the oracle instead takes SUBSTRING(quadkey, 1, 7), so the
+    value-hash match PROVES the prefix-subtree property across
+    engines."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    ix, iy = cells.ix_col(F.col("cx"), 10), cells.iy_col(F.col("cy"), 10)
+    return a.select(
+        "subject",
+        cells.quadkey_col(ix, iy, 10).alias("quadkey"),
+        cells.tile_id_col(ix, iy, 10).alias("tile_id"),
+        cells.quadkey_col(F.shiftright(ix, 3), F.shiftright(iy, 3), 7)
+        .alias("parent7"))
+
+
+O_QUADKEY = f"""WITH {GEO_A_CTE},
+c AS (SELECT subject,
+             {cells.sql_ix('CAST(v AS DOUBLE)/100.0', 10)} AS ix,
+             {cells.sql_iy('CAST(w AS DOUBLE)/100.0', 10)} AS iy
+      FROM geo_a WHERE kind = 'POINT'),
+q AS (SELECT subject, {cells.sql_quadkey('ix', 'iy', 10)} AS quadkey,
+             '10/' || CAST(ix AS VARCHAR) || '/' || CAST(iy AS VARCHAR)
+               AS tile_id
+      FROM c)
+SELECT subject, quadkey, tile_id,
+       SUBSTRING(quadkey, 1, 7) AS parent7
+FROM q"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
     points — per-cell counts at every zoom level, coarser levels
@@ -3285,6 +3317,7 @@ QUERIES = {
     "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
+    "fagi_quadkey": q_quadkey,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
     "fagi_metadata_keep_left": q_metadata_keep_left,
@@ -3390,6 +3423,7 @@ ORACLES = {
     "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
+    "fagi_quadkey": O_QUADKEY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,
     "fagi_metadata_keep_left": O_METADATA_KEEP_LEFT,

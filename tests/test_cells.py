@@ -223,3 +223,29 @@ def test_tile_counts_update_matches_full_rebuild(spark):
     full = rollup(v2)
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_quadkey_prefix_property_and_roundtrip(spark):
+    """quadkey: parent prefix property at every level, digit alphabet,
+    and (ix, iy) recoverable from the digits."""
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+    rows = [(i, (i * 37) % (1 << 10), (i * 53) % (1 << 9)) for i in range(50)]
+    df = spark.createDataFrame(rows, "i long, ix long, iy long")
+    out = df.select(
+        "ix", "iy",
+        cells.quadkey_col(F.col("ix"), F.col("iy"), 10).alias("qk"),
+        cells.tile_id_col(F.col("ix"), F.col("iy"), 10).alias("tid"),
+        *[cells.quadkey_col(F.shiftright("ix", 10 - d),
+                            F.shiftright("iy", 10 - d), d).alias(f"p{d}")
+          for d in (3, 7)]).collect()
+    for r in out:
+        assert len(r.qk) == 10 and set(r.qk) <= set("0123")
+        assert r.p3 == r.qk[:3] and r.p7 == r.qk[:7]
+        assert r.tid == f"10/{r.ix}/{r.iy}"
+        ix = iy = 0
+        for ch in r.qk:
+            d = int(ch)
+            ix = ix * 2 + (d & 1)
+            iy = iy * 2 + (d >> 1)
+        assert (ix, iy) == (r.ix, r.iy)
