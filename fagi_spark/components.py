@@ -175,6 +175,67 @@ def dedup_near(df: DataFrame, key: str = "doc_id", text: str = "text",
     return df.join(keep, key, "leftsemi")
 
 
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             nodes: DataFrame | None = None, node_col: str | None = None,
+             deterministic: bool = False,
+             checkpoint_every: int = 0) -> DataFrame:
+    """Distributed PageRank over an edge list -> (node, rank) — the
+    link-graph centrality signal web-corpus curation pipelines use as
+    a document/domain quality prior (the Common-Crawl host-rank idea).
+
+    Semantics: parallel edges count separately (out-degree = outgoing
+    edge ROWS); dangling nodes (no out-edges) leak their mass — the
+    simplest variant of Page et al. 1999, fine when the RANKING is
+    what's consumed. Each iteration is one equi-join of the edge list
+    with the current ranks plus one groupBy(dst) aggregate — never a
+    cartesian; N comes from one tiny count job up front.
+
+    ``deterministic=True`` folds each target's contributions in
+    src-sorted order (collect_list + F.aggregate) so the float ranks
+    are bit-reproducible and SQL-mirrorable (the fagi contract's
+    IEEE-fold rule); the default plain SUM is the scale path —
+    map-side partial aggregation, no per-node arrays (a hub's
+    in-degree never materializes in memory).
+
+    ``checkpoint_every=k`` truncates lineage every k iterations
+    (localCheckpoint) — at 10+ iterations the stacked join plan
+    otherwise grows past what the optimizer re-analyzes cheaply."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nd = (nodes.select(F.col(node_col).alias("node")).distinct()
+          if nodes is not None else
+          e.select(F.col("src").alias("node"))
+          .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+    n = nd.count()
+    if n == 0:
+        return nd.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / float(n)
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("_odeg"))
+    ranks = nd.withColumn("rank", F.lit(1.0 / float(n)))
+    for i in range(iters):
+        contribs = (e.join(outdeg, "src")
+                    .join(ranks, F.col("src") == F.col("node"))
+                    .select("src", "dst",
+                            (F.col("rank") / F.col("_odeg")).alias("_c")))
+        if deterministic:
+            agg = (contribs.groupBy("dst")
+                   .agg(F.aggregate(
+                       F.array_sort(F.collect_list(F.struct("src", "_c"))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["_c"]).alias("_s")))
+        else:
+            agg = contribs.groupBy("dst").agg(F.sum("_c").alias("_s"))
+        ranks = (nd.join(agg, F.col("node") == F.col("dst"), "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("_s"), F.lit(0.0)))
+                         .alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def keep_longest_keys(df: DataFrame, clusters: DataFrame,
                       key: str = "doc_id", text: str = "text") -> DataFrame:
     """Keys of the longest member per component (most normalized

@@ -3110,6 +3110,59 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN sp_agg a ON d.doc_id = a.doc_id"""
 
 
+def q_doc_pagerank(spark, sf_dir):
+    """Link-graph centrality quality prior (components.pagerank,
+    2 iterations, deterministic fold mode): a synthetic out-degree-2
+    web graph over the documents table (dst = (31*id+7) % N and
+    (17*id+3) % N — every node has out-edges, so no dangling leak in
+    the planted graph). The float ranks ARE value-compared: both
+    engines fold each target's contributions in src-sorted order
+    (F.aggregate vs LIST_REDUCE(LIST_PREPEND(0.0, LIST(.. ORDER BY
+    src)))) and apply the same base + damping * S sequence. The scale
+    path (plain SUM, no per-node arrays) is pytest-pinned equal on a
+    dangling-free graph."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    out = components.pagerank(e1.unionByName(e2), iters=2,
+                              deterministic=True,
+                              nodes=docs, node_col="doc_id")
+    return out.select("node", "rank")
+
+
+def _o_pagerank(iters: int = 2, damping: float = 0.85) -> str:
+    base = f"({_dlit(1.0 - damping)} / CAST(n AS DOUBLE))"
+    parts = [f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT node AS src, (node * 31 + 7) % n AS dst FROM nd, nn
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % n AS dst FROM nd, nn),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+       FROM nd, nn)"""]
+    for i in range(iters):
+        parts.append(f"""c{i + 1} AS (
+  SELECT e.dst, e.src, r.rank / od.odeg AS c
+  FROM e JOIN od USING (src) JOIN r{i} r ON r.node = e.src),
+s{i + 1} AS (
+  SELECT dst, LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(c ORDER BY src)), (acc, v) -> acc + v) AS s
+  FROM c{i + 1} GROUP BY dst),
+r{i + 1} AS (
+  SELECT b.node, {base} + {_dlit(damping)} * COALESCE(s, CAST(0.0 AS DOUBLE))
+           AS rank
+  FROM (SELECT node, n FROM nd, nn) b
+  LEFT JOIN s{i + 1} ON s{i + 1}.dst = b.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iters}")
+
+
 def q_doc_lang_mixture(spark, sf_dir):
     """Temperature-based language-mixture weights (alpha=0.5, the
     XLM-R sampling rule): per-language token totals -> sqrt-amplified
@@ -3382,6 +3435,7 @@ QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_url_parts": q_doc_url_parts,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_pagerank": q_doc_pagerank,
     "doc_lang_mixture": q_doc_lang_mixture,
     "doc_surprisal": q_doc_surprisal,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -3485,6 +3539,7 @@ ORACLES = {
     "ann_ivfpq_topk": _o_ivfpq(),
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
+    "doc_pagerank": _o_pagerank(),
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_surprisal": O_DOC_SURPRISAL,
     "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,

@@ -192,3 +192,41 @@ def test_minhash_hot_bucket_guard_preserves_components(spark):
     lab_full = {(r[0], r[1]) for r in cc_full.collect()}
     lab_capped = {(r[0], r[1]) for r in cc_capped.collect()}
     assert lab_full == lab_capped
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Hand graphs: a 2-cycle converges to 0.5/0.5; in a star all
+    leaves point at the hub, so the hub outranks every leaf and ranks
+    sum to ~1 on dangling-free graphs (mass conserved)."""
+    from fagi_spark import components
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    r = {x.node: x.rank for x in
+         components.pagerank(cyc, iters=20).collect()}
+    assert abs(r[0] - 0.5) < 1e-12 and abs(r[1] - 0.5) < 1e-12
+    # star with back-edges (hub -> each leaf) so nothing dangles
+    edges = [(i, 9) for i in range(9)] + [(9, i) for i in range(9)]
+    star = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {x.node: x.rank for x in
+             components.pagerank(star, iters=30).collect()}
+    assert all(ranks[9] > ranks[i] for i in range(9))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_deterministic_equals_sum_path(spark):
+    """The oracle-mode sorted fold and the scale-path plain SUM agree
+    to float tolerance on a pseudo-random dangling-free graph, and the
+    deterministic path is bit-stable across runs."""
+    from fagi_spark import components
+    n = 97
+    edges = [(i, (i * 31 + 7) % n) for i in range(n)] \
+        + [(i, (i * 17 + 3) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    det1 = {x.node: x.rank for x in
+            components.pagerank(e, iters=4, deterministic=True).collect()}
+    det2 = {x.node: x.rank for x in
+            components.pagerank(e, iters=4, deterministic=True).collect()}
+    fast = {x.node: x.rank for x in
+            components.pagerank(e, iters=4, checkpoint_every=2).collect()}
+    assert det1 == det2                      # bit-stable
+    assert set(fast) == set(det1)
+    assert all(abs(fast[k] - det1[k]) < 1e-12 for k in det1)
