@@ -313,6 +313,19 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         "cpus": int(cpus) if cpus.isdigit() else cpus,
     }
     spark.stop()
+    # stamp the host epoch: the VM's own compute ceiling swings 2-3x
+    # between co-tenant noise epochs (BENCH/BASELINE.md), so a bench
+    # number without it cannot be compared across rounds. The quiet
+    # epoch measures ~19-21 Mops/proc at <2% steal.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from epoch_gate import measure
+        mops, steal = measure(seconds=2.0)
+        result["host_mops_per_proc"] = round(mops, 1)
+        result["host_steal_pct"] = round(steal, 2)
+    except Exception:
+        pass
     return result
 
 

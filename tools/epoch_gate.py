@@ -25,9 +25,13 @@ def _spin(q, seconds=3.0):
     q.put(n / seconds)
 
 
-def main() -> None:
+def measure(seconds: float = 3.0, n_procs: int = 32):
+    """(median Mops/proc, steal %) — importable so bench.py can stamp
+    the host epoch into its JSON (round-over-round bench comparisons
+    are meaningless without it; the ceiling itself swings 2-3x)."""
     q = mp.Queue()
-    procs = [mp.Process(target=_spin, args=(q,)) for _ in range(32)]
+    procs = [mp.Process(target=_spin, args=(q, seconds))
+             for _ in range(n_procs)]
     with open("/proc/stat") as f:
         p0 = [int(x) for x in f.readline().split()[1:]]
     for p in procs:
@@ -39,6 +43,11 @@ def main() -> None:
     steal = 100.0 * (p1[7] - p0[7]) / (sum(p1) - sum(p0))
     rates = sorted(q.get() for _ in procs)
     med = rates[len(rates) // 2] / 1e6
+    return med, steal
+
+
+def main() -> None:
+    med, steal = measure()
     print(f"gate {med:.1f} Mops/proc median, steal {steal:.2f}%")
 
 
