@@ -2321,6 +2321,43 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
 FROM p WHERE cosine >= 0.35"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (vector.semantic_dedup): fixed-quantizer clusters +
+    within-cluster cosine, drop rows with a smaller-id near-dup in
+    their cluster. threshold 0.2 so the planted embeddings actually
+    collide; survivors' ids and cells value-compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = vector.semantic_dedup(emb, _IVF_FIXED_CENTROIDS, 0.2)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("ivf_cell").cast("int").alias("ivf_cell"))
+
+
+def _o_semantic_dedup(threshold: float = 0.2) -> str:
+    dists = []
+    for c in _IVF_FIXED_CENTROIDS:
+        lits = ", ".join(repr(float(v)) for v in c)
+        ss = repr(float(sum(float(v) * float(v) for v in c)))
+        dists.append(f"(-2.0 * LIST_SUM(LIST_TRANSFORM(LIST_ZIP("
+                     f"CAST(embedding AS DOUBLE[]), [{lits}]), "
+                     f"x -> x[1] * x[2])) + {ss})")
+    darr = "[" + ", ".join(dists) + "]"
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS cell
+  FROM embeddings),
+nz AS (SELECT * FROM e
+       WHERE SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) > 0),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM nz a JOIN nz b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
+        / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x))))
+        >= {threshold})
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS ivf_cell
+FROM e ANTI JOIN dropped d ON e.vec_id = d.vec_id"""
+
+
 def q_kmpt_numeric(spark, sf_dir):
     """Keep-most-points-and-translate numeric core: winner side + the
     translation vector (b_c - a_c for an A win, mirrored otherwise) —
@@ -3412,6 +3449,7 @@ QUERIES = {
     "fagi_merge_replace": q_merge_replace,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
+    "embed_semantic_dedup": q_semantic_dedup,
     "mm_html_decode_invariant": q_mm_html_decode,
     "mm_html_roundtrip": q_mm_html_roundtrip,
     "mm_image_features": q_mm_image_features,
@@ -3506,6 +3544,7 @@ ORACLES = {
     "fagi_merge_replace": O_MERGE_REPLACE,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
+    "embed_semantic_dedup": _o_semantic_dedup(),
     "fagi_keep_most_points_translate": O_KMPT,
     "fagi_salted_radius_join": O_RADIUS_JOIN,
     "fagi_hot_cell_promote": O_HOT_CELL_PROMOTE,

@@ -230,6 +230,40 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
             .select("id_a", "id_b", "cosine"))
 
 
+def semantic_dedup(df: DataFrame, centroids, threshold: float,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, compare cosine pairs WITHIN a cluster only, and
+    drop every row that has a near-duplicate (cosine >= threshold)
+    with a smaller id in its cluster — the paper's
+    keep-one-per-duplicate-pair greedy, which is a plain EXISTS
+    anti-join (no transitive closure). Cross-cluster near-dups are
+    missed by design: that recall/cost trade is what makes the method
+    linear-ish at corpus scale (pairs form only inside cells, like the
+    IVF ANN path). ``centroids`` is a fixed coarse quantizer
+    (deterministic, SQL-mirrorable; plug ``ivf_centroids`` output in
+    for the learned variant). Zero-norm vectors cannot be near-dups
+    and survive untouched (also keeps the cosine division ANSI-safe).
+    Returns the surviving rows with their cluster id appended."""
+    cells_df = ivf_fixed_assign(df, centroids, vec_col)
+    nz = norm_double(F.col(vec_col)) > 0
+    a = (cells_df.filter(nz)
+         .select(F.col(id_col).alias("id_a"),
+                 F.col(vec_col).alias("va"), "ivf_cell"))
+    b = (cells_df.filter(nz)
+         .select(F.col(id_col).alias("id_b"),
+                 F.col(vec_col).alias("vb"), "ivf_cell"))
+    cos = (dot_double(F.col("va"), F.col("vb"))
+           / (norm_double(F.col("va")) * norm_double(F.col("vb"))))
+    dropped = (a.join(b, "ivf_cell")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .withColumn("cosine", cos)
+               .filter(F.col("cosine") >= F.lit(threshold))
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return cells_df.join(dropped, id_col, "left_anti")
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 7) -> DataFrame:

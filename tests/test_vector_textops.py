@@ -496,3 +496,29 @@ def test_minhash_probe_hot_bucket_guard(spark):
     # every new boilerplate doc still reaches the bucket representative
     rep = 0  # min doc_id of the hot bucket
     assert all((rep, k) in capped for k in range(200, 205))
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """SemDeDup semantics: an identical pair in one cluster keeps the
+    lower id; an identical pair SPLIT across clusters is missed (the
+    documented recall trade); zero-norm rows survive untouched."""
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, [0.9, 0.1, 0.0, 0.0]),   # cluster 0
+        (1, [0.9, 0.1, 0.0, 0.0]),   # exact dup of 0, same cluster -> drop
+        (2, [0.1, 0.9, 0.0, 0.0]),   # cluster 1, survives
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero-norm, survives
+        # near-identical pair straddling the two clusters: both survive
+        (4, [0.6, 0.4, 0.0, 0.0]),
+        (5, [0.4, 0.6, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.ivf_cell for r in
+           vector.semantic_dedup(emb, [c0, c1], 0.9).collect()}
+    assert set(out) == {0, 2, 3, 4, 5}
+    assert out[0] == 0 and out[2] == 1 and out[4] == 0 and out[5] == 1
+    # sanity: 4 and 5 really are cosine-near (the miss is the split)
+    import numpy as np
+    a, b = np.array([0.6, 0.4]), np.array([0.4, 0.6])
+    assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.9
