@@ -743,12 +743,17 @@ inter AS (
   JOIN ra ON ra.subject = l.node_a
   JOIN rb ON rb.subject = l.node_b AND rb.ix = ra.ix AND rb.iy = ra.iy
   GROUP BY 1, 2)
-SELECT l.node_a, l.node_b, n_a, n_b,
+SELECT l.node_a, l.node_b,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
        COALESCE(n_inter, 0) AS n_inter,
-       CAST(COALESCE(n_inter, 0) AS DOUBLE)
-         / CAST(n_a + n_b - COALESCE(n_inter, 0) AS DOUBLE) AS iou
+       CASE WHEN CAST(COALESCE(n_a, 0) + COALESCE(n_b, 0)
+                      - COALESCE(n_inter, 0) AS DOUBLE) > 0
+            THEN CAST(COALESCE(n_inter, 0) AS DOUBLE)
+                 / CAST(COALESCE(n_a, 0) + COALESCE(n_b, 0)
+                        - COALESCE(n_inter, 0) AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS iou
 FROM links l
-JOIN na USING (node_a) JOIN nb USING (node_b)
+LEFT JOIN na USING (node_a) LEFT JOIN nb USING (node_b)
 LEFT JOIN inter ON inter.node_a = l.node_a AND inter.node_b = l.node_b"""
 
 
@@ -2333,27 +2338,33 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def _o_semantic_dedup(threshold: float = 0.2) -> str:
+    # LIST_REDUCE left folds throughout, never LIST_SUM (CLAUDE.md
+    # rule): ivf_cell is a value-compared argmin over these floats and
+    # the cosine feeds a keep/drop threshold — both must be the same
+    # IEEE fold F.aggregate runs
+    fold = ("LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), {expr}), "
+            "(acc, x) -> acc + x)")
     dists = []
     for c in _IVF_FIXED_CENTROIDS:
-        lits = ", ".join(repr(float(v)) for v in c)
+        dot = _sql_dot_lits("CAST(embedding AS DOUBLE[])", c)
         ss = repr(float(sum(float(v) * float(v) for v in c)))
-        dists.append(f"(-2.0 * LIST_SUM(LIST_TRANSFORM(LIST_ZIP("
-                     f"CAST(embedding AS DOUBLE[]), [{lits}]), "
-                     f"x -> x[1] * x[2])) + {ss})")
+        dists.append(f"(-2.0 * {dot} + {ss})")
     darr = "[" + ", ".join(dists) + "]"
+    norm = fold.format(expr="LIST_TRANSFORM({v}, x -> x * x)")
+    na = "SQRT(" + norm.format(v="a.v") + ")"
+    nb = "SQRT(" + norm.format(v="b.v") + ")"
+    dot_ab = fold.format(
+        expr="LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2])")
+    nself = "SQRT(" + norm.format(v="v") + ")"
     return f"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS cell
   FROM embeddings),
-nz AS (SELECT * FROM e
-       WHERE SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) > 0),
+nz AS (SELECT * FROM e WHERE {nself} > 0),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM nz a JOIN nz b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
-        / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
-           * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x))))
-        >= {threshold})
+  WHERE {dot_ab} / ({na} * {nb}) >= {threshold})
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS ivf_cell
 FROM e ANTI JOIN dropped d ON e.vec_id = d.vec_id"""
 

@@ -190,6 +190,24 @@ def rasterize_polygons(polygons: DataFrame, res: int,
     return cand.mapInPandas(refine, RASTER_SCHEMA)
 
 
+def _cached_wkt_parser():
+    """Per-batch WKT parse cache for Arrow refine kernels: returns a
+    ``g_of(wkt) -> Geometry | None`` closure. Failed parses are cached
+    as False internally so a malformed WKT is attempted once, and
+    callers uniformly see None for it — the sentinel subtlety lives in
+    ONE place instead of being copy-kept in every refiner."""
+    cache: dict[str, object] = {}
+
+    def g_of(wkt):
+        g = cache.get(wkt)
+        if g is None:
+            g = geom.parse_wkt(wkt)
+            cache[wkt] = g if g is not None else False
+        return None if g is False else g
+
+    return g_of
+
+
 def raster_iou(polys_a: DataFrame, polys_b: DataFrame, links: DataFrame,
                res: int = 13, mode: str = "center") -> DataFrame:
     """Degree-of-overlap score per linked pair: IoU of the two
@@ -200,16 +218,25 @@ def raster_iou(polys_a: DataFrame, polys_b: DataFrame, links: DataFrame,
     IoU needs only the existing rasterizer and two equi-joins, and
     converges to it as res grows).
 
-    Plan shape: rasterize both sides once (rasterize_polygons — bbox
-    explode + center-sample refine); per-subject cell counts are one
-    partial-agg groupBy each; the intersection count joins
-    links -> A-cells on the subject then B-cells on
-    (subject, cell) — both equi-joins, co-partitioned on the pair for
-    the final count. Links whose footprints share no cell keep
-    iou = 0.0 via the left join. Output
-    (node_a, node_b, n_a, n_b, n_inter, iou)."""
-    ra = rasterize_polygons(polys_a, res, mode)
-    rb = rasterize_polygons(polys_b, res, mode)
+    Plan shape: both polygon sides are LeftSemi-pruned to
+    link-referenced subjects BEFORE rasterizing (the Python ray-cast
+    is the expensive stage and Catalyst cannot defer a mapInPandas
+    past the links join — the resolve_links LATE_FETCH rationale; at
+    1% link coverage ~99% of the rasterization would otherwise be
+    wasted); per-subject cell counts are one partial-agg groupBy each;
+    the intersection count joins links -> A-cells on the subject then
+    B-cells on (subject, cell) — both equi-joins. EVERY link row
+    survives to the output: a side whose geometry rasterizes to no
+    cell (sub-cell polygon missing every center, or a non-polygon
+    subject) contributes n = 0 and the pair reports iou = 0.0 rather
+    than vanishing (conflation consumers score all linked pairs).
+    Output (node_a, node_b, n_a, n_b, n_inter, iou)."""
+    ra = rasterize_polygons(
+        polys_a.join(links.select(F.col("node_a").alias("subject"))
+                     .distinct(), "subject", "leftsemi"), res, mode)
+    rb = rasterize_polygons(
+        polys_b.join(links.select(F.col("node_b").alias("subject"))
+                     .distinct(), "subject", "leftsemi"), res, mode)
     na = ra.groupBy(F.col("subject").alias("node_a")) \
            .agg(F.count(F.lit(1)).alias("n_a"))
     nb = rb.groupBy(F.col("subject").alias("node_b")) \
@@ -220,12 +247,15 @@ def raster_iou(polys_a: DataFrame, polys_b: DataFrame, links: DataFrame,
                      ["node_b", "cell"])
              .groupBy("node_a", "node_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
-    out = (links.join(na, "node_a").join(nb, "node_b")
+    denom = (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    out = (links.join(na, "node_a", "left").join(nb, "node_b", "left")
            .join(inter, ["node_a", "node_b"], "left")
+           .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+           .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(0)))
            .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-           .withColumn("iou", F.col("n_inter").cast("double")
-                       / (F.col("n_a") + F.col("n_b")
-                          - F.col("n_inter")).cast("double")))
+           .withColumn("iou", F.when(
+               denom > 0, F.col("n_inter").cast("double") / denom)
+               .otherwise(F.lit(0.0))))
     return out.select("node_a", "node_b", "n_a", "n_b", "n_inter", "iou")
 
 
@@ -291,15 +321,7 @@ def intersects_join(geo_a: DataFrame, geo_b: DataFrame,
     cand = cand.select("a_subject", "a_geom_wkt", "b_subject", "b_geom_wkt")
 
     def refine(batches):
-        cache: dict[str, object] = {}
-
-        def g_of(wkt):
-            g = cache.get(wkt)
-            if g is None:
-                g = geom.parse_wkt(wkt)
-                cache[wkt] = g if g is not None else False
-            return None if g is False else g
-
+        g_of = _cached_wkt_parser()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -379,15 +401,7 @@ def dwithin_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
     cand = cand.select("a_subject", "a_geom_wkt", "b_subject", "b_geom_wkt")
 
     def refine(batches):
-        cache: dict[str, object] = {}
-
-        def g_of(wkt):
-            g = cache.get(wkt)
-            if g is None:
-                g = geom.parse_wkt(wkt)
-                cache[wkt] = g if g is not None else False
-            return None if g is False else g
-
+        g_of = _cached_wkt_parser()
         for pdf in batches:
             if len(pdf) == 0:
                 continue

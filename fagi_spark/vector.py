@@ -214,8 +214,13 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     bucket (the 100 TB path: same-bucket equi-join, recall traded for
     the eliminated cross product); with 0 it is the exact baseline —
     use only on bounded inputs (the oracle/correctness path)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norm once per ROW, not per pair — inside the pair join the
+    # higher-order fold would re-run O(d) work per candidate pair
+    normed = df.withColumn("_norm", norm_double(F.col(vec_col)))
+    a = normed.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"), F.col("_norm").alias("_na"))
+    b = normed.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"), F.col("_norm").alias("_nb"))
     if n_planes > 0:
         assert dim is not None
         a = with_lsh_bucket(a, dim, n_planes, "va", seed)
@@ -223,8 +228,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
         pairs = a.join(b, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = (dot_double(F.col("va"), F.col("vb"))
-           / (norm_double(F.col("va")) * norm_double(F.col("vb"))))
+    cos = dot_double(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine"))
@@ -247,15 +251,19 @@ def semantic_dedup(df: DataFrame, centroids, threshold: float,
     and survive untouched (also keeps the cosine division ANSI-safe).
     Returns the surviving rows with their cluster id appended."""
     cells_df = ivf_fixed_assign(df, centroids, vec_col)
-    nz = norm_double(F.col(vec_col)) > 0
-    a = (cells_df.filter(nz)
-         .select(F.col(id_col).alias("id_a"),
-                 F.col(vec_col).alias("va"), "ivf_cell"))
-    b = (cells_df.filter(nz)
-         .select(F.col(id_col).alias("id_b"),
-                 F.col(vec_col).alias("vb"), "ivf_cell"))
+    # norm computed ONCE per row before the self-join — inside the
+    # join it would re-fold O(d) per PAIR, tripling the quadratic
+    # stage's compute (review r3)
+    normed = (cells_df.withColumn("_norm", norm_double(F.col(vec_col)))
+              .filter(F.col("_norm") > 0))
+    a = normed.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"),
+                      F.col("_norm").alias("_na"), "ivf_cell")
+    b = normed.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"),
+                      F.col("_norm").alias("_nb"), "ivf_cell")
     cos = (dot_double(F.col("va"), F.col("vb"))
-           / (norm_double(F.col("va")) * norm_double(F.col("vb"))))
+           / (F.col("_na") * F.col("_nb")))
     dropped = (a.join(b, "ivf_cell")
                .filter(F.col("id_a") < F.col("id_b"))
                .withColumn("cosine", cos)

@@ -252,11 +252,19 @@ def test_raster_iou_hand_cases(spark):
     links = spark.createDataFrame(
         [("same", "b_same"), ("half", "b_half"), ("disj", "b_disj")],
         "node_a string, node_b string")
+    # a link whose A side has NO raster footprint (tiny polygon missing
+    # every res-3 cell center) must still be reported with iou 0.0,
+    # not silently dropped (r3 review fix)
+    A2 = A.unionByName(_prep(
+        spark, [("tiny", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")]))
+    links = links.unionByName(spark.createDataFrame(
+        [("tiny", "b_same")], "node_a string, node_b string"))
     got = {r.node_a: (r.n_a, r.n_b, r.n_inter, r.iou)
-           for r in joins.raster_iou(A, B, links, res=3).collect()}
+           for r in joins.raster_iou(A2, B, links, res=3).collect()}
     assert got["same"] == (2, 2, 2, 1.0)
     assert got["half"] == (2, 2, 1, 1.0 / 3.0)
     assert got["disj"] == (1, 1, 0, 0.0)
+    assert got["tiny"] == (0, 2, 0, 0.0)
 
 
 def test_knn_shape_join_rank_and_k(spark):

@@ -67,35 +67,49 @@ def _launch(cls: str, args: list[str], log: str) -> subprocess.Popen:
             stdout=f, stderr=subprocess.STDOUT, env=_java_env())
 
 
-def _wait_workers(n: int, timeout_s: float = 60.0) -> None:
+def _wait_workers(ports: set[int], timeout_s: float = 60.0) -> None:
+    """Wait until an ALIVE worker is registered for every webui port in
+    ``ports``. Matching on the level-specific ports (not a bare ALIVE
+    count) matters: a SIGTERMed worker from the previous level stays
+    ALIVE in the master until spark.worker.timeout (60 s), and counting
+    it would let the next level start with executors scheduled onto a
+    dead worker — silently timing a 32-core level on 24 cores."""
     url = f"http://127.0.0.1:{MASTER_UI}/json/"
     t_end = time.time() + timeout_s
     while time.time() < t_end:
         try:
             with urllib.request.urlopen(url, timeout=5) as r:
-                alive = [w for w in json.load(r).get("workers", [])
-                         if w.get("state") == "ALIVE"]
-            if len(alive) >= n:
+                alive_ports = {
+                    int(w["webuiaddress"].rsplit(":", 1)[-1].rstrip("/"))
+                    for w in json.load(r).get("workers", [])
+                    if w.get("state") == "ALIVE" and w.get("webuiaddress")}
+            if ports <= alive_ports:
                 return
         except Exception:
             pass
         time.sleep(1.0)
-    raise RuntimeError(f"{n} workers did not register within {timeout_s}s")
+    raise RuntimeError(
+        f"workers on ports {sorted(ports)} did not register "
+        f"within {timeout_s}s")
 
 
 def run_level(n_workers: int, zip_path: str, n_pages: int,
               filler: int) -> float:
     """pages/sec for the standard scaling pipeline on a cluster of
     ``n_workers`` 8-core executor JVMs."""
+    # level-unique webui ports so _wait_workers can tell this level's
+    # workers apart from a previous level's not-yet-expired entries
+    ports = {MASTER_UI + 10 * n_workers + i for i in range(n_workers)}
     procs = [_launch(
         "org.apache.spark.deploy.worker.Worker",
         [f"spark://127.0.0.1:{MASTER_PORT}", "--host", "127.0.0.1",
          "--cores", str(CORES_PER_WORKER), "--memory", WORKER_MEM,
-         "--webui-port", str(MASTER_UI + 1 + i),
-         "--work-dir", f"/tmp/sa_scaling_w{i}"],
-        f"/tmp/sa_scaling_worker{i}.log") for i in range(n_workers)]
+         "--webui-port", str(port),
+         "--work-dir", f"/tmp/sa_scaling_w{n_workers}_{i}"],
+        f"/tmp/sa_scaling_worker{n_workers}_{i}.log")
+        for i, port in enumerate(sorted(ports))]
     try:
-        _wait_workers(n_workers)
+        _wait_workers(ports)
         total_cores = n_workers * CORES_PER_WORKER
         from fagi_spark.session import get_spark
         spark = get_spark(
@@ -149,7 +163,7 @@ def main() -> None:
                      "/tmp/sa_scaling_master.log")
     state_path = os.path.join(ROOT, "BENCH", "standalone_scaling.json")
     try:
-        _wait_workers(0)  # master UI answering
+        _wait_workers(set())  # master UI answering
         state = {"n_pages": n_pages, "cores_per_worker": CORES_PER_WORKER,
                  "pages_per_sec": {}}
         if os.path.exists(state_path):
