@@ -250,6 +250,58 @@ def conflate_stream(spark: SparkSession, src_path: str, gazetteer: DataFrame,
             .trigger(availableNow=True).start())
 
 
+def neardup_stream(docs: DataFrame, index_path: str, pairs_path: str,
+                   checkpoint: str, num_hashes: int = 32, bands: int = 8,
+                   shingle_k: int = 3, max_bucket: int | None = None):
+    """Streaming near-dup MAINTENANCE: the incremental-dedup loop
+    (textops.minhash_bands index + minhash_probe) as a continuously
+    running job. Each micro-batch of ``docs`` (doc_id, text; ids
+    globally unique across batches) is banded ONCE, probed against the
+    persistent band index — emitting every candidate pair that touches
+    a batch doc, including within-batch new-new pairs — and its bands
+    are appended to the index. Old documents are never re-shingled;
+    the union of per-batch pair outputs equals the full-corpus
+    ``minhash_candidates`` set (tested), because any pair is found
+    when its LATER member arrives.
+
+    Exactly-once: pair output and index increment both write to their
+    own ``batch_id=N`` partition dir (overwrite-per-batch — the
+    idempotent foreachBatch pattern conflate_stream uses). A retried
+    batch is additionally safe against its own half-committed index
+    increment: probing an index that already contains this batch's
+    bands only re-derives the batch's new-new pairs, which the probe's
+    DISTINCT collapses. ``max_bucket`` is the hot-bucket star guard
+    (see minhash_probe). Returns the started query (availableNow)."""
+    from . import textops
+
+    spark = docs.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bn = textops.minhash_bands(batch_df, "doc_id", "text", num_hashes,
+                                   bands, shingle_k)
+        bn = bn.persist()
+        bn.count()
+        try:
+            try:
+                index = spark.read.parquet(index_path) \
+                    .select("doc_id", "band", "band_hash")
+            except Exception:
+                index = bn.limit(0)  # first batch: empty index
+            pairs = textops.minhash_probe(
+                batch_df, index, "doc_id", "text", num_hashes, bands,
+                shingle_k, max_bucket=max_bucket, new_bands=bn)
+            (pairs.write.mode("overwrite")
+             .parquet(f"{pairs_path}/batch_id={batch_id}"))
+            (bn.write.mode("overwrite")
+             .parquet(f"{index_path}/batch_id={batch_id}"))
+        finally:
+            bn.unpersist()
+
+    return (docs.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def conflate_two_streams(a: DataFrame, b: DataFrame, radius_m: float,
                          lag_seconds: float = 3600.0,
                          watermark: str = "1 hour",

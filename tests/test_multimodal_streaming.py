@@ -493,3 +493,42 @@ def test_dedup_stream_across_micro_batches(spark, pages, tmp_path):
     per_fp = got.groupBy("fingerprint").count().filter("count > 1").count()
     assert per_fp == 0
     assert got.count() == 40  # every duplicate suppressed exactly once
+
+
+def test_neardup_stream_union_equals_full_candidates(spark, tmp_path):
+    """Streaming near-dup maintenance: docs arrive in two micro-batches
+    (one file per trigger); the union of per-batch probe outputs must
+    equal the full-corpus minhash_candidates set — within-batch pairs
+    via new-new, cross-batch pairs via the index probe — and the
+    persistent index must hold every doc's bands exactly once."""
+    from fagi_spark import textops
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight looking for dinner")
+    batch1 = [(1, base), (2, base + " tail"),
+              (3, "unrelated alpha beta gamma delta words " * 3)]
+    batch2 = [(10, "prefix " + base),          # cross-batch near-dup
+              (11, "prefix " + base),          # within-batch dup of 10
+              (12, "fresh content " + " ".join(f"q{j}" for j in range(15)))]
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+    idx_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming.neardup_stream(docs, idx_path, pairs_path,
+                                 str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = {(r.id_a, r.id_b)
+           for r in spark.read.parquet(pairs_path).collect()}
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {(r.id_a, r.id_b)
+            for r in textops.minhash_candidates(full).collect()}
+    assert got == want and (1, 10) in got and (10, 11) in got
+    idx = spark.read.parquet(idx_path)
+    assert idx.select("doc_id").distinct().count() == 6
+    assert idx.count() == 6 * 8  # bands rows per doc, exactly once
