@@ -192,3 +192,36 @@ def test_min_distance_concave_interior_attained():
     L = parse_wkt("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))")
     probe = parse_wkt("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")
     assert min_distance(L, probe) == 0.5
+
+
+@settings(max_examples=200, deadline=None)
+@given(ax=coord, ay=coord, aw=width, bx=coord, by=coord, bw=width)
+def test_min_distance_squares_matches_gap_formula(ax, ay, aw, bx, by, bw):
+    """For axis-aligned squares min_distance == the separating-gap
+    formula sqrt(max(0,gapx)^2 + max(0,gapy)^2) — the independent
+    ground truth the dwithin oracle states — and it is symmetric,
+    non-negative, and zero exactly when the shapes intersect."""
+    import math
+    ga = geom.parse_wkt(_square_wkt(ax, ay, aw))
+    gb = geom.parse_wkt(_square_wkt(bx, by, bw))
+    gx = max(0.0, bx - (ax + aw), ax - (bx + bw))
+    gy = max(0.0, by - (ay + aw), ay - (by + bw))
+    want = math.sqrt(gx * gx + gy * gy)
+    d_ab = geom.min_distance(ga, gb)
+    assert d_ab == geom.min_distance(gb, ga)  # symmetry
+    assert d_ab == want
+    assert (d_ab == 0.0) == geom.geoms_intersect(ga, gb)
+
+
+@settings(max_examples=150, deadline=None)
+@given(px=coord, py=coord, x=coord, y=coord, w=width)
+def test_min_distance_point_square_matches_clamp(px, py, x, y, w):
+    """Point-to-box distance == distance to the clamped point."""
+    import math
+    gp = geom.parse_wkt(f"POINT ({px} {py})")
+    gs = geom.parse_wkt(_square_wkt(x, y, w))
+    cx = min(max(px, x), x + w)
+    cy = min(max(py, y), y + w)
+    want = math.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+    assert geom.min_distance(gp, gs) == want
+    assert geom.min_distance(gs, gp) == want
