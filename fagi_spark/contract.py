@@ -502,6 +502,32 @@ FROM c"""
 O_CELL_BOUNDS = _o_cell_bounds()
 
 
+def q_fagi_simplify(spark, sf_dir):
+    """Douglas-Peucker simplification (geom.simplify_dp via
+    kernels.wkt_simplify_udf) over planted zigzag linestrings — the
+    low-zoom tile-serving reduction. Rows-only: DP's recursive
+    farthest-point selection is not SQL-expressible; exact outputs
+    (vertex sequences, ring-validity floor, epsilon monotonicity) are
+    pinned in tests/test_geom.py. Scalar digest columns only."""
+    from . import kernels
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    h = (k % 5).cast("double") / F.lit(100.0)
+    zig = F.concat(
+        F.lit("LINESTRING (0 0, 1 "), h.cast("string"),
+        F.lit(", 2 0, 3 "), h.cast("string"), F.lit(", 4 0)"))
+    df = cust.select(F.concat(F.lit("line"), k.cast("string"))
+                     .alias("subject"), zig.alias("geom_wkt"))
+    simp = df.select(
+        "subject",
+        kernels.wkt_simplify_udf(F.col("geom_wkt"), F.lit(0.02))
+        .alias("_s"))
+    return simp.select(
+        "subject",
+        F.size(F.split(F.col("_s"), ",")).alias("n_vertices"),
+        F.md5(F.col("_s")).alias("wkt_md5"))
+
+
 def q_quadkey(spark, sf_dir):
     """Quadkey tile addressing (cells.quadkey_col): the string XYZ
     tile key per A point at res 10, the slippy z/x/y path, and the
@@ -3419,6 +3445,7 @@ QUERIES = {
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
+    "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
     "fagi_metadata_keep_left": q_metadata_keep_left,

@@ -526,6 +526,71 @@ def min_distance(ga: Geometry | None, gb: Geometry | None) -> float:
     return best
 
 
+def _dp_keep(path: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over an open polyline (iterative
+    stack, no recursion-depth limit). Degenerate anchor segments
+    (identical endpoints — the ring case, where the path starts and
+    ends on the same vertex) fall back to point distance from the
+    anchor, the standard closed-ring treatment."""
+    n = len(path)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = path[i + 1:j]
+        a, b = path[i], path[j]
+        d = b - a
+        L2 = float(d @ d)
+        if L2 == 0.0:
+            dist = np.sqrt(((seg - a) ** 2).sum(axis=1))
+        else:
+            # perpendicular distance to the infinite line through a-b
+            dist = np.abs((seg[:, 0] - a[0]) * d[1]
+                          - (seg[:, 1] - a[1]) * d[0]) / np.sqrt(L2)
+        k = int(np.argmax(dist))
+        if dist[k] > eps:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_dp(g: Geometry | None, eps: float) -> Geometry | None:
+    """Douglas-Peucker simplification (the low-zoom tile-serving
+    reduction a Leaflet-style map applies before shipping geometries):
+    every path/ring keeps its anchor vertices plus any vertex farther
+    than ``eps`` from the current chord. Points pass through; a
+    polygon ring that would collapse below 4 points (3 distinct +
+    closure — no longer a valid ring) keeps its ORIGINAL vertices, so
+    output geometries always stay well-formed. Deterministic: pure
+    float comparisons, no tolerance-dependent tie randomness."""
+    if g is None:
+        return None
+    if g.kind in ("POINT", "MULTIPOINT"):
+        return g
+
+    def simp_path(p: np.ndarray, min_pts: int) -> np.ndarray:
+        if len(p) <= min_pts:
+            return p
+        out = p[_dp_keep(p, eps)]
+        return p if len(out) < min_pts else out
+
+    if g.kind in ("LINESTRING", "MULTILINESTRING"):
+        return Geometry(g.kind, [simp_path(p, 2) for p in g.parts])
+    if g.kind == "POLYGON":
+        return Geometry(g.kind, [simp_path(r, 4) for r in g.parts])
+    if g.kind == "MULTIPOLYGON":
+        return Geometry(g.kind, [[simp_path(r, 4) for r in poly]
+                                 for poly in g.parts])
+    if g.kind == "GEOMETRYCOLLECTION":
+        return Geometry(g.kind, [simplify_dp(p, eps) for p in g.parts])
+    return g
+
+
 def stats(wkt: str):
     """One-pass per-geometry stats used as precomputed columns:
     (kind, rank, npoints, cx, cy, xmin, ymin, xmax, ymax) or None."""

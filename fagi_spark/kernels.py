@@ -43,6 +43,19 @@ def wkt_stats_udf(wkt: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(StringType())
+def wkt_simplify_udf(wkt: pd.Series, eps: pd.Series) -> pd.Series:
+    """Douglas-Peucker simplification per geometry (geom.simplify_dp)
+    — the reduction a tile server applies before shipping vectors at
+    low zoom. Arrow-batched; per-batch parse, invalid WKT -> NULL."""
+    out = []
+    for w, e in zip(wkt, eps):
+        g = geom.parse_wkt(w)
+        out.append(None if g is None
+                   else geom.to_wkt(geom.simplify_dp(g, float(e))))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
 def wkt_translate_udf(wkt: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     """ST_Translate(geom, dx, dy) (e.g. KeepMostPointsAndTranslate,
     reference KeepMostPointsAndTranslateTransformation.java:130-155)."""

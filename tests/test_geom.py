@@ -225,3 +225,45 @@ def test_min_distance_point_square_matches_clamp(px, py, x, y, w):
     want = math.sqrt((px - cx) ** 2 + (py - cy) ** 2)
     assert geom.min_distance(gp, gs) == want
     assert geom.min_distance(gs, gp) == want
+
+
+def test_simplify_dp_hand_cases():
+    """Douglas-Peucker: collinear midpoints drop, off-chord spikes
+    survive at tight epsilon and drop at loose epsilon; rings never
+    collapse below validity; points pass through."""
+    from fagi_spark.geom import parse_wkt, simplify_dp, to_wkt
+    line = parse_wkt("LINESTRING (0 0, 1 0, 2 0, 3 0.4, 4 0, 5 0)")
+    tight = simplify_dp(line, 0.1)
+    assert [tuple(p) for p in tight.parts[0]] == [
+        (0.0, 0.0), (2.0, 0.0), (3.0, 0.4), (4.0, 0.0), (5.0, 0.0)]
+    loose = simplify_dp(line, 0.5)
+    assert [tuple(p) for p in loose.parts[0]] == [(0.0, 0.0), (5.0, 0.0)]
+    # polygon ring: a nearly-collinear vertex on an edge drops
+    poly = parse_wkt("POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))")
+    s = simplify_dp(poly, 0.1)
+    assert [tuple(p) for p in s.parts[0]] == [
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    # a tiny triangle would collapse below ring validity -> unchanged
+    tri = parse_wkt("POLYGON ((0 0, 1 0, 0.5 0.1, 0 0))")
+    assert to_wkt(simplify_dp(tri, 10.0)) == to_wkt(tri)
+    # points pass through; None stays None
+    pt = parse_wkt("POINT (3 4)")
+    assert simplify_dp(pt, 1.0) is pt
+    assert simplify_dp(None, 1.0) is None
+
+
+def test_simplify_udf_roundtrip(spark):
+    """The Arrow kernel wires geom.simplify_dp: WKT in, simplified WKT
+    out, vertex counts shrink, invalid WKT -> NULL."""
+    from pyspark.sql import functions as F
+    from fagi_spark import kernels
+    rows = [(1, "LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0)"),
+            (2, "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))"),
+            (3, "not wkt")]
+    df = spark.createDataFrame(rows, "i long, geom_wkt string")
+    out = {r.i: r.s for r in df.select(
+        "i", kernels.wkt_simplify_udf(F.col("geom_wkt"), F.lit(0.1))
+        .alias("s")).collect()}
+    assert out[1] == "LINESTRING (0 0, 4 0)"
+    assert out[2] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert out[3] is None
