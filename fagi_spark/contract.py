@@ -505,10 +505,15 @@ O_CELL_BOUNDS = _o_cell_bounds()
 def q_fagi_simplify(spark, sf_dir):
     """Douglas-Peucker simplification (geom.simplify_dp via
     kernels.wkt_simplify_udf) over planted zigzag linestrings — the
-    low-zoom tile-serving reduction. Rows-only: DP's recursive
-    farthest-point selection is not SQL-expressible; exact outputs
-    (vertex sequences, ring-validity floor, epsilon monotonicity) are
-    pinned in tests/test_geom.py. Scalar digest columns only."""
+    low-zoom tile-serving reduction. The recursion itself is not
+    SQL-expressible, but each planted height h = (k%5)/100 has ONE
+    knowable outcome at eps=0.02, so the oracle states the exact
+    simplified WKT per branch: h<=0.02 collapses to the chord;
+    h=0.03 keeps only the first spike (the second's chord distance
+    2h/sqrt(9+h^2)=0.019999.. lands just under eps — a pinned
+    near-boundary float decision); h=0.04 keeps every vertex. The
+    value-hash match proves the kernel reproduces the recursive
+    outcome on every row; general shapes stay in tests/test_geom.py."""
     from . import kernels
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -526,6 +531,19 @@ def q_fagi_simplify(spark, sf_dir):
         "subject",
         F.size(F.split(F.col("_s"), ",")).alias("n_vertices"),
         F.md5(F.col("_s")).alias("wkt_md5"))
+
+
+O_FAGI_SIMPLIFY = """WITH s AS (
+  SELECT CONCAT('line', CAST(c_custkey AS VARCHAR)) AS subject,
+         CASE WHEN c_custkey % 5 = 3
+                THEN 'LINESTRING (0 0, 1 0.03, 4 0)'
+              WHEN c_custkey % 5 = 4
+                THEN 'LINESTRING (0 0, 1 0.04, 2 0, 3 0.04, 4 0)'
+              ELSE 'LINESTRING (0 0, 4 0)' END AS w
+  FROM customer)
+SELECT subject, CAST(LEN(STRING_SPLIT(w, ',')) AS INT) AS n_vertices,
+       MD5(w) AS wkt_md5
+FROM s"""
 
 
 def q_quadkey(spark, sf_dir):
@@ -3554,6 +3572,7 @@ ORACLES = {
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
+    "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,
     "fagi_metadata_keep_left": O_METADATA_KEEP_LEFT,
