@@ -106,3 +106,21 @@ def test_engine_parity_hybrid_vs_arrow(spark):
            .filter(F.col("url") == "u1").collect()}
     assert got == {(0, "POINT (7 5)"),
                    (1, "POINT (-0.1234567891 1e-10)")}
+
+
+def test_geocode_local_dedup_matches_window(spark):
+    """dedup_mode='local' (winner picked inside the Arrow kernel, zero
+    shuffle) is row-identical to the window path on a unique-url corpus
+    — and its plan really has no exchange."""
+    from fagi_spark import extract, synth
+    pages = synth.synth_pages(spark, 400, partitions=8)
+    cols = ["url", "entity_idx", "source", "geom_wkt", "geom_kind"]
+    win = extract.geocode_pages(pages).select(*cols)
+    loc = extract.geocode_pages(pages, dedup_mode="local").select(*cols)
+    assert loc.count() == win.count() > 0
+    assert loc.exceptAll(win).count() == 0
+    plan = loc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    win_plan = extract.geocode_pages(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" in win_plan  # the cost local mode removes
