@@ -1,0 +1,77 @@
+"""FagiSession façade: one object drives the whole reference workflow
+(each method delegates to the operator modules the contract tests
+verify — these tests check the wiring, not re-verify semantics)."""
+import pytest
+from pyspark.sql import functions as F
+
+from fagi_spark import synth
+from fagi_spark.api import FagiSession
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    ga, gb, links, ma, mb = synth.synth_fixture(spark, 300, 200)
+    return FagiSession(spark, ga, gb, links=links, meta_a=ma, meta_b=mb)
+
+
+def test_fuse_and_scores(sess):
+    fused = sess.fuse("keep-most-points")
+    assert fused.count() > 0
+    assert {"subject_a", "subject_b", "geom_wkt", "action"} <= set(fused.columns)
+    sc = sess.fusion_scores()
+    assert "score" in sc.columns or any("score" in c for c in sc.columns)
+
+
+def test_fuse_visible_subset(sess):
+    all_f = sess.fuse("keep-left").count()
+    vis = sess.fuse_visible("keep-left", (-10.0, -10.0, 10.0, 10.0)).count()
+    assert 0 <= vis <= all_f
+
+
+def test_metadata_actions(sess):
+    kb = sess.fuse_metadata("keep-both")
+    assert kb.count() > 0 and "predicate" in kb.columns
+    with pytest.raises(ValueError):
+        sess.fuse_metadata("nope")
+
+
+def test_fetches_and_filters(sess):
+    unl = sess.fetch_unlinked("a")
+    assert unl.count() > 0
+    # unlinked ∩ linked == ∅
+    linked = sess.links.select(F.col("node_a").alias("subject")).distinct()
+    assert unl.join(linked, "subject").count() == 0
+    assert sess.viewport("a", (-180.0, -90.0, 180.0, 90.0)).count() \
+        == sess._geo_a.count()
+    n_f1 = sess.filter_subjects("1$").count()   # subjects ending in 1
+    assert 0 < n_f1 < sess._geo_a.count()
+    kinds = {r.geom_kind for r in sess.scan_geometries("a").collect()}
+    assert "POINT" in kinds
+
+
+def test_find_links_and_set(sess, spark):
+    found = sess.find_links(radius_m=5000.0)
+    assert {"node_a", "node_b"} <= set(found.columns)
+    s2 = FagiSession(spark, sess._geo_a, sess._geo_b,
+                     meta_a=sess.meta_a, meta_b=sess.meta_b)
+    with pytest.raises(ValueError):
+        s2.fuse("keep-left")
+    s2.set_links(found)
+    assert s2.fuse("keep-left").count() >= 0
+
+
+def test_update_position_and_exports(sess):
+    up = sess.update_position(0.01, 0.0, side="a")
+    assert up.count() > 0
+    nt = sess.export_links_nt()
+    assert nt.count() == sess.links.count()
+    ds = sess.export_dataset_nt("a")
+    assert ds.count() > 0
+    tiles = sess.preview_tiles("a", res=7)
+    assert tiles.agg(F.sum("n_entities")).first()[0] == sess._geo_a.count()
+
+
+def test_cluster_links_wiring(sess):
+    cl = sess.cluster_links(k=2)
+    assert {"node_a", "node_b", "cluster"} <= set(cl.columns)
+    assert cl.count() == sess.fuse("keep-left").count()
