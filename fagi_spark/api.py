@@ -202,6 +202,33 @@ class FagiSession:
             raise ValueError("no metadata frame for side " + side)
         return io.dataset_to_nt(meta)
 
+    # -- spatial joins (engine extensions beyond the servlets) -----------------
+    def radius_join(self, radius_m: float, **kw) -> DataFrame:
+        return joins.radius_join(self._geo_a, self._geo_b, radius_m, **kw)
+
+    def knn(self, k: int, radius_m: float, shape: bool = False,
+            **kw) -> DataFrame:
+        """kNN conflation candidates: centroid metric by default,
+        ``shape=True`` for true shape-distance ranking."""
+        if shape:
+            return joins.knn_shape_join(self._geo_a, self._geo_b, k,
+                                        radius_m, **kw)
+        return joins.knn_join(self._geo_a, self._geo_b, k, radius_m, **kw)
+
+    def intersects(self, **kw) -> DataFrame:
+        return joins.intersects_join(self._geo_a, self._geo_b, **kw)
+
+    def dwithin(self, radius_m: float, **kw) -> DataFrame:
+        return joins.dwithin_join(self._geo_a, self._geo_b, radius_m, **kw)
+
+    def overlap_scores(self, res: int = 13, **kw) -> DataFrame:
+        """Raster-footprint IoU per linked pair (degree of overlap)."""
+        pa = self._geo_a.filter(F.col("geom_kind").isin(
+            "POLYGON", "MULTIPOLYGON"))
+        pb = self._geo_b.filter(F.col("geom_kind").isin(
+            "POLYGON", "MULTIPOLYGON"))
+        return joins.raster_iou(pa, pb, self._require_links(), res, **kw)
+
     # -- map preview (tiles) ------------------------------------------------------
     def preview_tiles(self, side: str = "a", res: int = 7) -> DataFrame:
         """Per-tile entity counts for the Leaflet preview."""

@@ -71,6 +71,20 @@ def test_update_position_and_exports(sess):
     assert tiles.agg(F.sum("n_entities")).first()[0] == sess._geo_a.count()
 
 
+def test_spatial_join_wiring(sess):
+    rj = sess.radius_join(5000.0)
+    assert {"a_subject", "b_subject"} <= set(rj.columns)
+    kn = sess.knn(k=2, radius_m=5000.0)
+    assert "knn_rank" in kn.columns and kn.count() > 0
+    ks = sess.knn(k=1, radius_m=5000.0, shape=True)
+    assert ks.count() > 0
+    assert sess.intersects().count() >= 0
+    # dwithin at a radius is a superset of intersects (distance 0)
+    assert sess.dwithin(1000.0).count() >= sess.intersects().count()
+    ov = sess.overlap_scores(res=9)
+    assert {"node_a", "node_b", "iou"} <= set(ov.columns)
+
+
 def test_cluster_links_wiring(sess):
     cl = sess.cluster_links(k=2)
     assert {"node_a", "node_b", "cluster"} <= set(cl.columns)
