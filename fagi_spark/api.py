@@ -237,3 +237,12 @@ class FagiSession:
         c = cells.with_cell(geo.select("subject", F.col("cx").alias("lon"),
                                        F.col("cy").alias("lat")), res)
         return c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_entities"))
+
+    def preview_density(self, side: str = "a", res: int = 7) -> DataFrame:
+        """Smoothed heatmap layer for the map preview (3x3 binomial
+        stencil over per-cell counts; cells.density_surface)."""
+        from . import cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        return cells.density_surface(
+            geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
+            res)

@@ -352,6 +352,146 @@ def tile_id_col(ix: Column, iy: Column, res: int) -> Column:
                     F.lit("/"), iy.cast("string"))
 
 
+# Standard geohash base-32 alphabet (no a/i/l/o).
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_precision(res: int) -> int:
+    """Geohash character count for a res-bit-per-axis grid. A geohash
+    of p chars encodes 5p bits, lon-first interleaved; for even p that
+    is exactly 5p/2 bits per axis, so the grid and geohash subdivision
+    trees coincide IFF 2*res is a multiple of 5 (res 5, 10, 15, 20...
+    -> 2, 4, 6, 8... chars)."""
+    if (2 * res) % 5 != 0:
+        raise ValueError(
+            f"geohash needs 2*res % 5 == 0 (res in 5,10,15,...); got {res}")
+    return 2 * res // 5
+
+
+def geohash_col(ix: Column, iy: Column, res: int) -> Column:
+    """Standard geohash string of cell (ix, iy): the THIRD string tile
+    address next to quadkey/slippy, and the one external geo tooling
+    (Elasticsearch, Redis GEO, PostGIS ST_GeoHash) speaks natively.
+    ix/iy are this module's grid indices — geohash's binary bisection
+    of lon/lat is the same floor((lon+180)/360 * 2^res) tree, so the
+    bits of ix/iy ARE the geohash bits: char k packs interleaved bits
+    lon-first, 5 per char, MSB first. Shares quadkey_col's defining
+    prefix property (first q chars = ancestor's geohash). Static
+    shift/mask expression tree + one element_at per char — all
+    codegen, no UDF."""
+    p = _geohash_precision(res)
+    alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = []
+    for c in range(p):
+        val = F.lit(0).cast("long")
+        for t in range(5):
+            j = 5 * c + t              # global bit index, lon-first
+            if j % 2 == 0:
+                bit = F.shiftright(ix, res - 1 - j // 2).bitwiseAND(F.lit(1))
+            else:
+                bit = F.shiftright(iy, res - 1 - (j - 1) // 2).bitwiseAND(F.lit(1))
+            val = val + bit * F.lit(1 << (4 - t))
+        chars.append(F.element_at(alphabet, (val + F.lit(1)).cast("int")))
+    return F.concat(*chars)
+
+
+def sql_geohash(ix_expr: str, iy_expr: str, res: int) -> str:
+    """DuckDB mirror of geohash_col (same bit terms, SUBSTR lookup)."""
+    p = _geohash_precision(res)
+    parts = []
+    for c in range(p):
+        terms = []
+        for t in range(5):
+            j = 5 * c + t
+            if j % 2 == 0:
+                terms.append(
+                    f"((({ix_expr}) >> {res - 1 - j // 2}) & 1) * {1 << (4 - t)}")
+            else:
+                terms.append(
+                    f"((({iy_expr}) >> {res - 1 - (j - 1) // 2}) & 1) * {1 << (4 - t)}")
+        parts.append(f"SUBSTR('{GEOHASH_ALPHABET}', "
+                     f"CAST(({' + '.join(terms)}) + 1 AS INT), 1)")
+    return "(" + " || ".join(parts) + ")"
+
+
+def geohash_value(lon: float, lat: float, res: int) -> str:
+    """Python-side twin of geohash_col (test fixtures / driver-side
+    literals) — one place owns the bit layout, like pack_cell_value."""
+    p = _geohash_precision(res)
+    n = 1 << res
+    ix = min(n - 1, max(0, int(math.floor((lon + 180.0) / 360.0 * n))))
+    iy = min(n - 1, max(0, int(math.floor((lat + 90.0) / 180.0 * n))))
+    out = []
+    for c in range(p):
+        val = 0
+        for t in range(5):
+            j = 5 * c + t
+            if j % 2 == 0:
+                val += ((ix >> (res - 1 - j // 2)) & 1) << (4 - t)
+            else:
+                val += ((iy >> (res - 1 - (j - 1) // 2)) & 1) << (4 - t)
+        out.append(GEOHASH_ALPHABET[val])
+    return "".join(out)
+
+
+def density_surface(df: DataFrame, res: int,
+                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Smoothed per-cell density surface: 3x3 binomial kernel
+    ([1,2,1] x [1,2,1] / 16) over the res-grid point counts — the
+    heatmap layer behind a Leaflet density preview (the reference's
+    map panel renders raw PostGIS-clustered points; at warehouse scale
+    a map wants the smoothed raster, not 10^12 markers).
+
+    Scale shape: groupBy(ix, iy) with map-side combine collapses the
+    raw rows first, THEN the 9-way neighbor explode runs on the
+    cell-level aggregate (bounded by touched cells, not input rows)
+    into a second groupBy — two shuffles total, both keyed on cell
+    indices. Kernel weights are sixteenths, so ``density16`` (the
+    numerator) is an exact BIGINT and ``density`` = density16/16.0 is
+    an exact dyadic double on any IEEE engine — value-exact by
+    construction (sql mirror: sql_density_surface). World-edge cells
+    simply lose the out-of-grid taps (no wraparound), matching the
+    SQL mirror's bounds filter."""
+    n = 1 << res
+    counts = (with_cell(df, res, lon=lon, lat=lat)
+              .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n")))
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    c = (counts.withColumn("_dx", F.explode(offs))
+               .withColumn("_dy", F.explode(offs)))
+    nix = F.col("ix") + F.col("_dx")
+    niy = F.col("iy") + F.col("_dy")
+    w = (F.lit(2) - F.abs(F.col("_dx"))) * (F.lit(2) - F.abs(F.col("_dy")))
+    return (c.filter((nix >= 0) & (nix < n) & (niy >= 0) & (niy < n))
+             .select(nix.alias("ix"), niy.alias("iy"),
+                     (F.col("n") * w).alias("_c"))
+             .groupBy("ix", "iy")
+             .agg(F.sum("_c").cast("long").alias("density16"))
+             .select(pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
+                     "ix", "iy", "density16",
+                     (F.col("density16") / F.lit(16.0)).alias("density")))
+
+
+def sql_density_surface(lon_expr: str, lat_expr: str, from_clause: str,
+                        res: int) -> str:
+    """DuckDB mirror of density_surface: same count rollup, same 9-tap
+    stencil via VALUES cross joins, same /16.0 dyadic divide."""
+    n = 1 << res
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS n FROM pts GROUP BY ix, iy),
+st AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy,
+              n * (2 - ABS(dx.dx)) * (2 - ABS(dy.dy)) AS c
+       FROM cnt
+       CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+       CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+       WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
+         AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1})
+SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {1 << res} + iy AS BIGINT) AS cell,
+       ix, iy, CAST(SUM(c) AS BIGINT) AS density16,
+       CAST(SUM(c) AS BIGINT) / 16.0 AS density
+FROM st GROUP BY ix, iy"""
+
+
 def cell_stats(df: DataFrame, cell: str = "cell") -> DataFrame:
     return df.groupBy(cell).agg(F.count(F.lit(1)).alias("cell_rows"))
 

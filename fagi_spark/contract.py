@@ -578,6 +578,54 @@ SELECT subject, quadkey, tile_id,
 FROM q"""
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash tile addressing (cells.geohash_col): the standard
+    base-32 geo string external tooling speaks (PostGIS ST_GeoHash,
+    Elasticsearch geohash_grid), per A point at 6 chars (res 15), plus
+    the 4-char ANCESTOR computed structurally from the coarser grid
+    (geohash of ix>>5, iy>>5 at res 10) — the oracle instead takes
+    SUBSTRING(geohash6, 1, 4), so the value-hash match PROVES the
+    prefix-subtree property across engines (same proof shape as
+    fagi_quadkey). Bit layout pinned by published test vectors in
+    tests/test_cells.py (u4pruy...)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga)
+    ix, iy = cells.ix_col(F.col("cx"), 15), cells.iy_col(F.col("cy"), 15)
+    return a.select(
+        "subject",
+        cells.geohash_col(ix, iy, 15).alias("geohash6"),
+        cells.geohash_col(F.shiftright(ix, 5), F.shiftright(iy, 5), 10)
+        .alias("parent4"))
+
+
+O_GEOHASH = f"""WITH {GEO_A_CTE},
+c AS (SELECT subject,
+             {cells.sql_ix('CAST(v AS DOUBLE)/100.0', 15)} AS ix,
+             {cells.sql_iy('CAST(w AS DOUBLE)/100.0', 15)} AS iy
+      FROM geo_a WHERE kind = 'POINT'),
+g AS (SELECT subject, {cells.sql_geohash('ix', 'iy', 15)} AS geohash6 FROM c)
+SELECT subject, geohash6, SUBSTRING(geohash6, 1, 4) AS parent4
+FROM g"""
+
+
+def q_density_surface(spark, sf_dir):
+    """Smoothed density heatmap (cells.density_surface): 3x3 binomial
+    stencil over res-10 cell counts of the A points — the map-preview
+    density layer. Counts aggregate BEFORE the 9-tap explode (stencil
+    cost scales with touched cells, not input rows); sixteenth weights
+    keep density16 integer-exact and density an exact dyadic double."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.density_surface(a, 10)
+
+
+O_DENSITY_SURFACE = f"""WITH {GEO_A_CTE},
+{cells.sql_density_surface("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                           "FROM geo_a WHERE kind = 'POINT'",
+                           res=10).removeprefix("WITH ")}"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
     points — per-cell counts at every zoom level, coarser levels
@@ -3463,6 +3511,8 @@ QUERIES = {
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
+    "fagi_geohash": q_geohash,
+    "fagi_density_surface": q_density_surface,
     "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
@@ -3572,6 +3622,8 @@ ORACLES = {
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
+    "fagi_geohash": O_GEOHASH,
+    "fagi_density_surface": O_DENSITY_SURFACE,
     "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,

@@ -249,3 +249,64 @@ def test_quadkey_prefix_property_and_roundtrip(spark):
             ix = ix * 2 + (d & 1)
             iy = iy * 2 + (d >> 1)
         assert (ix, iy) == (r.ix, r.iy)
+
+
+def test_geohash_published_vectors_and_prefix(spark):
+    """geohash: bit layout pinned by the published examples
+    (en.wikipedia.org/wiki/Geohash: (57.64911, 10.40744) -> u4pruy...,
+    (42.6, -5.6) -> ezs4...), Spark column == Python twin, and the
+    parent-prefix property at 6 -> 4 chars (res 15 -> 10)."""
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+    assert cells.geohash_value(10.40744, 57.64911, 15) == "u4pruy"
+    assert cells.geohash_value(-5.6, 42.6, 10) == "ezs4"
+    rows = [(float(lon), float(lat))
+            for lon in (-179.9, -5.6, 0.0, 10.40744, 179.9)
+            for lat in (-89.9, -0.1, 42.6, 57.64911, 89.9)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    ix15, iy15 = cells.ix_col(F.col("lon"), 15), cells.iy_col(F.col("lat"), 15)
+    out = df.select(
+        "lon", "lat",
+        cells.geohash_col(ix15, iy15, 15).alias("g6"),
+        cells.geohash_col(F.shiftright(ix15, 5), F.shiftright(iy15, 5), 10)
+        .alias("p4")).collect()
+    for r in out:
+        assert r.g6 == cells.geohash_value(r.lon, r.lat, 15)
+        assert r.p4 == r.g6[:4]
+        assert set(r.g6) <= set(cells.GEOHASH_ALPHABET)
+    with pytest.raises(ValueError):
+        cells.geohash_col(F.lit(0), F.lit(0), 8)  # 16 bits not /5
+
+
+def test_density_surface_stencil_ground_truth(spark):
+    """density_surface == hand-computed 3x3 binomial convolution on a
+    tiny planted grid, including world-edge truncation (cell (0, 0))."""
+    from fagi_spark import cells
+    res = 5
+    w = cells.cell_width_deg(res)
+    h = cells.cell_height_deg(res)
+
+    def pt(ix, iy):
+        return (-180.0 + (ix + 0.5) * w, -90.0 + (iy + 0.5) * h)
+
+    # 3 points in (4,4), 1 in (5,4), 2 in (0,0) (corner: taps truncate)
+    pts = [pt(4, 4)] * 3 + [pt(5, 4)] + [pt(0, 0)] * 2
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = {(r.ix, r.iy): r.density16
+           for r in cells.density_surface(df, res).collect()}
+    counts = {(4, 4): 3, (5, 4): 1, (0, 0): 2}
+    ker = {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2, (0, 0): 4,
+           (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
+    want = {}
+    n = 1 << res
+    for (ix, iy), c in counts.items():
+        for (dx, dy), kw in ker.items():
+            tx, ty = ix + dx, iy + dy
+            if 0 <= tx < n and 0 <= ty < n:
+                want[(tx, ty)] = want.get((tx, ty), 0) + c * kw
+    assert got == want
+    assert got[(0, 0)] == 8          # corner keeps only its own 4/16 tap x2
+    assert got[(4, 4)] == 3 * 4 + 1 * 2
+    # mass conservation: interior points keep full 16x mass, the corner
+    # keeps only its in-bounds taps (4+2+2+1 = 9 sixteenths per point)
+    assert sum(want.values()) == 16 * 3 + 16 * 1 + 9 * 2
