@@ -3442,6 +3442,24 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+def q_doc_collocations(spark, sf_dir):
+    """Top bigram collocations by PMI (textops.collocations): the
+    phrase-mining pass before tokenizer training. Ranking by
+    lift = n_ab*T/(n_a*n_b) IS PMI ranking (log monotone), and lift
+    stays one IEEE division of sub-2^53 integers — value-exact incl.
+    the float, same log-free-rational trick as doc_bm25_topk. One
+    token explode feeds pair + unigram counts; min_pair prunes before
+    the vocabulary-sized broadcast joins."""
+    from . import textops
+    docs = _t(spark, sf_dir, "documents")
+    return textops.collocations(docs, min_pair=5, topk=30)
+
+
+def _o_collocations():
+    from . import textops
+    return textops.sql_collocations("documents", min_pair=5, topk=30)
+
+
 def q_doc_heavy_tokens(spark, sf_dir):
     """Count-min heavy hitters (fagi_spark/sketch.py): the bounded-
     memory hot-key detector behind salting / hot-cell promotion. w=16
@@ -3592,6 +3610,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_heavy_tokens": q_doc_heavy_tokens,
+    "doc_collocations": q_doc_collocations,
     "fagi_zorder_index": q_zorder_index,
 }
 
@@ -3698,6 +3717,7 @@ ORACLES = {
     "events_range_join": O_EVENTS_RANGE_JOIN,
     "doc_bm25_topk": _o_bm25(),
     "doc_heavy_tokens": _o_cms(),
+    "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest

@@ -761,3 +761,75 @@ sp_agg AS (
   SELECT {key}, CAST(SUM(sb) AS BIGINT) AS surp_sum,
          CAST(COUNT(*) AS BIGINT) AS n_scored
   FROM sp_scored GROUP BY {key})"""
+
+
+def collocations(df: DataFrame, text: str = "text", min_pair: int = 5,
+                 topk: int = 30) -> DataFrame:
+    """Top bigram collocations by PMI over the corpus — the
+    phrase-mining pass of a training-data pipeline (finds multiword
+    units like "new york" worth atomic treatment before tokenizer
+    training). Returns (a, b, n_ab, n_a, n_b, total_tokens, lift)
+    where lift = n_ab * T / (n_a * n_b), the PMI argument: ranking by
+    lift IS ranking by PMI (log is monotonic), and the score stays a
+    single IEEE division of two sub-2^53 integers — value-exact on
+    any engine, the same log-free-rational trick as BM25's idf
+    (retrieval.py).
+
+    Scale shape: one token explode feeds BOTH counts (adjacent-pair
+    transform + unigram groupBy, each with map-side combine); the
+    ``min_pair`` filter prunes the pair table BEFORE any join; the
+    unigram table is vocabulary-sized, so both enrichment joins
+    broadcast; T is one broadcast scalar row. TakeOrdered top-k with
+    a full (lift desc, a, b) tie-break keeps the limit deterministic.
+    """
+    toks = (df.select(F.split(F.lower(F.col(text)), " ").alias("_toks"))
+              .filter(F.size("_toks") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> struct(element_at(_toks, i) AS a, "
+        "element_at(_toks, i + 1) AS b))")).alias("p")).select("p.a", "p.b")
+    n_ab = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+                 .filter(F.col("n_ab") >= min_pair))
+    uni = (toks.select(F.explode("_toks").alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").cast("long").alias("total_tokens"))
+    out = (n_ab
+           .join(F.broadcast(uni.select(F.col("w").alias("a"),
+                                        F.col("n").alias("n_a"))), "a")
+           .join(F.broadcast(uni.select(F.col("w").alias("b"),
+                                        F.col("n").alias("n_b"))), "b")
+           .crossJoin(F.broadcast(tot)))
+    return (out.select("a", "b", "n_ab", "n_a", "n_b", "total_tokens",
+                       ((F.col("n_ab") * F.col("total_tokens"))
+                        / (F.col("n_a") * F.col("n_b"))).alias("lift"))
+               .orderBy(F.desc("lift"), "a", "b").limit(topk))
+
+
+def sql_collocations(source: str, text: str = "text", min_pair: int = 5,
+                     topk: int = 30) -> str:
+    """DuckDB mirror of ``collocations`` (1-indexed lists; range(1, n)
+    is exclusive of n, matching sequence(1, n-1))."""
+    return f"""WITH co_tok AS (
+  SELECT STR_SPLIT(LOWER({text}), ' ') AS toks FROM {source}
+  WHERE LEN(STR_SPLIT(LOWER({text}), ' ')) >= 2),
+co_pairs AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM co_tok, UNNEST(range(1, LEN(toks))) AS r(i)),
+co_nab AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM co_pairs GROUP BY a, b
+  HAVING COUNT(*) >= {min_pair}),
+co_uni AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT UNNEST(toks) AS w FROM co_tok) GROUP BY w),
+co_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM co_uni)
+SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+       t.total_tokens,
+       (CAST(p.n_ab AS BIGINT) * t.total_tokens)
+         / CAST(CAST(ua.n AS BIGINT) * CAST(ub.n AS BIGINT) AS DOUBLE)
+         AS lift
+FROM co_nab p
+JOIN co_uni ua ON p.a = ua.w
+JOIN co_uni ub ON p.b = ub.w
+CROSS JOIN co_tot t
+ORDER BY lift DESC, p.a, p.b LIMIT {topk}"""

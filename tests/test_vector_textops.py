@@ -522,3 +522,35 @@ def test_semantic_dedup_within_cluster_only(spark):
     import numpy as np
     a, b = np.array([0.6, 0.4]), np.array([0.4, 0.6])
     assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.9
+
+
+def test_collocations_planted_ground_truth(spark):
+    """collocations == hand-computed PMI lift on a planted corpus:
+    'new york' co-occurs always, 'hot dog' sometimes, filler words
+    pad the unigram counts; min_pair drops the rare pair."""
+    from fagi_spark import textops
+    docs = [
+        "new york new york is big",
+        "hot dog in new york",
+        "a hot dog and a cold dog",
+        "new york again and again",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    out = {(r.a, r.b): r for r in
+           textops.collocations(df, min_pair=2, topk=10).collect()}
+    # hand counts: tokens per doc split on ' '
+    toks = [d.split(" ") for d in docs]
+    T = sum(len(t) for t in toks)
+    from collections import Counter
+    uni = Counter(w for t in toks for w in t)
+    pairs = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    assert ("new", "york") in out and ("hot", "dog") in out
+    for (a, b), r in out.items():
+        assert r.n_ab == pairs[(a, b)] >= 2
+        assert r.n_a == uni[a] and r.n_b == uni[b]
+        assert r.total_tokens == T
+        assert r.lift == (r.n_ab * T) / (r.n_a * r.n_b)
+    # every pair meeting min_pair is present (topk not binding here)
+    expect = {p for p, c in pairs.items() if c >= 2}
+    assert set(out) == expect
