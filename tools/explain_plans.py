@@ -448,6 +448,36 @@ def main():
         "cluster moves 10^6 rows exactly once (the component labels), "
         "never again for the selection.")
 
+    # density surface: the 9-tap stencil must run on the CELL-LEVEL
+    # aggregate, never the raw rows — structurally: in the formatted
+    # tree (parents before children) an aggregate sits above the
+    # Generate (final stencil sum) AND below it (the count rollup the
+    # explode consumes).
+    from fagi_spark import cells
+    dens_pts = cust.select(
+        ((F.col("c_custkey") * 37 % 17000) / 100.0 - 80.0).alias("lon"),
+        ((F.col("c_custkey") * 53 % 8000) / 100.0).alias("lat"))
+    dens_plan = cells.density_surface(dens_pts, 10)
+    dens_text = plan_text(dens_plan)
+    gen = dens_text.find("Generate")
+    agg_above = dens_text.find("HashAggregate")
+    agg_below = dens_text.rfind("HashAggregate")
+    if not (0 <= agg_above < gen < agg_below):
+        raise SystemExit(
+            f"density_surface structural check failed: expected "
+            f"HashAggregate above and below Generate "
+            f"(agg@{agg_above}, gen@{gen}, agg@{agg_below})")
+    add("density_surface stencil-after-aggregate (J5f)", dens_plan,
+        ["partial_agg"],
+        "the 3x3 binomial stencil explodes the per-cell COUNT frame, "
+        "not the raw points: the formatted tree shows a HashAggregate "
+        "below the Generate (count rollup with map-side combine) and "
+        "above it (stencil sum), so the 9-way row expansion is bounded "
+        "by touched cells — at 10^12 points the explode input is the "
+        "number of occupied tiles, orders of magnitude smaller "
+        f"(verified structurally: agg@{agg_above} < generate@{gen} < "
+        f"agg@{agg_below}).")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
