@@ -246,3 +246,15 @@ class FagiSession:
         return cells.density_surface(
             geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
             res)
+
+    def dbscan(self, side: str = "a", res: int = 6,
+               min_pts: int = 7) -> DataFrame:
+        """Density-based POI clustering: grid DBSCAN over one side's
+        points — (subject, cell, cluster, role) with role in
+        core/border/noise (cluster.grid_dbscan)."""
+        from . import cluster
+        geo = self._geo_a if side == "a" else self._geo_b
+        pts = (geo.filter(F.col("geom_kind") == "POINT")
+               .select("subject", F.col("cx").alias("lon"),
+                       F.col("cy").alias("lat")))
+        return cluster.grid_dbscan(pts, res, min_pts)

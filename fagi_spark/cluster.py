@@ -244,3 +244,112 @@ def cluster_table(features: DataFrame, chosen: list[int], **kw) -> DataFrame:
     assigned = cluster_links(features, **kw)
     return (assigned.filter(F.col("cluster").isin([int(c) for c in chosen]))
             .select("node_a", "node_b"))
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN: density-based spatial clustering of the extracted
+# entities themselves (not links) — the POI-clustering companion to
+# the reference's map panel, which renders PostGIS-clustered markers
+# (FAGI's cluster servlet draws per-viewport groups; at warehouse
+# scale you want the clusters as a table, not a render pass).
+# ---------------------------------------------------------------------------
+
+
+def grid_dbscan(pts: DataFrame, res: int, min_pts: int,
+                key: str = "subject", lon: str = "lon",
+                lat: str = "lat") -> DataFrame:
+    """Cell-grid DBSCAN (GDBSCAN with eps = one grid cell): a cell
+    holding >= ``min_pts`` points is CORE; clusters are the 8-adjacency
+    connected components of core cells (label = min packed cell id in
+    the component — deterministic); points in core cells are ``core``
+    members, points in weak cells touching a core cell 8-adjacently are
+    ``border`` members (smallest adjacent cluster label), everything
+    else is ``noise`` (cluster -1).
+
+    Scale shape: ONE map-side-combined groupBy collapses the raw
+    points to per-cell counts, and every later stage — the 9-way ring
+    explode, the core-core equi-join, the alternating-star components
+    loop (components.connected_components, O(log^2 n) rounds), the
+    border min-label agg — runs on CELLS, whose count is bounded by
+    touched tiles, orders of magnitude below the point count at
+    10^12 rows. Point rows are touched exactly twice: the initial
+    count and the final label join (both keyed on cell, no ring
+    replication of points). SQL mirror: sql_grid_dbscan (recursive-CTE
+    closure; the iterative Spark loop and the declarative closure
+    must agree exactly)."""
+    from . import cells, components
+
+    labeled = cells.with_cell(pts.select(key, lon, lat), res,
+                              lon=lon, lat=lat)
+    counts = (labeled.groupBy("ix", "iy", "cell")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    core = counts.filter(F.col("_n") >= min_pts).select("ix", "iy", "cell")
+    ring = (cells.explode_ring(core, res, 1, out="probe_cell")
+            .filter(F.col("probe_cell") != F.col("cell"))
+            .select("cell", "probe_cell"))
+    edges = ring.join(core.select(F.col("cell").alias("probe_cell")),
+                      "probe_cell")
+    comp = (components.connected_components(edges, "cell", "probe_cell",
+                                            nodes=core, node_col="cell")
+            .select(F.col("node").alias("cell"), "component"))
+    weak = counts.filter(F.col("_n") < min_pts).select("ix", "iy", "cell")
+    border = (cells.explode_ring(weak, res, 1, out="probe_cell")
+              .filter(F.col("probe_cell") != F.col("cell"))
+              .join(comp.select(F.col("cell").alias("probe_cell"),
+                                "component"), "probe_cell")
+              .groupBy("cell").agg(F.min("component").alias("_bcl")))
+    return (labeled
+            .join(comp.withColumnRenamed("component", "_ccl"),
+                  "cell", "left")
+            .join(border, "cell", "left")
+            .select(F.col(key),
+                    "cell",
+                    F.coalesce("_ccl", "_bcl", F.lit(-1))
+                     .cast("long").alias("cluster"),
+                    F.when(F.col("_ccl").isNotNull(), F.lit("core"))
+                     .when(F.col("_bcl").isNotNull(), F.lit("border"))
+                     .otherwise(F.lit("noise")).alias("role")))
+
+
+def sql_grid_dbscan(key_expr: str, lon_expr: str, lat_expr: str,
+                    from_clause: str, res: int, min_pts: int) -> str:
+    """DuckDB mirror of grid_dbscan: same integer cell packing, core
+    threshold, Chebyshev-1 adjacency, recursive-CTE min-label closure,
+    and border/noise assignment. Emit with a WITH RECURSIVE prefix."""
+    from . import cells
+
+    n = 1 << res
+    base = f"CAST({res} AS BIGINT) * {1 << cells._RES_SHIFT}"
+
+    def cell(ix: str, iy: str) -> str:
+        return f"({base} + {ix} * {n} + {iy})"
+
+    return f"""pts AS (SELECT {key_expr} AS k,
+               {cells.sql_ix(lon_expr, res)} AS ix,
+               {cells.sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS n FROM pts GROUP BY ix, iy),
+core AS (SELECT ix, iy, {cell('ix', 'iy')} AS cell FROM cnt
+         WHERE n >= {min_pts}),
+cedges AS (SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+           ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+          AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+          AND NOT (b.ix = a.ix AND b.iy = a.iy)),
+reach AS (SELECT cell AS src, cell AS dst FROM core
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN cedges e ON e.u = r.dst),
+comp AS (SELECT src AS cell, MIN(dst) AS component FROM reach GROUP BY src),
+weak AS (SELECT ix, iy, {cell('ix', 'iy')} AS cell FROM cnt
+         WHERE n < {min_pts}),
+bl AS (SELECT w.cell, MIN(c.component) AS cluster FROM weak w
+       JOIN core kc ON kc.ix BETWEEN w.ix - 1 AND w.ix + 1
+                   AND kc.iy BETWEEN w.iy - 1 AND w.iy + 1
+       JOIN comp c ON c.cell = kc.cell
+       GROUP BY w.cell),
+dbscan AS (SELECT p.k, {cell('p.ix', 'p.iy')} AS cell,
+       CAST(COALESCE(c.component, b.cluster, -1) AS BIGINT) AS cluster,
+       CASE WHEN c.component IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+       FROM pts p
+       LEFT JOIN comp c ON c.cell = {cell('p.ix', 'p.iy')}
+       LEFT JOIN bl b ON b.cell = {cell('p.ix', 'p.iy')})"""

@@ -626,6 +626,35 @@ O_DENSITY_SURFACE = f"""WITH {GEO_A_CTE},
                            res=10).removeprefix("WITH ")}"""
 
 
+def q_grid_dbscan(spark, sf_dir):
+    """Grid DBSCAN over the A points (cluster.grid_dbscan): res-6
+    cells, min_pts 7 — every point labeled core/border/noise with a
+    deterministic cluster id (min packed core-cell id reachable via
+    8-adjacency). The iterative alternating-star components loop must
+    agree exactly with the oracle's recursive-CTE closure; on sf0.01
+    this yields 20 multi-cell clusters with all three roles present."""
+    from . import cluster
+
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cluster.grid_dbscan(a, res=6, min_pts=7)
+
+
+def _o_grid_dbscan() -> str:
+    from . import cluster
+
+    body = cluster.sql_grid_dbscan(
+        "subject", "CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+        "FROM geo_a WHERE kind = 'POINT'", res=6, min_pts=7)
+    return f"""WITH RECURSIVE {GEO_A_CTE},
+{body}
+SELECT k AS subject, cell, cluster, role FROM dbscan"""
+
+
+O_GRID_DBSCAN = _o_grid_dbscan()
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
     points — per-cell counts at every zoom level, coarser levels
@@ -3531,6 +3560,7 @@ QUERIES = {
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
     "fagi_density_surface": q_density_surface,
+    "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
@@ -3643,6 +3673,7 @@ ORACLES = {
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,
     "fagi_density_surface": O_DENSITY_SURFACE,
+    "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,

@@ -89,3 +89,10 @@ def test_cluster_links_wiring(sess):
     cl = sess.cluster_links(k=2)
     assert {"node_a", "node_b", "cluster"} <= set(cl.columns)
     assert cl.count() == sess.fuse("keep-left").count()
+
+
+def test_dbscan_wiring(sess):
+    db = sess.dbscan(res=6, min_pts=3)
+    assert {"subject", "cell", "cluster", "role"} <= set(db.columns)
+    roles = {r.role for r in db.select("role").distinct().collect()}
+    assert roles <= {"core", "border", "noise"} and "core" in roles

@@ -410,3 +410,57 @@ def test_predicate_inventory_plan_has_no_collect_list(spark):
         [("s", "p", "1")], "subject string, predicate string, object string")
     plan = schema_match.kind_inventory(meta)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_grid_dbscan_hand_fixture(spark):
+    """3x1 run of dense cells + one weak neighbor + one far loner:
+    hand-checkable roles and the min-cell-id cluster label."""
+    from fagi_spark import cells
+
+    res, min_pts = 6, 3
+    w = cells.cell_width_deg(res)   # one cell step in lon
+    h = cells.cell_height_deg(res)
+    # centers of three horizontally adjacent cells (dense: 3 pts each),
+    # one weak cell diagonally adjacent to the run (1 pt), one loner.
+    def at(cx, cy, k):
+        return [(f"p{cx}_{cy}_{i}", cx, cy) for i in range(k)]
+    base_lon, base_lat = 10.0 + w / 2, 20.0 + h / 2
+    rows = []
+    for j in range(3):
+        rows += at(base_lon + j * w, base_lat, 3)
+    rows += at(base_lon + 3 * w, base_lat + h, 1)        # border (diag)
+    rows += at(base_lon + 40 * w, base_lat - 30 * h, 1)  # noise
+    pts = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    out = cluster.grid_dbscan(pts, res, min_pts).collect()
+    by_role = {}
+    for r in out:
+        by_role.setdefault(r.role, []).append(r)
+    assert len(by_role["core"]) == 9
+    assert len(by_role["border"]) == 1
+    assert len(by_role["noise"]) == 1
+    # one cluster: all core + border rows share the min core cell id
+    labels = {r.cluster for r in by_role["core"] + by_role["border"]}
+    assert labels == {min(r.cell for r in by_role["core"])}
+    assert by_role["noise"][0].cluster == -1
+
+
+def test_grid_dbscan_cell_consistency_and_partition_invariance(spark):
+    """Points sharing a cell share (cluster, role); result is invariant
+    to input partitioning; core role <=> cell count >= min_pts."""
+    geo_a, _, _, _, _ = synth.synth_fixture(spark, 150, 10)
+    pts = (fuse.prepare_geoms(geo_a)
+           .filter(F.col("geom_kind") == "POINT")
+           .select("subject", F.col("cx").alias("lon"),
+                   F.col("cy").alias("lat")))
+    out = cluster.grid_dbscan(pts, 6, 3).cache()
+    per_cell = (out.groupBy("cell")
+                .agg(F.countDistinct("cluster").alias("nc"),
+                     F.countDistinct("role").alias("nr"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+    assert all(r.nc == 1 and r.nr == 1 for r in per_cell)
+    counts = {r.cell: r.n for r in per_cell}
+    for r in out.select("cell", "role").distinct().collect():
+        assert (r.role == "core") == (counts[r.cell] >= 3)
+    again = cluster.grid_dbscan(pts.repartition(13), 6, 3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
