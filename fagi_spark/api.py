@@ -247,6 +247,15 @@ class FagiSession:
             geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
             res)
 
+    def hotspots(self, side: str = "a", res: int = 7) -> DataFrame:
+        """Getis-Ord Gi* hotspot scores per occupied cell — the
+        statistically normalized heatmap (cells.hotspots)."""
+        from . import cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        return cells.hotspots(
+            geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
+            res)
+
     def dbscan(self, side: str = "a", res: int = 6,
                min_pts: int = 7) -> DataFrame:
         """Density-based POI clustering: grid DBSCAN over one side's

@@ -492,6 +492,108 @@ SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {1 << res} + iy AS BIGINT) AS cell,
 FROM st GROUP BY ix, iy"""
 
 
+def hotspots(df: DataFrame, res: int,
+             lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Getis-Ord Gi* hotspot score per occupied cell — the
+    statistically normalized companion to ``density_surface``: where
+    the heatmap shows raw smoothed mass, Gi* says how many standard
+    deviations a cell's 3x3 neighborhood sum sits above the global
+    mean, so hotspots are comparable across datasets and scales
+    (Getis & Ord 1992, binary weights, self included).
+
+    Sparse-lattice convention (documented, both engines): the universe
+    is the OCCUPIED cells (n = count of distinct occupied cells;
+    unoccupied cells contribute x = 0 to neighborhood sums and are not
+    scored); W_i is the full in-bounds 3x3 window size (9, less at the
+    world edge) — computable from (ix, iy) arithmetic without ever
+    materializing the empty lattice.
+
+    Scale shape: one map-side-combined count rollup, one single-row
+    global aggregate broadcast back, and the same
+    stencil-after-aggregate explode as density_surface (9 taps on
+    CELLS, not points). Float contract: every term derives from BIGINT
+    aggregates via the IEEE ops + - * / sqrt with a fixed association,
+    mirrored literally by sql_hotspots — value-exact, no
+    transcendentals. Cells where the Gi* denominator is 0 (constant
+    counts, or a window covering the whole universe) score NULL."""
+    n_grid = 1 << res
+    counts = (with_cell(df, res, lon=lon, lat=lat)
+              .groupBy("ix", "iy")
+              .agg(F.count(F.lit(1)).alias("x")))
+    g = counts.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s1"),
+                   F.sum(F.col("x") * F.col("x")).alias("s2"))
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    taps = (counts.withColumn("_dx", F.explode(offs))
+                  .withColumn("_dy", F.explode(offs)))
+    nix = F.col("ix") + F.col("_dx")
+    niy = F.col("iy") + F.col("_dy")
+    nbr = (taps.filter((nix >= 0) & (nix < n_grid)
+                       & (niy >= 0) & (niy < n_grid))
+               .select(nix.alias("ix"), niy.alias("iy"), "x")
+               .groupBy("ix", "iy")
+               .agg(F.sum("x").alias("wx")))
+    j = counts.join(nbr, ["ix", "iy"]).crossJoin(F.broadcast(g))
+    wi = ((F.least(F.col("ix") + 1, F.lit(n_grid - 1))
+           - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+          * (F.least(F.col("iy") + 1, F.lit(n_grid - 1))
+             - F.greatest(F.col("iy") - 1, F.lit(0)) + 1))
+    nd = F.col("n").cast("double")
+    xbar = F.col("s1").cast("double") / nd
+    s = F.sqrt(F.col("s2").cast("double") / nd - xbar * xbar)
+    wid = F.col("wi").cast("double")
+    num = F.col("wx").cast("double") - wid * xbar
+    den = s * F.sqrt((nd * wid - wid * wid) / (nd - F.lit(1.0)))
+    return (j.withColumn("wi", wi.cast("long"))
+             .select(pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
+                     "ix", "iy", "x", "wx", "wi",
+                     F.when(den != 0.0, num / den).alias("gi_star")))
+
+
+def sql_hotspots(lon_expr: str, lat_expr: str, from_clause: str,
+                 res: int) -> str:
+    """DuckDB mirror of hotspots: identical integer rollups and the
+    SAME float expression tree (association preserved term by term)."""
+    n = 1 << res
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
+nbr AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy, SUM(x) AS wx
+        FROM cnt
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+        WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
+          AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1}
+        GROUP BY 1, 2),
+j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
+             CAST((LEAST(c.ix + 1, {n - 1}) - GREATEST(c.ix - 1, 0) + 1)
+                * (LEAST(c.iy + 1, {n - 1}) - GREATEST(c.iy - 1, 0) + 1)
+                  AS BIGINT) AS wi,
+             g.n, g.s1, g.s2
+      FROM cnt c JOIN nbr ON nbr.ix = c.ix AND nbr.iy = c.iy
+      CROSS JOIN gstats g)
+SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {n} + iy AS BIGINT) AS cell,
+       ix, iy, x, wx, wi,
+       CASE WHEN (SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * SQRT((CAST(n AS DOUBLE) * CAST(wi AS DOUBLE)
+                          - CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0))) <> 0.0
+            THEN (CAST(wx AS DOUBLE)
+                  - CAST(wi AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * SQRT((CAST(n AS DOUBLE) * CAST(wi AS DOUBLE)
+                            - CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0)))
+            ELSE NULL END AS gi_star
+FROM j"""
+
+
 def cell_stats(df: DataFrame, cell: str = "cell") -> DataFrame:
     return df.groupBy(cell).agg(F.count(F.lit(1)).alias("cell_rows"))
 

@@ -626,6 +626,25 @@ O_DENSITY_SURFACE = f"""WITH {GEO_A_CTE},
                            res=10).removeprefix("WITH ")}"""
 
 
+def q_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot scores over the A points at res 6
+    (cells.hotspots): per occupied cell, how many standard deviations
+    its 3x3 neighborhood sum sits above the global mean. The gi_star
+    float is VALUE-compared: both engines derive it from the same
+    BIGINT aggregates through the same + - * / sqrt expression tree
+    (the oracle-float contract's interior-safe op set)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.hotspots(a, 6)
+
+
+O_HOTSPOTS = cells.sql_hotspots(
+    "CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+    "FROM geo_a WHERE kind = 'POINT'", res=6).replace(
+    "WITH pts", f"WITH {GEO_A_CTE},\npts", 1)
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid DBSCAN over the A points (cluster.grid_dbscan): res-6
     cells, min_pts 7 — every point labeled core/border/noise with a
@@ -3560,6 +3579,7 @@ QUERIES = {
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
     "fagi_density_surface": q_density_surface,
+    "fagi_hotspots": q_hotspots,
     "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
@@ -3673,6 +3693,7 @@ ORACLES = {
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,
     "fagi_density_surface": O_DENSITY_SURFACE,
+    "fagi_hotspots": O_HOTSPOTS,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,

@@ -310,3 +310,58 @@ def test_density_surface_stencil_ground_truth(spark):
     # mass conservation: interior points keep full 16x mass, the corner
     # keeps only its in-bounds taps (4+2+2+1 = 9 sixteenths per point)
     assert sum(want.values()) == 16 * 3 + 16 * 1 + 9 * 2
+
+
+def test_hotspots_hand_computed(spark):
+    """A 5-point pile next to two singles, far from one lone point:
+    hand-check x, wx, wi and the Gi* sign structure."""
+    from fagi_spark import cells
+
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+    rows = ([(lon0, lat0)] * 5
+            + [(lon0 + w, lat0)] + [(lon0 + 2 * w, lat0)]
+            + [(lon0 + 25 * w, lat0 - 20 * h)])
+    pts = spark.createDataFrame(rows, "lon double, lat double")
+    out = {(r.ix, r.iy): r for r in cells.hotspots(pts, res).collect()}
+    assert len(out) == 4
+    ix0 = int((10.0 + w / 2 + 180.0) / 360.0 * (1 << res))
+    iy0 = int((20.0 + h / 2 + 90.0) / 180.0 * (1 << res))
+    pile = out[(ix0, iy0)]
+    assert pile.x == 5 and pile.wx == 6 and pile.wi == 9  # pile + neighbor
+    lone = [r for (ix, iy), r in out.items() if r.x == 1 and r.wx == 1][0]
+    # interior cells all have the full 3x3 window
+    assert all(r.wi == 9 for r in out.values())
+    # n=4 occupied cells but a 9-cell window: n*wi - wi^2 = 36-81 < 0,
+    # the variance term under the sqrt goes negative -> NaN. The
+    # degenerate-universe case must yield NaN/None consistently (both
+    # engines share the expression tree), not crash.
+    import math
+    assert pile.gi_star is None or math.isnan(pile.gi_star)
+
+
+def test_hotspots_rich_field_sign_and_exactness(spark):
+    """On a larger synthetic field (n >> 9): Gi* is positive where the
+    neighborhood sum beats wi*xbar, negative below, and matches a
+    NumPy recomputation bit-for-bit."""
+    import math
+
+    from fagi_spark import cells
+
+    pts = spark.range(2000).select(
+        ((F.col("id") * 37 % 1700) / 10.0 - 80.0).alias("lon"),
+        ((F.col("id") * 53 % 800) / 10.0).alias("lat"))
+    rows = cells.hotspots(pts, 6).collect()
+    n = len(rows)
+    s1 = sum(r.x for r in rows)
+    s2 = sum(r.x * r.x for r in rows)
+    xbar = s1 / n
+    s = math.sqrt(s2 / n - xbar * xbar)
+    signs = 0
+    for r in rows:
+        den = s * math.sqrt((n * r.wi - r.wi * r.wi) / (n - 1.0))
+        expect = (r.wx - r.wi * xbar) / den
+        assert r.gi_star == expect  # bit-exact, same IEEE tree
+        signs |= 1 if expect > 0 else 2
+    assert signs == 3  # both hot and cold cells exist
