@@ -2921,6 +2921,44 @@ FROM grams JOIN ev USING (shingle)
 GROUP BY doc_id"""
 
 
+def q_doc_para_dedup(spark, sf_dir):
+    """Corpus-level paragraph dedup (curation.dedup_paragraphs): a
+    promo paragraph planted on doc_id % 7 == 0 and a newsletter footer
+    on % 5 == 0 each survive exactly once corpus-wide (smallest
+    (doc_id, pos) wins); every document's own body paragraph is unique
+    and stays. Attrition is visible in n_paras vs n_kept."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("shared promo paragraph call now\n\n"))
+             .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\n\nsubscribe to our newsletter today"))
+             .otherwise(F.lit(""))))
+    return (curation.dedup_paragraphs(aug)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text_dedup", "n_paras", "n_kept"))
+
+
+O_DOC_PARA_DEDUP = f"""WITH aug AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0
+               THEN 'shared promo paragraph call now' || CHR(10) || CHR(10)
+               ELSE '' END)
+         || text ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN CHR(10) || CHR(10) || 'subscribe to our newsletter today'
+               ELSE '' END) AS text
+  FROM documents),
+{curation.sql_dedup_paragraphs("aug")}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text_dedup,
+       CAST(n_paras AS BIGINT) AS n_paras, n_kept
+FROM para_dedup"""
+
+
 def q_doc_strip_boilerplate(spark, sf_dir):
     """Boilerplate line removal (curation.strip_boilerplate): a cookie
     banner and a footer line are planted on doc_id % 4 == 0; lines in
@@ -3641,6 +3679,7 @@ QUERIES = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_domain_cap": q_doc_domain_cap,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_para_dedup": q_doc_para_dedup,
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
@@ -3752,6 +3791,7 @@ ORACLES = {
     "doc_pii_scrub": O_DOC_PII_SCRUB,
     "doc_domain_cap": O_DOC_DOMAIN_CAP,
     "doc_decontaminate": O_DOC_DECONTAMINATE,
+    "doc_para_dedup": O_DOC_PARA_DEDUP,
     "doc_strip_boilerplate": O_DOC_STRIP_BOILERPLATE,
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     "doc_kmv_distinct": _o_kmv(),

@@ -179,6 +179,89 @@ def strip_boilerplate(df: DataFrame, key: str = "doc_id",
                 "\n").alias("text_clean")))
 
 
+def dedup_paragraphs(df: DataFrame, key: str = "doc_id",
+                     text: str = "text", sep: str = "\n\n",
+                     pos_bits: int = 20) -> DataFrame:
+    """Corpus-level paragraph dedup (the RefinedWeb/CCNet granularity
+    between exact-doc dedup and line stripping): each distinct
+    paragraph survives exactly ONCE corpus-wide — at its first
+    occurrence, i.e. the smallest ``(key, position)`` — and every
+    other occurrence (including repeats inside one document) is
+    dropped; the remainder reassembles in original order.
+
+    Requires integer ``key`` values unique per row (the same
+    precondition as with_minhash) and documents shorter than
+    ``2^pos_bits`` paragraphs: the winner is MIN(key << pos_bits |
+    pos), a single-BIGINT composite both engines order identically
+    (mirror: sql_dedup_paragraphs). Docs losing every paragraph stay
+    in the result with ``text_dedup = ''`` (n_kept 0), so attrition is
+    countable downstream.
+
+    Scale shape: one explode, then a groupBy on MD5(paragraph) whose
+    aggregate is a single BIGINT MIN — map-side combine collapses each
+    partition's occurrences before the shuffle, and the paragraph
+    text itself crosses the wire once (inside the kept-join), never in
+    the aggregate. Reassembly is the strip_boilerplate groupBy-per-doc
+    shape."""
+    import re as _re
+
+    paras = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), _re.escape(sep)))
+         .alias("pos", "para"))
+    packed = (F.col(key).cast("long") * F.lit(1 << pos_bits)
+              + F.col("pos"))
+    tagged = paras.withColumn("_h", F.md5(F.col("para"))).withColumn(
+        "_at", packed)
+    win = tagged.groupBy("_h").agg(F.min("_at").alias("_w"))
+    kept = (tagged.join(win, "_h")
+            .filter(F.col("_at") == F.col("_w")))
+    rebuilt = (kept.groupBy(key)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("text_dedup"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = paras.groupBy(key).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (totals.join(rebuilt, key, "left")
+            .select(F.col(key),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept")))
+
+
+def sql_dedup_paragraphs(source: str, key: str = "doc_id",
+                         text: str = "text", sep: str = "\n\n",
+                         pos_bits: int = 20) -> str:
+    """DuckDB mirror of dedup_paragraphs (1-based list positions are
+    shifted to posexplode's 0-based before packing)."""
+    parts = [("CHR(10)" if ch == "\n" else "'" + ch.replace("'", "''") + "'")
+             for ch in sep]
+    sep_sql = "(" + " || ".join(parts) + ")" if parts else "''"
+    return f"""ls AS (SELECT {key}, STRING_SPLIT({text}, {sep_sql}) AS lst
+      FROM {source}),
+e AS (SELECT {key}, lst, UNNEST(RANGE(1, LEN(lst) + 1)) AS pos1 FROM ls),
+paras AS (SELECT {key}, pos1 - 1 AS pos, lst[pos1] AS para FROM e),
+tagged AS (SELECT {key}, pos, para, MD5(para) AS h,
+                  CAST({key} AS BIGINT) * {1 << pos_bits} + pos AS at
+           FROM paras),
+win AS (SELECT h, MIN(at) AS w FROM tagged GROUP BY h),
+kept AS (SELECT t.* FROM tagged t JOIN win ON win.h = t.h AND t.at = win.w),
+rebuilt AS (SELECT {key},
+                   STRING_AGG(para, {sep_sql} ORDER BY pos) AS text_dedup,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY {key}),
+totals AS (SELECT {key}, COUNT(*) AS n_paras FROM paras GROUP BY {key}),
+para_dedup AS (SELECT t.{key},
+       COALESCE(r.text_dedup, '') AS text_dedup,
+       t.n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING ({key}))"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------

@@ -451,3 +451,37 @@ def test_quality_classifier_separates_planted_classes(spark):
     a = sorted((r.doc_id, r.quality_prob) for r in scored.collect())
     b = sorted((r.doc_id, r.quality_prob) for r in again.collect())
     assert a == b
+
+
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    """Cross-doc dup kept only at the smallest (doc, pos); within-doc
+    repeats collapse to the first; a doc of nothing-but-dups rebuilds
+    to '' with n_kept 0; unique paragraphs are untouched."""
+    rows = [
+        (1, "alpha\n\nshared one\n\nshared one"),   # self-repeat too
+        (2, "shared one\n\nbeta"),
+        (3, "shared one"),                          # loses everything
+        (4, "gamma\n\ndelta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.dedup_paragraphs(docs).collect()}
+    assert out[1].text_dedup == "alpha\n\nshared one"
+    assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+    assert out[2].text_dedup == "beta"
+    assert out[3].text_dedup == "" and out[3].n_kept == 0
+    assert out[4].text_dedup == "gamma\n\ndelta" and out[4].n_kept == 2
+
+
+def test_dedup_paragraphs_partition_invariance_and_order(spark):
+    """Winner choice is global (not partition-local) and surviving
+    paragraphs keep original relative order."""
+    rows = [(i, f"u{i}\n\ncommon tail\n\nv{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, curation.dedup_paragraphs(docs).collect()))
+    b = sorted(map(tuple,
+                   curation.dedup_paragraphs(docs.repartition(17)).collect()))
+    assert a == b
+    out = {r.doc_id: r.text_dedup
+           for r in curation.dedup_paragraphs(docs).collect()}
+    assert out[0] == "u0\n\ncommon tail\n\nv0"
+    assert all(out[i] == f"u{i}\n\nv{i}" for i in range(1, 40))
