@@ -2695,6 +2695,43 @@ SELECT side, geom_kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
 GROUP BY side, geom_kind"""
 
 
+def q_events_cooccur(spark, sf_dir):
+    """Spatio-temporal co-occurrence join (events.cooccurrence_join):
+    event pairs within 0.03 deg and 1 hour, coordinates derived
+    deterministically from (user_id, event_id) on the 0.01-degree
+    grid so same-user activity co-locates. The cell-ring x
+    time-bucket composite join must reproduce the oracle's brute-force
+    predicate exactly — including the dist_deg float (same IEEE
+    subtract/multiply/sqrt tree both sides)."""
+    from . import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id", "ts",
+        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
+         + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
+        ((F.col("user_id") * 53 % 800) / 100.0
+         + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+    return ev.cooccurrence_join(pts, radius_deg=0.03, window_s=3600)
+
+
+O_EVENTS_COOCCUR = """WITH p AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0
+           + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0 AS lon,
+         CAST(user_id * 53 % 800 AS DOUBLE) / 100.0
+           + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0 AS lat
+  FROM events)
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       ABS(a.us - b.us) AS dt_us,
+       SQRT((a.lon - b.lon) * (a.lon - b.lon)
+            + (a.lat - b.lat) * (a.lat - b.lat)) AS dist_deg
+FROM p a JOIN p b ON a.event_id < b.event_id
+WHERE ABS(a.us - b.us) <= CAST(3600 AS BIGINT) * 1000000
+  AND (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= 0.03 * 0.03"""
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour event rollup (batch twin of the streaming tile
     rollup); value summed in integer cents for order-independence."""
@@ -3672,6 +3709,7 @@ QUERIES = {
     "fagi_hot_cell_promote": q_hot_cell_promote,
     "fagi_metadata_flatten": q_metadata_flatten,
     "fagi_metadata_chain_keep": q_metadata_chain_keep,
+    "events_cooccur_join": q_events_cooccur,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
@@ -3769,6 +3807,7 @@ ORACLES = {
     "fagi_hot_cell_promote": O_HOT_CELL_PROMOTE,
     "fagi_metadata_flatten": O_METADATA_FLATTEN,
     "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
+    "events_cooccur_join": O_EVENTS_COOCCUR,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,

@@ -157,3 +157,61 @@ def interval_range_join(events: DataFrame, intervals: DataFrame,
     j = ev.join(iv, "_bk")
     return (j.filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
             .drop("_bk"))
+
+
+def cooccurrence_join(events: DataFrame, radius_deg: float, window_s: int,
+                      key: str = "event_id", ts: str = "ts",
+                      lon: str = "lon", lat: str = "lat",
+                      res: int | None = None) -> DataFrame:
+    """Spatio-temporal co-occurrence: all pairs of events within
+    ``radius_deg`` (Euclidean degrees) AND ``window_s`` seconds of
+    each other — who-was-near-whom-when, the join behind co-location
+    mining and contact tracing. Composes the engine's two replication
+    tricks on ONE composite key: the build side replicates to its
+    spatial cell ring (joins.radius_join's shape, cells.explode_ring)
+    x three adjacent time buckets of width ``window_s``, and the
+    probe side joins on its exact (cell, bucket) — so each candidate
+    pair meets exactly once (the probe key is unique per event) and
+    the exact distance + |dt| predicates run JVM-side on candidates,
+    never all pairs.
+
+    Report-once canonicalization: pairs emit with a_id < b_id.
+    Replication cost is (2kx+1)(2ky+1)*3 rows per event with k chosen
+    by cells.ring_k_for_radius — 27x at the default resolution, flat
+    in corpus size; hot cells take the same salting/splitting levers
+    as the radius join. Timestamps compare in exact epoch
+    microseconds (BIGINT); buckets are integer DIV so boundary pairs
+    always fall in adjacent buckets."""
+    from . import cells
+
+    res = res if res is not None else cells.res_for_radius_deg(radius_deg)
+    kx, ky = cells.ring_k_for_radius(radius_deg, res)
+    window_us = int(window_s) * 1_000_000
+    base = (events.select(F.col(key), F.col(lon).alias("_x"),
+                          F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us"))
+            .withColumn("_bk", F.expr(f"_us DIV {window_us}")))
+    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    probe = base.select(F.col(key).alias("a_id"),
+                        F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                        F.col("_us").alias("_aus"),
+                        F.col("cell").alias("probe_cell"),
+                        F.col("_bk").alias("pbk"))
+    build = (cells.explode_ring(base, res, (kx, ky))
+             .withColumn("_dbk", F.explode(F.array(
+                 F.lit(-1), F.lit(0), F.lit(1))))
+             .select(F.col(key).alias("b_id"),
+                     F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                     F.col("_us").alias("_bus"), "probe_cell",
+                     (F.col("_bk") + F.col("_dbk")).alias("pbk")))
+    j = probe.join(build, ["probe_cell", "pbk"])
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    dd2 = dx * dx + dy * dy
+    dtus = F.abs(F.col("_aus") - F.col("_bus"))
+    return (j.filter((F.col("a_id") < F.col("b_id"))
+                     & (dtus <= F.lit(window_us))
+                     & (dd2 <= F.lit(radius_deg) * F.lit(radius_deg)))
+             .select("a_id", "b_id", dtus.alias("dt_us"),
+                     F.sqrt(dd2).alias("dist_deg")))

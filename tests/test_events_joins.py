@@ -68,3 +68,37 @@ def test_interval_range_join_buckets_and_edges(spark):
     # and 2 hit both intervals; event 4 matches nothing; no dup pairs
     # even though interval 0 spans two buckets
     assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 1)]
+
+
+def test_cooccurrence_join_bruteforce_parity(spark):
+    """Cell-ring x time-bucket candidates == naive all-pairs filter on
+    a random cloud, including pairs exactly AT the radius/window
+    boundary and across bucket boundaries."""
+    import datetime
+    import itertools
+
+    n = 120
+    rows = []
+    for i in range(n):
+        lon = ((i * 131) % 500) / 100.0
+        lat = ((i * 257) % 300) / 100.0
+        t = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=(i * 977) % 36000)
+        rows.append((i, t, lon, lat))
+    # planted boundary pair: exactly radius apart, exactly window apart
+    rows.append((1000, datetime.datetime(2024, 1, 2), 9.0, 9.0))
+    rows.append((1001, datetime.datetime(2024, 1, 2, 0, 10), 9.03, 9.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double")
+    got = sorted((r.a_id, r.b_id) for r in
+                 ev.cooccurrence_join(df, 0.03, 600).collect())
+    want = []
+    for (ia, ta, xa, ya), (ib, tb, xb, yb) in itertools.combinations(rows, 2):
+        a, b = ((ia, ta, xa, ya), (ib, tb, xb, yb))
+        if ia > ib:
+            a, b = b, a
+        dd2 = (a[2] - b[2]) ** 2 + (a[3] - b[3]) ** 2
+        if dd2 <= 0.03 * 0.03 and abs((a[1] - b[1]).total_seconds()) <= 600:
+            want.append((a[0], b[0]))
+    assert got == sorted(want)
+    assert (1000, 1001) in got  # the exact-boundary pair survives
