@@ -3625,6 +3625,25 @@ def _o_bm25():
     return retrieval.sql_bm25_topk(_BM25_TERMS, k=20)
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (retrieval.doc_keywords):
+    the tagging twin of BM25 retrieval — WindowGroupLimit top-k per
+    doc over the rational-idf score, term string as the total-order
+    tie-break. Score float value-compared."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval.doc_keywords(docs, k=5)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "rank", "term", "tf", "df", "score")
+
+
+def _o_doc_keywords():
+    from . import retrieval
+    return (f"WITH {retrieval.sql_doc_keywords('documents', k=5)}\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, rank, term, tf, df, "
+            "score FROM keywords")
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -3736,6 +3755,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_keywords": q_doc_keywords,
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_collocations": q_doc_collocations,
     "fagi_zorder_index": q_zorder_index,
@@ -3847,6 +3867,7 @@ ORACLES = {
     "events_asof_join": O_EVENTS_ASOF_JOIN,
     "events_range_join": O_EVENTS_RANGE_JOIN,
     "doc_bm25_topk": _o_bm25(),
+    "doc_keywords": _o_doc_keywords(),
     "doc_heavy_tokens": _o_cms(),
     "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),

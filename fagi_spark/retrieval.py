@@ -168,3 +168,67 @@ FROM (
   FROM per_doc CROSS JOIN stats
   WHERE {hit}
 ) ORDER BY score DESC, {key} ASC LIMIT {k}"""
+
+
+def doc_keywords(docs: DataFrame, k: int = 5,
+                 key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the tagging/indexing
+    twin of ``bm25_topk`` (there: few terms, rank docs; here: every
+    doc, rank its own terms). Same log-free rational idf
+    ``(N - df + 0.5) / (df + 0.5)`` so the score is value-exact in
+    ANSI SQL (sql_doc_keywords).
+
+    Returns (key, rank, term, tf, df, score), rank 1..k per document,
+    ordered by score DESC with the term string as the deterministic
+    tie-break (every (doc, term) pair is unique, so the order is
+    total).
+
+    Scale shape: one explode + one groupBy(key, term) with map-side
+    combine gives tf; df reduces the SAME frame by term (each row is
+    already a distinct (doc, term)); N is a one-row broadcast. The
+    per-doc top-k is row_number <= k, which Spark plans as
+    WindowGroupLimit — only k winners per doc per partition reach the
+    shuffle, never the full vocabulary of a document."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(key),
+        F.explode(F.split(F.coalesce(F.col(text), F.lit("")), " "))
+         .alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n))
+              .withColumn(
+                  "score",
+                  F.col("tf").cast("double")
+                  * ((F.col("n").cast("double") - F.col("df").cast("double")
+                      + F.lit(0.5))
+                     / (F.col("df").cast("double") + F.lit(0.5)))))
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(key), F.col("rank").cast("long").alias("rank"),
+                    "term", "tf", "df", "score"))
+
+
+def sql_doc_keywords(source: str, k: int = 5, key: str = "doc_id",
+                     text: str = "text") -> str:
+    """DuckDB mirror of doc_keywords; emits a ``keywords`` CTE."""
+    return f"""toks AS (
+  SELECT {key}, UNNEST(STRING_SPLIT(COALESCE({text}, ''), ' ')) AS term
+  FROM {source}),
+tf AS (SELECT {key}, term, COUNT(*) AS tf FROM toks GROUP BY {key}, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(*) AS n FROM {source}),
+scored AS (
+  SELECT tf.{key}, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE)
+         * ((CAST(n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nn),
+keywords AS (
+  SELECT {key}, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}
+                  ORDER BY score DESC, term) AS rnk FROM scored)
+  WHERE rnk <= {k})"""

@@ -73,3 +73,26 @@ def test_bm25_requires_terms(docs):
     df, _ = docs
     with pytest.raises(ValueError):
         retrieval.bm25_topk(df, [])
+
+
+def test_doc_keywords_ranking_and_values(spark):
+    """Hand-checkable corpus: rarer terms outrank common ones; tf
+    scales the score; ties break on the term string; k caps rows."""
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "common cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.doc_keywords(docs, k=2)
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+           for r in out.collect()}
+    # N=3; idf: df=1 -> 2.5/1.5, df=2 -> 1.5/2.5, df=3 -> 0.5/3.5
+    idf1, idf2 = (3 - 1 + 0.5) / 1.5, (3 - 2 + 0.5) / 2.5
+    assert got[(1, 1)] == ("apple", 2, 1, 2 * idf1)
+    assert got[(1, 2)] == ("banana", 1, 2, idf2)
+    # doc 2: banana and cherry tie (both df=2, tf=1) -> term order
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert all(rank <= 2 for (_, rank) in got)
+    # every doc contributes exactly k rows (vocab >= k here)
+    assert len(got) == 6
