@@ -353,3 +353,67 @@ dbscan AS (SELECT p.k, {cell('p.ix', 'p.iy')} AS cell,
        FROM pts p
        LEFT JOIN comp c ON c.cell = {cell('p.ix', 'p.iy')}
        LEFT JOIN bl b ON b.cell = {cell('p.ix', 'p.iy')})"""
+
+
+def dbscan_cluster_summary(labels: DataFrame, res: int) -> DataFrame:
+    """Per-cluster rollup of ``grid_dbscan`` output (noise excluded):
+    member/core/border counts, occupied-cell count, and the exact
+    bbox of the cluster's cells in degrees — the summary table a map
+    UI or a downstream conflation join consumes instead of 10^9 raw
+    member rows. One groupBy(cluster) with map-side combine; bbox
+    corners are dyadic-exact (power-of-two divisions of 360/180, the
+    with_cell_bounds convention), so the whole row is value-exact
+    (mirror: sql_dbscan_summary)."""
+    from . import cells
+
+    w = cells.cell_width_deg(res)
+    h = cells.cell_height_deg(res)
+    lab = (labels.filter(F.col("cluster") >= 0)
+           .withColumn("ix", cells.unpack_ix(F.col("cell"), res))
+           .withColumn("iy", cells.unpack_iy(F.col("cell"), res)))
+    return (lab.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+                  .cast("long").alias("n_core"),
+                 F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+                  .cast("long").alias("n_border"),
+                 F.count_distinct("cell").alias("n_cells"),
+                 F.min("ix").alias("_ix0"), F.max("ix").alias("_ix1"),
+                 F.min("iy").alias("_iy0"), F.max("iy").alias("_iy1"))
+            .select("cluster", "n_points", "n_core", "n_border", "n_cells",
+                    (F.lit(-180.0) + F.col("_ix0") * F.lit(w)).alias("x0"),
+                    (F.lit(-90.0) + F.col("_iy0") * F.lit(h)).alias("y0"),
+                    (F.lit(-180.0) + (F.col("_ix1") + 1) * F.lit(w))
+                     .alias("x1"),
+                    (F.lit(-90.0) + (F.col("_iy1") + 1) * F.lit(h))
+                     .alias("y1")))
+
+
+def sql_dbscan_summary(res: int) -> str:
+    """DuckDB mirror of dbscan_cluster_summary over the ``dbscan`` CTE
+    emitted by sql_grid_dbscan (integer unpack, dyadic bbox)."""
+    from . import cells
+
+    n = 1 << res
+    base = f"CAST({res} AS BIGINT) * {1 << cells._RES_SHIFT}"
+    # e0 exponents force DOUBLE typing in DuckDB (bare decimal
+    # literals become DECIMAL and the bbox would compare as 30.000)
+    w = repr(cells.cell_width_deg(res)) + "e0"
+    h = repr(cells.cell_height_deg(res)) + "e0"
+    return f"""lab AS (SELECT cluster, role, cell,
+              (cell - {base}) // {n} AS ix,
+              (cell - {base}) % {n} AS iy
+       FROM dbscan WHERE cluster >= 0),
+summary AS (
+  SELECT cluster,
+         COUNT(*) AS n_points,
+         CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+         CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_border,
+         COUNT(DISTINCT cell) AS n_cells,
+         -180.0e0 + MIN(ix) * {w} AS x0,
+         -90.0e0 + MIN(iy) * {h} AS y0,
+         -180.0e0 + (MAX(ix) + 1) * {w} AS x1,
+         -90.0e0 + (MAX(iy) + 1) * {h} AS y1
+  FROM lab GROUP BY cluster)"""

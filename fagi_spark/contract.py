@@ -674,6 +674,35 @@ SELECT k AS subject, cell, cluster, role FROM dbscan"""
 O_GRID_DBSCAN = _o_grid_dbscan()
 
 
+def q_dbscan_summary(spark, sf_dir):
+    """Per-cluster DBSCAN summary (cluster.dbscan_cluster_summary):
+    member/core/border/cell counts plus the dyadic-exact degree bbox —
+    the cluster table a map consumes. Same fixture as
+    fagi_grid_dbscan (res 6, min_pts 7 -> 20 clusters)."""
+    from . import cluster
+
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select("subject", F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    lab = cluster.grid_dbscan(a, res=6, min_pts=7)
+    return cluster.dbscan_cluster_summary(lab, res=6)
+
+
+def _o_dbscan_summary() -> str:
+    from . import cluster
+
+    body = cluster.sql_grid_dbscan(
+        "subject", "CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+        "FROM geo_a WHERE kind = 'POINT'", res=6, min_pts=7)
+    return f"""WITH RECURSIVE {GEO_A_CTE},
+{body},
+{cluster.sql_dbscan_summary(res=6)}
+SELECT * FROM summary"""
+
+
+O_DBSCAN_SUMMARY = _o_dbscan_summary()
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
     points — per-cell counts at every zoom level, coarser levels
@@ -3675,6 +3704,7 @@ QUERIES = {
     "fagi_density_surface": q_density_surface,
     "fagi_hotspots": q_hotspots,
     "fagi_grid_dbscan": q_grid_dbscan,
+    "fagi_dbscan_summary": q_dbscan_summary,
     "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
@@ -3792,6 +3822,7 @@ ORACLES = {
     "fagi_density_surface": O_DENSITY_SURFACE,
     "fagi_hotspots": O_HOTSPOTS,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
+    "fagi_dbscan_summary": O_DBSCAN_SUMMARY,
     "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,

@@ -464,3 +464,31 @@ def test_grid_dbscan_cell_consistency_and_partition_invariance(spark):
         assert (r.role == "core") == (counts[r.cell] >= 3)
     again = cluster.grid_dbscan(pts.repartition(13), 6, 3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_dbscan_cluster_summary(spark):
+    """Summary of the hand fixture: one cluster, 9 core + 1 border in
+    4 cells; bbox spans the core run plus the diagonal border cell."""
+    from fagi_spark import cells
+
+    res, min_pts = 6, 3
+    w = cells.cell_width_deg(res)
+    h = cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+    rows = []
+    for j in range(3):
+        rows += [(f"c{j}_{i}", lon0 + j * w, lat0) for i in range(3)]
+    rows.append(("b0", lon0 + 3 * w, lat0 + h))
+    rows.append(("n0", lon0 + 40 * w, lat0 - 30 * h))
+    pts = spark.createDataFrame(rows, "subject string, lon double, lat double")
+    lab = cluster.grid_dbscan(pts, res, min_pts)
+    out = cluster.dbscan_cluster_summary(lab, res).collect()
+    assert len(out) == 1  # noise excluded
+    s = out[0]
+    assert (s.n_points, s.n_core, s.n_border, s.n_cells) == (10, 9, 1, 4)
+    ix0 = int((lon0 + 180.0) / 360.0 * (1 << res))
+    iy0 = int((lat0 + 90.0) / 180.0 * (1 << res))
+    assert s.x0 == -180.0 + ix0 * w
+    assert s.x1 == -180.0 + (ix0 + 4) * w
+    assert s.y0 == -90.0 + iy0 * h
+    assert s.y1 == -90.0 + (iy0 + 2) * h
