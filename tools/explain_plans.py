@@ -478,6 +478,44 @@ def main():
         f"(verified structurally: agg@{agg_above} < generate@{gen} < "
         f"agg@{agg_below}).")
 
+    # spatio-temporal co-occurrence: the ring x bucket replication
+    # (three Generate nodes: ring dx, ring dy, bucket offsets) must
+    # all sit under the BUILD side of the join — the probe side scans
+    # once unexploded, so candidate volume is 27x one side, not both.
+    from fagi_spark import events as evmod
+    ev_pts = cust.select(
+        F.col("c_custkey").alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("c_custkey") * 137
+                            % 2592000).alias("ts"),
+        ((F.col("c_custkey") * 37 % 1600) / 100.0 - 8.0).alias("lon"),
+        ((F.col("c_custkey") * 53 % 800) / 100.0).alias("lat"))
+    co_plan = evmod.cooccurrence_join(ev_pts, 0.03, 3600)
+    co_text = plan_text(co_plan)
+    join_pos = max(co_text.find("BroadcastHashJoin"),
+                   co_text.find("SortMergeJoin"))
+    gens = [m.start() for m in _re.finditer(r"\bGenerate\b", co_text)]
+    # formatted explain prints the numbered-tree summary first: every
+    # Generate index there must be greater than the join node's index
+    # (children print below their parent on the build branch)
+    if join_pos < 0 or len(gens) < 3:
+        raise SystemExit("cooccurrence structural check failed: "
+                         f"join@{join_pos}, generates={len(gens)}")
+    tree_end = co_text.find("(1) Scan")
+    tree_gens = [g for g in gens if g < tree_end]
+    if any(g < join_pos for g in tree_gens):
+        raise SystemExit(
+            "cooccurrence structural check failed: a Generate sits "
+            "above/probe-side of the join — probe must stay unexploded")
+    add("cooccurrence_join (spatio-temporal pairs)", co_plan, [],
+        "cell-ring x adjacent-time-bucket replication on ONE composite "
+        "key: all three Generate nodes (ring dx, ring dy, bucket "
+        "offset) sit strictly under the build side of the join while "
+        "the probe scans once unexploded — structurally enforced "
+        "(every Generate index in the plan tree is below the join "
+        "node). Exact |dt| and distance predicates are JVM filters on "
+        "candidates; each pair meets exactly once so there is no "
+        "post-join dedup shuffle.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
