@@ -1766,6 +1766,35 @@ FROM r WHERE rn <= {k}"""
 O_ANN_LSH_TOPK = _o_lsh_topk()
 
 
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (vector.lsh_multiprobe_topk): queries probe
+    their bucket plus every Hamming-1 bucket. Same deterministic
+    hyperplanes as ann_lsh_topk, so the probe expansion, candidate
+    set, and re-ranked scores all mirror into SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = vector.lsh_multiprobe_topk(q, emb, k=5, dim=64, n_planes=4)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+def _o_lsh_multiprobe(dim: int = 64, n_planes: int = 4, k: int = 5,
+                      seed: int = 7) -> str:
+    base = _o_lsh_topk(dim, n_planes, k, seed)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})"
+                                     for p in range(n_planes)])
+    old = ("q AS (SELECT vec_id AS query_id, embedding AS qv, bucket "
+           "FROM e WHERE vec_id < 5),")
+    new = (f"q AS (SELECT vec_id AS query_id, embedding AS qv, "
+           f"UNNEST([{probes}]) AS bucket FROM e WHERE vec_id < 5),")
+    assert old in base
+    return base.replace(old, new)
+
+
+O_ANN_LSH_MULTIPROBE = _o_lsh_multiprobe()
+
+
 _IVF_FIXED_CENTROIDS = [vector._hyperplane(64, j, seed=11) for j in range(4)]
 
 
@@ -3732,6 +3761,7 @@ QUERIES = {
     "doc_neardup_keep": q_neardup_keep,
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
+    "ann_lsh_multiprobe": q_lsh_multiprobe,
     "fagi_discover_links": q_discover_links,
     "fagi_discover_candidates": q_discover_candidates,
     "fagi_cluster_features": q_cluster_features,
@@ -3872,6 +3902,7 @@ ORACLES = {
     "doc_neardup_keep": O_NEARDUP_KEEP,
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
+    "ann_lsh_multiprobe": O_ANN_LSH_MULTIPROBE,
     "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,
     "fagi_discover_candidates": O_DISCOVER_CANDIDATES,
     "fagi_discover_links": O_DISCOVER_LINKS,

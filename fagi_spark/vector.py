@@ -286,6 +286,37 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     return _rerank_topk(pairs, k)
 
 
+def lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                        dim: int, n_planes: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        seed: int = 7) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007, the Hamming-1 probe
+    sequence): each query probes its OWN bucket plus the ``n_planes``
+    buckets with one sign bit flipped — the near-miss buckets a point
+    close to a hyperplane most likely fell into. Recall rises steeply
+    for (n_planes + 1)x candidate cost on the QUERY side only; the
+    corpus is never replicated, stays one bucket per vector, and the
+    same index serves single- and multi-probe queries.
+
+    Probe buckets are distinct per query (distinct XOR bits), so each
+    candidate pair meets at most once — no post-join dedup. Exact
+    re-rank tail shared with every other ANN path (_rerank_topk)."""
+    q = (with_lsh_bucket(queries, dim, n_planes, vec_col, seed)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("q_vec"),
+                 F.explode(F.array(
+                     F.col("lsh_bucket"),
+                     *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << p))
+                       for p in range(n_planes)])).alias("lsh_bucket")))
+    c = with_lsh_bucket(corpus, dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        "lsh_bucket")
+    pairs = q.join(c, "lsh_bucket").filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    return _rerank_topk(pairs, k)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (fixed codebooks) — IVF-PQ, the workhorse ANN
 # layout at warehouse scale: each vector is stored as m small codes

@@ -554,3 +554,25 @@ def test_collocations_planted_ground_truth(spark):
     # every pair meeting min_pair is present (topk not binding here)
     expect = {p for p, c in pairs.items() if c >= 2}
     assert set(out) == expect
+
+
+def test_lsh_multiprobe_recall_dominates_single(spark, emb, exact_topk):
+    """Hamming-1 probing can only ADD candidates: multiprobe recall
+    >= single-probe recall at identical planes, and every multiprobe
+    hit carries the exact re-ranked score."""
+    q = emb.filter(F.col("vec_id") < 10)
+    single = vector.lsh_topk(q, emb, k=5, dim=64, n_planes=4)
+    multi = vector.lsh_multiprobe_topk(q, emb, k=5, dim=64, n_planes=4)
+    ex = exact_topk.collect()
+    r1 = _recall(single.collect(), ex)
+    rm = _recall(multi.collect(), ex)
+    assert rm >= r1
+    # candidate supersets: every single-probe (q, n) pair also appears
+    # in the multiprobe result or was outranked by a better candidate
+    sing_pairs = {(r["query_id"], r["neighbor_id"], r["score"])
+                  for r in single.collect()}
+    multi_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+                    for r in multi.collect()}
+    for qid, nid, sc in sing_pairs:
+        if (qid, nid) in multi_scores:
+            assert multi_scores[(qid, nid)] == sc
