@@ -1795,6 +1795,54 @@ def _o_lsh_multiprobe(dim: int = 64, n_planes: int = 4, k: int = 5,
 O_ANN_LSH_MULTIPROBE = _o_lsh_multiprobe()
 
 
+def q_ann_recall(spark, sf_dir):
+    """In-engine ANN evaluation (vector.recall_report): recall@5 of
+    the single-probe LSH path against exact brute force, per query —
+    the measure-don't-guess operator. The recall float is a ratio of
+    small integers, exact on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = vector.lsh_topk(q, emb, k=5, dim=64, n_planes=4)
+    exact = vector.brute_force_topk(q, emb, k=5)
+    return (vector.recall_report(approx, exact)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    "n_exact", "n_hit", "recall"))
+
+
+def _o_ann_recall() -> str:
+    lsh = _o_lsh_topk()
+    cut = lsh.rindex("\nSELECT CAST(query_id")
+    assert lsh[:4] == "WITH"
+    head = lsh[:cut]  # WITH e..., q..., p..., r AS (...)
+    return f"""{head},
+bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id < 5),
+bp AS (
+  SELECT bq.query_id, e2.vec_id AS neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(bq.qv AS DOUBLE[]),
+                                          CAST(e2.embedding AS DOUBLE[])),
+                                 x -> x[1] * x[2])) AS score
+  FROM bq, embeddings e2 WHERE e2.vec_id <> bq.query_id),
+br AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM bp),
+exact AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5),
+approx AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+hits AS (SELECT query_id, COUNT(*) AS n_hit
+         FROM exact JOIN approx USING (query_id, neighbor_id)
+         GROUP BY query_id),
+perq AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_exact,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+FROM perq LEFT JOIN hits USING (query_id)"""
+
+
+O_ANN_RECALL = _o_ann_recall()
+
+
 _IVF_FIXED_CENTROIDS = [vector._hyperplane(64, j, seed=11) for j in range(4)]
 
 
@@ -3762,6 +3810,7 @@ QUERIES = {
     "doc_simhash": q_simhash,
     "ann_lsh_topk": q_lsh_topk,
     "ann_lsh_multiprobe": q_lsh_multiprobe,
+    "ann_recall_report": q_ann_recall,
     "fagi_discover_links": q_discover_links,
     "fagi_discover_candidates": q_discover_candidates,
     "fagi_cluster_features": q_cluster_features,
@@ -3903,6 +3952,7 @@ ORACLES = {
     "doc_simhash": O_SIMHASH,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ann_lsh_multiprobe": O_ANN_LSH_MULTIPROBE,
+    "ann_recall_report": O_ANN_RECALL,
     "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,
     "fagi_discover_candidates": O_DISCOVER_CANDIDATES,
     "fagi_discover_links": O_DISCOVER_LINKS,

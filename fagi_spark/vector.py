@@ -286,6 +286,26 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     return _rerank_topk(pairs, k)
 
 
+def recall_report(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one —
+    evaluation as a first-class engine operator ("measure, don't
+    guess"): one row per query (query_id, n_exact, n_hit, recall) plus
+    the inner join that computes it is a broadcast-size equi-join on
+    (query_id, neighbor_id). ``recall`` is n_hit/n_exact — a ratio of
+    small integers, exact on any IEEE engine. Feed it lsh_topk vs
+    brute_force_topk to pick n_planes from data, not folklore."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hits = (ex.join(ap, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    per_q = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                    (F.coalesce("n_hit", F.lit(0)).cast("double")
+                     / F.col("n_exact").cast("double")).alias("recall")))
+
+
 def lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                         dim: int, n_planes: int = 8,
                         id_col: str = "vec_id",

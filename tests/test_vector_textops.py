@@ -576,3 +576,23 @@ def test_lsh_multiprobe_recall_dominates_single(spark, emb, exact_topk):
     for qid, nid, sc in sing_pairs:
         if (qid, nid) in multi_scores:
             assert multi_scores[(qid, nid)] == sc
+
+
+def test_recall_report_values(spark, emb, exact_topk):
+    """recall_report is consistent with the _recall helper, covers
+    every query, and multiprobe recall >= single-probe per the report."""
+    q = emb.filter(F.col("vec_id") < 10)
+    single = vector.lsh_topk(q, emb, k=5, dim=64, n_planes=4)
+    rep = {r.query_id: r for r in
+           vector.recall_report(single, exact_topk).collect()}
+    assert set(rep) == {r["query_id"] for r in exact_topk.collect()}
+    for r in rep.values():
+        assert r.recall == r.n_hit / r.n_exact
+        assert 0.0 <= r.recall <= 1.0
+    overall = sum(r.n_hit for r in rep.values()) / sum(
+        r.n_exact for r in rep.values())
+    assert overall == _recall(single.collect(), exact_topk.collect())
+    multi = vector.lsh_multiprobe_topk(q, emb, k=5, dim=64, n_planes=4)
+    rep_m = {r.query_id: r for r in
+             vector.recall_report(multi, exact_topk).collect()}
+    assert all(rep_m[k].recall >= rep[k].recall for k in rep)
