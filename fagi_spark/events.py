@@ -159,6 +159,21 @@ def interval_range_join(events: DataFrame, intervals: DataFrame,
             .drop("_bk"))
 
 
+def _st_keys(events: DataFrame, res: int, window_us: int, key: str,
+             ts: str, lon: str, lat: str) -> DataFrame:
+    """Shared spatio-temporal key projection: (key, _x, _y, _us, ix,
+    iy, cell, _bk) — exact epoch micros, integer DIV bucket, grid cell
+    at ``res``."""
+    from . import cells
+
+    base = (events.select(F.col(key), F.col(lon).alias("_x"),
+                          F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us"))
+            .withColumn("_bk", F.expr(f"_us DIV {window_us}")))
+    return cells.with_cell(base, res, lon="_x", lat="_y")
+
+
 def cooccurrence_join(events: DataFrame, radius_deg: float, window_s: int,
                       key: str = "event_id", ts: str = "ts",
                       lon: str = "lon", lat: str = "lat",
@@ -187,12 +202,7 @@ def cooccurrence_join(events: DataFrame, radius_deg: float, window_s: int,
     res = res if res is not None else cells.res_for_radius_deg(radius_deg)
     kx, ky = cells.ring_k_for_radius(radius_deg, res)
     window_us = int(window_s) * 1_000_000
-    base = (events.select(F.col(key), F.col(lon).alias("_x"),
-                          F.col(lat).alias("_y"),
-                          F.unix_micros(F.col(ts).cast("timestamp"))
-                           .alias("_us"))
-            .withColumn("_bk", F.expr(f"_us DIV {window_us}")))
-    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    base = _st_keys(events, res, window_us, key, ts, lon, lat)
     probe = base.select(F.col(key).alias("a_id"),
                         F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
                         F.col("_us").alias("_aus"),
@@ -215,3 +225,69 @@ def cooccurrence_join(events: DataFrame, radius_deg: float, window_s: int,
                      & (dd2 <= F.lit(radius_deg) * F.lit(radius_deg)))
              .select("a_id", "b_id", dtus.alias("dt_us"),
                      F.sqrt(dd2).alias("dist_deg")))
+
+
+def cooccur_index(events: DataFrame, radius_deg: float, window_s: int,
+                  key: str = "event_id", ts: str = "ts",
+                  lon: str = "lon", lat: str = "lat",
+                  res: int | None = None) -> DataFrame:
+    """Exact-key index rows for INCREMENTAL co-occurrence: one row per
+    event — (id, x, y, us, cell, bk), never replicated. The historical
+    log is indexed once at ingest; only each day's increment pays the
+    27x probe replication (cooccur_probe). Parameters must match the
+    probe's (same res/window derivation)."""
+    from . import cells
+
+    res = res if res is not None else cells.res_for_radius_deg(radius_deg)
+    window_us = int(window_s) * 1_000_000
+    return (_st_keys(events, res, window_us, key, ts, lon, lat)
+            .select(F.col(key).alias("id"), F.col("_x").alias("x"),
+                    F.col("_y").alias("y"), F.col("_us").alias("us"),
+                    "cell", F.col("_bk").alias("bk")))
+
+
+def cooccur_probe(new_events: DataFrame, index: DataFrame,
+                  radius_deg: float, window_s: int,
+                  key: str = "event_id", ts: str = "ts",
+                  lon: str = "lon", lat: str = "lat",
+                  res: int | None = None) -> DataFrame:
+    """Probe an increment of events against a persistent cooccur_index
+    (which should already include THIS batch's own rows, so new-new
+    pairs surface too): the incremental-maintenance twin of
+    ``cooccurrence_join`` — the replication runs on the INCREMENT
+    only; the historical index is equi-joined on its exact (cell, bk)
+    and never re-scanned ringwise.
+
+    A pair (earlier, later) is found when its LATER member probes, so
+    the union of per-batch probe outputs over any batch split equals
+    the full-corpus cooccurrence_join (tested in
+    test_multimodal_streaming). Output is canonicalized to
+    a_id < b_id; the dropDuplicates collapses the double sighting of
+    within-batch pairs (both members probe) and makes a retried batch
+    idempotent against its own half-committed index increment."""
+    from . import cells
+
+    res = res if res is not None else cells.res_for_radius_deg(radius_deg)
+    kx, ky = cells.ring_k_for_radius(radius_deg, res)
+    window_us = int(window_s) * 1_000_000
+    base = _st_keys(new_events, res, window_us, key, ts, lon, lat)
+    probe = (cells.explode_ring(base, res, (kx, ky))
+             .withColumn("_dbk", F.explode(F.array(
+                 F.lit(-1), F.lit(0), F.lit(1))))
+             .select(F.col(key).alias("p_id"),
+                     F.col("_x").alias("_px"), F.col("_y").alias("_py"),
+                     F.col("_us").alias("_pus"),
+                     F.col("probe_cell").alias("cell"),
+                     (F.col("_bk") + F.col("_dbk")).alias("bk")))
+    j = probe.join(index, ["cell", "bk"])
+    dx = F.col("_px") - F.col("x")
+    dy = F.col("_py") - F.col("y")
+    dd2 = dx * dx + dy * dy
+    dtus = F.abs(F.col("_pus") - F.col("us"))
+    hit = j.filter((F.col("p_id") != F.col("id"))
+                   & (dtus <= F.lit(window_us))
+                   & (dd2 <= F.lit(radius_deg) * F.lit(radius_deg)))
+    return (hit.select(F.least("p_id", "id").alias("a_id"),
+                       F.greatest("p_id", "id").alias("b_id"),
+                       dtus.alias("dt_us"), F.sqrt(dd2).alias("dist_deg"))
+            .dropDuplicates(["a_id", "b_id"]))

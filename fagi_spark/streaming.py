@@ -403,3 +403,51 @@ def curate_stream(pages: DataFrame, rates=None) -> DataFrame:
             .filter(F.col("keep")))
     return curation.stratified_sample(filt, rates or {"en": 0.5, "de": 0.8},
                                       default_rate=1.0, key="url")
+
+
+def cooccur_stream(events: DataFrame, index_path: str, pairs_path: str,
+                   checkpoint: str, radius_deg: float, window_s: int,
+                   key: str = "event_id", ts: str = "ts",
+                   lon: str = "lon", lat: str = "lat"):
+    """Streaming co-occurrence MAINTENANCE: the spatio-temporal pair
+    join (events.cooccurrence_join) as an incremental job — each
+    micro-batch of events is key-projected ONCE (events.cooccur_index),
+    appended to the persistent exact-key index, and probed ring x
+    bucket against index+increment (events.cooccur_probe). A 100 TB
+    event log is never re-joined for a daily increment; the union of
+    per-batch pair outputs equals the full-corpus batch join because
+    any pair surfaces when its LATER member arrives (tested).
+
+    Exactly-once: the idempotent overwrite-per-batch_id pattern
+    neardup_stream uses; a retried batch re-probing an index that
+    already holds its own rows only re-derives canonical pairs the
+    probe's dropDuplicates collapses. Returns the started availableNow
+    query."""
+    from . import events as evmod
+
+    spark = events.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = evmod.cooccur_index(batch_df, radius_deg, window_s,
+                                   key, ts, lon, lat)
+        rows = rows.persist()
+        rows.count()
+        try:
+            try:
+                hist = (spark.read.parquet(index_path)
+                        .select("id", "x", "y", "us", "cell", "bk"))
+            except Exception:
+                hist = rows.limit(0)  # first batch: empty index
+            pairs = evmod.cooccur_probe(
+                batch_df, hist.unionByName(rows), radius_deg, window_s,
+                key, ts, lon, lat)
+            (pairs.write.mode("overwrite")
+             .parquet(f"{pairs_path}/batch_id={batch_id}"))
+            (rows.write.mode("overwrite")
+             .parquet(f"{index_path}/batch_id={batch_id}"))
+        finally:
+            rows.unpersist()
+
+    return (events.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -532,3 +532,54 @@ def test_neardup_stream_union_equals_full_candidates(spark, tmp_path):
     idx = spark.read.parquet(idx_path)
     assert idx.select("doc_id").distinct().count() == 6
     assert idx.count() == 6 * 8  # bands rows per doc, exactly once
+
+
+def test_cooccur_stream_union_equals_batch_join(spark, tmp_path):
+    """Streaming co-occurrence maintenance: events arrive in two
+    micro-batches; the union of per-batch probe outputs equals the
+    full-corpus batch cooccurrence_join — cross-batch pairs via the
+    index probe, within-batch pairs via new-new — and the persistent
+    index holds one exact-key row per event."""
+    import datetime
+
+    from fagi_spark import events as evmod
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(i, sec, lon, lat):
+        return (i, t0 + datetime.timedelta(seconds=sec), lon, lat)
+
+    # batch1: a close-in-space-and-time pair (1,2); 3 far in space
+    batch1 = [e(1, 0, 10.0, 20.0), e(2, 100, 10.01, 20.0),
+              e(3, 50, 40.0, -30.0)]
+    # batch2: 10 pairs with 1 and 2 across batches (near both);
+    # 11 near 3 in space but not in time; 12 pairs with 10 in-batch
+    batch2 = [e(10, 200, 10.005, 20.005), e(11, 90000, 40.0, -30.01),
+              e(12, 450, 10.02, 20.01)]
+    schema = "event_id long, ts timestamp, lon double, lat double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    ev_stream = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+    idx_path = str(tmp_path / "cidx")
+    pairs_path = str(tmp_path / "cpairs")
+    q = streaming.cooccur_stream(ev_stream, idx_path, pairs_path,
+                                 str(tmp_path / "cck"),
+                                 radius_deg=0.03, window_s=600)
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(pairs_path)
+                 .select("a_id", "b_id", "dt_us", "dist_deg").collect()))
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(map(tuple,
+                      evmod.cooccurrence_join(full, 0.03, 600).collect()))
+    assert got == want
+    pair_ids = {(a, b) for a, b, _, _ in got}
+    assert (1, 10) in pair_ids and (2, 10) in pair_ids  # cross-batch
+    assert (10, 12) in pair_ids                          # within-batch
+    assert (3, 11) not in pair_ids                       # time excludes
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == 6 and idx.select("id").distinct().count() == 6
