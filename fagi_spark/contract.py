@@ -2838,6 +2838,45 @@ WHERE ABS(a.us - b.us) <= CAST(3600 AS BIGINT) * 1000000
       + (a.lat - b.lat) * (a.lat - b.lat) <= 0.03 * 0.03"""
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix (events.od_flows): per-user
+    consecutive events at res 6, stays excluded. The lag window
+    orders by (epoch micros, event_id) — a total order mirrored
+    literally by the oracle's LAG."""
+    from . import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id", "ts", "user_id",
+        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
+         + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
+        ((F.col("user_id") * 53 % 800) / 100.0
+         + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+    return ev.od_flows(pts, res=6)
+
+
+def _o_od_flows(res: int = 6) -> str:
+    lon = ("CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0"
+           " + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0")
+    lat = ("CAST(user_id * 53 % 800 AS DOUBLE) / 100.0"
+           " + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0")
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+m AS (SELECT user_id, cell AS to_cell,
+             LAG(cell) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS from_cell
+      FROM p)
+SELECT from_cell, to_cell, COUNT(*) AS n_moves,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM m WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+GROUP BY from_cell, to_cell"""
+
+
+O_OD_FLOWS = _o_od_flows()
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour event rollup (batch twin of the streaming tile
     rollup); value summed in integer cents for order-independence."""
@@ -3838,6 +3877,7 @@ QUERIES = {
     "fagi_metadata_flatten": q_metadata_flatten,
     "fagi_metadata_chain_keep": q_metadata_chain_keep,
     "events_cooccur_join": q_events_cooccur,
+    "events_od_flows": q_od_flows,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
@@ -3938,6 +3978,7 @@ ORACLES = {
     "fagi_metadata_flatten": O_METADATA_FLATTEN,
     "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
     "events_cooccur_join": O_EVENTS_COOCCUR,
+    "events_od_flows": O_OD_FLOWS,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,

@@ -291,3 +291,37 @@ def cooccur_probe(new_events: DataFrame, index: DataFrame,
                        F.greatest("p_id", "id").alias("b_id"),
                        dtus.alias("dt_us"), F.sqrt(dd2).alias("dist_deg"))
             .dropDuplicates(["a_id", "b_id"]))
+
+
+def od_flows(events: DataFrame, res: int, user: str = "user_id",
+             key: str = "event_id", ts: str = "ts",
+             lon: str = "lon", lat: str = "lat",
+             include_stays: bool = False) -> DataFrame:
+    """Origin-destination flow matrix: each user's consecutive event
+    pairs become one movement from the earlier event's cell to the
+    later one's — the OD rollup behind every mobility/catchment
+    analysis. Returns (from_cell, to_cell, n_moves, n_users);
+    same-cell consecutive pairs ("stays") are excluded unless
+    ``include_stays``.
+
+    One shuffle on the user key for the lag window (ordered by exact
+    epoch micros with the event id as total-order tie-break), one
+    map-side-combined groupBy on the (from, to) cell pair. Hot users
+    sort within one partition — pre-split by coarse time like the
+    asof_join note. Value-exact: counts only (sql mirror in the
+    contract query)."""
+    from . import cells
+
+    base = (events.select(F.col(user), F.col(key),
+                          F.col(lon).alias("_x"), F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us")))
+    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    w = Window.partitionBy(user).orderBy("_us", key)
+    moved = (base.withColumn("from_cell", F.lag("cell").over(w))
+             .filter(F.col("from_cell").isNotNull()))
+    if not include_stays:
+        moved = moved.filter(F.col("from_cell") != F.col("cell"))
+    return (moved.groupBy("from_cell", F.col("cell").alias("to_cell"))
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.count_distinct(user).alias("n_users")))

@@ -102,3 +102,36 @@ def test_cooccurrence_join_bruteforce_parity(spark):
             want.append((a[0], b[0]))
     assert got == sorted(want)
     assert (1000, 1001) in got  # the exact-boundary pair survives
+
+
+def test_od_flows_hand_fixture(spark):
+    """Two users hopping cells: hand-checkable moves, stays excluded
+    by default and counted when include_stays=True."""
+    import datetime as dt
+
+    from fagi_spark import cells, events as ev2
+
+    res = 6
+    w = cells.cell_width_deg(res)
+    t0 = dt.datetime(2024, 1, 1)
+    lonA, lonB, lat = 10.0 + w / 2, 10.0 + 3 * w / 2, 20.0
+    rows = [  # user 1: A -> B -> B(stay) -> A ; user 2: A -> B
+        (1, 1, t0, lonA, lat), (2, 1, t0 + dt.timedelta(60), lonB, lat),
+        (3, 1, t0 + dt.timedelta(120), lonB, lat),
+        (4, 1, t0 + dt.timedelta(180), lonA, lat),
+        (5, 2, t0, lonA, lat), (6, 2, t0 + dt.timedelta(60), lonB, lat),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    out = {(r.from_cell, r.to_cell): (r.n_moves, r.n_users)
+           for r in ev2.od_flows(df, res).collect()}
+    ca = cells.pack_cell_value(int((lonA + 180) / 360 * 64),
+                               int((lat + 90) / 180 * 64), res)
+    cb = cells.pack_cell_value(int((lonB + 180) / 360 * 64),
+                               int((lat + 90) / 180 * 64), res)
+    assert out == {(ca, cb): (2, 2), (cb, ca): (1, 1)}
+    with_stays = {(r.from_cell, r.to_cell): r.n_moves
+                  for r in ev2.od_flows(df, res,
+                                        include_stays=True).collect()}
+    assert with_stays[(cb, cb)] == 1
