@@ -2877,6 +2877,57 @@ GROUP BY from_cell, to_cell"""
 O_OD_FLOWS = _o_od_flows()
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Mann-Kendall emerging-hotspot trend per cell
+    (events.emerging_hotspots): daily periods at res 6 — integer S
+    statistic over the zero-completed per-period counts, rising/
+    falling/flat classification. Everything integer, value-exact."""
+    from . import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "ts",
+        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
+         + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
+        ((F.col("user_id") * 53 % 800) / 100.0
+         + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+    return ev.emerging_hotspots(pts, res=6, period_s=86400)
+
+
+def _o_emerging_hotspots(res: int = 6, period_s: int = 86400) -> str:
+    lon = ("CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0"
+           " + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0")
+    lat = ("CAST(user_id * 53 % 800 AS DOUBLE) / 100.0"
+           " + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0")
+    pus = period_s * 1_000_000
+    return f"""WITH p AS (
+  SELECT epoch_us(ts) // {pus} AS per,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+cnt AS (SELECT cell, per, COUNT(*) AS x FROM p GROUP BY cell, per),
+rng AS (SELECT MIN(per) AS pmin, MAX(per) AS pmax FROM cnt),
+series AS (
+  SELECT c.cell, g.per, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT cell FROM cnt) c
+  CROSS JOIN (SELECT UNNEST(RANGE(pmin, pmax + 1)) AS per FROM rng) g
+  LEFT JOIN cnt ON cnt.cell = c.cell AND cnt.per = g.per),
+pairs AS (
+  SELECT a.cell, a.per AS pa, b.per AS pb, a.x AS xa, b.x AS xb
+  FROM series a JOIN series b ON b.cell = a.cell AND a.per < b.per),
+mk AS (
+  SELECT cell, CAST(SUM(SIGN(xb - xa)) AS BIGINT) AS s_stat,
+         MAX(pb) - MIN(pa) + 1 AS n_periods
+  FROM pairs GROUP BY cell)
+SELECT cell, s_stat, n_periods,
+       CASE WHEN s_stat > 0 THEN 'rising'
+            WHEN s_stat < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM mk"""
+
+
+O_EMERGING_HOTSPOTS = _o_emerging_hotspots()
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour event rollup (batch twin of the streaming tile
     rollup); value summed in integer cents for order-independence."""
@@ -3878,6 +3929,7 @@ QUERIES = {
     "fagi_metadata_chain_keep": q_metadata_chain_keep,
     "events_cooccur_join": q_events_cooccur,
     "events_od_flows": q_od_flows,
+    "events_emerging_hotspots": q_emerging_hotspots,
     "events_windowed_rollup": q_events_windowed,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
@@ -3979,6 +4031,7 @@ ORACLES = {
     "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
     "events_cooccur_join": O_EVENTS_COOCCUR,
     "events_od_flows": O_OD_FLOWS,
+    "events_emerging_hotspots": O_EMERGING_HOTSPOTS,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,

@@ -325,3 +325,55 @@ def od_flows(events: DataFrame, res: int, user: str = "user_id",
     return (moved.groupBy("from_cell", F.col("cell").alias("to_cell"))
             .agg(F.count(F.lit(1)).alias("n_moves"),
                  F.count_distinct(user).alias("n_users")))
+
+
+def emerging_hotspots(events: DataFrame, res: int, period_s: int,
+                      ts: str = "ts", lon: str = "lon",
+                      lat: str = "lat") -> DataFrame:
+    """Emerging-hotspot analysis (the Mann-Kendall trend half of
+    ArcGIS's "Emerging Hot Spot Analysis"): per cell, the MK S
+    statistic of its per-period event counts — S = sum over period
+    pairs i<j of sign(x_j - x_i) — classifying activity as rising /
+    falling / flat. Pure integers end to end (counts, signs, sums), so
+    the whole row is value-exact.
+
+    Zero periods COUNT: each touched cell's series is completed over
+    the global [pmin, pmax] period range (a one-row broadcast) with
+    0-count periods, else a cell active only at the end would look
+    flat. Scale shape: the count rollup is the only pass over raw
+    events; the series completion and the i<j self-join run on
+    touched-cells x T rows (T = number of periods, tens), so pair
+    volume is cells x T^2/2 — flat in event count. For T beyond a few
+    hundred, switch to the O(T log T) rank formulation; at the
+    analysis granularities this serves (daily/weekly periods over a
+    season) the quadratic-in-T join is the cheaper plan."""
+    from . import cells
+
+    period_us = int(period_s) * 1_000_000
+    base = (events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us"))
+            .withColumn("_p", F.expr(f"_us DIV {period_us}")))
+    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    counts = base.groupBy("cell", "_p").agg(F.count(F.lit(1)).alias("_x"))
+    rng = counts.agg(F.min("_p").alias("_pmin"), F.max("_p").alias("_pmax"))
+    series = (counts.select("cell").distinct()
+              .crossJoin(F.broadcast(rng))
+              .select("cell", F.explode(F.sequence("_pmin", "_pmax"))
+                      .alias("_p"))
+              .join(counts, ["cell", "_p"], "left")
+              .select("cell", "_p",
+                      F.coalesce("_x", F.lit(0)).cast("long").alias("_x")))
+    a = series.select("cell", F.col("_p").alias("_pa"),
+                      F.col("_x").alias("_xa"))
+    b = series.select("cell", F.col("_p").alias("_pb"),
+                      F.col("_x").alias("_xb"))
+    pairs = a.join(b, "cell").filter(F.col("_pa") < F.col("_pb"))
+    return (pairs.groupBy("cell")
+            .agg(F.sum(F.signum(F.col("_xb") - F.col("_xa")).cast("long"))
+                 .alias("s_stat"),
+                 (F.max("_pb") - F.min("_pa") + 1).alias("n_periods"))
+            .select("cell", "s_stat", "n_periods",
+                    F.when(F.col("s_stat") > 0, F.lit("rising"))
+                     .when(F.col("s_stat") < 0, F.lit("falling"))
+                     .otherwise(F.lit("flat")).alias("trend")))

@@ -135,3 +135,41 @@ def test_od_flows_hand_fixture(spark):
                   for r in ev2.od_flows(df, res,
                                         include_stays=True).collect()}
     assert with_stays[(cb, cb)] == 1
+
+
+def test_emerging_hotspots_trends(spark):
+    """Planted monotone series: strictly rising counts give the max S
+    = T(T-1)/2, strictly falling the min, constant 0; zero-completion
+    makes a cell active only in the last period read as rising."""
+    import datetime as dt
+
+    from fagi_spark import cells, events as ev2
+
+    res = 6
+    w = cells.cell_width_deg(res)
+    lat = 20.0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 4 daily periods; cell R: 1,2,3,4 events; cell Fa: 4,3,2,1;
+    # cell C: 2,2,2,2; cell L: only day 3 (zero-completed -> rising)
+    for d in range(4):
+        day = t0 + dt.timedelta(days=d)
+        rows += [(day, 10.0 + w / 2, lat)] * (d + 1)
+        rows += [(day, 10.0 + 5 * w / 2, lat)] * (4 - d)
+        rows += [(day, 10.0 + 9 * w / 2, lat)] * 2
+    rows += [(t0 + dt.timedelta(days=3), 10.0 + 13 * w / 2, lat)] * 3
+    df = spark.createDataFrame(rows, "ts timestamp, lon double, lat double")
+    out = {r.cell: r for r in
+           ev2.emerging_hotspots(df, res, 86400).collect()}
+
+    def cid(j):
+        return cells.pack_cell_value(
+            int((10.0 + (4 * j + 1) * w / 2 + 180) / 360 * 64),
+            int((lat + 90) / 180 * 64), res)
+
+    assert (out[cid(0)].s_stat, out[cid(0)].trend) == (6, "rising")
+    assert (out[cid(1)].s_stat, out[cid(1)].trend) == (-6, "falling")
+    assert (out[cid(2)].s_stat, out[cid(2)].trend) == (0, "flat")
+    # late cell: 0,0,0,3 -> pairs (0,0)x3 flat + (0,3)x3 rising = +3
+    assert (out[cid(3)].s_stat, out[cid(3)].trend) == (3, "rising")
+    assert all(r.n_periods == 4 for r in out.values())
