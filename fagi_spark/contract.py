@@ -400,6 +400,35 @@ WHERE a.kind = 'POINT' AND b.kind = 'POLYGON'
   AND CAST(a.w AS DOUBLE)/100.0 <  CAST(b.w + 8 AS DOUBLE)/100.0"""
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (joins.zonal_stats): per-B-polygon count and
+    exact sum/min/max of an integer point value (the numeric id
+    parsed from the subject — exact on both engines), over the same
+    PIP predicate as fagi_pip_refine."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pts = (_points_side(ga)
+           .select("subject", "cx", "cy",
+                   F.substring("subject", 4, 30).cast("long").alias("val")))
+    polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.zonal_stats(pts, polys, value="val", res=12)
+
+
+O_ZONAL_STATS = f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+pip AS (
+  SELECT a.subject AS point_subject, b.subject AS poly_subject,
+         CAST(SUBSTRING(a.subject, 4) AS BIGINT) AS val
+  FROM geo_a a, geo_b b
+  WHERE a.kind = 'POINT' AND b.kind = 'POLYGON'
+    AND CAST(a.v AS DOUBLE)/100.0 >= CAST(b.v AS DOUBLE)/100.0
+    AND CAST(a.v AS DOUBLE)/100.0 <  CAST(b.v + 8 AS DOUBLE)/100.0
+    AND CAST(a.w AS DOUBLE)/100.0 >= CAST(b.w AS DOUBLE)/100.0
+    AND CAST(a.w AS DOUBLE)/100.0 <  CAST(b.w + 8 AS DOUBLE)/100.0)
+SELECT poly_subject, COUNT(*) AS n_points,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM pip GROUP BY poly_subject"""
+
+
 def q_bbox_viewport(spark, sf_dir):
     """F4/J5 viewport fetch with cell-range pruning."""
     _, ga, _ = _fagi_inputs(spark, sf_dir)
@@ -3855,6 +3884,7 @@ QUERIES = {
     "fagi_radius_join": q_radius_join,
     "fagi_knn_join": q_knn_join,
     "fagi_pip_refine": q_pip_refine,
+    "fagi_zonal_stats": q_zonal_stats,
     "fagi_bbox_viewport": q_bbox_viewport,
     "fagi_unlinked_viewport": q_unlinked_viewport,
     "fagi_tile_assign": q_tile_assign,
@@ -3977,6 +4007,7 @@ ORACLES = {
     "fagi_radius_join": O_RADIUS_JOIN,
     "fagi_knn_join": O_KNN_JOIN,
     "fagi_pip_refine": O_PIP_REFINE,
+    "fagi_zonal_stats": O_ZONAL_STATS,
     "fagi_bbox_viewport": O_BBOX_VIEWPORT,
     "fagi_unlinked_viewport": O_UNLINKED_VIEWPORT,
     "fagi_tile_assign": O_TILE_ASSIGN,

@@ -288,3 +288,29 @@ def test_knn_shape_join_rank_and_k(spark):
     got3 = {r.b_subject for r in
             joins.knn_shape_join(a, b, 3, R, res=4).collect()}
     assert got3 == {"bar", "sq_near", "sq_far"}
+
+
+def test_zonal_stats_hand_fixture(spark):
+    """Two squares, hand-placed points (one shared point in the
+    overlap, one outside both): counts and exact value aggregates."""
+    from fagi_spark import joins as j2
+
+    pts = spark.createDataFrame(
+        [("p1", 1.0, 1.0, 10), ("p2", 2.0, 2.0, 20),
+         ("p3", 6.0, 1.0, 40), ("p4", 50.0, 50.0, 80)],
+        "subject string, cx double, cy double, val long")
+    polys = spark.createDataFrame(
+        [("z1", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))", 0.0, 0.0, 5.0, 5.0),
+         ("z2", "POLYGON ((1.5 0, 7 0, 7 5, 1.5 5, 1.5 0))",
+          1.5, 0.0, 7.0, 5.0)],
+        "subject string, geom_wkt string, xmin double, ymin double, "
+        "xmax double, ymax double")
+    out = {r.poly_subject: r for r in
+           j2.zonal_stats(pts, polys, value="val", res=6).collect()}
+    z1, z2 = out["z1"], out["z2"]
+    assert (z1.n_points, z1.sum_val, z1.min_val, z1.max_val) == (2, 30, 10, 20)
+    assert (z2.n_points, z2.sum_val, z2.min_val, z2.max_val) == (2, 60, 20, 40)
+    # count-only mode
+    only = {r.poly_subject: r.n_points
+            for r in j2.zonal_stats(pts, polys, res=6).collect()}
+    assert only == {"z1": 2, "z2": 2}
