@@ -653,3 +653,89 @@ def tile_counts_update(prev: DataFrame, added: DataFrame,
                        - F.coalesce(F.col("_rem"), F.lit(0)))
                       .alias("n_entities")))
     return merged.filter(F.col("n_entities") > 0)
+
+
+def morans_i(df: DataFrame, res: int,
+             lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the per-cell point
+    counts (Moran 1950; binary 8-adjacency weights over OCCUPIED
+    cells, the hotspots() sparse-lattice convention) — one number
+    saying whether activity clusters (+), disperses (-), or scatters
+    randomly (~ -1/(n-1)).
+
+    Everything reduces to FIVE integer scalars before any float math:
+    n, S1 = sum x, S2 = sum x^2 over occupied cells, and over directed
+    adjacent pairs W = count, num = sum x_i*x_j, tsum = sum (x_i+x_j).
+    Expanding sum w_ij (x_i - xbar)(x_j - xbar) = num - xbar*tsum
+    + xbar^2*W and sum (x_i - xbar)^2 = S2 - 2*xbar*S1 + n*xbar^2
+    keeps the data-dependent sums INTEGER (order-independent), so the
+    final I is one fixed + - * / tree — value-exact (mirror:
+    sql_morans_i). Scale shape: one count rollup, one 9-tap ring
+    equi-join on cells, two single-row aggregates. Returns one row
+    (n_cells, w_pairs, morans_i); NULL when n < 2 or variance is 0."""
+    counts = (with_cell(df, res, lon=lon, lat=lat)
+              .groupBy("ix", "iy", "cell")
+              .agg(F.count(F.lit(1)).alias("x")))
+    g = counts.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s1"),
+                   F.sum(F.col("x") * F.col("x")).alias("s2"))
+    ring = (explode_ring(counts, res, 1)
+            .filter(F.col("probe_cell") != F.col("cell"))
+            .select(F.col("probe_cell").alias("cell"),
+                    F.col("x").alias("xj")))
+    pairs = ring.join(counts.select("cell", F.col("x").alias("xi")), "cell")
+    pg = pairs.agg(F.count(F.lit(1)).alias("w"),
+                   F.sum(F.col("xi") * F.col("xj")).alias("num"),
+                   F.sum(F.col("xi") + F.col("xj")).alias("tsum"))
+    j = g.crossJoin(pg)
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    wd = F.col("w").cast("double")
+    numd = F.col("num").cast("double")
+    tsumd = F.col("tsum").cast("double")
+    xbar = s1 / nd
+    cross = numd - xbar * tsumd + xbar * xbar * wd
+    var = s2 - F.lit(2.0) * xbar * s1 + nd * xbar * xbar
+    i_val = (nd / wd) * (cross / var)
+    return j.select(F.col("n").alias("n_cells"),
+                    F.col("w").alias("w_pairs"),
+                    F.when((F.col("n") >= 2) & (F.col("w") > 0)
+                           & (var != 0.0), i_val).alias("morans_i"))
+
+
+def sql_morans_i(lon_expr: str, lat_expr: str, from_clause: str,
+                 res: int) -> str:
+    """DuckDB mirror of morans_i — same integer scalars, same float
+    tree (2.0e0 literal typed DOUBLE)."""
+    n = 1 << res
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
+pr AS (SELECT a.x AS xi, b.x AS xj FROM cnt a JOIN cnt b
+       ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+      AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+      AND NOT (b.ix = a.ix AND b.iy = a.iy)),
+pg AS (SELECT COUNT(*) AS w, CAST(SUM(xi * xj) AS BIGINT) AS num,
+              CAST(SUM(xi + xj) AS BIGINT) AS tsum FROM pr)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       CASE WHEN n >= 2 AND w > 0
+                 AND (CAST(s2 AS DOUBLE) - 2.0e0 * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE)
+                      + CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE))) <> 0.0
+            THEN (CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+                 * ((CAST(num AS DOUBLE) - (CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * CAST(tsum AS DOUBLE)
+                     + (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * CAST(w AS DOUBLE))
+                    / (CAST(s2 AS DOUBLE) - 2.0e0 * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE)
+                       + CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))))
+            ELSE NULL END AS morans_i
+FROM gstats CROSS JOIN pg"""

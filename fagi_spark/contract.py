@@ -674,6 +674,23 @@ O_HOTSPOTS = cells.sql_hotspots(
     "WITH pts", f"WITH {GEO_A_CTE},\npts", 1)
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I of the A-point cell counts at res 6
+    (cells.morans_i): the one-number clustering statistic. The float
+    is value-compared — both engines reduce to the same five integer
+    scalars, then the same + - * / tree."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.morans_i(a, 6)
+
+
+O_MORANS_I = f"""WITH {GEO_A_CTE},
+{cells.sql_morans_i("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                    "FROM geo_a WHERE kind = 'POINT'",
+                    res=6).removeprefix("WITH ")}"""
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid DBSCAN over the A points (cluster.grid_dbscan): res-6
     cells, min_pts 7 — every point labeled core/border/noise with a
@@ -3900,6 +3917,7 @@ QUERIES = {
     "fagi_geohash": q_geohash,
     "fagi_density_surface": q_density_surface,
     "fagi_hotspots": q_hotspots,
+    "fagi_morans_i": q_morans_i,
     "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_dbscan_summary": q_dbscan_summary,
     "fagi_simplify": q_fagi_simplify,
@@ -4023,6 +4041,7 @@ ORACLES = {
     "fagi_geohash": O_GEOHASH,
     "fagi_density_surface": O_DENSITY_SURFACE,
     "fagi_hotspots": O_HOTSPOTS,
+    "fagi_morans_i": O_MORANS_I,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_dbscan_summary": O_DBSCAN_SUMMARY,
     "fagi_simplify": O_FAGI_SIMPLIFY,

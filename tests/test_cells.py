@@ -365,3 +365,56 @@ def test_hotspots_rich_field_sign_and_exactness(spark):
         assert r.gi_star == expect  # bit-exact, same IEEE tree
         signs |= 1 if expect > 0 else 2
     assert signs == 3  # both hot and cold cells exist
+
+
+def test_morans_i_clustered_vs_checkerboard(spark):
+    """Clustered mass gives I > 0; a checkerboard (high/low
+    alternating) gives I < 0; values match a NumPy recomputation
+    bit-for-bit via the same integer scalars."""
+    import math
+
+    from fagi_spark import cells
+
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+
+    def field(counts_grid):
+        rows = []
+        for (i, j), c in counts_grid.items():
+            rows += [(lon0 + i * w, lat0 + j * h)] * c
+        return spark.createDataFrame(rows, "lon double, lat double")
+
+    # clustered: a 3x3 block of 9s next to a 3x3 block of 1s
+    clustered = {(i, j): (9 if i < 3 else 1)
+                 for i in range(6) for j in range(3)}
+    r1 = cells.morans_i(field(clustered), res).collect()[0]
+    assert r1.morans_i is not None and r1.morans_i > 0
+    # checkerboard: 9/1 alternating
+    checker = {(i, j): (9 if (i + j) % 2 == 0 else 1)
+               for i in range(6) for j in range(3)}
+    r2 = cells.morans_i(field(checker), res).collect()[0]
+    assert r2.morans_i is not None and r2.morans_i < 0
+    # bit-exact recompute for the checkerboard
+    cellsxy = {(i, j): c for (i, j), c in checker.items()}
+    n = len(cellsxy)
+    s1 = sum(cellsxy.values())
+    s2 = sum(v * v for v in cellsxy.values())
+    wp = num = tsum = 0
+    for (i, j), xi in cellsxy.items():
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if (di, dj) != (0, 0) and (i + di, j + dj) in cellsxy:
+                    xj = cellsxy[(i + di, j + dj)]
+                    wp += 1
+                    num += xi * xj
+                    tsum += xi + xj
+    xbar = s1 / n
+    cross = num - xbar * tsum + xbar * xbar * wp
+    var = s2 - 2.0 * xbar * s1 + n * xbar * xbar
+    assert r2.n_cells == n and r2.w_pairs == wp
+    assert r2.morans_i == (n / wp) * (cross / var)
+    # constant field -> zero variance -> NULL guard
+    const = {(i, j): 5 for i in range(3) for j in range(2)}
+    r3 = cells.morans_i(field(const), res).collect()[0]
+    assert r3.morans_i is None or math.isnan(r3.morans_i)
