@@ -739,3 +739,98 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
                        / CAST(n AS DOUBLE))))
             ELSE NULL END AS morans_i
 FROM gstats CROSS JOIN pg"""
+
+
+def local_morans_i(df: DataFrame, res: int,
+                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per occupied cell — the
+    cluster-map companion to morans_i and hotspots: I_i =
+    ((x_i - xbar) / m2) * sum_j w_ij (x_j - xbar), with the quadrant
+    label (HH/LL/HL/LH) that colors a LISA map. Same sparse-lattice
+    convention as hotspots(): universe = occupied cells, the 3x3
+    in-bounds window supplies the weights (empty cells contribute
+    x = 0), self excluded.
+
+    The neighbor term reuses the stencil-after-aggregate shape: wx
+    (9-tap occupied sum incl. self) minus x_i is the neighbor sum, and
+    sum_j w_ij (x_j - xbar) = (wx - x_i) - xbar*(W_i - 1) with W_i the
+    in-bounds window size — integer aggregates into a fixed float
+    tree, value-exact (mirror: sql_local_morans_i). m2 is the biased
+    variance (S2/n - xbar^2). Rows with m2 = 0 score NULL."""
+    n_grid = 1 << res
+    counts = (with_cell(df, res, lon=lon, lat=lat)
+              .groupBy("ix", "iy")
+              .agg(F.count(F.lit(1)).alias("x")))
+    g = counts.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s1"),
+                   F.sum(F.col("x") * F.col("x")).alias("s2"))
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    taps = (counts.withColumn("_dx", F.explode(offs))
+                  .withColumn("_dy", F.explode(offs)))
+    nix = F.col("ix") + F.col("_dx")
+    niy = F.col("iy") + F.col("_dy")
+    nbr = (taps.filter((nix >= 0) & (nix < n_grid)
+                       & (niy >= 0) & (niy < n_grid))
+               .select(nix.alias("ix"), niy.alias("iy"), "x")
+               .groupBy("ix", "iy")
+               .agg(F.sum("x").alias("wx")))
+    j = counts.join(nbr, ["ix", "iy"]).crossJoin(F.broadcast(g))
+    wi = ((F.least(F.col("ix") + 1, F.lit(n_grid - 1))
+           - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+          * (F.least(F.col("iy") + 1, F.lit(n_grid - 1))
+             - F.greatest(F.col("iy") - 1, F.lit(0)) + 1))
+    j = j.withColumn("wi", wi.cast("long"))
+    nd = F.col("n").cast("double")
+    xbar = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - xbar * xbar
+    z = F.col("x").cast("double") - xbar
+    lag = ((F.col("wx").cast("double") - F.col("x").cast("double"))
+           - xbar * (F.col("wi").cast("double") - F.lit(1.0)))
+    i_val = (z / m2) * lag
+    quad = (F.when((z > 0) & (lag > 0), F.lit("HH"))
+             .when((z < 0) & (lag < 0), F.lit("LL"))
+             .when((z > 0) & (lag <= 0), F.lit("HL"))
+             .otherwise(F.lit("LH")))
+    return j.select(pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
+                    "ix", "iy", "x", "wx", "wi",
+                    F.when(m2 != 0.0, i_val).alias("lisa_i"),
+                    F.when(m2 != 0.0, quad).alias("quadrant"))
+
+
+def sql_local_morans_i(lon_expr: str, lat_expr: str, from_clause: str,
+                       res: int) -> str:
+    """DuckDB mirror of local_morans_i (same trees, term by term)."""
+    n = 1 << res
+    xbar = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    m2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {xbar} * {xbar})"
+    z = f"(CAST(x AS DOUBLE) - {xbar})"
+    lag = (f"((CAST(wx AS DOUBLE) - CAST(x AS DOUBLE))"
+           f" - {xbar} * (CAST(wi AS DOUBLE) - 1.0))")
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
+nbr AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy, SUM(x) AS wx
+        FROM cnt
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+        WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
+          AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1}
+        GROUP BY 1, 2),
+j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
+             CAST((LEAST(c.ix + 1, {n - 1}) - GREATEST(c.ix - 1, 0) + 1)
+                * (LEAST(c.iy + 1, {n - 1}) - GREATEST(c.iy - 1, 0) + 1)
+                  AS BIGINT) AS wi,
+             g.n, g.s1, g.s2
+      FROM cnt c JOIN nbr ON nbr.ix = c.ix AND nbr.iy = c.iy
+      CROSS JOIN gstats g)
+SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {n} + iy AS BIGINT) AS cell,
+       ix, iy, x, wx, wi,
+       CASE WHEN {m2} <> 0.0 THEN ({z} / {m2}) * {lag} ELSE NULL END AS lisa_i,
+       CASE WHEN {m2} <> 0.0 THEN
+         CASE WHEN {z} > 0 AND {lag} > 0 THEN 'HH'
+              WHEN {z} < 0 AND {lag} < 0 THEN 'LL'
+              WHEN {z} > 0 AND {lag} <= 0 THEN 'HL'
+              ELSE 'LH' END
+       ELSE NULL END AS quadrant
+FROM j"""

@@ -674,6 +674,23 @@ O_HOTSPOTS = cells.sql_hotspots(
     "WITH pts", f"WITH {GEO_A_CTE},\npts", 1)
 
 
+def q_local_morans(spark, sf_dir):
+    """LISA cluster map (cells.local_morans_i) of the A points at
+    res 6: per-cell local Moran's I with the HH/LL/HL/LH quadrant.
+    Both floats and labels value-compared (same integer-derived
+    trees)."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.local_morans_i(a, 6)
+
+
+O_LOCAL_MORANS = f"""WITH {GEO_A_CTE},
+{cells.sql_local_morans_i("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                          "FROM geo_a WHERE kind = 'POINT'",
+                          res=6).removeprefix("WITH ")}"""
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I of the A-point cell counts at res 6
     (cells.morans_i): the one-number clustering statistic. The float
@@ -3918,6 +3935,7 @@ QUERIES = {
     "fagi_density_surface": q_density_surface,
     "fagi_hotspots": q_hotspots,
     "fagi_morans_i": q_morans_i,
+    "fagi_local_morans": q_local_morans,
     "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_dbscan_summary": q_dbscan_summary,
     "fagi_simplify": q_fagi_simplify,
@@ -4042,6 +4060,7 @@ ORACLES = {
     "fagi_density_surface": O_DENSITY_SURFACE,
     "fagi_hotspots": O_HOTSPOTS,
     "fagi_morans_i": O_MORANS_I,
+    "fagi_local_morans": O_LOCAL_MORANS,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_dbscan_summary": O_DBSCAN_SUMMARY,
     "fagi_simplify": O_FAGI_SIMPLIFY,

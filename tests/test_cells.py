@@ -418,3 +418,46 @@ def test_morans_i_clustered_vs_checkerboard(spark):
     const = {(i, j): 5 for i in range(3) for j in range(2)}
     r3 = cells.morans_i(field(const), res).collect()[0]
     assert r3.morans_i is None or math.isnan(r3.morans_i)
+
+
+def test_local_morans_quadrants(spark):
+    """A high block beside a low field: block interior cells read HH,
+    low cells adjacent to the block read LH, far low cells LL or LH by
+    lag sign; values match a NumPy recompute bit-for-bit."""
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+    grid = {}
+    for i in range(6):
+        for j in range(3):
+            grid[(i, j)] = 9 if i < 2 else 1
+    rows = []
+    for (i, j), c in grid.items():
+        rows += [(lon0 + i * w, lat0 + j * h)] * c
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    out = {(r.ix, r.iy): r for r in cells.local_morans_i(df, res).collect()}
+    assert len(out) == 18
+    n = 18
+    s1 = sum(grid.values())
+    s2 = sum(v * v for v in grid.values())
+    xbar = s1 / n
+    m2 = s2 / n - xbar * xbar
+    ix0 = int((lon0 + 180) / 360 * 64)
+    iy0 = int((lat0 + 90) / 180 * 64)
+    for (gi, gj), x in grid.items():
+        r = out[(ix0 + gi, iy0 + gj)]
+        wx = sum(grid.get((gi + di, gj + dj), 0)
+                 for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                 if 0 <= gi + di and 0 <= gj + dj)
+        # interior of the world grid here, so wi = 9 everywhere
+        assert r.wi == 9 and r.wx == wx
+        z = x - xbar
+        lag = (wx - x) - xbar * (9 - 1.0)
+        assert r.lisa_i == (z / m2) * lag
+        want_quad = ("HH" if z > 0 and lag > 0 else
+                     "LL" if z < 0 and lag < 0 else
+                     "HL" if z > 0 else "LH")
+        assert r.quadrant == want_quad
+    # the planted geometry actually produces a mixed map
+    quads = {r.quadrant for r in out.values()}
+    assert {"HH", "LL", "LH"} <= quads
