@@ -256,6 +256,24 @@ class FagiSession:
             geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
             res)
 
+    def morans_i(self, side: str = "a", res: int = 7) -> DataFrame:
+        """Global Moran's I of one side's cell counts — is activity
+        spatially clustered at all? (cells.morans_i, one row)."""
+        from . import cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        return cells.morans_i(
+            geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
+            res)
+
+    def lisa(self, side: str = "a", res: int = 7) -> DataFrame:
+        """LISA cluster map: per-cell local Moran's I with HH/LL/HL/LH
+        quadrant labels (cells.local_morans_i)."""
+        from . import cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        return cells.local_morans_i(
+            geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
+            res)
+
     def dbscan(self, side: str = "a", res: int = 6,
                min_pts: int = 7) -> DataFrame:
         """Density-based POI clustering: grid DBSCAN over one side's

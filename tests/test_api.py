@@ -96,3 +96,13 @@ def test_dbscan_wiring(sess):
     assert {"subject", "cell", "cluster", "role"} <= set(db.columns)
     roles = {r.role for r in db.select("role").distinct().collect()}
     assert roles <= {"core", "border", "noise"} and "core" in roles
+
+
+def test_esda_wiring(sess):
+    mi = sess.morans_i(res=6).collect()
+    assert len(mi) == 1 and mi[0].morans_i is not None
+    li = sess.lisa(res=6)
+    assert {"cell", "lisa_i", "quadrant"} <= set(li.columns)
+    assert li.count() > 0
+    hs = sess.hotspots(res=6)
+    assert {"cell", "gi_star"} <= set(hs.columns)
