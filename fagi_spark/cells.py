@@ -834,3 +834,119 @@ SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {n} + iy AS BIGINT) AS cell,
               ELSE 'LH' END
        ELSE NULL END AS quadrant
 FROM j"""
+
+
+def idw_surface(points: DataFrame, res: int, value: str = "val",
+                ring: int = 1, key: str = "subject",
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Inverse-distance-weighted interpolation of scattered sample
+    values onto cell centers (Shepard 1968, power 2) — the surface a
+    map renders from sparse sensor/measurement points. Every cell
+    within ``ring`` of a sample gets est = sum(v_i/d_i^2) /
+    sum(1/d_i^2) over the samples in ITS ring neighborhood; a sample
+    sitting exactly on a cell center short-circuits to its own value
+    (smallest key wins — deterministic).
+
+    Float contract: d^2 and the weighted terms use only * - + /;
+    the per-cell sums fold a KEY-SORTED sample list (F.aggregate over
+    sort_array, the lang_mixture_weights recipe) so the data-dependent
+    float sums are reproducible and mirrorable
+    (LIST_REDUCE(LIST_PREPEND(0.0, LIST(... ORDER BY key)))) —
+    value-exact despite real float accumulation. Scale shape: one
+    ring explode of the SAMPLES (bounded replication), one groupBy per
+    touched cell; per-cell lists are bounded by neighborhood sample
+    density, the same bound every stencil op here rides."""
+    w_deg = cell_width_deg(res)
+    h_deg = cell_height_deg(res)
+    pts = with_cell(points.select(F.col(key).alias("_k"),
+                                  F.col(lon).alias("_lon"),
+                                  F.col(lat).alias("_lat"),
+                                  F.col(value).alias("_v")),
+                    res, lon="_lon", lat="_lat")
+    taps = explode_ring(pts, res, ring, out="target_cell")
+    tix = unpack_ix(F.col("target_cell"), res)
+    tiy = unpack_iy(F.col("target_cell"), res)
+    cx = F.lit(-180.0) + (tix.cast("double") + F.lit(0.5)) * F.lit(w_deg)
+    cy = F.lit(-90.0) + (tiy.cast("double") + F.lit(0.5)) * F.lit(h_deg)
+    dx = F.col("_lon") - cx
+    dy = F.col("_lat") - cy
+    d2 = dx * dx + dy * dy
+    t = taps.select(
+        "target_cell", "_k",
+        d2.alias("_d2"),
+        F.col("_v").cast("double").alias("_vd"))
+    num_fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("_d2") > 0.0,
+                       F.struct("_k", (F.col("_vd") / F.col("_d2"))
+                                .alias("t"))))),
+            lambda s: s["t"]),
+        F.lit(0.0), lambda acc, v: acc + v)
+    den_fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("_d2") > 0.0,
+                       F.struct("_k", (F.lit(1.0) / F.col("_d2"))
+                                .alias("t"))))),
+            lambda s: s["t"]),
+        F.lit(0.0), lambda acc, v: acc + v)
+    g = (t.groupBy("target_cell")
+         .agg(F.count(F.lit(1)).alias("n_samples"),
+              num_fold.alias("_num"), den_fold.alias("_den"),
+              F.min_by(F.col("_vd"),
+                       F.when(F.col("_d2") == 0.0, F.col("_k")))
+               .alias("_exact"),
+              F.sum(F.when(F.col("_d2") == 0.0, 1).otherwise(0))
+               .alias("_n0")))
+    return g.select(F.col("target_cell").alias("cell"), "n_samples",
+                    F.when(F.col("_n0") > 0, F.col("_exact"))
+                     .otherwise(F.col("_num") / F.col("_den"))
+                     .alias("idw"))
+
+
+def sql_idw_surface(key_expr: str, lon_expr: str, lat_expr: str,
+                    val_expr: str, from_clause: str, res: int,
+                    ring: int = 1) -> str:
+    """DuckDB mirror of idw_surface — same key-sorted folds, same
+    center/d^2 trees (e0-typed DOUBLE literals); emits an ``idw`` CTE."""
+    n = 1 << res
+    w = repr(cell_width_deg(res)) + "e0"
+    h = repr(cell_height_deg(res)) + "e0"
+    offs = ", ".join(f"({d})" for d in range(-ring, ring + 1))
+    return f"""ipts AS (
+  SELECT {key_expr} AS k, {lon_expr} AS plon, {lat_expr} AS plat,
+         CAST({val_expr} AS DOUBLE) AS vd,
+         {sql_ix(lon_expr, res)} AS ix, {sql_iy(lat_expr, res)} AS iy
+  {from_clause}),
+itaps AS (
+  SELECT k, plon, plat, vd, ix + dx.dx AS tix, iy + dy.dy AS tiy
+  FROM ipts
+  CROSS JOIN (VALUES {offs}) AS dx(dx)
+  CROSS JOIN (VALUES {offs}) AS dy(dy)
+  WHERE ix + dx.dx BETWEEN 0 AND {n - 1}
+    AND iy + dy.dy BETWEEN 0 AND {n - 1}),
+id2 AS (
+  SELECT k, vd, tix, tiy,
+         (plon - (-180.0e0 + (CAST(tix AS DOUBLE) + 0.5e0) * {w}))
+       * (plon - (-180.0e0 + (CAST(tix AS DOUBLE) + 0.5e0) * {w}))
+       + (plat - (-90.0e0 + (CAST(tiy AS DOUBLE) + 0.5e0) * {h}))
+       * (plat - (-90.0e0 + (CAST(tiy AS DOUBLE) + 0.5e0) * {h})) AS d2
+  FROM itaps),
+idw AS (
+  SELECT CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + tix * {n} + tiy AS cell,
+         COUNT(*) AS n_samples,
+         CASE WHEN COUNT(*) FILTER (WHERE d2 = 0.0e0) > 0
+              THEN ARG_MIN(vd, k) FILTER (WHERE d2 = 0.0e0)
+              ELSE LIST_REDUCE(
+                     LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                  LIST(vd / d2 ORDER BY k)
+                                    FILTER (WHERE d2 > 0.0e0)),
+                     (acc, v) -> acc + v)
+                 / LIST_REDUCE(
+                     LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                  LIST(1.0e0 / d2 ORDER BY k)
+                                    FILTER (WHERE d2 > 0.0e0)),
+                     (acc, v) -> acc + v)
+         END AS idw
+  FROM id2 GROUP BY tix, tiy)"""

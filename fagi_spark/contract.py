@@ -691,6 +691,26 @@ O_LOCAL_MORANS = f"""WITH {GEO_A_CTE},
                           res=6).removeprefix("WITH ")}"""
 
 
+def q_idw_surface(spark, sf_dir):
+    """IDW interpolation of an integer sample value (subject-parsed id,
+    the zonal_stats convention) onto res-6 cell centers — key-sorted
+    folds make the data-dependent float sums value-exact."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    pts = (_points_side(ga)
+           .select("subject", F.col("cx").alias("lon"),
+                   F.col("cy").alias("lat"),
+                   F.substring("subject", 4, 30).cast("long").alias("val")))
+    return cells.idw_surface(pts, res=6, value="val")
+
+
+O_IDW_SURFACE = f"""WITH {GEO_A_CTE},
+{cells.sql_idw_surface("subject", "CAST(v AS DOUBLE)/100.0",
+                       "CAST(w AS DOUBLE)/100.0",
+                       "CAST(SUBSTRING(subject, 4) AS BIGINT)",
+                       "FROM geo_a WHERE kind = 'POINT'", res=6)}
+SELECT cell, n_samples, idw FROM idw"""
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I of the A-point cell counts at res 6
     (cells.morans_i): the one-number clustering statistic. The float
@@ -3936,6 +3956,7 @@ QUERIES = {
     "fagi_hotspots": q_hotspots,
     "fagi_morans_i": q_morans_i,
     "fagi_local_morans": q_local_morans,
+    "fagi_idw_surface": q_idw_surface,
     "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_dbscan_summary": q_dbscan_summary,
     "fagi_simplify": q_fagi_simplify,
@@ -4061,6 +4082,7 @@ ORACLES = {
     "fagi_hotspots": O_HOTSPOTS,
     "fagi_morans_i": O_MORANS_I,
     "fagi_local_morans": O_LOCAL_MORANS,
+    "fagi_idw_surface": O_IDW_SURFACE,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_dbscan_summary": O_DBSCAN_SUMMARY,
     "fagi_simplify": O_FAGI_SIMPLIFY,

@@ -461,3 +461,31 @@ def test_local_morans_quadrants(spark):
     # the planted geometry actually produces a mixed map
     quads = {r.quadrant for r in out.values()}
     assert {"HH", "LL", "LH"} <= quads
+
+
+def test_idw_surface_semantics(spark):
+    """Exact-hit short-circuit, near-sample dominance, and partition
+    invariance (the key-sorted fold is the operator's order
+    contract)."""
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    ix0, iy0 = 34, 39
+    cx = -180.0 + (ix0 + 0.5) * w
+    cy = -90.0 + (iy0 + 0.5) * h
+    pts = spark.createDataFrame(
+        [("a", cx, cy, 100),              # exactly on a cell center
+         ("b", cx + 2 * w, cy, 10),       # two cells east
+         ("c", cx + 2.1 * w, cy, 50)],
+        "subject string, lon double, lat double, val long")
+    out = {r.cell: r for r in cells.idw_surface(pts, res).collect()}
+    hit = out[cells.pack_cell_value(ix0, iy0, res)]
+    assert hit.idw == 100.0  # exact-hit short-circuit, bitwise
+    # the cell between a and b: pulled toward both, strictly between
+    mid = out[cells.pack_cell_value(ix0 + 1, iy0, res)]
+    assert 10.0 < mid.idw < 100.0 and mid.n_samples >= 2
+    # cells near b/c only: between 10 and 50
+    far = out[cells.pack_cell_value(ix0 + 3, iy0, res)]
+    assert 10.0 <= far.idw <= 50.0
+    again = {r.cell: r.idw for r in
+             cells.idw_surface(pts.repartition(7), res).collect()}
+    assert {c: r.idw for c, r in out.items()} == again
