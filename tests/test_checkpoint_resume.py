@@ -291,3 +291,37 @@ def test_dedup_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     # clustered family dropped exactly its original
     assert n_docs - n_kept == res["docs"].count() - res["clusters"] \
         .select("component").distinct().count()
+
+
+def test_analytics_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
+    """Analytics mart: crash after the hotspots stage; relaunch resumes
+    (committed snapshots untouched) and every layer equals a fresh
+    run. Layer invariants: density mass conserves 16x the entity
+    count; dbscan members sum to the entity count; Moran's I emits
+    one row."""
+    from fagi_spark.jobs import analytics
+
+    out = str(tmp_path / "am")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        analytics.run(spark, out, n_pages=800, fail_after="hotspots")
+    store = CheckpointStore(out)
+    before = {s: store.latest(s) for s in ("entities", "density", "hotspots")}
+    assert store.latest("summary") is None
+
+    res = analytics.run(spark, out, n_pages=800)
+    for s, snap in before.items():
+        assert res["store"].latest(s) == snap  # resumed, not recomputed
+
+    fresh = analytics.run(spark, str(tmp_path / "am2"), n_pages=800)
+    for layer in ("density", "hotspots", "lisa", "summary", "global_stats"):
+        a = sorted(map(tuple, res[layer].collect()))
+        b = sorted(map(tuple, fresh[layer].collect()))
+        assert a == b, layer
+
+    n_ents = res["entities"].count()
+    mass = res["density"].agg(F.sum("density16")).first()[0]
+    assert mass == 16 * n_ents  # binomial kernel conserves mass
+    members = res["summary"].agg(F.sum("n_points")).first()[0] or 0
+    noise = res["clusters"].filter("role = 'noise'").count()
+    assert members + noise == n_ents
+    assert res["global_stats"].count() == 1
