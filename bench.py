@@ -283,6 +283,20 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     ents_pyr.count()
     timed("tile_pyramid",
           lambda: _cells.tile_pyramid(ents_pyr, 13, (10, 7)).count())
+
+    # 4b. the spatial-analytics (ESDA) layer over the same entities:
+    # Gi* hotspots + LISA map + grid-DBSCAN cluster summary at res 7 —
+    # the jobs/analytics.py stages minus checkpointing, one pass each
+    from fagi_spark import cluster as _cluster
+
+    def _esda_count():
+        n = _cells.hotspots(ents_pyr, 7).count()
+        n += _cells.local_morans_i(ents_pyr, 7).count()
+        labels = _cluster.grid_dbscan(ents_pyr, 7, 5, key="url")
+        n += _cluster.dbscan_cluster_summary(labels, 7).count()
+        return n
+
+    timed("esda_layer", _esda_count)
     ents_pyr.unpersist()
 
     # 5. curation chain over the sf-scaled page corpus: PII scrub ->
