@@ -516,6 +516,32 @@ def main():
         "candidates; each pair meets exactly once so there is no "
         "post-join dedup shuffle.")
 
+    # IDW surface: the whole interpolation must be ONE shuffle — the
+    # ring explode replicates samples map-side, and the key-sorted
+    # folds + exact-hit min_by all live in the single per-cell
+    # aggregate. Structurally: exactly one Exchange in the tree.
+    idw_pts = cust.select(
+        F.concat(F.lit("s"), F.col("c_custkey")).alias("subject"),
+        ((F.col("c_custkey") * 37 % 17000) / 100.0 - 80.0).alias("lon"),
+        ((F.col("c_custkey") * 53 % 8000) / 100.0).alias("lat"),
+        (F.col("c_custkey") % 100).alias("val"))
+    idw_plan = cells.idw_surface(idw_pts, 8, value="val")
+    idw_text = plan_text(idw_plan)
+    idw_tree = idw_text[:max(idw_text.find("(1) Scan"), 0) or None]
+    n_ex = idw_tree.count("Exchange")
+    if n_ex != 1:
+        raise SystemExit(
+            f"idw_surface structural check failed: {n_ex} Exchanges "
+            "in the tree (want exactly 1 — ring explode is map-side, "
+            "folds live in the one per-cell aggregate)")
+    add("idw_surface (inverse-distance interpolation)", idw_plan, [],
+        "one shuffle total, structurally enforced: the sample-side "
+        "ring explode and the d^2/weight math are map-side, and the "
+        "key-sorted folds (v/d2, 1/d2), the exact-hit min_by, and the "
+        "sample count all reduce inside the single per-cell aggregate "
+        "— at any corpus size the interpolation pays exactly one "
+        "exchange of (cell, sample-term) rows.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
