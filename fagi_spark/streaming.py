@@ -451,3 +451,63 @@ def cooccur_stream(events: DataFrame, index_path: str, pairs_path: str,
     return (events.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+OD_OUT_SCHEMA = "user_id long, from_cell long, to_cell long"
+OD_STATE_SCHEMA = "last_us long, last_key long, last_cell long"
+
+
+def od_flows_stream(events: DataFrame, res: int, user: str = "user_id",
+                    key: str = "event_id", ts: str = "ts",
+                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Streaming origin-destination transitions: the stateful twin of
+    events.od_flows. Per-user state carries the last seen event
+    (us, key, cell); each micro-batch chains its (us, key)-sorted
+    events onto it and APPENDS one row per cell-changing transition —
+    the flow matrix is a downstream rollup of these rows, so the union
+    of per-batch outputs rolled up equals the batch od_flows (tested).
+
+    The cell id is computed JVM-side (cells.with_cell) before the
+    stateful groupBy, so the pandas fn only sorts and chains.
+    Precondition (documented, watermark-style): per-user event-time
+    order must hold ACROSS batches — an event at or before the state's
+    (last_us, last_key) is dropped rather than spliced retroactively
+    into an already-emitted chain (the same late-data stance a
+    watermark takes); within a batch any disorder is fine (sorted)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import cells
+
+    ev = (events.select(F.col(user), F.col(key).alias("_k"),
+                        F.unix_micros(F.col(ts).cast("timestamp"))
+                         .alias("_us"),
+                        F.col(lon).alias("_x"), F.col(lat).alias("_y")))
+    ev = cells.with_cell(ev, res, lon="_x", lat="_y").select(
+        user, "_k", "_us", "cell")
+
+    def fn(k, pdfs, state: GroupState):
+        if state.exists:
+            last_us, last_key, last_cell = state.get
+        else:
+            last_us, last_key, last_cell = None, None, None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["_us", "_k"])
+        frm, to = [], []
+        for us, kk, cell in zip(batch["_us"], batch["_k"], batch["cell"]):
+            us, kk, cell = int(us), int(kk), int(cell)
+            if last_us is not None and (us, kk) <= (last_us, last_key):
+                continue  # cross-batch late event: dropped (see doc)
+            if last_cell is not None and cell != last_cell:
+                frm.append(last_cell)
+                to.append(cell)
+            last_us, last_key, last_cell = us, kk, cell
+        if last_us is not None:
+            state.update((last_us, last_key, last_cell))
+        if frm:
+            yield pd.DataFrame({"user_id": [k[0]] * len(frm),
+                                "from_cell": frm, "to_cell": to})
+
+    return (ev.groupBy(user).applyInPandasWithState(
+        fn, OD_OUT_SCHEMA, OD_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))

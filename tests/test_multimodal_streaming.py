@@ -583,3 +583,58 @@ def test_cooccur_stream_union_equals_batch_join(spark, tmp_path):
     assert (3, 11) not in pair_ids                       # time excludes
     idx = spark.read.parquet(idx_path)
     assert idx.count() == 6 and idx.select("id").distinct().count() == 6
+
+
+def test_od_flows_stream_union_equals_batch(spark, tmp_path):
+    """Streaming OD transitions: events in two micro-batches; the
+    rolled-up union of per-batch transition rows equals the batch
+    od_flows matrix (n_moves AND n_users), including the transition
+    that CROSSES the batch boundary via keyed state."""
+    import datetime as dt
+
+    from fagi_spark import cells, events as evmod
+
+    res = 6
+    w = cells.cell_width_deg(res)
+    t0 = dt.datetime(2024, 1, 1)
+    A, B, C = 10.0 + w / 2, 10.0 + 3 * w / 2, 10.0 + 5 * w / 2
+
+    def e(i, u, sec, lo):
+        return (i, u, t0 + dt.timedelta(seconds=sec), lo, 20.0)
+
+    batch1 = [e(1, 1, 0, A), e(2, 1, 60, B),          # u1: A->B
+              e(3, 2, 0, A)]                           # u2 parked at A
+    batch2 = [e(4, 1, 120, C),                         # u1: B->C across batches
+              e(5, 2, 60, A),                          # u2: stay (no row)
+              e(6, 2, 120, B)]                         # u2: A->B
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    src = str(tmp_path / "odsrc")
+    spark.createDataFrame(batch1, schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_path = str(tmp_path / "odout")
+    q = (streaming.od_flows_stream(stream, res)
+         .writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", str(tmp_path / "odck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(out_path)
+           .groupBy("from_cell", "to_cell")
+           .agg(F.count(F.lit(1)).alias("n_moves"),
+                F.count_distinct("user_id").alias("n_users")))
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = evmod.od_flows(full, res)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the cross-batch B->C transition exists
+    cb = cells.pack_cell_value(int((B + 180) / 360 * 64),
+                               int((20.0 + 90) / 180 * 64), res)
+    cc = cells.pack_cell_value(int((C + 180) / 360 * 64),
+                               int((20.0 + 90) / 180 * 64), res)
+    assert got.filter((F.col("from_cell") == cb)
+                      & (F.col("to_cell") == cc)).count() == 1
