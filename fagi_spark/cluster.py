@@ -417,3 +417,31 @@ summary AS (
          -180.0e0 + (MAX(ix) + 1) * {w} AS x1,
          -90.0e0 + (MAX(iy) + 1) * {h} AS y1
   FROM lab GROUP BY cluster)"""
+
+
+def dbscan_cluster_wkt(labels: DataFrame, geoms: DataFrame,
+                       key: str = "subject") -> DataFrame:
+    """Per-cluster MULTIPOINT WKT (noise excluded) — the geometry a
+    fused-export sink (io.py) or map preview serves for a POI cluster:
+    members' POINT coordinates re-wrapped as one canonical MULTIPOINT,
+    KEY-SORTED so the string is deterministic and value-exact (the
+    coordinate text is carried verbatim from the members' WKT, no
+    float re-formatting). One equi-join on the member key + one
+    groupBy(cluster); per-cluster strings are bounded by cluster
+    membership, the same bound the summary table rides."""
+    pts = geoms.select(F.col(key), "geom_wkt")
+    inner = F.expr("substring(geom_wkt, 8, length(geom_wkt) - 8)")
+    j = (labels.filter(F.col("cluster") >= 0)
+         .join(pts, key)
+         .withColumn("_inner", inner))
+    return (j.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.concat(
+                     F.lit("MULTIPOINT ("),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct(key, "_inner"))),
+                             lambda s: s["_inner"]),
+                         ", "),
+                     F.lit(")")).alias("multipoint_wkt")))

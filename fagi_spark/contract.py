@@ -786,6 +786,42 @@ SELECT * FROM summary"""
 O_DBSCAN_SUMMARY = _o_dbscan_summary()
 
 
+def q_dbscan_wkt(spark, sf_dir):
+    """Per-cluster MULTIPOINT WKT (cluster.dbscan_cluster_wkt): the
+    analytics layer's geometry round-trips through the export surface
+    — member POINT coordinates carried verbatim (key-sorted), so the
+    string is value-exact."""
+    from . import cluster
+
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    pts = _points_side(ga)
+    a = pts.select("subject", F.col("cx").alias("lon"),
+                   F.col("cy").alias("lat"))
+    lab = cluster.grid_dbscan(a, res=6, min_pts=7)
+    return cluster.dbscan_cluster_wkt(lab, pts)
+
+
+def _o_dbscan_wkt() -> str:
+    from . import cluster
+
+    body = cluster.sql_grid_dbscan(
+        "subject", "CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+        "FROM geo_a WHERE kind = 'POINT'", res=6, min_pts=7)
+    return f"""WITH RECURSIVE {GEO_A_CTE},
+{body}
+SELECT d.cluster, COUNT(*) AS n_members,
+       CONCAT('MULTIPOINT (',
+              STRING_AGG(SUBSTRING(g.geom_wkt, 8, LENGTH(g.geom_wkt) - 8),
+                         ', ' ORDER BY d.k),
+              ')') AS multipoint_wkt
+FROM dbscan d JOIN geo_a g ON g.subject = d.k
+WHERE d.cluster >= 0
+GROUP BY d.cluster"""
+
+
+O_DBSCAN_WKT = _o_dbscan_wkt()
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile pyramid (res 13 -> 10 -> 7) over the A
     points — per-cell counts at every zoom level, coarser levels
@@ -3959,6 +3995,7 @@ QUERIES = {
     "fagi_idw_surface": q_idw_surface,
     "fagi_grid_dbscan": q_grid_dbscan,
     "fagi_dbscan_summary": q_dbscan_summary,
+    "fagi_dbscan_wkt": q_dbscan_wkt,
     "fagi_simplify": q_fagi_simplify,
     "fagi_literal_kind_filter": q_literal_kind_filter,
     "fagi_tf_filter": q_tf_filter,
@@ -4085,6 +4122,7 @@ ORACLES = {
     "fagi_idw_surface": O_IDW_SURFACE,
     "fagi_grid_dbscan": O_GRID_DBSCAN,
     "fagi_dbscan_summary": O_DBSCAN_SUMMARY,
+    "fagi_dbscan_wkt": O_DBSCAN_WKT,
     "fagi_simplify": O_FAGI_SIMPLIFY,
     "fagi_literal_kind_filter": O_LITERAL_KIND,
     "fagi_tf_filter": O_TF_FILTER,

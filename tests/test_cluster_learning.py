@@ -492,3 +492,32 @@ def test_dbscan_cluster_summary(spark):
     assert s.x1 == -180.0 + (ix0 + 4) * w
     assert s.y0 == -90.0 + iy0 * h
     assert s.y1 == -90.0 + (iy0 + 2) * h
+
+
+def test_dbscan_cluster_wkt_roundtrip(spark):
+    """The MULTIPOINT string parses back (geom kernel) to exactly the
+    member coordinates, key-sorted; noise never appears."""
+    from fagi_spark import cells, geom
+
+    res, min_pts = 6, 3
+    w = cells.cell_width_deg(res)
+    h = cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+    rows = [(f"p{i}", f"POINT ({round(lon0 + i * 0.01, 2)} {round(lat0, 2)})")
+            for i in range(3)]
+    rows.append(("z9", f"POINT ({round(lon0 + 40 * w, 2)} "
+                       f"{round(lat0 - 30 * h, 2)})"))
+    geoms = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    pts = fuse.prepare_geoms(geoms).select(
+        "subject", "geom_wkt", F.col("cx").alias("lon"),
+        F.col("cy").alias("lat"))
+    lab = cluster.grid_dbscan(
+        pts.select("subject", "lon", "lat"), res, min_pts)
+    out = cluster.dbscan_cluster_wkt(lab, pts).collect()
+    assert len(out) == 1  # the lone far point is noise, excluded
+    r = out[0]
+    assert r.n_members == 3
+    parsed = geom.parse_wkt(r.multipoint_wkt)
+    assert parsed.kind == "MULTIPOINT"
+    want = [geom.parse_wkt(wkt).parts[0][0].tolist() for _, wkt in rows[:3]]
+    assert parsed.parts[0].tolist() == want
