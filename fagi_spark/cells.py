@@ -492,6 +492,67 @@ SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {1 << res} + iy AS BIGINT) AS cell,
 FROM st GROUP BY ix, iy"""
 
 
+def _field_stats(df: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
+    """Shared ESDA field frame (hotspots + local_morans_i): per
+    occupied cell (ix, iy, x, wx, wi) joined with the one-row global
+    (n, s1, s2) — ONE count rollup, one broadcast scalar agg, one
+    stencil-after-aggregate 9-tap neighbor sum, wi = in-bounds window
+    size from pure arithmetic. Both consumers derive their statistic
+    from this frame with pure column math, and sql mirrors share
+    _sql_field_cte so the four copies can never desynchronize."""
+    n_grid = 1 << res
+    counts = (with_cell(df, res, lon=lon, lat=lat)
+              .groupBy("ix", "iy")
+              .agg(F.count(F.lit(1)).alias("x")))
+    g = counts.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s1"),
+                   F.sum(F.col("x") * F.col("x")).alias("s2"))
+    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    taps = (counts.withColumn("_dx", F.explode(offs))
+                  .withColumn("_dy", F.explode(offs)))
+    nix = F.col("ix") + F.col("_dx")
+    niy = F.col("iy") + F.col("_dy")
+    nbr = (taps.filter((nix >= 0) & (nix < n_grid)
+                       & (niy >= 0) & (niy < n_grid))
+               .select(nix.alias("ix"), niy.alias("iy"), "x")
+               .groupBy("ix", "iy")
+               .agg(F.sum("x").alias("wx")))
+    wi = ((F.least(F.col("ix") + 1, F.lit(n_grid - 1))
+           - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
+          * (F.least(F.col("iy") + 1, F.lit(n_grid - 1))
+             - F.greatest(F.col("iy") - 1, F.lit(0)) + 1))
+    return (counts.join(nbr, ["ix", "iy"]).crossJoin(F.broadcast(g))
+            .withColumn("wi", wi.cast("long")))
+
+
+def _sql_field_cte(lon_expr: str, lat_expr: str, from_clause: str,
+                   res: int) -> str:
+    """DuckDB twin of _field_stats: the shared pts/cnt/gstats/nbr/j
+    CTE chain. Every SUM output is CAST AS BIGINT (DuckDB SUM(BIGINT)
+    is HUGEINT, which the driver's pandas canonicalizer would coerce
+    to float64 and hash-mismatch Spark's long)."""
+    n = 1 << res
+    return f"""pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
+nbr AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy,
+               CAST(SUM(x) AS BIGINT) AS wx
+        FROM cnt
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+        WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
+          AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1}
+        GROUP BY 1, 2),
+j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
+             CAST((LEAST(c.ix + 1, {n - 1}) - GREATEST(c.ix - 1, 0) + 1)
+                * (LEAST(c.iy + 1, {n - 1}) - GREATEST(c.iy - 1, 0) + 1)
+                  AS BIGINT) AS wi,
+             g.n, g.s1, g.s2
+      FROM cnt c JOIN nbr ON nbr.ix = c.ix AND nbr.iy = c.iy
+      CROSS JOIN gstats g)"""
+
+
 def hotspots(df: DataFrame, res: int,
              lon: str = "lon", lat: str = "lat") -> DataFrame:
     """Getis-Ord Gi* hotspot score per occupied cell — the
@@ -516,63 +577,25 @@ def hotspots(df: DataFrame, res: int,
     mirrored literally by sql_hotspots — value-exact, no
     transcendentals. Cells where the Gi* denominator is 0 (constant
     counts, or a window covering the whole universe) score NULL."""
-    n_grid = 1 << res
-    counts = (with_cell(df, res, lon=lon, lat=lat)
-              .groupBy("ix", "iy")
-              .agg(F.count(F.lit(1)).alias("x")))
-    g = counts.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("x").alias("s1"),
-                   F.sum(F.col("x") * F.col("x")).alias("s2"))
-    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    taps = (counts.withColumn("_dx", F.explode(offs))
-                  .withColumn("_dy", F.explode(offs)))
-    nix = F.col("ix") + F.col("_dx")
-    niy = F.col("iy") + F.col("_dy")
-    nbr = (taps.filter((nix >= 0) & (nix < n_grid)
-                       & (niy >= 0) & (niy < n_grid))
-               .select(nix.alias("ix"), niy.alias("iy"), "x")
-               .groupBy("ix", "iy")
-               .agg(F.sum("x").alias("wx")))
-    j = counts.join(nbr, ["ix", "iy"]).crossJoin(F.broadcast(g))
-    wi = ((F.least(F.col("ix") + 1, F.lit(n_grid - 1))
-           - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
-          * (F.least(F.col("iy") + 1, F.lit(n_grid - 1))
-             - F.greatest(F.col("iy") - 1, F.lit(0)) + 1))
+    j = _field_stats(df, res, lon, lat)
     nd = F.col("n").cast("double")
     xbar = F.col("s1").cast("double") / nd
     s = F.sqrt(F.col("s2").cast("double") / nd - xbar * xbar)
     wid = F.col("wi").cast("double")
     num = F.col("wx").cast("double") - wid * xbar
     den = s * F.sqrt((nd * wid - wid * wid) / (nd - F.lit(1.0)))
-    return (j.withColumn("wi", wi.cast("long"))
-             .select(pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
-                     "ix", "iy", "x", "wx", "wi",
-                     F.when(den != 0.0, num / den).alias("gi_star")))
+    return j.select(pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
+                    "ix", "iy", "x", "wx", "wi",
+                    F.when(den != 0.0, num / den).alias("gi_star"))
 
 
 def sql_hotspots(lon_expr: str, lat_expr: str, from_clause: str,
                  res: int) -> str:
-    """DuckDB mirror of hotspots: identical integer rollups and the
-    SAME float expression tree (association preserved term by term)."""
+    """DuckDB mirror of hotspots: the shared _sql_field_cte rollups,
+    then the SAME float expression tree (association preserved term
+    by term)."""
     n = 1 << res
-    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
-             {sql_iy(lat_expr, res)} AS iy {from_clause}),
-cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
-gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
-nbr AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy, SUM(x) AS wx
-        FROM cnt
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
-        WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
-          AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1}
-        GROUP BY 1, 2),
-j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
-             CAST((LEAST(c.ix + 1, {n - 1}) - GREATEST(c.ix - 1, 0) + 1)
-                * (LEAST(c.iy + 1, {n - 1}) - GREATEST(c.iy - 1, 0) + 1)
-                  AS BIGINT) AS wi,
-             g.n, g.s1, g.s2
-      FROM cnt c JOIN nbr ON nbr.ix = c.ix AND nbr.iy = c.iy
-      CROSS JOIN gstats g)
+    return f"""WITH {_sql_field_cte(lon_expr, lat_expr, from_clause, res)}
 SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {n} + iy AS BIGINT) AS cell,
        ix, iy, x, wx, wi,
        CASE WHEN (SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
@@ -757,29 +780,7 @@ def local_morans_i(df: DataFrame, res: int,
     in-bounds window size — integer aggregates into a fixed float
     tree, value-exact (mirror: sql_local_morans_i). m2 is the biased
     variance (S2/n - xbar^2). Rows with m2 = 0 score NULL."""
-    n_grid = 1 << res
-    counts = (with_cell(df, res, lon=lon, lat=lat)
-              .groupBy("ix", "iy")
-              .agg(F.count(F.lit(1)).alias("x")))
-    g = counts.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("x").alias("s1"),
-                   F.sum(F.col("x") * F.col("x")).alias("s2"))
-    offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    taps = (counts.withColumn("_dx", F.explode(offs))
-                  .withColumn("_dy", F.explode(offs)))
-    nix = F.col("ix") + F.col("_dx")
-    niy = F.col("iy") + F.col("_dy")
-    nbr = (taps.filter((nix >= 0) & (nix < n_grid)
-                       & (niy >= 0) & (niy < n_grid))
-               .select(nix.alias("ix"), niy.alias("iy"), "x")
-               .groupBy("ix", "iy")
-               .agg(F.sum("x").alias("wx")))
-    j = counts.join(nbr, ["ix", "iy"]).crossJoin(F.broadcast(g))
-    wi = ((F.least(F.col("ix") + 1, F.lit(n_grid - 1))
-           - F.greatest(F.col("ix") - 1, F.lit(0)) + 1)
-          * (F.least(F.col("iy") + 1, F.lit(n_grid - 1))
-             - F.greatest(F.col("iy") - 1, F.lit(0)) + 1))
-    j = j.withColumn("wi", wi.cast("long"))
+    j = _field_stats(df, res, lon, lat)
     nd = F.col("n").cast("double")
     xbar = F.col("s1").cast("double") / nd
     m2 = F.col("s2").cast("double") / nd - xbar * xbar
@@ -806,24 +807,7 @@ def sql_local_morans_i(lon_expr: str, lat_expr: str, from_clause: str,
     z = f"(CAST(x AS DOUBLE) - {xbar})"
     lag = (f"((CAST(wx AS DOUBLE) - CAST(x AS DOUBLE))"
            f" - {xbar} * (CAST(wi AS DOUBLE) - 1.0))")
-    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
-             {sql_iy(lat_expr, res)} AS iy {from_clause}),
-cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
-gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
-nbr AS (SELECT cnt.ix + dx.dx AS ix, cnt.iy + dy.dy AS iy, SUM(x) AS wx
-        FROM cnt
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
-        WHERE cnt.ix + dx.dx BETWEEN 0 AND {n - 1}
-          AND cnt.iy + dy.dy BETWEEN 0 AND {n - 1}
-        GROUP BY 1, 2),
-j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
-             CAST((LEAST(c.ix + 1, {n - 1}) - GREATEST(c.ix - 1, 0) + 1)
-                * (LEAST(c.iy + 1, {n - 1}) - GREATEST(c.iy - 1, 0) + 1)
-                  AS BIGINT) AS wi,
-             g.n, g.s1, g.s2
-      FROM cnt c JOIN nbr ON nbr.ix = c.ix AND nbr.iy = c.iy
-      CROSS JOIN gstats g)
+    return f"""WITH {_sql_field_cte(lon_expr, lat_expr, from_clause, res)}
 SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {n} + iy AS BIGINT) AS cell,
        ix, iy, x, wx, wi,
        CASE WHEN {m2} <> 0.0 THEN ({z} / {m2}) * {lag} ELSE NULL END AS lisa_i,
@@ -852,10 +836,14 @@ def idw_surface(points: DataFrame, res: int, value: str = "val",
     sort_array, the lang_mixture_weights recipe) so the data-dependent
     float sums are reproducible and mirrorable
     (LIST_REDUCE(LIST_PREPEND(0.0, LIST(... ORDER BY key)))) —
-    value-exact despite real float accumulation. Scale shape: one
-    ring explode of the SAMPLES (bounded replication), one groupBy per
-    touched cell; per-cell lists are bounded by neighborhood sample
-    density, the same bound every stencil op here rides."""
+    value-exact despite real float accumulation. Requires ``key``
+    values unique per sample row (the with_minhash/dedup_paragraphs
+    precondition): the fold order is (key, term) on the Spark side
+    but key-only in SQL, so duplicate keys with different values would
+    accumulate in engine-specific order. Scale shape: one ring explode
+    of the SAMPLES (bounded replication), one groupBy per touched
+    cell; per-cell lists are bounded by neighborhood sample density,
+    the same bound every stencil op here rides."""
     w_deg = cell_width_deg(res)
     h_deg = cell_height_deg(res)
     pts = with_cell(points.select(F.col(key).alias("_k"),

@@ -2920,32 +2920,43 @@ SELECT side, geom_kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
 GROUP BY side, geom_kind"""
 
 
-def q_events_cooccur(spark, sf_dir):
-    """Spatio-temporal co-occurrence join (events.cooccurrence_join):
-    event pairs within 0.03 deg and 1 hour, coordinates derived
-    deterministically from (user_id, event_id) on the 0.01-degree
-    grid so same-user activity co-locates. The cell-ring x
-    time-bucket composite join must reproduce the oracle's brute-force
-    predicate exactly — including the dist_deg float (same IEEE
-    subtract/multiply/sqrt tree both sides)."""
-    from . import events as ev
+# Shared synthetic event coordinates (cooccur / OD / emerging-hotspot
+# fixtures): derived from (user_id, event_id) on the 0.01-degree grid
+# so same-user activity co-locates. ONE Spark helper and ONE SQL string
+# pair — six hand-kept copies of an expression that must stay
+# IEEE-identical across engines would desynchronize eventually.
+_EV_LON_SQL = ("CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0"
+               " + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0")
+_EV_LAT_SQL = ("CAST(user_id * 53 % 800 AS DOUBLE) / 100.0"
+               " + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0")
 
-    e = _t(spark, sf_dir, "events")
-    pts = e.select(
-        "event_id", "ts",
+
+def _event_pts(e, *cols):
+    return e.select(
+        *cols,
         ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
          + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
         ((F.col("user_id") * 53 % 800) / 100.0
          + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+
+
+def q_events_cooccur(spark, sf_dir):
+    """Spatio-temporal co-occurrence join (events.cooccurrence_join):
+    event pairs within 0.03 deg and 1 hour over the shared _event_pts
+    fixture. The cell-ring x time-bucket composite join must reproduce
+    the oracle's brute-force predicate exactly — including the
+    dist_deg float (same IEEE subtract/multiply/sqrt tree both
+    sides)."""
+    from . import events as ev
+
+    pts = _event_pts(_t(spark, sf_dir, "events"), "event_id", "ts")
     return ev.cooccurrence_join(pts, radius_deg=0.03, window_s=3600)
 
 
-O_EVENTS_COOCCUR = """WITH p AS (
+O_EVENTS_COOCCUR = f"""WITH p AS (
   SELECT event_id, epoch_us(ts) AS us,
-         CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0
-           + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0 AS lon,
-         CAST(user_id * 53 % 800 AS DOUBLE) / 100.0
-           + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0 AS lat
+         {_EV_LON_SQL} AS lon,
+         {_EV_LAT_SQL} AS lat
   FROM events)
 SELECT a.event_id AS a_id, b.event_id AS b_id,
        ABS(a.us - b.us) AS dt_us,
@@ -2964,21 +2975,13 @@ def q_od_flows(spark, sf_dir):
     literally by the oracle's LAG."""
     from . import events as ev
 
-    e = _t(spark, sf_dir, "events")
-    pts = e.select(
-        "event_id", "ts", "user_id",
-        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
-         + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
-        ((F.col("user_id") * 53 % 800) / 100.0
-         + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
     return ev.od_flows(pts, res=6)
 
 
 def _o_od_flows(res: int = 6) -> str:
-    lon = ("CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0"
-           " + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0")
-    lat = ("CAST(user_id * 53 % 800 AS DOUBLE) / 100.0"
-           " + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0")
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
     return f"""WITH p AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
          {cells.sql_cell(lon, lat, res)} AS cell
@@ -3003,21 +3006,12 @@ def q_emerging_hotspots(spark, sf_dir):
     falling/flat classification. Everything integer, value-exact."""
     from . import events as ev
 
-    e = _t(spark, sf_dir, "events")
-    pts = e.select(
-        "ts",
-        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0
-         + (F.col("event_id") * 11 % 5) / 100.0).alias("lon"),
-        ((F.col("user_id") * 53 % 800) / 100.0
-         + (F.col("event_id") * 7 % 5) / 100.0).alias("lat"))
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
     return ev.emerging_hotspots(pts, res=6, period_s=86400)
 
 
 def _o_emerging_hotspots(res: int = 6, period_s: int = 86400) -> str:
-    lon = ("CAST(user_id * 37 % 1600 AS DOUBLE) / 100.0 - 8.0"
-           " + CAST(event_id * 11 % 5 AS DOUBLE) / 100.0")
-    lat = ("CAST(user_id * 53 % 800 AS DOUBLE) / 100.0"
-           " + CAST(event_id * 7 % 5 AS DOUBLE) / 100.0")
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
     pus = period_s * 1_000_000
     return f"""WITH p AS (
   SELECT epoch_us(ts) // {pus} AS per,

@@ -350,10 +350,14 @@ def emerging_hotspots(events: DataFrame, res: int, period_s: int,
     from . import cells
 
     period_us = int(period_s) * 1_000_000
+    # floor division (not DIV's truncation) so pre-1970 timestamps
+    # bucket identically to the oracle's `//`: subtracting the
+    # non-negative pmod makes _us an exact multiple, where DIV == floor
     base = (events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y"),
                           F.unix_micros(F.col(ts).cast("timestamp"))
                            .alias("_us"))
-            .withColumn("_p", F.expr(f"_us DIV {period_us}")))
+            .withColumn("_p", F.expr(
+                f"(_us - pmod(_us, {period_us})) DIV {period_us}")))
     base = cells.with_cell(base, res, lon="_x", lat="_y")
     counts = base.groupBy("cell", "_p").agg(F.count(F.lit(1)).alias("_x"))
     rng = counts.agg(F.min("_p").alias("_pmin"), F.max("_p").alias("_pmax"))

@@ -22,6 +22,7 @@ topic) geocoded incrementally with exactly-once file-sink semantics.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -285,8 +286,14 @@ def neardup_stream(docs: DataFrame, index_path: str, pairs_path: str,
             try:
                 index = spark.read.parquet(index_path) \
                     .select("doc_id", "band", "band_hash")
-            except Exception:
-                index = bn.limit(0)  # first batch: empty index
+            except AnalysisException as e:
+                # ONLY the first-batch missing-path case may fall back
+                # to an empty index — any other read failure (transient
+                # FS error, corrupt footer) must fail the batch, else
+                # cross-batch pairs are silently and permanently lost.
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                index = bn.limit(0)
             pairs = textops.minhash_probe(
                 batch_df, index, "doc_id", "text", num_hashes, bands,
                 shingle_k, max_bucket=max_bucket, new_bands=bn)
@@ -436,8 +443,11 @@ def cooccur_stream(events: DataFrame, index_path: str, pairs_path: str,
             try:
                 hist = (spark.read.parquet(index_path)
                         .select("id", "x", "y", "us", "cell", "bk"))
-            except Exception:
-                hist = rows.limit(0)  # first batch: empty index
+            except AnalysisException as e:
+                # same first-batch-only fallback rule as neardup_stream
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                hist = rows.limit(0)
             pairs = evmod.cooccur_probe(
                 batch_df, hist.unionByName(rows), radius_deg, window_s,
                 key, ts, lon, lat)
@@ -453,7 +463,6 @@ def cooccur_stream(events: DataFrame, index_path: str, pairs_path: str,
             .trigger(availableNow=True).start())
 
 
-OD_OUT_SCHEMA = "user_id long, from_cell long, to_cell long"
 OD_STATE_SCHEMA = "last_us long, last_key long, last_cell long"
 
 
@@ -473,13 +482,23 @@ def od_flows_stream(events: DataFrame, res: int, user: str = "user_id",
     order must hold ACROSS batches — an event at or before the state's
     (last_us, last_key) is dropped rather than spliced retroactively
     into an already-emitted chain (the same late-data stance a
-    watermark takes); within a batch any disorder is fine (sorted)."""
+    watermark takes); within a batch any disorder is fine (sorted).
+
+    The user and event keys must be integer-typed (the state schema
+    carries them as BIGINT) — validated up front."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from . import cells
 
-    ev = (events.select(F.col(user), F.col(key).alias("_k"),
+    for c in (user, key):
+        dt = events.schema[c].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"od_flows_stream: column {c!r} must be integer-typed "
+                f"(state schema is BIGINT), got {dt}")
+    ev = (events.select(F.col(user).cast("long").alias(user),
+                        F.col(key).cast("long").alias("_k"),
                         F.unix_micros(F.col(ts).cast("timestamp"))
                          .alias("_us"),
                         F.col(lon).alias("_x"), F.col(lat).alias("_y")))
@@ -505,9 +524,10 @@ def od_flows_stream(events: DataFrame, res: int, user: str = "user_id",
         if last_us is not None:
             state.update((last_us, last_key, last_cell))
         if frm:
-            yield pd.DataFrame({"user_id": [k[0]] * len(frm),
+            yield pd.DataFrame({user: [k[0]] * len(frm),
                                 "from_cell": frm, "to_cell": to})
 
+    out_schema = f"{user} long, from_cell long, to_cell long"
     return (ev.groupBy(user).applyInPandasWithState(
-        fn, OD_OUT_SCHEMA, OD_STATE_SCHEMA,
+        fn, out_schema, OD_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout))
