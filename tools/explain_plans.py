@@ -491,21 +491,38 @@ def main():
         ((F.col("c_custkey") * 53 % 800) / 100.0).alias("lat"))
     co_plan = evmod.cooccurrence_join(ev_pts, 0.03, 3600)
     co_text = plan_text(co_plan)
-    join_pos = max(co_text.find("BroadcastHashJoin"),
-                   co_text.find("SortMergeJoin"))
-    gens = [m.start() for m in _re.finditer(r"\bGenerate\b", co_text)]
-    # formatted explain prints the numbered-tree summary first: every
-    # Generate index there must be greater than the join node's index
-    # (children print below their parent on the build branch)
-    if join_pos < 0 or len(gens) < 3:
-        raise SystemExit("cooccurrence structural check failed: "
-                         f"join@{join_pos}, generates={len(gens)}")
+    # Parse the numbered tree (everything before the node details):
+    # in formatted explain the join's FIRST child subtree carries a
+    # ':' in the branch column; the LAST child (the build side, with
+    # BuildRight) carries a space there. All Generates must sit in the
+    # build subtree. Every marker is asserted present (fail closed).
     tree_end = co_text.find("(1) Scan")
-    tree_gens = [g for g in gens if g < tree_end]
-    if any(g < join_pos for g in tree_gens):
+    if tree_end < 0:
+        raise SystemExit("cooccurrence check: no '(1) Scan' marker")
+    tree = co_text[:tree_end].splitlines()
+    join_i = [i for i, ln in enumerate(tree)
+              if "BroadcastHashJoin" in ln or "SortMergeJoin" in ln]
+    if not join_i:
+        raise SystemExit("cooccurrence check: no join node in tree")
+    ji = join_i[0]
+    branch_col = max(tree[ji].find("+- "), tree[ji].find(":- "), 0)
+    if "BuildRight" not in tree[ji] and "SortMergeJoin" not in tree[ji]:
+        raise SystemExit("cooccurrence check: join is not BuildRight — "
+                         f"re-derive which side replicates: {tree[ji]!r}")
+    probe_gens = build_gens = 0
+    for ln in tree[ji + 1:]:
+        if "Generate" not in ln:
+            continue
+        if len(ln) > branch_col and ln[branch_col] == ":":
+            probe_gens += 1
+        else:
+            build_gens += 1
+    if build_gens < 3 or probe_gens != 0:
         raise SystemExit(
-            "cooccurrence structural check failed: a Generate sits "
-            "above/probe-side of the join — probe must stay unexploded")
+            "cooccurrence structural check failed: probe-side "
+            f"Generates={probe_gens} (want 0), build-side="
+            f"{build_gens} (want >= 3) — the probe must stay "
+            "unexploded")
     add("cooccurrence_join (spatio-temporal pairs)", co_plan, [],
         "cell-ring x adjacent-time-bucket replication on ONE composite "
         "key: all three Generate nodes (ring dx, ring dy, bucket "
