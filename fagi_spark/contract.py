@@ -3953,6 +3953,96 @@ def _o_doc_keywords():
             "score FROM keywords")
 
 
+def _ring_wkt(pts):
+    """Closed-ring POLYGON WKT from integer-hundredths column pairs."""
+    parts = [F.lit("POLYGON ((")]
+    ring = list(pts) + [pts[0]]
+    for i, (x, y) in enumerate(ring):
+        if i:
+            parts.append(F.lit(", "))
+        parts += [_fmt2(x), F.lit(" "), _fmt2(y)]
+    parts.append(F.lit("))"))
+    return F.concat(*parts)
+
+
+def _d_ring(pts) -> str:
+    """DuckDB mirror of :func:`_ring_wkt` (pts are SQL expr strings)."""
+    ring = list(pts) + [pts[0]]
+    inner = ", ', ', ".join(f"{_d_fmt2(x)}, ' ', {_d_fmt2(y)}" for x, y in ring)
+    return f"CONCAT('POLYGON ((', {inner}, '))')"
+
+
+def q_polygon_measures(spark, sf_dir):
+    """Robust integer-grid polygon measures (gridgeom.polygon_measures):
+    exact BIGINT shoelace 2*area + centroid numerators, plus the
+    engine-reproducible perimeter left-fold (per-edge IEEE sqrt of an
+    exact integer), over a mixed rectangle / triangle / L-shape corpus.
+
+    FAGI's fusion actions and learning buckets consume per-geometry
+    area/centroid (FuserWorker.java centroid shifts; the OSM area
+    buckets of learning.py); gridgeom is the whole-stage-codegen,
+    value-exact path for them — the oracle re-parses the same WKT with
+    DuckDB list math, so WKT round-trip, grid snap, shoelace and the
+    perimeter fold are all value-compared."""
+    from . import gridgeom
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 29) % 17000, (k * 41) % 8000
+    dx, dy = k % 12 + 2, k % 10 + 2
+    rect = _ring_wkt([(v, w), (v + dx, w), (v + dx, w + dy), (v, w + dy)])
+    tri = _ring_wkt([(v, w), (v + dx, w), (v, w + dy)])
+    ell = _ring_wkt([(v, w), (v + dx, w), (v + dx, w + dy - 1),
+                     (v + dx - 1, w + dy - 1), (v + dx - 1, w + dy),
+                     (v, w + dy)])
+    df = cust.select(
+        F.concat(F.lit("poly"), k.cast("string")).alias("subject"),
+        F.when(k % 5 == 0, ell).when(k % 5 == 1, tri)
+         .otherwise(rect).alias("geom_wkt"))
+    return (gridgeom.polygon_measures(df)
+            .select("subject", "area2", "cnx", "cny",
+                    "perim_grid", "n_vertices"))
+
+
+_PV = "(c_custkey*29) % 17000"
+_PW = "(c_custkey*41) % 8000"
+_PDX = "(c_custkey % 12 + 2)"
+_PDY = "(c_custkey % 10 + 2)"
+_PX1, _PY1 = f"({_PV})+{_PDX}", f"({_PW})+{_PDY}"
+_O_RECT = _d_ring([(_PV, _PW), (_PX1, _PW), (_PX1, _PY1), (_PV, _PY1)])
+_O_TRI = _d_ring([(_PV, _PW), (_PX1, _PW), (_PV, _PY1)])
+_O_ELL = _d_ring([(_PV, _PW), (_PX1, _PW), (_PX1, f"({_PY1})-1"),
+                  (f"({_PX1})-1", f"({_PY1})-1"), (f"({_PX1})-1", _PY1),
+                  (_PV, _PY1)])
+_O_CROSS = "verts[i].gx * verts[i+1].gy - verts[i+1].gx * verts[i].gy"
+O_POLYGON_MEASURES = f"""WITH polys AS (
+  SELECT CONCAT('poly', CAST(c_custkey AS STRING)) AS subject,
+         CASE WHEN c_custkey % 5 = 0 THEN {_O_ELL}
+              WHEN c_custkey % 5 = 1 THEN {_O_TRI}
+              ELSE {_O_RECT} END AS geom_wkt
+  FROM customer),
+vlist AS (
+  SELECT subject,
+    list_transform(
+      string_split(regexp_replace(geom_wkt, '^POLYGON \\(\\(|\\)\\)$', '', 'g'), ', '),
+      s -> struct_pack(
+        gx := CAST(round(CAST(string_split(s, ' ')[1] AS DOUBLE) * 100) AS BIGINT),
+        gy := CAST(round(CAST(string_split(s, ' ')[2] AS DOUBLE) * 100) AS BIGINT))) AS verts
+  FROM polys)
+SELECT subject,
+  CAST(list_sum(list_transform(range(1, len(verts)),
+    i -> {_O_CROSS})) AS BIGINT) AS area2,
+  CAST(list_sum(list_transform(range(1, len(verts)),
+    i -> (verts[i].gx + verts[i+1].gx) * ({_O_CROSS}))) AS BIGINT) AS cnx,
+  CAST(list_sum(list_transform(range(1, len(verts)),
+    i -> (verts[i].gy + verts[i+1].gy) * ({_O_CROSS}))) AS BIGINT) AS cny,
+  list_reduce(list_prepend(0.0, list_transform(range(1, len(verts)),
+    i -> sqrt(CAST((verts[i+1].gx - verts[i].gx)*(verts[i+1].gx - verts[i].gx)
+              + (verts[i+1].gy - verts[i].gy)*(verts[i+1].gy - verts[i].gy) AS DOUBLE)))),
+    (a, b) -> a + b) AS perim_grid,
+  CAST(len(verts) - 1 AS INT) AS n_vertices
+FROM vlist"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -4078,6 +4168,7 @@ QUERIES = {
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_collocations": q_doc_collocations,
     "fagi_zorder_index": q_zorder_index,
+    "fagi_polygon_measures": q_polygon_measures,
 }
 
 ORACLES = {
@@ -4200,6 +4291,7 @@ ORACLES = {
     "doc_heavy_tokens": _o_cms(),
     "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),
+    "fagi_polygon_measures": O_POLYGON_MEASURES,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact
