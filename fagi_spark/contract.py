@@ -4043,6 +4043,56 @@ SELECT subject,
 FROM vlist"""
 
 
+def q_shift_polygon_grid(spark, sf_dir):
+    """Numeric core of the shift-polygon-grid-centroid fusion action
+    (fuse.shift_polygon_grid_centroid; ShiftPolygonToPoint.java:98-112
+    with the robust exact-grid centroid): per POINT-A / POLYGON-B link,
+    B's exact shoelace centroid in degrees and the translation delta
+    that lands it on A — the first value-exact polygon-centroid oracle
+    (the float shoelace kernel is never oracle-compared; gridgeom's
+    BIGINT numerators + one mirrored IEEE division each make this one
+    comparable). WKT output of the action stays pytest-covered."""
+    links, ga, gb = _fagi_inputs(spark, sf_dir)
+    j = fuse.resolve_links(links, ga, gb).filter(
+        (F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POLYGON"))
+    gcx, gcy, _ok = fuse.grid_centroid_cols(F.col("b_geom_wkt"))
+    return j.select(
+        F.col("node_a").alias("subject_a"),
+        F.col("node_b").alias("subject_b"),
+        gcx.alias("b_gcx"), gcy.alias("b_gcy"),
+        (F.col("a_cx") - gcx).alias("dx"),
+        (F.col("a_cy") - gcy).alias("dy"))
+
+
+_O_GC_X = "(CAST(cnx AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE))) / 100.0"
+_O_GC_Y = "(CAST(cny AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE))) / 100.0"
+O_SHIFT_POLYGON_GRID = f"""WITH {GEO_A_CTE}, {GEO_B_CTE}, {LINKS_CTE},
+bp AS (
+  SELECT subject,
+    list_transform(
+      string_split(regexp_replace(geom_wkt, '^POLYGON \\(\\(|\\)\\)$', '', 'g'), ', '),
+      s -> struct_pack(
+        gx := CAST(round(CAST(string_split(s, ' ')[1] AS DOUBLE) * 100) AS BIGINT),
+        gy := CAST(round(CAST(string_split(s, ' ')[2] AS DOUBLE) * 100) AS BIGINT))) AS verts
+  FROM geo_b WHERE kind = 'POLYGON'),
+bm AS (
+  SELECT subject,
+    CAST(list_sum(list_transform(range(1, len(verts)),
+      i -> {_O_CROSS})) AS BIGINT) AS area2,
+    CAST(list_sum(list_transform(range(1, len(verts)),
+      i -> (verts[i].gx + verts[i+1].gx) * ({_O_CROSS}))) AS BIGINT) AS cnx,
+    CAST(list_sum(list_transform(range(1, len(verts)),
+      i -> (verts[i].gy + verts[i+1].gy) * ({_O_CROSS}))) AS BIGINT) AS cny
+  FROM bp)
+SELECT l.node_a AS subject_a, l.node_b AS subject_b,
+  {_O_GC_X} AS b_gcx, {_O_GC_Y} AS b_gcy,
+  CAST(a.v AS DOUBLE)/100.0 - ({_O_GC_X}) AS dx,
+  CAST(a.w AS DOUBLE)/100.0 - ({_O_GC_Y}) AS dy
+FROM links l
+JOIN geo_a a ON l.node_a = a.subject AND a.kind = 'POINT'
+JOIN bm ON l.node_b = bm.subject"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -4169,6 +4219,7 @@ QUERIES = {
     "doc_collocations": q_doc_collocations,
     "fagi_zorder_index": q_zorder_index,
     "fagi_polygon_measures": q_polygon_measures,
+    "fagi_shift_polygon_grid": q_shift_polygon_grid,
 }
 
 ORACLES = {
@@ -4292,6 +4343,7 @@ ORACLES = {
     "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),
     "fagi_polygon_measures": O_POLYGON_MEASURES,
+    "fagi_shift_polygon_grid": O_SHIFT_POLYGON_GRID,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

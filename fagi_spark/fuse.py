@@ -178,6 +178,40 @@ def shift_polygon_to_avg_distance(j: DataFrame) -> DataFrame:
                 "Shift polygon to average distance")
 
 
+def grid_centroid_cols(wkt):
+    """Exact grid-centroid degrees of a simple-polygon WKT column as
+    ``(cx, cy, valid)`` — gridgeom's BIGINT shoelace numerators with
+    one mirrored IEEE division each, so the values are value-exact and
+    oracle-comparable (unlike the float shoelace kernel; CLAUDE.md
+    centroid rule). ``valid`` is false for non-polygons and degenerate
+    (zero-area) rings."""
+    from . import gridgeom
+    verts = gridgeom.ring_grid(wkt)
+    area2 = gridgeom.area2_grid(verts)
+    cn = gridgeom.centroid_num_grid(verts)
+    ok = area2.isNotNull() & (area2 != 0)
+    a2d = F.lit(3.0) * area2.cast("double")
+    cx = (cn.getField("cnx").cast("double") / a2d) / F.lit(100.0)
+    cy = (cn.getField("cny").cast("double") / a2d) / F.lit(100.0)
+    return cx, cy, ok
+
+
+def shift_polygon_grid_centroid(j: DataFrame) -> DataFrame:
+    """ShiftPolygonToPoint (ShiftPolygonToPoint.java:98-112) on the
+    ROBUST centroid: translate B so its exact integer-grid shoelace
+    centroid (gridgeom) lands on A's point. The float-kernel variant
+    (shift_polygon_to_point) uses the parsed representative point;
+    this is the value-exact path for simple polygon rings, falling back
+    to the representative point for non-polygon / degenerate B."""
+    gcx, gcy, ok = grid_centroid_cols(F.col("b_geom_wkt"))
+    bcx = F.when(ok, gcx).otherwise(F.col("b_cx"))
+    bcy = F.when(ok, gcy).otherwise(F.col("b_cy"))
+    return _out(j, wkt_translate_udf(F.col("b_geom_wkt"),
+                                     F.col("a_cx") - bcx,
+                                     F.col("a_cy") - bcy),
+                "Shift polygon to point (grid centroid)")
+
+
 def scale_action(j: DataFrame, factor: float = 2.0, side: str = "a") -> DataFrame:
     """ST_Scale about centroid of the kept side (ScaleTransformation.java:115-130)."""
     from .kernels import wkt_scale_udf
@@ -205,6 +239,7 @@ ACTIONS = {
     "avg-two-points": avg_two_points,
     "shift-polygon-to-point": shift_polygon_to_point,
     "shift-polygon-to-avg-distance": shift_polygon_to_avg_distance,
+    "shift-polygon-grid-centroid": shift_polygon_grid_centroid,
     "scale": scale_action,
     "offset-a": lambda j, **kw: offset_side(j, side="a", **kw),
     "offset-b": lambda j, **kw: offset_side(j, side="b", **kw),

@@ -43,12 +43,16 @@ def ring_grid(wkt: Column) -> Column:
     Python.  The closing vertex is kept (WKT rings repeat the first
     point), which the measures below rely on."""
     body = F.regexp_replace(wkt, r"^POLYGON \(\(|\)\)$", "")
+    # try_cast, not cast: ANSI mode (Spark 4 default) would otherwise
+    # throw on non-polygon WKT fed through a mixed frame — callers get
+    # NULL measures (and fusion actions a representative-point
+    # fallback) instead of a job abort.
     return F.transform(
         F.split(body, ", "),
         lambda p: F.struct(
-            F.round(F.split(p, " ")[0].cast("double") * GRID_PER_DEG)
+            F.round(F.split(p, " ")[0].try_cast("double") * GRID_PER_DEG)
             .cast("long").alias("gx"),
-            F.round(F.split(p, " ")[1].cast("double") * GRID_PER_DEG)
+            F.round(F.split(p, " ")[1].try_cast("double") * GRID_PER_DEG)
             .cast("long").alias("gy")))
 
 

@@ -95,6 +95,19 @@ def test_shift_polygon_to_point(spark):
     assert geom.centroid(g2) == pytest.approx((10.5, 20.5))  # half the gap
 
 
+def test_shift_polygon_grid_centroid(spark):
+    """Robust-centroid variant: exact grid shoelace centroid for
+    polygon B, representative-point fallback otherwise."""
+    links, ga, gb = _fixture(spark)
+    r = _rows(fuse.fuse("shift-polygon-grid-centroid", links, ga, gb))
+    g = geom.parse_wkt(r[("a1", "b1")])  # B square centroid -> A point
+    assert geom.centroid(g) == pytest.approx((10.0, 20.0))
+    # non-polygon B (b2 = POINT (1 1)) falls back to b_cx/b_cy: the
+    # point lands on A's representative point (a2 centroid (2, 2))
+    g2 = geom.parse_wkt(r[("a2", "b2")])
+    assert geom.centroid(g2) == pytest.approx((2.0, 2.0))
+
+
 def test_scores(spark):
     links, ga, gb = _fixture(spark)
     j = fuse.with_scores(fuse.resolve_links(links, ga, gb), threshold_m=300000.0)
