@@ -559,6 +559,24 @@ def main():
         "— at any corpus size the interpolation pays exactly one "
         "exchange of (cell, sample-term) rows.")
 
+    # 19. gridgeom polygon measures: a pure-codegen projection — the
+    # robust-geometry path must NEVER pay a Python stage
+    from fagi_spark import gridgeom
+    gg_plan = contract.q_polygon_measures(spark, SF)
+    gg_text = plan_text(gg_plan)
+    if "Python" in gg_text or "BatchEval" in gg_text or "ArrowEval" in gg_text:
+        raise SystemExit(
+            "gridgeom structural check failed: a Python/Arrow eval "
+            "stage appeared in polygon_measures — the robust-geometry "
+            "measures must stay whole-stage-codegen column math")
+    add("gridgeom polygon_measures (J5m exact measures)", gg_plan,
+        ["codegen"],
+        "exact BIGINT shoelace area2 + centroid numerators + the IEEE "
+        "perimeter fold compile to split/transform/aggregate column "
+        "expressions over the scan — no Python worker anywhere "
+        "(structurally enforced above), so the measures are free to "
+        "attach as a projection inside any 100 TB polygon scan.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
