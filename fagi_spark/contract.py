@@ -4093,6 +4093,111 @@ JOIN geo_a a ON l.node_a = a.subject AND a.kind = 'POINT'
 JOIN bm ON l.node_b = bm.subject"""
 
 
+def q_schema_match_exact(spark, sf_dir):
+    """§2.9 schema matching, JW-disabled value-exact variant
+    (schema_match.match_schemas_exact): word-set-Jaccard sem + dominant
+    sampled-kind compat + the reference combiner with the Python-JW
+    term zeroed (VirtuosoImporter.java:950) — fully distributed (no
+    driver collect) and oracle-comparable end to end: WindowGroupLimit
+    sample, kind regexes, the capture-group camel word-break, the
+    Jaccard division and the score tree are all mirrored in SQL. The
+    JW path stays rows-only in fagi_schema_match (+ exact pytest)."""
+    from . import schema_match
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dec_obj = F.concat((k % 900 + 1).cast("string"), F.lit("."),
+                       F.lpad((k % 100).cast("string"), 2, "0"))
+
+    def eav(pred, obj):
+        return cust.select(
+            F.concat(F.lit("s"), k.cast("string")).alias("subject"),
+            F.lit(pred).alias("predicate"), obj.alias("object"))
+
+    meta_a = (eav("http://a.org/ont/customerName", F.col("c_name"))
+              .unionByName(eav("http://a.org/ont/mktSegment",
+                               F.col("c_mktsegment")))
+              .unionByName(eav("http://a.org/ont/accountBalance", dec_obj))
+              .unionByName(eav("http://a.org/ont/nationKey",
+                               F.col("c_nationkey").cast("string"))))
+    meta_b = (eav("http://b.org/ont#label", F.col("c_name"))
+              .unionByName(eav("http://b.org/ont#marketSegment",
+                               F.col("c_mktsegment")))
+              .unionByName(eav("http://b.org/ont#balanceAmount", dec_obj))
+              .unionByName(eav("http://b.org/ont#nationCode",
+                               F.col("c_nationkey").cast("string"))))
+    return schema_match.match_schemas_exact(meta_a, meta_b)
+
+
+_O_SM_KIND = """CASE WHEN object IS NULL THEN 'text'
+            WHEN regexp_matches(object, '^[0-9]+$') THEN 'int'
+            WHEN regexp_matches(object, '^[0-9]+\\.[0-9]+$') THEN 'decimal'
+            WHEN regexp_matches(object, '^[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}$') THEN 'date'
+            WHEN regexp_matches(object, '^[a-zA-Z]+$') THEN 'word'
+            ELSE 'text' END"""
+_O_SM_WORDS = r"""list_distinct(list_filter(
+      string_split_regex(
+        lower(regexp_replace(string_split_regex(predicate, '[/#]')[-1],
+                             '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+        '[^0-9a-z]+'),
+      w -> w <> ''))"""
+
+
+def _o_sm_side(side: str) -> str:
+    """Sample -> kind counts -> dominant -> word set, for one side."""
+    return f"""k{side} AS (
+  SELECT predicate, {_O_SM_KIND} AS kind
+  FROM meta_{side} WHERE object IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY predicate ORDER BY object) <= 5),
+d{side} AS (
+  SELECT predicate, kind FROM (
+    SELECT predicate, kind, COUNT(*) AS n FROM k{side} GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY predicate
+                             ORDER BY n DESC, kind ASC) = 1),
+w{side} AS (
+  SELECT predicate, kind, {_O_SM_WORDS} AS words FROM d{side})"""
+
+
+O_SCHEMA_MATCH_EXACT = f"""WITH meta_a AS (
+  SELECT 'http://a.org/ont/customerName' AS predicate, c_name AS object FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/mktSegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/accountBalance',
+         CONCAT(CAST(c_custkey % 900 + 1 AS STRING), '.',
+                LPAD(CAST(c_custkey % 100 AS STRING), 2, '0')) FROM customer
+  UNION ALL
+  SELECT 'http://a.org/ont/nationKey', CAST(c_nationkey AS STRING) FROM customer),
+meta_b AS (
+  SELECT 'http://b.org/ont#label' AS predicate, c_name AS object FROM customer
+  UNION ALL
+  SELECT 'http://b.org/ont#marketSegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'http://b.org/ont#balanceAmount',
+         CONCAT(CAST(c_custkey % 900 + 1 AS STRING), '.',
+                LPAD(CAST(c_custkey % 100 AS STRING), 2, '0')) FROM customer
+  UNION ALL
+  SELECT 'http://b.org/ont#nationCode', CAST(c_nationkey AS STRING) FROM customer),
+{_o_sm_side('a')},
+{_o_sm_side('b')},
+pairs AS (
+  SELECT a.predicate AS pred_a, b.predicate AS pred_b,
+         a.kind AS kind_a, b.kind AS kind_b,
+         len(list_intersect(a.words, b.words)) AS i,
+         len(a.words) AS na, len(b.words) AS nb
+  FROM wa a CROSS JOIN wb b)
+SELECT pred_a, pred_b,
+  CASE WHEN na > 0 AND nb > 0
+       THEN CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)
+       ELSE 0.0 END AS sem,
+  CASE WHEN kind_a = kind_b THEN 1.0 ELSE 0.0 END AS type_compat,
+  (CASE WHEN na > 0 AND nb > 0
+        THEN CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)
+        ELSE 0.0 END
+   + 0.5 * (CASE WHEN kind_a = kind_b THEN 1.0 ELSE 0.0 END)) / 3.0
+  AS score_nojw
+FROM pairs"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -4220,6 +4325,7 @@ QUERIES = {
     "fagi_zorder_index": q_zorder_index,
     "fagi_polygon_measures": q_polygon_measures,
     "fagi_shift_polygon_grid": q_shift_polygon_grid,
+    "fagi_schema_match_exact": q_schema_match_exact,
 }
 
 ORACLES = {
@@ -4344,6 +4450,7 @@ ORACLES = {
     "fagi_zorder_index": _o_zorder(),
     "fagi_polygon_measures": O_POLYGON_MEASURES,
     "fagi_shift_polygon_grid": O_SHIFT_POLYGON_GRID,
+    "fagi_schema_match_exact": O_SCHEMA_MATCH_EXACT,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

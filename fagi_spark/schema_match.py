@@ -173,6 +173,73 @@ def predicate_inventory(meta: DataFrame, sample: int = PROPERTY_MATCH_SAMPLE):
     return out
 
 
+def words_col(pred):
+    """Column twin of :func:`local_words` — the word-break stays
+    JVM-side: last ``[/#]`` segment, camelCase split via capture-group
+    replace (NO lookarounds, so the DuckDB-RE2 oracle can mirror it;
+    pytest asserts parity with the Python breaker), lowered, split on
+    non-alphanumerics, empties dropped, distinct."""
+    local = F.element_at(F.split(pred, "[/#]"), -1)
+    spaced = F.regexp_replace(local, "([a-z0-9])([A-Z])", "$1 $2")
+    return F.array_distinct(
+        F.filter(F.split(F.lower(spaced), "[^0-9a-z]+"),
+                 lambda w: w != ""))
+
+
+def dominant_kind_inventory(meta: DataFrame,
+                            sample: int = PROPERTY_MATCH_SAMPLE) -> DataFrame:
+    """Fully-distributed twin of :func:`predicate_inventory` (no driver
+    collect): WindowGroupLimit object sample -> per-(predicate, kind)
+    counts -> deterministic dominant pick (count desc, kind asc — the
+    same tie-break as predicate_inventory's ``max(sorted(set))``).
+    Output: (predicate, kind). Scales to arbitrarily wide EAV frames:
+    at most ``sample`` rows per predicate survive each partition before
+    any shuffle."""
+    from pyspark.sql import Window
+    inv = kind_inventory(meta.filter(F.col("object").isNotNull()), sample)
+    cnt = inv.groupBy("predicate", "kind").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("predicate").orderBy(F.col("n").desc(),
+                                                F.col("kind").asc())
+    return (cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("predicate", "kind"))
+
+
+def match_schemas_exact(meta_a: DataFrame, meta_b: DataFrame,
+                        sample: int = PROPERTY_MATCH_SAMPLE) -> DataFrame:
+    """JW-disabled schema matching — fully distributed AND value-exact:
+
+    - ``sem``: word-set Jaccard ``i / (na + nb - i)`` — one IEEE
+      division of exact integer counts (the default ``sem_fn``);
+    - ``type_compat``: dominant sampled literal kinds equal;
+    - ``score_nojw``: the reference's combiner ``(sem + jaro +
+      0.5*type)/3`` (VirtuosoImporter.java:950) with the Python-JW
+      term zeroed — the fixed-parameter oracle variant; the full JW
+      path stays in :func:`match_schemas` + exact pytest fixtures.
+
+    Predicate inventories are DISTINCT-predicate frames (tiny by
+    construction — A2), so the pair space is a broadcast cross join;
+    everything upstream is the WindowGroupLimit sample."""
+    a = (dominant_kind_inventory(meta_a, sample)
+         .select(F.col("predicate").alias("pred_a"),
+                 F.col("kind").alias("kind_a"))
+         .withColumn("wa", words_col(F.col("pred_a"))))
+    b = (dominant_kind_inventory(meta_b, sample)
+         .select(F.col("predicate").alias("pred_b"),
+                 F.col("kind").alias("kind_b"))
+         .withColumn("wb", words_col(F.col("pred_b"))))
+    j = a.crossJoin(F.broadcast(b))
+    i = F.size(F.array_intersect("wa", "wb"))
+    na, nb = F.size("wa"), F.size("wb")
+    sem = F.when((na > 0) & (nb > 0),
+                 i.cast("double") / (na + nb - i).cast("double")
+                 ).otherwise(F.lit(0.0))
+    type_c = (F.col("kind_a") == F.col("kind_b")).cast("double")
+    score = (sem + F.lit(0.5) * type_c) / F.lit(3.0)
+    return j.select("pred_a", "pred_b", sem.alias("sem"),
+                    type_c.alias("type_compat"),
+                    score.alias("score_nojw"))
+
+
 def match_schemas_weighted(spark: SparkSession, meta_a: DataFrame,
                            meta_b: DataFrame, word_weight: float = 1.0,
                            text_weight: float = 1.0, type_weight: float = 1.0,

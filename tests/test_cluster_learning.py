@@ -211,6 +211,55 @@ def test_schema_match_ranks_lexical_twins(spark):
     assert pop["type_compat"] == 1.0  # both int-kind samples
 
 
+def test_words_col_matches_python_breaker(spark):
+    """words_col (capture-group camel split, no lookarounds) must agree
+    with local_words on camelCase, digits, separators and URI forms."""
+    preds = ["http://a.org/ont/mktSegment", "http://b.org/ont#acctBal2X",
+             "urn:x/geo_lat-long", "plainword", "http://a.org/ont/ABCRoute",
+             "http://a.org/ont/has__Name9Tag"]
+    df = spark.createDataFrame([(p,) for p in preds], "predicate string")
+    got = {r["predicate"]: sorted(r["w"]) for r in df.select(
+        "predicate",
+        schema_match.words_col(F.col("predicate")).alias("w")).collect()}
+    for p in preds:
+        assert got[p] == sorted(set(schema_match.local_words(p))), p
+
+
+def test_match_schemas_exact_matches_python_recompute(spark):
+    """Distributed exact variant == driver-side recompute via
+    local_words/default_sem/predicate_inventory on a mixed-kind EAV
+    fixture (and dominant_kind_inventory == predicate_inventory)."""
+    meta_a = spark.createDataFrame(
+        [("s1", "http://a.org/ont/mktSegment", "BUILDING"),
+         ("s2", "http://a.org/ont/mktSegment", "AUTO"),
+         ("s1", "http://a.org/ont/population", "1234"),
+         ("s2", "http://a.org/ont/population", "55"),
+         ("s1", "http://a.org/ont/established", "1-2-1999")],
+        "subject string, predicate string, object string")
+    meta_b = spark.createDataFrame(
+        [("t1", "http://b.org/ont#marketSegment", "RAIL"),
+         ("t1", "http://b.org/ont#population", "999"),
+         ("t2", "http://b.org/ont#popDensity", "1.25")],
+        "subject string, predicate string, object string")
+    inv = {p: k for p, k in schema_match.predicate_inventory(meta_a)}
+    dom = {r["predicate"]: r["kind"]
+           for r in schema_match.dominant_kind_inventory(meta_a).collect()}
+    assert inv == dom
+    got = {(r["pred_a"], r["pred_b"]): r for r in
+           schema_match.match_schemas_exact(meta_a, meta_b).collect()}
+    inv_b = schema_match.predicate_inventory(meta_b)
+    assert len(got) == len(inv) * len(inv_b)
+    for pa, ka in inv.items():
+        for pb, kb in inv_b:
+            wa = schema_match.local_words(pa)
+            wb = schema_match.local_words(pb)
+            sem = schema_match.default_sem(wa, wb)
+            type_c = 1.0 if ka == kb else 0.0
+            r = got[(pa, pb)]
+            assert r["sem"] == sem and r["type_compat"] == type_c, (pa, pb)
+            assert r["score_nojw"] == (sem + 0.5 * type_c) / 3.0
+
+
 def test_wordnet_sem_synonym_pairs(spark):
     """Optional WordNet sem_fn (§2.9's last semantic gap): synonym-named
     predicates ('name' vs 'label', 'city' vs 'town') must out-score
