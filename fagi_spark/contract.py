@@ -4093,6 +4093,77 @@ JOIN geo_a a ON l.node_a = a.subject AND a.kind = 'POINT'
 JOIN bm ON l.node_b = bm.subject"""
 
 
+def _line_wkt(pts):
+    """Open-path LINESTRING WKT from integer-hundredths column pairs."""
+    parts = [F.lit("LINESTRING (")]
+    for i, (x, y) in enumerate(pts):
+        if i:
+            parts.append(F.lit(", "))
+        parts += [_fmt2(x), F.lit(" "), _fmt2(y)]
+    parts.append(F.lit(")"))
+    return F.concat(*parts)
+
+
+def _d_line(pts) -> str:
+    inner = ", ', ', ".join(f"{_d_fmt2(x)}, ' ', {_d_fmt2(y)}" for x, y in pts)
+    return f"CONCAT('LINESTRING (', {inner}, ')')"
+
+
+def q_linestring_measures(spark, sf_dir):
+    """Open-path (OSM-way) measures (gridgeom.linestring_measures):
+    exact path length as the per-edge IEEE sqrt fold, BIGINT endpoint
+    displacement, vertex count — over 3/4-vertex zigzag polylines. The
+    oracle re-parses the same WKT with DuckDB list math (same contract
+    as fagi_polygon_measures)."""
+    from . import gridgeom
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 31) % 17000, (k * 43) % 8000
+    dx, dy = k % 9 + 1, k % 7 + 1
+    zig3 = _line_wkt([(v, w), (v + dx, w + dy), (v + 2 * dx, w)])
+    zig4 = _line_wkt([(v, w), (v + dx, w + dy), (v + 2 * dx, w),
+                      (v + 2 * dx, w + dy + 1)])
+    df = cust.select(
+        F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+        F.when(k % 3 == 0, zig4).otherwise(zig3).alias("geom_wkt"))
+    return (gridgeom.linestring_measures(df)
+            .select("subject", "length_grid", "disp_gx", "disp_gy",
+                    "n_vertices"))
+
+
+_LV = "(c_custkey*31) % 17000"
+_LW = "(c_custkey*43) % 8000"
+_LDX = "(c_custkey % 9 + 1)"
+_LDY = "(c_custkey % 7 + 1)"
+_L_P0 = (_LV, _LW)
+_L_P1 = (f"({_LV})+{_LDX}", f"({_LW})+{_LDY}")
+_L_P2 = (f"({_LV})+2*{_LDX}", _LW)
+_L_P3 = (f"({_LV})+2*{_LDX}", f"({_LW})+{_LDY}+1")
+O_LINESTRING_MEASURES = f"""WITH lines AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         CASE WHEN c_custkey % 3 = 0
+              THEN {_d_line([_L_P0, _L_P1, _L_P2, _L_P3])}
+              ELSE {_d_line([_L_P0, _L_P1, _L_P2])} END AS geom_wkt
+  FROM customer),
+vlist AS (
+  SELECT subject,
+    list_transform(
+      string_split(regexp_replace(geom_wkt, '^LINESTRING \\(|\\)$', '', 'g'), ', '),
+      s -> struct_pack(
+        gx := CAST(round(CAST(string_split(s, ' ')[1] AS DOUBLE) * 100) AS BIGINT),
+        gy := CAST(round(CAST(string_split(s, ' ')[2] AS DOUBLE) * 100) AS BIGINT))) AS verts
+  FROM lines)
+SELECT subject,
+  list_reduce(list_prepend(0.0, list_transform(range(1, len(verts)),
+    i -> sqrt(CAST((verts[i+1].gx - verts[i].gx)*(verts[i+1].gx - verts[i].gx)
+              + (verts[i+1].gy - verts[i].gy)*(verts[i+1].gy - verts[i].gy) AS DOUBLE)))),
+    (a, b) -> a + b) AS length_grid,
+  verts[-1].gx - verts[1].gx AS disp_gx,
+  verts[-1].gy - verts[1].gy AS disp_gy,
+  CAST(len(verts) AS INT) AS n_vertices
+FROM vlist"""
+
+
 def q_schema_match_exact(spark, sf_dir):
     """§2.9 schema matching, JW-disabled value-exact variant
     (schema_match.match_schemas_exact): word-set-Jaccard sem + dominant
@@ -4326,6 +4397,7 @@ QUERIES = {
     "fagi_polygon_measures": q_polygon_measures,
     "fagi_shift_polygon_grid": q_shift_polygon_grid,
     "fagi_schema_match_exact": q_schema_match_exact,
+    "fagi_linestring_measures": q_linestring_measures,
 }
 
 ORACLES = {
@@ -4451,6 +4523,7 @@ ORACLES = {
     "fagi_polygon_measures": O_POLYGON_MEASURES,
     "fagi_shift_polygon_grid": O_SHIFT_POLYGON_GRID,
     "fagi_schema_match_exact": O_SCHEMA_MATCH_EXACT,
+    "fagi_linestring_measures": O_LINESTRING_MEASURES,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -36,17 +36,12 @@ from pyspark.sql import functions as F
 GRID_PER_DEG = 100  # the 0.01-degree corpus grid (contract._fmt2)
 
 
-def ring_grid(wkt: Column) -> Column:
-    """Exterior-ring vertices of a simple POLYGON WKT as
-    ``array<struct<gx:bigint, gy:bigint>>`` snapped to the integer
-    grid.  JVM-only: regexp strip + split + transform (codegen), no
-    Python.  The closing vertex is kept (WKT rings repeat the first
-    point), which the measures below rely on."""
-    body = F.regexp_replace(wkt, r"^POLYGON \(\(|\)\)$", "")
-    # try_cast, not cast: ANSI mode (Spark 4 default) would otherwise
-    # throw on non-polygon WKT fed through a mixed frame — callers get
-    # NULL measures (and fusion actions a representative-point
-    # fallback) instead of a job abort.
+def _snap_pts(body: Column) -> Column:
+    """'x y, x y, ...' coordinate text -> grid-snapped vertex structs.
+    try_cast, not cast: ANSI mode (Spark 4 default) would otherwise
+    throw on non-matching WKT fed through a mixed frame — callers get
+    NULL measures (and fusion actions a representative-point fallback)
+    instead of a job abort."""
     return F.transform(
         F.split(body, ", "),
         lambda p: F.struct(
@@ -54,6 +49,23 @@ def ring_grid(wkt: Column) -> Column:
             .cast("long").alias("gx"),
             F.round(F.split(p, " ")[1].try_cast("double") * GRID_PER_DEG)
             .cast("long").alias("gy")))
+
+
+def ring_grid(wkt: Column) -> Column:
+    """Exterior-ring vertices of a simple POLYGON WKT as
+    ``array<struct<gx:bigint, gy:bigint>>`` snapped to the integer
+    grid.  JVM-only: regexp strip + split + transform (codegen), no
+    Python.  The closing vertex is kept (WKT rings repeat the first
+    point), which the measures below rely on."""
+    return _snap_pts(F.regexp_replace(wkt, r"^POLYGON \(\(|\)\)$", ""))
+
+
+def line_grid(wkt: Column) -> Column:
+    """LINESTRING vertices snapped to the grid — an OPEN path (no
+    closing vertex), same struct shape as :func:`ring_grid`, so
+    :func:`perimeter_grid` over it is the exact path LENGTH (the
+    consecutive-pair fold never closes the path)."""
+    return _snap_pts(F.regexp_replace(wkt, r"^LINESTRING \(|\)$", ""))
 
 
 def _edge_pairs(verts: Column, fn) -> Column:
@@ -100,6 +112,26 @@ def perimeter_grid(verts: Column) -> Column:
                              + (b.gy - a.gy) * (b.gy - a.gy))
                             .cast("double")))
     return F.aggregate(lens, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def linestring_measures(df, wkt_col: str = "geom_wkt",
+                        out_prefix: str = "") -> "DataFrame":  # noqa: F821
+    """Attach ``length_grid`` (exact-per-edge IEEE fold, grid units),
+    ``n_vertices`` and the exact BIGINT endpoint displacement
+    ``(disp_gx, disp_gy)`` for a LINESTRING WKT column — the open-path
+    twin of :func:`polygon_measures` (OSM-way lengths; same codegen-only
+    guarantee)."""
+    p = out_prefix
+    verts = line_grid(F.col(wkt_col))
+    return df.withColumn("_verts", verts).select(
+        "*",
+        perimeter_grid(F.col("_verts")).alias(p + "length_grid"),
+        (F.element_at("_verts", -1).getField("gx")
+         - F.element_at("_verts", 1).getField("gx")).alias(p + "disp_gx"),
+        (F.element_at("_verts", -1).getField("gy")
+         - F.element_at("_verts", 1).getField("gy")).alias(p + "disp_gy"),
+        F.size("_verts").alias(p + "n_vertices"),
+    ).drop("_verts")
 
 
 def polygon_measures(df, wkt_col: str = "geom_wkt", out_prefix: str = "") -> "DataFrame":  # noqa: F821

@@ -69,6 +69,40 @@ def test_l_shape_matches_python_reference(spark):
     assert m["n_vertices"] == 6
 
 
+def test_linestring_length_and_displacement(spark):
+    df = spark.createDataFrame(
+        [(0, "LINESTRING (0.00 0.00, 0.03 0.04, 0.03 0.02)"),
+         (1, "LINESTRING (1.00 1.00, 1.10 1.00)")],
+        ["id", "geom_wkt"])
+    m = {r["id"]: r.asDict()
+         for r in gridgeom.linestring_measures(df).collect()}
+    # open path: 3-4-5 leg then straight down 2 — NOT closed back
+    assert m[0]["length_grid"] == (0.0 + 5.0) + 2.0
+    assert (m[0]["disp_gx"], m[0]["disp_gy"]) == (3, 2)
+    assert m[0]["n_vertices"] == 3
+    assert m[1]["length_grid"] == 10.0
+    assert (m[1]["disp_gx"], m[1]["disp_gy"]) == (10, 0)
+    assert m[1]["n_vertices"] == 2
+
+
+def test_linestring_contract_query(spark):
+    from fagi_spark import contract
+    rows = contract.q_linestring_measures(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        k = int(r["subject"][3:])
+        dx, dy = k % 9 + 1, k % 7 + 1
+        want_n = 4 if k % 3 == 0 else 3
+        assert r["n_vertices"] == want_n
+        assert r["disp_gx"] == 2 * dx
+        assert r["disp_gy"] == (dy + 1 if k % 3 == 0 else 0)
+        leg = math.sqrt(float(dx * dx + dy * dy))
+        want = (0.0 + leg) + leg
+        if k % 3 == 0:
+            want = want + float(dy + 1)
+        assert r["length_grid"] == want
+
+
 def test_jvm_only_no_python_stage(spark):
     df = spark.createDataFrame(
         [("POLYGON ((0.00 0.00, 0.01 0.00, 0.01 0.01, 0.00 0.01, 0.00 0.00))",)],
