@@ -144,9 +144,16 @@ class FagiSession:
         return model, learning.predict_actions(model, feats)
 
     # -- schema matching (SchemaMatch / LinkSchemas) --------------------------
-    def match_schemas(self, weighted: bool = False, **kw) -> DataFrame:
+    def match_schemas(self, weighted: bool = False, exact: bool = False,
+                      **kw) -> DataFrame:
+        """``exact=True``: the fully-distributed JW-disabled variant
+        (schema_match.match_schemas_exact — no driver collect, every
+        term oracle-comparable)."""
         if self.meta_a is None or self.meta_b is None:
             raise ValueError("match_schemas needs meta_a and meta_b")
+        if exact:
+            return schema_match.match_schemas_exact(self.meta_a,
+                                                    self.meta_b, **kw)
         fn = (schema_match.match_schemas_weighted if weighted
               else schema_match.match_schemas)
         return fn(self.spark, self.meta_a, self.meta_b, **kw)
@@ -181,6 +188,19 @@ class FagiSession:
         geo = self._geo_a if side == "a" else self._geo_b
         return (geo.groupBy("geom_kind")
                 .agg(F.count(F.lit(1)).alias("n")))
+
+    def geometry_measures(self, side: str = "a",
+                          kind: str = "POLYGON") -> DataFrame:
+        """Exact integer-grid measures as a projection (gridgeom):
+        POLYGON -> shoelace area2 + centroid numerators + perimeter
+        fold; LINESTRING -> path length + endpoint displacement. Pure
+        whole-stage codegen — free to attach inside any scan."""
+        from . import gridgeom
+        geo = self._geo_a if side == "a" else self._geo_b
+        sel = geo.filter(F.col("geom_kind") == kind)
+        if kind == "LINESTRING":
+            return gridgeom.linestring_measures(sel)
+        return gridgeom.polygon_measures(sel)
 
     # -- position update (UpdatePositionServlet) -------------------------------
     def update_position(self, dx: float, dy: float,

@@ -49,6 +49,17 @@ def test_fetches_and_filters(sess):
     assert "POINT" in kinds
 
 
+def test_geometry_measures_and_exact_match_wiring(sess):
+    gm = sess.geometry_measures("a", kind="POLYGON")
+    assert {"area2", "cnx", "cny", "perim_grid"} <= set(gm.columns)
+    rows = gm.limit(5).collect()
+    assert all(r["area2"] is not None for r in rows)
+    ex = sess.match_schemas(exact=True)
+    assert {"pred_a", "pred_b", "sem", "type_compat",
+            "score_nojw"} == set(ex.columns)
+    assert ex.count() > 0
+
+
 def test_find_links_and_set(sess, spark):
     found = sess.find_links(radius_m=5000.0)
     assert {"node_a", "node_b"} <= set(found.columns)
