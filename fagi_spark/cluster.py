@@ -445,3 +445,147 @@ def dbscan_cluster_wkt(labels: DataFrame, geoms: DataFrame,
                              lambda s: s["_inner"]),
                          ", "),
                      F.lit(")")).alias("multipoint_wkt")))
+
+
+def _hull_chain(pts):
+    """Andrew monotone chain (lower+upper) over lex-sorted grid points
+    [(gx, gy, txt), ...]; returns the hull CCW from the lexicographic
+    minimum, strictly convex (collinear interior vertices dropped)."""
+    if len(pts) <= 1:
+        return list(pts)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
+                        key: str = "subject") -> DataFrame:
+    """Per-cluster convex hull (ST_ConvexHull analog for the cluster
+    export surface): members' POINT coordinates snapped to the integer
+    grid, hull = Andrew monotone chain on exact BIGINT cross products
+    (deterministic: CCW from the lexicographic minimum, collinear
+    vertices dropped), WKT assembled from the members' coordinate text
+    carried VERBATIM (ties on a grid point keep the MIN text) — so the
+    string is value-exact against a declarative re-derivation. Output
+    kind degrades like PostGIS: >=3 hull points -> POLYGON (closed
+    ring), 2 -> LINESTRING, 1 -> POINT; ``area2`` is the exact integer
+    shoelace of the hull ring (0 when degenerate).
+
+    Scale shape: one equi-join on the member key, one
+    groupBy(cluster, gx, gy) dedup (map-side combined), then ONE
+    Arrow applyInPandas over clusters — per-cluster state is bounded
+    by DISTINCT grid points per cluster, the same bound the
+    MULTIPOINT export rides; the chain itself is O(m log m). The
+    sequential pop loop is why this is the sanctioned Pandas fallback
+    rather than column math (no bounded-depth Catalyst expression
+    pops a data-dependent stack)."""
+    pts = geoms.select(F.col(key), "geom_wkt")
+    inner = F.expr("substring(geom_wkt, 8, length(geom_wkt) - 8)")
+    mem = (labels.filter(F.col("cluster") >= 0)
+           .join(pts, key)
+           .withColumn("_txt", inner)
+           .withColumn("_gx", F.round(
+               F.split(F.col("_txt"), " ")[0].try_cast("double") * 100)
+               .cast("long"))
+           .withColumn("_gy", F.round(
+               F.split(F.col("_txt"), " ")[1].try_cast("double") * 100)
+               .cast("long"))
+           .groupBy("cluster", "_gx", "_gy")
+           .agg(F.min("_txt").alias("_txt")))
+
+    def hull_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(pdf["_gx"].astype("int64"),
+                          pdf["_gy"].astype("int64"), pdf["_txt"]))
+        hull = _hull_chain(rows)
+        if len(hull) >= 3:
+            ring = hull + [hull[0]]
+            wkt = "POLYGON ((" + ", ".join(t for _, _, t in ring) + "))"
+            area2 = sum(ring[i][0] * ring[i + 1][1]
+                        - ring[i + 1][0] * ring[i][1]
+                        for i in range(len(ring) - 1))
+        elif len(hull) == 2:
+            wkt = f"LINESTRING ({hull[0][2]}, {hull[1][2]})"
+            area2 = 0
+        else:
+            wkt = f"POINT ({hull[0][2]})"
+            area2 = 0
+        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
+                             "n_points": [len(rows)],
+                             "n_hull": [len(hull)],
+                             "hull_wkt": [wkt],
+                             "area2": [area2]})
+
+    return mem.groupBy("cluster").applyInPandas(
+        hull_pdf,
+        "cluster long, n_points long, n_hull int, hull_wkt string, "
+        "area2 long")
+
+
+def sql_cluster_hull(mem_cte: str = "mem") -> str:
+    """DuckDB mirror of :func:`dbscan_cluster_hull` from a members CTE
+    ``{mem_cte}(cluster, gx, gy, txt)`` (one row per distinct grid
+    point per cluster, txt = MIN coordinate text): lex-sorted point
+    list, TWO monotone-chain passes (phase 1 ascending = lower hull,
+    phase 2 reversed = upper hull) as ONE recursive CTE whose state is
+    (i, hull-list) — a pop keeps i, a push advances it — then the same
+    WKT/area2 assembly as the Spark side. Emit under WITH RECURSIVE."""
+    return f"""harr AS (
+  SELECT cluster,
+         list_sort(list(struct_pack(gx := gx, gy := gy, txt := txt))) AS pts
+  FROM {mem_cte} GROUP BY cluster),
+hseqs AS (
+  SELECT cluster, 1 AS phase, pts AS seq, len(pts) AS n FROM harr
+  UNION ALL
+  SELECT cluster, 2, list_reverse(pts), len(pts) FROM harr),
+hchain AS (
+  SELECT cluster, phase, seq, len(seq) AS m, n, 1 AS i,
+         CAST([] AS STRUCT(gx BIGINT, gy BIGINT, txt VARCHAR)[]) AS hull
+  FROM hseqs
+  UNION ALL
+  SELECT cluster, phase, seq, m, n,
+         CASE WHEN pop THEN i ELSE i + 1 END,
+         CASE WHEN pop THEN list_slice(hull, 1, len(hull) - 1)
+              ELSE list_append(hull, seq[i]) END
+  FROM (
+    SELECT *,
+      (len(hull) >= 2 AND
+       (hull[-1].gx - hull[-2].gx) * (seq[i].gy - hull[-2].gy)
+       - (hull[-1].gy - hull[-2].gy) * (seq[i].gx - hull[-2].gx) <= 0) AS pop
+    FROM hchain WHERE i <= m)),
+hdone AS (SELECT cluster, phase, hull, n FROM hchain WHERE i = m + 1),
+hulls AS (
+  SELECT l.cluster, l.n,
+         CASE WHEN l.n = 1 THEN l.hull
+              ELSE list_concat(list_slice(l.hull, 1, len(l.hull) - 1),
+                               list_slice(u.hull, 1, len(u.hull) - 1))
+         END AS hull
+  FROM hdone l JOIN hdone u ON l.cluster = u.cluster
+  WHERE l.phase = 1 AND u.phase = 2),
+hull_out AS (
+  SELECT cluster, n AS n_points, CAST(len(hull) AS INT) AS n_hull,
+    CASE WHEN len(hull) >= 3 THEN
+      CONCAT('POLYGON ((',
+             array_to_string(list_transform(hull, h -> h.txt), ', '),
+             ', ', hull[1].txt, '))')
+    WHEN len(hull) = 2 THEN
+      CONCAT('LINESTRING (', hull[1].txt, ', ', hull[2].txt, ')')
+    ELSE CONCAT('POINT (', hull[1].txt, ')') END AS hull_wkt,
+    CASE WHEN len(hull) >= 3 THEN
+      CAST(list_sum(list_transform(range(1, len(hull)),
+        i -> hull[i].gx * hull[i+1].gy - hull[i+1].gx * hull[i].gy))
+        + hull[len(hull)].gx * hull[1].gy - hull[1].gx * hull[len(hull)].gy
+        AS BIGINT)
+    ELSE 0 END AS area2
+  FROM hulls)"""

@@ -4164,6 +4164,47 @@ SELECT subject,
 FROM vlist"""
 
 
+def q_dbscan_hull(spark, sf_dir):
+    """Per-cluster convex hull export (cluster.dbscan_cluster_hull):
+    Andrew monotone chain on exact BIGINT grid cross products, WKT
+    from verbatim member coordinate text, exact shoelace area2 — the
+    ST_ConvexHull analog of the MULTIPOINT export, value-exact against
+    a recursive-CTE monotone chain in DuckDB (two phase rows per
+    cluster; pop keeps i, push advances it)."""
+    from . import cluster
+
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    pts = _points_side(ga)
+    a = pts.select("subject", F.col("cx").alias("lon"),
+                   F.col("cy").alias("lat"))
+    lab = cluster.grid_dbscan(a, res=6, min_pts=7)
+    return cluster.dbscan_cluster_hull(lab, pts)
+
+
+def _o_dbscan_hull() -> str:
+    from . import cluster
+
+    body = cluster.sql_grid_dbscan(
+        "subject", "CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+        "FROM geo_a WHERE kind = 'POINT'", res=6, min_pts=7)
+    return f"""WITH RECURSIVE {GEO_A_CTE},
+{body},
+hmem AS (
+  SELECT cluster, gx, gy, MIN(txt) AS txt FROM (
+    SELECT d.cluster,
+      CAST(round(CAST(string_split(SUBSTRING(g.geom_wkt, 8, LENGTH(g.geom_wkt) - 8), ' ')[1] AS DOUBLE) * 100) AS BIGINT) AS gx,
+      CAST(round(CAST(string_split(SUBSTRING(g.geom_wkt, 8, LENGTH(g.geom_wkt) - 8), ' ')[2] AS DOUBLE) * 100) AS BIGINT) AS gy,
+      SUBSTRING(g.geom_wkt, 8, LENGTH(g.geom_wkt) - 8) AS txt
+    FROM dbscan d JOIN geo_a g ON g.subject = d.k
+    WHERE d.cluster >= 0)
+  GROUP BY cluster, gx, gy),
+{cluster.sql_cluster_hull('hmem')}
+SELECT cluster, n_points, n_hull, hull_wkt, area2 FROM hull_out"""
+
+
+O_DBSCAN_HULL = _o_dbscan_hull()
+
+
 def q_schema_match_exact(spark, sf_dir):
     """§2.9 schema matching, JW-disabled value-exact variant
     (schema_match.match_schemas_exact): word-set-Jaccard sem + dominant
@@ -4398,6 +4439,7 @@ QUERIES = {
     "fagi_shift_polygon_grid": q_shift_polygon_grid,
     "fagi_schema_match_exact": q_schema_match_exact,
     "fagi_linestring_measures": q_linestring_measures,
+    "fagi_dbscan_hull": q_dbscan_hull,
 }
 
 ORACLES = {
@@ -4524,6 +4566,7 @@ ORACLES = {
     "fagi_shift_polygon_grid": O_SHIFT_POLYGON_GRID,
     "fagi_schema_match_exact": O_SCHEMA_MATCH_EXACT,
     "fagi_linestring_measures": O_LINESTRING_MEASURES,
+    "fagi_dbscan_hull": O_DBSCAN_HULL,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

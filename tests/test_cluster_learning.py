@@ -570,3 +570,56 @@ def test_dbscan_cluster_wkt_roundtrip(spark):
     assert parsed.kind == "MULTIPOINT"
     want = [geom.parse_wkt(wkt).parts[0][0].tolist() for _, wkt in rows[:3]]
     assert parsed.parts[0].tolist() == want
+
+
+def test_hull_chain_reference_shapes():
+    """Monotone chain core: square + interior -> 4 corners CCW from
+    lex-min; collinear -> 2 endpoints; singleton -> itself; every
+    input point lies inside-or-on the hull (cross >= 0 per edge)."""
+    sq = [(0, 0, "a"), (4, 0, "b"), (4, 4, "c"), (0, 4, "d"), (2, 1, "e")]
+    hull = cluster._hull_chain(sorted(sq))
+    assert [(g, h) for g, h, _ in hull] == [(0, 0), (4, 0), (4, 4), (0, 4)]
+    col = sorted([(1, 1, "a"), (2, 2, "b"), (3, 3, "c")])
+    assert [(g, h) for g, h, _ in cluster._hull_chain(col)] \
+        == [(1, 1), (3, 3)]
+    assert cluster._hull_chain([(5, 5, "x")]) == [(5, 5, "x")]
+    import random
+    rng = random.Random(7)
+    pts = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(60)})
+    hull = cluster._hull_chain([(x, y, "") for x, y in pts])
+    ring = hull + [hull[0]]
+    for (x0, y0, _), (x1, y1, _) in zip(ring, ring[1:]):
+        for px, py in pts:  # all points weakly left of every CCW edge
+            assert (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0) >= 0
+
+
+def test_dbscan_cluster_hull_wkt(spark):
+    """End-to-end: square cluster -> POLYGON hull with interior point
+    dropped, exact area2; collinear cluster -> LINESTRING."""
+    from fagi_spark import cells, geom
+
+    res, min_pts = 6, 3
+    w = cells.cell_width_deg(res)
+    h = cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+
+    def p(i, dx, dy):
+        return (f"p{i}", f"POINT ({round(lon0 + dx, 2)} "
+                         f"{round(lat0 + dy, 2)})")
+
+    rows = [p(0, 0.00, 0.00), p(1, 0.04, 0.00), p(2, 0.04, 0.04),
+            p(3, 0.00, 0.04), p(4, 0.02, 0.01)]
+    geoms = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    pts = fuse.prepare_geoms(geoms).select(
+        "subject", "geom_wkt", F.col("cx").alias("lon"),
+        F.col("cy").alias("lat"))
+    lab = cluster.grid_dbscan(pts.select("subject", "lon", "lat"),
+                              res, min_pts)
+    out = cluster.dbscan_cluster_hull(lab, pts).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_points, r.n_hull) == (5, 4)
+    assert r.area2 == 2 * 4 * 4  # exact shoelace of the 4x4-grid square
+    parsed = geom.parse_wkt(r.hull_wkt)
+    assert parsed.kind == "POLYGON"
+    assert len(parsed.parts[0]) == 5  # closed ring, interior pt dropped
