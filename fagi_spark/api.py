@@ -305,3 +305,14 @@ class FagiSession:
                .select("subject", F.col("cx").alias("lon"),
                        F.col("cy").alias("lat")))
         return cluster.grid_dbscan(pts, res, min_pts)
+
+    def dbscan_hulls(self, side: str = "a", res: int = 6,
+                     min_pts: int = 7) -> DataFrame:
+        """Per-cluster convex hull export (ST_ConvexHull analog):
+        exact grid monotone chain, verbatim coordinate text, shoelace
+        area2 (cluster.dbscan_cluster_hull)."""
+        from . import cluster
+        geo = self._geo_a if side == "a" else self._geo_b
+        pts = geo.filter(F.col("geom_kind") == "POINT")
+        lab = self.dbscan(side=side, res=res, min_pts=min_pts)
+        return cluster.dbscan_cluster_hull(lab, pts)

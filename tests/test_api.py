@@ -107,6 +107,10 @@ def test_dbscan_wiring(sess):
     assert {"subject", "cell", "cluster", "role"} <= set(db.columns)
     roles = {r.role for r in db.select("role").distinct().collect()}
     assert roles <= {"core", "border", "noise"} and "core" in roles
+    hulls = sess.dbscan_hulls(res=6, min_pts=3)
+    assert {"cluster", "n_points", "n_hull", "hull_wkt",
+            "area2"} == set(hulls.columns)
+    assert hulls.count() > 0
 
 
 def test_esda_wiring(sess):
