@@ -521,16 +521,22 @@ def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
         else:
             wkt = f"POINT ({hull[0][2]})"
             area2 = 0
+        # exact cluster diameter: the farthest pair always has both
+        # endpoints on the hull, so O(h^2) over hull vertices suffices
+        # (h is tiny) and stays an exact BIGINT
+        diam2 = max(((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                     for a in hull for b in hull), default=0)
         return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
                              "n_points": [len(rows)],
                              "n_hull": [len(hull)],
                              "hull_wkt": [wkt],
-                             "area2": [area2]})
+                             "area2": [area2],
+                             "diam2": [diam2]})
 
     return mem.groupBy("cluster").applyInPandas(
         hull_pdf,
         "cluster long, n_points long, n_hull int, hull_wkt string, "
-        "area2 long")
+        "area2 long, diam2 long")
 
 
 def sql_cluster_hull(mem_cte: str = "mem") -> str:
@@ -587,5 +593,11 @@ hull_out AS (
         i -> hull[i].gx * hull[i+1].gy - hull[i+1].gx * hull[i].gy))
         + hull[len(hull)].gx * hull[1].gy - hull[1].gx * hull[len(hull)].gy
         AS BIGINT)
-    ELSE 0 END AS area2
+    ELSE 0 END AS area2,
+    CASE WHEN len(hull) >= 2 THEN
+      CAST(list_max(flatten(list_transform(hull, a ->
+        list_transform(hull, b ->
+          (a.gx - b.gx) * (a.gx - b.gx)
+          + (a.gy - b.gy) * (a.gy - b.gy))))) AS BIGINT)
+    ELSE 0 END AS diam2
   FROM hulls)"""

@@ -4199,7 +4199,7 @@ hmem AS (
     WHERE d.cluster >= 0)
   GROUP BY cluster, gx, gy),
 {cluster.sql_cluster_hull('hmem')}
-SELECT cluster, n_points, n_hull, hull_wkt, area2 FROM hull_out"""
+SELECT cluster, n_points, n_hull, hull_wkt, area2, diam2 FROM hull_out"""
 
 
 O_DBSCAN_HULL = _o_dbscan_hull()

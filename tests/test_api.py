@@ -109,7 +109,7 @@ def test_dbscan_wiring(sess):
     assert roles <= {"core", "border", "noise"} and "core" in roles
     hulls = sess.dbscan_hulls(res=6, min_pts=3)
     assert {"cluster", "n_points", "n_hull", "hull_wkt",
-            "area2"} == set(hulls.columns)
+            "area2", "diam2"} == set(hulls.columns)
     assert hulls.count() > 0
 
 
