@@ -51,6 +51,22 @@ def _snap_pts(body: Column) -> Column:
             .cast("long").alias("gy")))
 
 
+def point_wkt_grid(lon: Column, lat: Column) -> Column:
+    """Canonical grid POINT WKT from degree columns: snap to the 0.01
+    grid and format as fixed-2-decimal text. Negative-safe (sign +
+    abs-part formatting — a floor/lpad format would print -0.10 as
+    '-1.90'); round-trips exactly through the snap parse."""
+    def fmt(v):
+        g = F.round(v * GRID_PER_DEG).cast("long")
+        a = F.abs(g)
+        return F.concat(
+            F.when(g < 0, F.lit("-")).otherwise(F.lit("")),
+            F.floor(a.cast("double") / F.lit(100.0)).cast("long").cast("string"),
+            F.lit("."), F.lpad((a % 100).cast("string"), 2, "0"))
+    return F.concat(F.lit("POINT ("), fmt(lon), F.lit(" "), fmt(lat),
+                    F.lit(")"))
+
+
 def ring_grid(wkt: Column) -> Column:
     """Exterior-ring vertices of a simple POLYGON WKT as
     ``array<struct<gx:bigint, gy:bigint>>`` snapped to the integer

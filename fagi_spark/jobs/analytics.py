@@ -36,7 +36,7 @@ from fagi_spark.checkpoint import CheckpointStore
 from fagi_spark.session import get_spark
 
 STAGES = ("entities", "density", "hotspots", "lisa", "clusters",
-          "summary", "global_stats")
+          "summary", "hulls", "global_stats")
 
 
 def run(spark, out: str, n_pages: int, res: int = 7,
@@ -91,6 +91,20 @@ def run(spark, out: str, n_pages: int, res: int = 7,
                  "n_members": F.sum("n_points")})
     maybe_fail("summary")
 
+    def hulls_df():
+        from fagi_spark import gridgeom
+        pts = ents.select(
+            F.col("url"),
+            gridgeom.point_wkt_grid(F.col("lon"),
+                                    F.col("lat")).alias("geom_wkt"))
+        return cluster.dbscan_cluster_hull(labels, pts, key="url")
+
+    hulls = store.run_stage(
+        spark, "hulls", hulls_df,
+        observe={"n_clusters": F.count(F.lit(1)),
+                 "hull_area2": F.sum("area2")})
+    maybe_fail("hulls")
+
     gstats = store.run_stage(
         spark, "global_stats", lambda: cells.morans_i(ents, res),
         observe={"n_rows": F.count(F.lit(1))})
@@ -98,7 +112,7 @@ def run(spark, out: str, n_pages: int, res: int = 7,
 
     return {"entities": ents, "density": density, "hotspots": hot,
             "lisa": lisa, "clusters": labels, "summary": summary,
-            "global_stats": gstats, "store": store}
+            "hulls": hulls, "global_stats": gstats, "store": store}
 
 
 def main(argv=None):

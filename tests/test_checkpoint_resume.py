@@ -313,7 +313,8 @@ def test_analytics_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
         assert res["store"].latest(s) == snap  # resumed, not recomputed
 
     fresh = analytics.run(spark, str(tmp_path / "am2"), n_pages=800)
-    for layer in ("density", "hotspots", "lisa", "summary", "global_stats"):
+    for layer in ("density", "hotspots", "lisa", "summary", "hulls",
+                  "global_stats"):
         a = sorted(map(tuple, res[layer].collect()))
         b = sorted(map(tuple, fresh[layer].collect()))
         assert a == b, layer

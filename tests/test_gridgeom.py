@@ -103,6 +103,21 @@ def test_linestring_contract_query(spark):
         assert r["length_grid"] == want
 
 
+def test_point_wkt_grid_negative_safe_roundtrip(spark):
+    """Formatting is sign-correct (-0.10 must NOT print as '-1.90')
+    and round-trips exactly through the grid snap parse."""
+    vals = [(-0.10, -0.01), (12.34, -56.78), (0.0, 0.05), (-179.99, 89.99)]
+    df = spark.createDataFrame(vals, ["lon", "lat"])
+    out = df.select(
+        "lon", "lat",
+        gridgeom.point_wkt_grid(F.col("lon"), F.col("lat")).alias("wkt"))
+    for r in out.collect():
+        x, y = r["wkt"][7:-1].split(" ")
+        assert float(x) == r["lon"] and float(y) == r["lat"], r["wkt"]
+    assert out.filter(F.col("lon") == -0.10).first()["wkt"] \
+        == "POINT (-0.10 -0.01)"
+
+
 def test_jvm_only_no_python_stage(spark):
     df = spark.createDataFrame(
         [("POLYGON ((0.00 0.00, 0.01 0.00, 0.01 0.01, 0.00 0.01, 0.00 0.00))",)],
