@@ -502,6 +502,10 @@ def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
            .withColumn("_gy", F.round(
                F.split(F.col("_txt"), " ")[1].try_cast("double") * 100)
                .cast("long"))
+           # non-POINT / unparsable members yield NULL grid coords
+           # (try_cast): drop them here or the pandas int64 cast
+           # below would crash on NaN
+           .filter(F.col("_gx").isNotNull() & F.col("_gy").isNotNull())
            .groupBy("cluster", "_gx", "_gy")
            .agg(F.min("_txt").alias("_txt")))
 

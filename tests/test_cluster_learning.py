@@ -623,3 +623,20 @@ def test_dbscan_cluster_hull_wkt(spark):
     parsed = geom.parse_wkt(r.hull_wkt)
     assert parsed.kind == "POLYGON"
     assert len(parsed.parts[0]) == 5  # closed ring, interior pt dropped
+
+
+def test_dbscan_cluster_hull_drops_unparsable_members(spark):
+    """A non-POINT member in the cluster must be dropped (NULL grid
+    coords), not crash the Arrow int64 cast."""
+    labels = spark.createDataFrame([("a", 0), ("b", 0), ("c", 0)],
+                                   "subject string, cluster long")
+    geoms = spark.createDataFrame(
+        [("a", "POINT (1.00 1.00)"), ("b", "POINT (2.00 1.00)"),
+         ("c", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "subject string, geom_wkt string")
+    out = cluster.dbscan_cluster_hull(labels, geoms).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_points, r.n_hull) == (2, 2)
+    assert r.hull_wkt == "LINESTRING (1.00 1.00, 2.00 1.00)"
+    assert r.diam2 == 100 * 100
