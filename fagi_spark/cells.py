@@ -201,6 +201,77 @@ def tile_pyramid(df: DataFrame, base_res: int = 13,
              .agg(F.count(F.lit(1)).alias("n_points")))
 
 
+def tile_topk_pyramid(df: DataFrame, base_res: int = 13,
+                      levels: tuple[int, ...] = (10, 7), k: int = 3,
+                      key: str = "subject", lon: str = "lon",
+                      lat: str = "lat",
+                      rank_col: str | None = None) -> DataFrame:
+    """Per-tile top-k representative selection at EVERY zoom level in
+    one pass — the label/POI-thinning a tile server runs before
+    rendering (each tile shows at most ``k`` features; every zoom
+    re-selects from ALL points by importance, the standard
+    importance-filter semantics, NOT a subset of the finer zoom's
+    picks).
+
+    Scale shape: the same explode-then-single-consumer family as
+    ``tile_pyramid`` — one scan, one explode into (res, tile) pairs
+    via exact integer shifts of the base (ix, iy), then ONE window
+    partitioned by (res, tile) that compiles to WindowGroupLimit: at
+    most ``k`` rows per tile survive each input partition before the
+    shuffle. Ordering: ``rank_col`` ascending (importance) with
+    ``key`` as the deterministic total-order tie-break."""
+    from pyspark.sql import Window
+
+    if any(r >= base_res for r in levels):
+        raise ValueError("levels must all be coarser than base_res")
+    b = with_cell(df, base_res, lon=lon, lat=lat)
+    pairs = [F.struct(F.lit(base_res).cast("long").alias("res"),
+                      F.col("cell").alias("cell"))]
+    for rc in levels:
+        d = base_res - rc
+        pairs.append(F.struct(
+            F.lit(rc).cast("long").alias("res"),
+            pack_cell(F.shiftright(F.col("ix"), d),
+                      F.shiftright(F.col("iy"), d), rc).alias("cell")))
+    keep = [key, lon, lat] + ([rank_col] if rank_col else [])
+    ex = (b.select(*keep, F.explode(F.array(*pairs)).alias("rc"))
+          .select(*keep, F.col("rc.res").alias("res"),
+                  F.col("rc.cell").alias("cell")))
+    order = ([F.col(rank_col).asc()] if rank_col else []) + [F.col(key).asc()]
+    w = Window.partitionBy("res", "cell").orderBy(*order)
+    return (ex.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("res", "cell", "rank", key, lon, lat))
+
+
+def sql_tile_topk_pyramid(key_expr: str, lon_expr: str, lat_expr: str,
+                          rank_expr: str, from_clause: str,
+                          base_res: int = 13,
+                          levels: tuple[int, ...] = (10, 7),
+                          k: int = 3) -> str:
+    """DuckDB mirror of ``tile_topk_pyramid``: same shifts, same pack,
+    same (rank, key) total order per (res, tile). Emit under WITH; the
+    result lands in a ``topk(res, cell, rank, k, lon, lat)`` CTE."""
+    pts = (f"tkpts AS (SELECT {key_expr} AS k, {lon_expr} AS lon, "
+           f"{lat_expr} AS lat, {rank_expr} AS ord, "
+           f"{sql_ix(lon_expr, base_res)} AS ix, "
+           f"{sql_iy(lat_expr, base_res)} AS iy {from_clause})")
+    sel = []
+    for rc in [base_res] + list(levels):
+        d = base_res - rc
+        ixe = "ix" if d == 0 else f"(ix // {1 << d})"
+        iye = "iy" if d == 0 else f"(iy // {1 << d})"
+        cell = (f"CAST({rc} * {1 << _RES_SHIFT} + {ixe} * {1 << rc} "
+                f"+ {iye} AS BIGINT)")
+        sel.append(
+            f"SELECT res, cell, rank, k, lon, lat FROM ("
+            f"SELECT CAST({rc} AS BIGINT) AS res, {cell} AS cell, "
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY {cell} "
+            f"ORDER BY ord, k) AS INT) AS rank, k, lon, lat FROM tkpts) "
+            f"WHERE rank <= {k}")
+    return pts + ",\ntopk AS (\n" + "\nUNION ALL\n".join(sel) + ")"
+
+
 def sql_tile_pyramid(lon_expr: str, lat_expr: str, from_clause: str,
                      base_res: int = 13,
                      levels: tuple[int, ...] = (10, 7)) -> str:

@@ -4164,6 +4164,34 @@ SELECT subject,
 FROM vlist"""
 
 
+def q_tile_topk(spark, sf_dir):
+    """Per-tile top-k representative selection across a zoom pyramid
+    (cells.tile_topk_pyramid): the label/POI-thinning op a tile server
+    runs before rendering — one scan, one explode by integer shifts,
+    ONE WindowGroupLimit window over (res, tile) with a deterministic
+    (importance, subject) total order. Importance is a synthetic
+    integer score; lon/lat ride through for the renderer."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    pts = (_points_side(ga)
+           .select("subject", F.col("cx").alias("lon"),
+                   F.col("cy").alias("lat"),
+                   (F.substring("subject", 4, 30).cast("long") * 7919 % 1000)
+                   .alias("importance")))
+    return cells.tile_topk_pyramid(pts, base_res=10, levels=(8, 6), k=3,
+                                   rank_col="importance")
+
+
+O_TILE_TOPK = f"""WITH {GEO_A_CTE},
+tksrc AS (
+  SELECT subject, CAST(v AS DOUBLE)/100.0 AS lon,
+         CAST(w AS DOUBLE)/100.0 AS lat,
+         CAST(SUBSTRING(subject, 4) AS BIGINT) * 7919 % 1000 AS importance
+  FROM geo_a WHERE kind = 'POINT'),
+{cells.sql_tile_topk_pyramid("subject", "lon", "lat", "importance",
+                             "FROM tksrc", base_res=10, levels=(8, 6), k=3)}
+SELECT res, cell, rank, k AS subject, lon, lat FROM topk"""
+
+
 def q_dbscan_hull(spark, sf_dir):
     """Per-cluster convex hull export (cluster.dbscan_cluster_hull):
     Andrew monotone chain on exact BIGINT grid cross products, WKT
@@ -4440,6 +4468,7 @@ QUERIES = {
     "fagi_schema_match_exact": q_schema_match_exact,
     "fagi_linestring_measures": q_linestring_measures,
     "fagi_dbscan_hull": q_dbscan_hull,
+    "fagi_tile_topk": q_tile_topk,
 }
 
 ORACLES = {
@@ -4567,6 +4596,7 @@ ORACLES = {
     "fagi_schema_match_exact": O_SCHEMA_MATCH_EXACT,
     "fagi_linestring_measures": O_LINESTRING_MEASURES,
     "fagi_dbscan_hull": O_DBSCAN_HULL,
+    "fagi_tile_topk": O_TILE_TOPK,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -489,3 +489,39 @@ def test_idw_surface_semantics(spark):
     again = {r.cell: r.idw for r in
              cells.idw_surface(pts.repartition(7), res).collect()}
     assert {c: r.idw for c, r in out.items()} == again
+
+
+def test_tile_topk_pyramid_semantics_and_plan(spark):
+    """Per-tile top-k: every (res, tile) keeps <= k rows, ranks are
+    1..m by (importance, key), the kept set per tile is exactly the k
+    lowest-importance keys, and the window compiles to
+    WindowGroupLimit (only k rows per tile survive a partition)."""
+    rows = [(f"s{i:03d}", 10.0 + (i % 7) * 0.001, 20.0 + (i // 7) * 0.001,
+             (i * 37) % 50) for i in range(140)]
+    pts = spark.createDataFrame(
+        rows, "subject string, lon double, lat double, importance long")
+    out = cells.tile_topk_pyramid(pts, base_res=10, levels=(8,), k=3,
+                                  rank_col="importance")
+    got = out.collect()
+    by_tile = {}
+    for r in got:
+        by_tile.setdefault((r.res, r.cell), []).append(r)
+    for (_res, _cell), members in by_tile.items():
+        assert len(members) <= 3
+        assert sorted(r.rank for r in members) == list(
+            range(1, len(members) + 1))
+    # brute-force expectation at the base level
+    base = {}
+    for s, lo, la, imp in rows:
+        ix = int((lo + 180.0) / 360.0 * (1 << 10))
+        iy = int((la + 90.0) / 180.0 * (1 << 10))
+        base.setdefault((ix, iy), []).append((imp, s))
+    for (ix, iy), mem in base.items():
+        want = [s for _, s in sorted(mem)[:3]]
+        cell = cells.pack_cell_value(ix, iy, 10)
+        got_keys = [r.subject for r in sorted(
+            (x for x in got if x.res == 10 and x.cell == cell),
+            key=lambda r: r.rank)]
+        assert got_keys == want, (ix, iy)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
