@@ -4164,6 +4164,38 @@ SELECT subject,
 FROM vlist"""
 
 
+def q_events_stay_points(spark, sf_dir):
+    """Stay-point detection (events.stay_points): per-user maximal
+    same-cell runs with exact epoch-micro enter/exit bounds — the
+    mobility primitive OD flows splits trips on. Gaps-and-islands
+    (lag -> change flag -> running sum -> one groupBy); all output
+    columns exact integers."""
+    from . import events as ev
+
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.stay_points(pts, res=6, min_events=2)
+
+
+O_EVENTS_STAY_POINTS = f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, 6)} AS cell
+  FROM events),
+m AS (SELECT user_id, event_id, us, cell,
+             CASE WHEN LAG(cell) OVER w IS NULL
+                       OR LAG(cell) OVER w <> cell THEN 1 ELSE 0 END AS chg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+r AS (SELECT user_id, us, cell,
+             CAST(SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM m)
+SELECT user_id, cell, MIN(us) AS enter_us, MAX(us) AS exit_us,
+       MAX(us) - MIN(us) AS dwell_us, COUNT(*) AS n_events
+FROM r GROUP BY user_id, run, cell
+HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= 0"""
+
+
 def q_tile_topk(spark, sf_dir):
     """Per-tile top-k representative selection across a zoom pyramid
     (cells.tile_topk_pyramid): the label/POI-thinning op a tile server
@@ -4469,6 +4501,7 @@ QUERIES = {
     "fagi_linestring_measures": q_linestring_measures,
     "fagi_dbscan_hull": q_dbscan_hull,
     "fagi_tile_topk": q_tile_topk,
+    "events_stay_points": q_events_stay_points,
 }
 
 ORACLES = {
@@ -4597,6 +4630,7 @@ ORACLES = {
     "fagi_linestring_measures": O_LINESTRING_MEASURES,
     "fagi_dbscan_hull": O_DBSCAN_HULL,
     "fagi_tile_topk": O_TILE_TOPK,
+    "events_stay_points": O_EVENTS_STAY_POINTS,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -381,3 +381,48 @@ def emerging_hotspots(events: DataFrame, res: int, period_s: int,
                     F.when(F.col("s_stat") > 0, F.lit("rising"))
                      .when(F.col("s_stat") < 0, F.lit("falling"))
                      .otherwise(F.lit("flat")).alias("trend")))
+
+
+def stay_points(events: DataFrame, res: int, min_duration_s: float = 0.0,
+                min_events: int = 2, user: str = "user_id",
+                key: str = "event_id", ts: str = "ts",
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Stay-point detection: per user, MAXIMAL runs of consecutive
+    events inside one grid cell — the mobility primitive behind
+    home/work inference, dwell-time analytics and OD trip splitting
+    (od_flows emits the moves between exactly these runs).
+
+    Gaps-and-islands, fully declarative: a lag flags cell changes, a
+    running sum numbers the runs, one groupBy((user, run)) aggregates
+    enter/exit epoch micros and the event count; runs shorter than
+    ``min_duration_s`` or ``min_events`` are dropped. Output
+    (user, cell, enter_us, exit_us, dwell_us, n_events) — all exact
+    integers.
+
+    One shuffle on the user key (the two windows and the groupBy share
+    it); counts and epoch-micro bounds are exact BIGINTs, so the whole
+    operator is oracle-comparable. The SQL mirror must CAST its
+    running SUM to BIGINT (DuckDB SUM OVER returns HUGEINT)."""
+    from . import cells
+
+    base = (events.select(F.col(user), F.col(key),
+                          F.col(lon).alias("_x"), F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us")))
+    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    w = Window.partitionBy(user).orderBy("_us", key)
+    chg = F.when(F.lag("cell").over(w).isNull()
+                 | (F.lag("cell").over(w) != F.col("cell")), 1).otherwise(0)
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (base.withColumn("_run", run)
+           .groupBy(user, "_run", "cell")
+           .agg(F.min("_us").alias("enter_us"),
+                F.max("_us").alias("exit_us"),
+                F.count(F.lit(1)).alias("n_events"))
+           .withColumn("dwell_us", F.col("exit_us") - F.col("enter_us"))
+           .filter((F.col("n_events") >= min_events)
+                   & (F.col("dwell_us") >= int(min_duration_s * 1_000_000)))
+           .select(user, "cell", "enter_us", "exit_us", "dwell_us",
+                   "n_events"))
+    return out

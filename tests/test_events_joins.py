@@ -173,3 +173,33 @@ def test_emerging_hotspots_trends(spark):
     # late cell: 0,0,0,3 -> pairs (0,0)x3 flat + (0,3)x3 rising = +3
     assert (out[cid(3)].s_stat, out[cid(3)].trend) == (3, "rising")
     assert all(r.n_periods == 4 for r in out.values())
+
+
+def test_stay_points_gaps_and_islands(spark):
+    """A-B-A cell sequence splits into three runs (the second A run is
+    a NEW stay); min_events drops the singleton; bounds are exact
+    epoch micros; re-partitioning does not change the result."""
+    from fagi_spark import cells
+
+    w = cells.cell_width_deg(6)
+    rows = []
+    # user 1: 3 events in cell A, 1 in cell B, 2 back in A
+    for i, (dx, s) in enumerate([(0.0, "00"), (0.0, "10"), (0.0, "20"),
+                                 (1.5 * w, "30"), (0.0, "40"), (0.0, "50")]):
+        rows.append((i, 1, _ts(f"2024-01-01T00:{s}"), 10.0 + dx, 20.0))
+    # user 2: a lone event (never a stay at min_events=2)
+    rows.append((99, 2, _ts("2024-01-01T01:00"), 50.0, 30.0))
+    pts = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    got = sorted(map(tuple, ev.stay_points(pts, res=6).collect()))
+    assert len(got) == 2  # two A runs; B singleton + user 2 dropped
+    (u1, c1, e1, x1, d1, n1), (u2, c2, e2, x2, d2, n2) = got
+    assert u1 == u2 == 1 and c1 == c2  # same cell, separate stays
+    assert (n1, n2) == (3, 2)
+    assert d1 == x1 - e1 == 20 * 60 * 1_000_000
+    assert d2 == x2 - e2 == 10 * 60 * 1_000_000
+    assert e2 > x1  # the second stay starts after the first ends
+    again = sorted(map(tuple,
+                       ev.stay_points(pts.repartition(7), res=6).collect()))
+    assert again == got
