@@ -471,7 +471,8 @@ def _hull_chain(pts):
 
 
 def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
-                        key: str = "subject") -> DataFrame:
+                        key: str = "subject",
+                        prehull_salts: int = 0) -> DataFrame:
     """Per-cluster convex hull (ST_ConvexHull analog for the cluster
     export surface): members' POINT coordinates snapped to the integer
     grid, hull = Andrew monotone chain on exact BIGINT cross products
@@ -490,7 +491,17 @@ def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
     MULTIPOINT export rides; the chain itself is O(m log m). The
     sequential pop loop is why this is the sanctioned Pandas fallback
     rather than column math (no bounded-depth Catalyst expression
-    pops a data-dependent stack)."""
+    pops a data-dependent stack).
+
+    ``prehull_salts > 0`` enables the two-level distributed form for
+    HOT clusters (a metropolitan cluster can hold millions of distinct
+    grid points — one pandas group otherwise): members first split by
+    a deterministic hash salt, each (cluster, salt) shard reduces to
+    its PARTIAL hull, and the final stage runs the chain on the union
+    of partial-hull vertices. Exact by the hull composition identity
+    hull(U hull(S_i)) == hull(U S_i) — integer math, no tolerance —
+    so the output is bit-identical to the single-level form (pytest
+    asserts it)."""
     pts = geoms.select(F.col(key), "geom_wkt")
     inner = F.expr("substring(geom_wkt, 8, length(geom_wkt) - 8)")
     mem = (labels.filter(F.col("cluster") >= 0)
@@ -509,10 +520,36 @@ def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
            .groupBy("cluster", "_gx", "_gy")
            .agg(F.min("_txt").alias("_txt")))
 
+    if prehull_salts > 0:
+        def prehull_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = sorted(zip(pdf["_gx"].astype("int64"),
+                              pdf["_gy"].astype("int64"), pdf["_txt"]))
+            hull = _hull_chain(rows)
+            return pd.DataFrame({
+                "cluster": pdf["cluster"].iloc[0],
+                "_gx": [g for g, _, _ in hull],
+                "_gy": [g for _, g, _ in hull],
+                "_txt": [t for _, _, t in hull],
+                # the final stage only sees surviving vertices: carry
+                # each shard's distinct-point count on its FIRST row
+                # (shards partition the grid points by hash, so the
+                # true cluster count is the plain sum)
+                "_shard_n": [len(rows)] + [0] * (len(hull) - 1)})
+
+        salted = mem.withColumn(
+            "_salt", F.pmod(F.xxhash64("_gx", "_gy"),
+                            F.lit(prehull_salts)))
+        mem = (salted.groupBy("cluster", "_salt")
+               .applyInPandas(prehull_pdf,
+                              "cluster long, _gx long, _gy long, "
+                              "_txt string, _shard_n long"))
+
     def hull_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(pdf["_gx"].astype("int64"),
-                          pdf["_gy"].astype("int64"), pdf["_txt"]))
+        rows = sorted(set(zip(pdf["_gx"].astype("int64"),
+                              pdf["_gy"].astype("int64"), pdf["_txt"])))
         hull = _hull_chain(rows)
+        n_points = (int(pdf["_shard_n"].sum())
+                    if "_shard_n" in pdf.columns else len(rows))
         if len(hull) >= 3:
             ring = hull + [hull[0]]
             wkt = "POLYGON ((" + ", ".join(t for _, _, t in ring) + "))"
@@ -531,7 +568,7 @@ def dbscan_cluster_hull(labels: DataFrame, geoms: DataFrame,
         diam2 = max(((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
                      for a in hull for b in hull), default=0)
         return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
-                             "n_points": [len(rows)],
+                             "n_points": [n_points],
                              "n_hull": [len(hull)],
                              "hull_wkt": [wkt],
                              "area2": [area2],

@@ -640,3 +640,23 @@ def test_dbscan_cluster_hull_drops_unparsable_members(spark):
     assert (r.n_points, r.n_hull) == (2, 2)
     assert r.hull_wkt == "LINESTRING (1.00 1.00, 2.00 1.00)"
     assert r.diam2 == 100 * 100
+
+
+def test_dbscan_cluster_hull_two_level_bit_identical(spark):
+    """hull(U hull(S_i)) == hull(U S_i): the salted two-level form must
+    be BIT-identical to the single-level one, including n_points."""
+    import random
+    rng = random.Random(23)
+    rows = [(f"p{i}",
+             f"POINT ({round(10.0 + rng.randrange(200) / 100, 2)} "
+             f"{round(20.0 + rng.randrange(150) / 100, 2)})")
+            for i in range(300)]
+    geoms = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    labels = spark.createDataFrame(
+        [(s, 0 if int(s[1:]) % 3 else 1) for s, _ in rows],
+        "subject string, cluster long")
+    one = sorted(map(tuple,
+                     cluster.dbscan_cluster_hull(labels, geoms).collect()))
+    two = sorted(map(tuple, cluster.dbscan_cluster_hull(
+        labels, geoms, prehull_salts=5).collect()))
+    assert one == two
