@@ -297,6 +297,23 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         return n
 
     timed("esda_layer", _esda_count)
+
+    # 4c. cluster hull export + per-tile top-k selection over the same
+    # entities (the new geometry-export surface: Arrow monotone chain
+    # with the two-level salted reduction; WindowGroupLimit thinning)
+    from fagi_spark import gridgeom as _gg
+    hull_labels = _cluster.grid_dbscan(ents_pyr, 7, 5, key="url").persist()
+    hull_labels.count()  # labels are esda_layer's number; time the hull alone
+    hull_pts = ents_pyr.select(
+        "url", _gg.point_wkt_grid(F.col("lon"),
+                                  F.col("lat")).alias("geom_wkt"))
+    timed("cluster_hulls",
+          lambda: _cluster.dbscan_cluster_hull(
+              hull_labels, hull_pts, key="url", prehull_salts=8).count())
+    hull_labels.unpersist()
+    timed("tile_topk",
+          lambda: _cells.tile_topk_pyramid(
+              ents_pyr, 13, (10, 7), k=5, key="url").count())
     ents_pyr.unpersist()
 
     # 5. curation chain over the sf-scaled page corpus: PII scrub ->

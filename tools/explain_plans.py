@@ -569,6 +569,17 @@ def main():
             "gridgeom structural check failed: a Python/Arrow eval "
             "stage appeared in polygon_measures — the robust-geometry "
             "measures must stay whole-stage-codegen column math")
+    # 20. tile_topk_pyramid: the per-tile thinning window must compile
+    # to WindowGroupLimit (k rows per tile per partition pre-shuffle)
+    tk_plan = contract.q_tile_topk(spark, SF)
+    add("tile_topk_pyramid (J5n per-tile top-k)", tk_plan,
+        ["window_group_limit"],
+        "one scan, one shift-derived explode into (res, tile) pairs, "
+        "ONE window over (res, tile): WindowGroupLimit caps each tile "
+        "at k rows per input partition before the exchange, so a "
+        "dense-city tile ships k rows per partition, never its "
+        "millions of points.")
+
     add("gridgeom polygon_measures (J5m exact measures)", gg_plan,
         ["codegen"],
         "exact BIGINT shoelace area2 + centroid numerators + the IEEE "
