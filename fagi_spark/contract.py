@@ -4196,6 +4196,43 @@ FROM r GROUP BY user_id, run, cell
 HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= 0"""
 
 
+_SCRIPT_PLANTS = [
+    (1000001, "Привет мир как дела"),
+    (1000002, "你好 世界 数据 处理"),
+    (1000003, "مرحبا بالعالم"),
+    (1000004, "Γεια σου κόσμε"),
+    (1000005, "mixed Привет data 2024 你好"),
+    (1000006, "12345 67890"),
+    (1000007, "!!! ... ???"),
+]
+
+
+def q_doc_script_mix(spark, sf_dir):
+    """Unicode-script mixture router (textops.with_script_mix): per-doc
+    script character counts + dominant script — the stage that runs
+    BEFORE Latin-assuming language ID in a multilingual pipeline. The
+    driver corpus is ASCII-only, so non-vacuousness comes from planted
+    Cyrillic/CJK/Arabic/Greek/mixed/digit/punct rows unioned in by the
+    query (same literals inlined into the oracle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    plants = spark.createDataFrame(_SCRIPT_PLANTS,
+                                   "doc_id long, text string")
+    out = textops.with_script_mix(docs.unionByName(plants))
+    return out.select("doc_id", "n_arabic", "n_cjk", "n_cyrillic",
+                      "n_digit", "n_greek", "n_latin", "dominant_script")
+
+
+_O_SCRIPT_PLANTS = "\n  UNION ALL\n  ".join(
+    f"SELECT CAST({i} AS BIGINT), '{t}'" for i, t in _SCRIPT_PLANTS)
+O_DOC_SCRIPT_MIX = f"""WITH alldocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  {_O_SCRIPT_PLANTS}
+)
+SELECT doc_id, {', '.join(textops.sql_script_mix('text'))} FROM alldocs"""
+
+
 def q_tile_topk(spark, sf_dir):
     """Per-tile top-k representative selection across a zoom pyramid
     (cells.tile_topk_pyramid): the label/POI-thinning op a tile server
@@ -4502,6 +4539,7 @@ QUERIES = {
     "fagi_dbscan_hull": q_dbscan_hull,
     "fagi_tile_topk": q_tile_topk,
     "events_stay_points": q_events_stay_points,
+    "doc_script_mix": q_doc_script_mix,
 }
 
 ORACLES = {
@@ -4631,6 +4669,7 @@ ORACLES = {
     "fagi_dbscan_hull": O_DBSCAN_HULL,
     "fagi_tile_topk": O_TILE_TOPK,
     "events_stay_points": O_EVENTS_STAY_POINTS,
+    "doc_script_mix": O_DOC_SCRIPT_MIX,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -288,6 +288,64 @@ def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
                          F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
+SCRIPT_RANGES = (
+    # explicit codepoint ranges, NOT \p{script=...} classes: Java and
+    # RE2 ship different Unicode script tables, ranges are engine-proof
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("digit", "0-9"),
+    ("greek", "Ͱ-Ͽ"),
+    ("latin", "A-Za-z"),
+)
+
+
+def with_script_mix(df: DataFrame, text: str = "text") -> DataFrame:
+    """Unicode-script mixture per document: per-script character counts
+    (strip-and-diff: len(s) - len(regexp_replace(s, class, ''))) and
+    the dominant script — the multilingual-corpus router that runs
+    BEFORE word-marker language ID (with_lang_id assumes Latin text;
+    this decides which alphabet you are even in). Pure column math:
+    one regexp_replace per script class over the scan, no shuffle.
+
+    Dominant = lexicographic max of (count, name) structs — identical
+    struct ordering on both engines, so the label is oracle-exact;
+    'none' when no class matches (e.g. punctuation-only text)."""
+    col = F.col(text)
+    counts = {name: (F.length(col)
+                     - F.length(F.regexp_replace(col, f"[{rng}]", "")))
+              for name, rng in SCRIPT_RANGES}
+    cand = [F.struct(c.alias("n"), F.lit(name).alias("script"))
+            for name, c in counts.items()]
+    best = F.greatest(*cand)
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c.cast("long"))
+    return out.withColumn(
+        "dominant_script",
+        F.when(best["n"] > 0, best["script"]).otherwise(F.lit("none")))
+
+
+def sql_script_mix(text: str = "text") -> list[str]:
+    """DuckDB mirror: the per-script count expressions + dominant pick,
+    as SELECT-list fragments (same ranges, same strip-and-diff, same
+    (n, script) struct max)."""
+    frags = []
+    for name, rng in SCRIPT_RANGES:
+        frags.append(
+            f"CAST(LENGTH({text}) - LENGTH(regexp_replace({text}, "
+            f"'[{rng}]', '', 'g')) AS BIGINT) AS n_{name}")
+    structs = ", ".join(
+        f"struct_pack(n := LENGTH({text}) - LENGTH(regexp_replace({text}, "
+        f"'[{rng}]', '', 'g')), script := '{name}')"
+        for name, rng in SCRIPT_RANGES)
+    frags.append(
+        f"CASE WHEN list_max([{structs}]).n > 0 "
+        f"THEN list_max([{structs}]).script ELSE 'none' END "
+        f"AS dominant_script")
+    return frags
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection: MinHash + LSH, SimHash, n-gram Jaccard
 # ---------------------------------------------------------------------------

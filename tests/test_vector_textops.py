@@ -596,3 +596,27 @@ def test_recall_report_values(spark, emb, exact_topk):
     rep_m = {r.query_id: r for r in
              vector.recall_report(multi, exact_topk).collect()}
     assert all(rep_m[k].recall >= rep[k].recall for k in rep)
+
+
+def test_script_mix_planted_classification(spark):
+    """Per-script counts and the dominant label on hand rows: pure
+    Cyrillic/CJK/Arabic/Greek, a mixed row where Latin wins, digits,
+    and punctuation-only -> 'none'."""
+    from fagi_spark import textops
+
+    rows = [(1, "Привет мир"), (2, "你好世界"), (3, "مرحبا"),
+            (4, "Γεια σου"), (5, "mixed Привет data 2024"),
+            (6, "12345"), (7, "!!! ...")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.with_script_mix(df).collect()}
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[1]["n_cyrillic"] == 9 and got[1]["n_latin"] == 0
+    assert got[2]["dominant_script"] == "cjk" and got[2]["n_cjk"] == 4
+    assert got[3]["dominant_script"] == "arabic"
+    assert got[4]["dominant_script"] == "greek"
+    # mixed: latin 9 ("mixed"+"data") beats cyrillic 6, digits 4
+    assert got[5]["dominant_script"] == "latin"
+    assert (got[5]["n_latin"], got[5]["n_cyrillic"], got[5]["n_digit"]) \
+        == (9, 6, 4)
+    assert got[6]["dominant_script"] == "digit"
+    assert got[7]["dominant_script"] == "none"
