@@ -531,3 +531,71 @@ def od_flows_stream(events: DataFrame, res: int, user: str = "user_id",
     return (ev.groupBy(user).applyInPandasWithState(
         fn, out_schema, OD_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout))
+
+
+STAY_OUT_SCHEMA = ("user_id bigint, cell bigint, enter_us bigint, "
+                   "exit_us bigint, n_events bigint")
+STAY_STATE_SCHEMA = "cell bigint, enter_us bigint, last_us bigint, n bigint"
+
+
+def stay_points_stream(events: DataFrame, res: int, ts: str = "ts",
+                       user: str = "user_id", lon: str = "lon",
+                       lat: str = "lat") -> DataFrame:
+    """Streaming twin of events.stay_points: per-user keyed state
+    carries the OPEN same-cell run across micro-batches; a stay is
+    EMITTED when an event in a DIFFERENT cell arrives (closed-run
+    append semantics, like sessionize_stream's closed sessions). Cell
+    assignment is plain column math upstream of the stateful op.
+
+    Ordering contract: events are sorted by event time within each
+    batch; an out-of-order event in the SAME cell extends the open
+    run's bounds (enter=min, exit=max), but cross-batch out-of-order
+    CELL CHANGES cannot be repaired once the earlier run closed — feed
+    per-user event-time-ordered batches (or watermark upstream), the
+    same discipline od_flows needs. Parity: closed stream runs ==
+    batch stay_points(min_events=1) minus each user's final (still
+    open) run — asserted in pytest across a batch boundary."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import cells
+
+    keyed = cells.with_cell(
+        events.select(F.col(user),
+                      F.unix_micros(F.col(ts).cast("timestamp"))
+                       .alias("_us"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y").select(user, "_us", "cell")
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cur_cell, enter_us, last_us, n = state.get
+        else:
+            cur_cell, enter_us, last_us, n = None, None, None, 0
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("_us")
+        for t_us, cell in zip(batch["_us"].astype("int64"),
+                              batch["cell"].astype("int64")):
+            t_us, cell = int(t_us), int(cell)
+            if cur_cell is None:
+                cur_cell, enter_us, last_us, n = cell, t_us, t_us, 1
+            elif cell == cur_cell:
+                enter_us = min(enter_us, t_us)
+                last_us = max(last_us, t_us)
+                n += 1
+            else:
+                closed.append((key[0], cur_cell, enter_us, last_us, n))
+                cur_cell, enter_us, last_us, n = cell, t_us, t_us, 1
+        state.update((cur_cell, enter_us, last_us, n))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [c[0] for c in closed],
+                "cell": [c[1] for c in closed],
+                "enter_us": [c[2] for c in closed],
+                "exit_us": [c[3] for c in closed],
+                "n_events": [c[4] for c in closed],
+            })
+
+    return (keyed.groupBy(user).applyInPandasWithState(
+        fn, STAY_OUT_SCHEMA, STAY_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))

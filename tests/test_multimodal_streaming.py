@@ -638,3 +638,53 @@ def test_od_flows_stream_union_equals_batch(spark, tmp_path):
                                int((20.0 + 90) / 180 * 64), res)
     assert got.filter((F.col("from_cell") == cb)
                       & (F.col("to_cell") == cc)).count() == 1
+
+
+def test_stateful_stay_points_stream_matches_batch(spark, tmp_path):
+    """Keyed-state stay-point runs across a micro-batch boundary:
+    closed stream runs == batch stay_points(min_events=1) minus each
+    user's final (still open) run."""
+    import datetime as dt
+
+    from fagi_spark import cells
+    from fagi_spark import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    w = cells.cell_width_deg(6)
+
+    def row(user, minutes, dx):
+        return (user, t0 + dt.timedelta(minutes=minutes),
+                10.0 + dx * 1.5 * w, 20.0)
+
+    # file 1: u1 two events in cell A; u2 one event in cell X
+    f1 = [row(1, 0, 0), row(1, 5, 0), row(2, 0, 3)]
+    # file 2: u1 continues A then moves to B (closes A); u2 moves (closes X)
+    f2 = [row(1, 10, 0), row(1, 20, 1), row(2, 30, 4)]
+    src = str(tmp_path / "stay_src")
+    schema = "user_id long, ts timestamp, lon double, lat double"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming.stay_points_stream(stream, res=6)
+         .writeStream.format("memory").queryName("stay_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["cell"], r["enter_us"], r["exit_us"],
+            r["n_events"])
+           for r in spark.sql("SELECT * FROM stay_mem").collect()}
+
+    allrows = spark.createDataFrame(f1 + f2, schema).withColumn(
+        "event_id", F.monotonically_increasing_id())
+    batch = ev.stay_points(allrows, res=6, min_events=1)
+    from pyspark.sql import Window
+    win = Window.partitionBy("user_id")
+    closed = (batch.withColumn("_mx", F.max("enter_us").over(win))
+              .filter(F.col("enter_us") != F.col("_mx")))
+    want = {(r["user_id"], r["cell"], r["enter_us"], r["exit_us"],
+             r["n_events"]) for r in closed.collect()}
+    assert got == want
+    # u1's A run closed with all 3 events incl. the cross-batch one
+    assert any(u == 1 and n == 3 for u, _, _, _, n in got)
+    assert len(got) == 2  # u1 A run + u2 X run; open runs not emitted
