@@ -569,6 +569,25 @@ def main():
             "gridgeom structural check failed: a Python/Arrow eval "
             "stage appeared in polygon_measures — the robust-geometry "
             "measures must stay whole-stage-codegen column math")
+    # 19b. stay_points: the two windows and the groupBy must all ride
+    # ONE user-key exchange (HashPartitioning(user) satisfies the
+    # (user, run, cell) clustering — a second exchange here would mean
+    # the islands aggregate stopped reusing the window's partitioning)
+    sp_plan = contract.q_events_stay_points(spark, SF)
+    sp_text = plan_text(sp_plan)
+    sp_tree = sp_text[:max(sp_text.find("(1) Scan"), 0) or None]
+    n_sp_ex = sp_tree.count("Exchange")
+    if n_sp_ex != 1:
+        raise SystemExit(
+            f"stay_points structural check failed: {n_sp_ex} Exchanges "
+            "in the tree (want exactly 1 — lag window, running-sum "
+            "window and the islands groupBy all share the user key)")
+    add("events stay_points (gaps-and-islands)", sp_plan, [],
+        "one shuffle total, structurally enforced: the cell-change lag "
+        "window, the running-sum run numbering and the per-run "
+        "aggregate all cluster on the user key, so the plan pays a "
+        "single user-key exchange regardless of corpus size.")
+
     # 20. tile_topk_pyramid: the per-tile thinning window must compile
     # to WindowGroupLimit (k rows per tile per partition pre-shuffle)
     tk_plan = contract.q_tile_topk(spark, SF)
