@@ -4196,6 +4196,62 @@ FROM r GROUP BY user_id, run, cell
 HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= 0"""
 
 
+def q_toponym_resolve(spark, sf_dir):
+    """Toponym disambiguation (toponym.resolve_toponyms): ambiguous
+    place mentions resolve to the candidate nearest the page's
+    unique-mention anchor centroid; anchorless pages fall back to the
+    importance default sense. The fixture makes 1-in-4 gazetteer rows
+    uniquely named (anchors) and shares the rest across 137 city
+    names (~8 candidates each at sf0.01); mention names decouple from
+    page ids so all three methods fire. Value-exact end to end: grid
+    snap, ONE IEEE centroid division, the distance tree and both
+    row_number total orders are mirrored in the oracle."""
+    from . import toponym
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    uniq_name = F.concat(F.lit("uniq"), k.cast("string"))
+    gaz = cust.select(
+        k.alias("place_id"),
+        F.when(k % 4 == 0, uniq_name)
+         .otherwise(F.concat(F.lit("city"), (k % 137).cast("string")))
+         .alias("name"),
+        ((k * 37 % 17000).cast("double") / 100.0).alias("lon"),
+        ((k * 53 % 8000).cast("double") / 100.0).alias("lat"),
+        (k * 7 % 1000).alias("importance"))
+    mentions = cust.select(
+        (k % 211).alias("page_id"), k.alias("mention_id"),
+        F.when(k % 4 == 0, uniq_name)
+         .otherwise(F.concat(F.lit("city"), ((k * 3) % 137).cast("string")))
+         .alias("name"))
+    return toponym.resolve_toponyms(mentions, gaz)
+
+
+def _o_toponym() -> str:
+    from . import toponym
+    return f"""WITH mentions AS (
+  SELECT c_custkey % 211 AS page_id, c_custkey AS mention_id,
+         CASE WHEN c_custkey % 4 = 0
+              THEN CONCAT('uniq', CAST(c_custkey AS STRING))
+              ELSE CONCAT('city', CAST((c_custkey * 3) % 137 AS STRING))
+         END AS name
+  FROM customer),
+gazetteer AS (
+  SELECT c_custkey AS place_id,
+         CASE WHEN c_custkey % 4 = 0
+              THEN CONCAT('uniq', CAST(c_custkey AS STRING))
+              ELSE CONCAT('city', CAST(c_custkey % 137 AS STRING))
+         END AS name,
+         CAST(c_custkey * 37 % 17000 AS DOUBLE)/100.0 AS lon,
+         CAST(c_custkey * 53 % 8000 AS DOUBLE)/100.0 AS lat,
+         c_custkey * 7 % 1000 AS importance
+  FROM customer),
+{toponym.sql_resolve_toponyms()}
+SELECT page_id, mention_id, name, place_id, method FROM resolved"""
+
+
+O_TOPONYM_RESOLVE = _o_toponym()
+
+
 _SCRIPT_PLANTS = [
     (1000001, "Привет мир как дела"),
     (1000002, "你好 世界 数据 处理"),
@@ -4540,6 +4596,7 @@ QUERIES = {
     "fagi_tile_topk": q_tile_topk,
     "events_stay_points": q_events_stay_points,
     "doc_script_mix": q_doc_script_mix,
+    "fagi_toponym_resolve": q_toponym_resolve,
 }
 
 ORACLES = {
@@ -4670,6 +4727,7 @@ ORACLES = {
     "fagi_tile_topk": O_TILE_TOPK,
     "events_stay_points": O_EVENTS_STAY_POINTS,
     "doc_script_mix": O_DOC_SCRIPT_MIX,
+    "fagi_toponym_resolve": O_TOPONYM_RESOLVE,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact
