@@ -4196,6 +4196,71 @@ FROM r GROUP BY user_id, run, cell
 HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= 0"""
 
 
+def q_snap_to_way(spark, sf_dir):
+    """Snap-to-road: nearest way (LINESTRING) per point by TRUE shape
+    distance — joins.knn_shape_join (dwithin candidates + per-point
+    WindowGroupLimit rank) with k=1 over axis-aligned staircase ways.
+    The oracle mirrors the distance as the per-segment box-gap minimum
+    (exact for axis-aligned segments — the same IEEE argument
+    fagi_dwithin_join's oracle rests on) and ranks by the identical
+    (distance_m, way) total order."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    pts = _points_side(ga)
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 41) % 17000, (k * 59) % 8000
+    ways = cust.select(
+        F.concat(F.lit("road"), k.cast("string")).alias("subject"),
+        _line_wkt([(v, w), (v + 6, w), (v + 6, w + 5)]).alias("geom_wkt"))
+    out = joins.knn_shape_join(pts, fuse.prepare_geoms(ways), 1, 25000.0)
+    return out.select(F.col("a_subject").alias("point_subject"),
+                      F.col("b_subject").alias("way_subject"),
+                      "distance_m")
+
+
+def _o_snap_to_way(radius_m: float = 25000.0) -> str:
+    from . import geom as _g
+    rdeg = _dlit(radius_m / _g.METERS_PER_DEGREE)
+    mpd = _dlit(_g.METERS_PER_DEGREE)
+    # staircase way (v,w)->(v+6,w)->(v+6,w+5): one horizontal segment
+    # [v, v+6] x {w}, one vertical {v+6} x [w, w+5] — per-segment
+    # box-gap distances, then the float min
+    seg_h = ("GREATEST(0e0, wx0 - px, px - wx1) AS h_gx, "
+             "GREATEST(0e0, wy0 - py, py - wy0) AS h_gy")
+    seg_v = ("GREATEST(0e0, wx1 - px, px - wx1) AS v_gx, "
+             "GREATEST(0e0, wy0 - py, py - wy1) AS v_gy")
+    return f"""WITH {GEO_A_CTE},
+snp AS (
+  SELECT subject AS point_subject, CAST(v AS DOUBLE)/100.0 AS px,
+         CAST(w AS DOUBLE)/100.0 AS py
+  FROM geo_a WHERE kind = 'POINT'),
+snw AS (
+  SELECT CONCAT('road', CAST(c_custkey AS STRING)) AS way_subject,
+         CAST((c_custkey*41) % 17000 AS DOUBLE)/100.0 AS wx0,
+         CAST((c_custkey*41) % 17000 + 6 AS DOUBLE)/100.0 AS wx1,
+         CAST((c_custkey*59) % 8000 AS DOUBLE)/100.0 AS wy0,
+         CAST((c_custkey*59) % 8000 + 5 AS DOUBLE)/100.0 AS wy1
+  FROM customer),
+sgaps AS (
+  SELECT point_subject, way_subject, {seg_h}, {seg_v}
+  FROM snp JOIN snw
+    ON px BETWEEN wx0 - {rdeg} AND wx1 + {rdeg}
+   AND py BETWEEN wy0 - {rdeg} AND wy1 + {rdeg}),
+sdist AS (
+  SELECT point_subject, way_subject,
+         LEAST(SQRT(h_gx * h_gx + h_gy * h_gy),
+               SQRT(v_gx * v_gx + v_gy * v_gy)) AS d_deg
+  FROM sgaps)
+SELECT point_subject, way_subject, d_deg * {mpd} AS distance_m
+FROM sdist
+WHERE d_deg <= {rdeg}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY point_subject
+                           ORDER BY d_deg * {mpd}, way_subject) = 1"""
+
+
+O_SNAP_TO_WAY = _o_snap_to_way()
+
+
 def q_toponym_resolve(spark, sf_dir):
     """Toponym disambiguation (toponym.resolve_toponyms): ambiguous
     place mentions resolve to the candidate nearest the page's
@@ -4597,6 +4662,7 @@ QUERIES = {
     "events_stay_points": q_events_stay_points,
     "doc_script_mix": q_doc_script_mix,
     "fagi_toponym_resolve": q_toponym_resolve,
+    "fagi_snap_to_way": q_snap_to_way,
 }
 
 ORACLES = {
@@ -4728,6 +4794,7 @@ ORACLES = {
     "events_stay_points": O_EVENTS_STAY_POINTS,
     "doc_script_mix": O_DOC_SCRIPT_MIX,
     "fagi_toponym_resolve": O_TOPONYM_RESOLVE,
+    "fagi_snap_to_way": O_SNAP_TO_WAY,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

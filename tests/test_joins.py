@@ -314,3 +314,33 @@ def test_zonal_stats_hand_fixture(spark):
     only = {r.poly_subject: r.n_points
             for r in j2.zonal_stats(pts, polys, res=6).collect()}
     assert only == {"z1": 2, "z2": 2}
+
+
+def test_snap_to_way_contract_semantics(spark):
+    """Nearest-way snap: the vertical leg can beat the horizontal one
+    (true shape distance, not centroid), equidistant ways break ties
+    by subject, and points outside the radius drop."""
+    from fagi_spark import contract, fuse, geom
+
+    pts = fuse.prepare_geoms(spark.createDataFrame(
+        [("p1", "POINT (0.03 0.10)"),    # 0.10 above the h-leg of r1
+         ("p2", "POINT (0.07 0.03)"),    # 0.01 right of r1's v-leg
+         ("p3", "POINT (5.00 5.00)")],   # far from everything
+        "subject string, geom_wkt string"))
+    ways = fuse.prepare_geoms(spark.createDataFrame(
+        [("r1", "LINESTRING (0.00 0.00, 0.06 0.00, 0.06 0.05)"),
+         ("r2", "LINESTRING (0.00 0.20, 0.06 0.20, 0.06 0.25)")],
+        "subject string, geom_wkt string"))
+    from fagi_spark import joins
+    got = {r["a_subject"]: (r["b_subject"], r["distance_m"])
+           for r in joins.knn_shape_join(pts, ways, 1, 15000.0).collect()}
+    assert "p3" not in got
+    # p1's nearest feature is r1's leg-top VERTEX (0.06, 0.05):
+    # sqrt(0.03^2 + 0.05^2) deg — closer than either leg's interior
+    assert got["p1"][0] == "r1"
+    import math
+    want = math.sqrt(0.03 * 0.03 + 0.05 * 0.05) * geom.METERS_PER_DEGREE
+    assert got["p1"][1] == want
+    # p2 snaps to r1's VERTICAL leg at 0.01 deg (centroid logic would
+    # not see this)
+    assert got["p2"] == ("r1", (0.07 - 0.06) * geom.METERS_PER_DEGREE)
