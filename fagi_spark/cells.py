@@ -201,35 +201,6 @@ def tile_pyramid(df: DataFrame, base_res: int = 13,
              .agg(F.count(F.lit(1)).alias("n_points")))
 
 
-def retile_incremental(old_counts: DataFrame, added: DataFrame,
-                       removed: DataFrame, res: int,
-                       lon: str = "lon", lat: str = "lat") -> DataFrame:
-    """Incremental tile maintenance from a snapshot changelog
-    (CheckpointStore.diff's (added, removed) frames): per-cell counts
-    update by +added -removed, zero-count cells drop — cost scales
-    with the CHANGE volume, never the corpus, which is the entire
-    point of the snapshot changelog at 10^12 rows (re-tile a daily
-    delta instead of rescanning the table). ``old_counts`` is a
-    committed (cell, n_points) table (cells.with_cell rollup or the
-    base level of tile_pyramid).
-
-    Exact: counts are integers, so incremental == recompute
-    bit-for-bit (asserted in pytest against a full rebuild)."""
-    def delta(df, sign):
-        return (with_cell(df, res, lon=lon, lat=lat)
-                .groupBy("cell")
-                .agg((F.count(F.lit(1)) * sign).alias("_d")))
-
-    d = (delta(added, 1).unionByName(delta(removed, -1))
-         .groupBy("cell").agg(F.sum("_d").alias("_d")))
-    return (old_counts.join(d, "cell", "full")
-            .select("cell",
-                    (F.coalesce(F.col("n_points"), F.lit(0))
-                     + F.coalesce(F.col("_d"), F.lit(0)))
-                    .alias("n_points"))
-            .filter(F.col("n_points") > 0))
-
-
 def tile_topk_pyramid(df: DataFrame, base_res: int = 13,
                       levels: tuple[int, ...] = (10, 7), k: int = 3,
                       key: str = "subject", lon: str = "lon",

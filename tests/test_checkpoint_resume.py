@@ -327,40 +327,3 @@ def test_analytics_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     assert members + noise == n_ents
     assert res["global_stats"].count() == 1
 
-
-def test_incremental_retile_equals_rebuild(spark, tmp_path):
-    """Changelog-driven tile maintenance: updating the committed tile
-    counts from diff's (added, removed) equals a full rebuild of the
-    new snapshot — integer counts, so bit-exact; cells whose count
-    reaches zero drop."""
-    from fagi_spark import cells
-
-    def ents(lo, hi):
-        return (spark.range(lo, hi).toDF("i")
-                .selectExpr("CAST(i AS STRING) AS url",
-                            "CAST((i * 37) % 100 AS DOUBLE) / 10.0 AS lon",
-                            "CAST((i * 53) % 80 AS DOUBLE) / 10.0 AS lat"))
-
-    store = CheckpointStore(str(tmp_path))
-    store.commit(ents(0, 400), "entities")
-    store.commit(ents(120, 520), "entities")   # drop 0..119, add 400..519
-
-    res = 8
-    v0 = store.load(spark, "entities", 0)
-    v1 = store.load(spark, "entities", 1)
-    base = (cells.with_cell(v0, res).groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_points")))
-    added, removed = store.diff(spark, "entities", from_id=0)
-    incr = cells.retile_incremental(base, added, removed, res)
-    full = (cells.with_cell(v1, res).groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_points")))
-    a = sorted(map(tuple, incr.collect()))
-    b = sorted(map(tuple, full.collect()))
-    assert a == b and len(a) > 0
-    # and a removed-only cell really disappears
-    gone = (cells.with_cell(ents(0, 120), res).select("cell").distinct()
-            .join(cells.with_cell(ents(120, 520), res)
-                  .select("cell").distinct(), "cell", "left_anti"))
-    n_gone = gone.count()
-    if n_gone:
-        assert incr.join(gone, "cell", "left_semi").count() == 0
