@@ -3625,6 +3625,94 @@ def q_doc_bpe_encode(spark, sf_dir):
                       F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
 
 
+_BPE_FIXED = [("t", "h"), ("th", "e"), ("e", "r"), ("a", "t"),
+              ("o", "w"), ("l", "ow"), ("s", "t"), ("d", "a"),
+              ("da", "t"), ("dat", "a"), ("the", "</w>")]
+
+
+def q_doc_bpe_fixed(spark, sf_dir):
+    """BPE ENCODING with a fixed, well-formed merge table
+    (bpe.apply_bpe) — the value-exact twin of doc_bpe_encode (whose
+    iterative TRAINING stays rows-only + pytest, like
+    ann_ivf_fixed_topk vs ann_ivf_topk). The full encoded token string
+    per doc is value-compared. The oracle re-derives the encoding with
+    a recursive CTE that merges ONE leftmost occurrence of the
+    lowest-rank pair per step — equivalent to apply_bpe's
+    full-pass-per-rank rule for any well-formed table (a pair created
+    by a merge always has a higher rank than the merge that created
+    its symbols; equivalence pinned in tests/test_bpe.py)."""
+    from . import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe.apply_bpe(docs, _BPE_FIXED)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("bpe_text"))
+
+
+def _o_bpe_fixed() -> str:
+    ranks = ", ".join(f"('{a}', '{b}', {i})"
+                      for i, (a, b) in enumerate(_BPE_FIXED))
+    return f"""WITH RECURSIVE branks(a, b, rk) AS (
+  SELECT * FROM (VALUES {ranks})),
+bdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(LOWER(regexp_replace(COALESCE(text, ''), ' +', ' ', 'g')), ' ') AS words
+  FROM documents),
+bdw AS (
+  SELECT DISTINCT w FROM (SELECT unnest(words) AS w FROM bdocs)
+  WHERE w <> ''),
+benc AS (
+  SELECT w, list_append(string_split(w, ''), '</w>') AS seq FROM bdw
+  UNION ALL
+  SELECT w,
+    -- bi is never NULL here (the WHERE below guarantees a learned
+    -- pair exists); the CASE is shape-only
+    CASE WHEN bi IS NULL THEN seq
+         ELSE list_concat(list_concat(
+                list_slice(seq, 1, bi - 1),
+                [seq[bi] || seq[bi + 1]]),
+                list_slice(seq, bi + 2, len(seq))) END
+  FROM (
+    SELECT w, seq,
+      (SELECT MIN(i) FROM (
+         SELECT unnest(generate_series(1, len(seq) - 1)) AS i) t
+       WHERE (SELECT MIN(rk) FROM branks r2
+              WHERE EXISTS (SELECT 1 FROM (
+                SELECT unnest(generate_series(1, len(seq) - 1)) AS j) u
+                WHERE r2.a = seq[j] AND r2.b = seq[j + 1]))
+             = (SELECT rk FROM branks r3
+                WHERE r3.a = seq[i] AND r3.b = seq[i + 1])) AS bi
+    FROM benc
+    WHERE EXISTS (SELECT 1 FROM branks r
+                  JOIN (SELECT unnest(generate_series(1, len(seq) - 1)) AS j) s
+                  ON r.a = seq[j] AND r.b = seq[j + 1])) x),
+bfinal AS (
+  SELECT w, seq FROM benc e
+  WHERE NOT EXISTS (SELECT 1 FROM branks r
+                    JOIN (SELECT unnest(generate_series(1, len(e.seq) - 1)) AS j) s
+                    ON r.a = e.seq[j] AND r.b = e.seq[j + 1])),
+bjoined AS (
+  SELECT d.doc_id, t.i, f.seq
+  FROM bdocs d,
+       UNNEST(generate_series(1, len(d.words))) AS t(i)
+  JOIN bfinal f ON f.w = d.words[t.i]
+  WHERE d.words[t.i] <> ''),
+bagg AS (
+  SELECT doc_id, CAST(SUM(len(seq)) AS BIGINT) AS n_bpe_tokens,
+         string_agg(array_to_string(seq, ' '), ' ' ORDER BY i) AS bpe_text
+  FROM bjoined GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(a.bpe_text, '') AS bpe_text
+FROM (SELECT DISTINCT doc_id FROM bdocs) d
+LEFT JOIN bagg a ON a.doc_id = d.doc_id"""
+
+
+O_DOC_BPE_FIXED = _o_bpe_fixed()
+
+
 def q_doc_temperature_sample(spark, sf_dir):
     """Temperature resampling (curation.temperature_sample): the
     mixture weights applied as per-language keep thresholds
@@ -4663,6 +4751,7 @@ QUERIES = {
     "doc_script_mix": q_doc_script_mix,
     "fagi_toponym_resolve": q_toponym_resolve,
     "fagi_snap_to_way": q_snap_to_way,
+    "doc_bpe_encode_fixed": q_doc_bpe_fixed,
 }
 
 ORACLES = {
@@ -4795,6 +4884,7 @@ ORACLES = {
     "doc_script_mix": O_DOC_SCRIPT_MIX,
     "fagi_toponym_resolve": O_TOPONYM_RESOLVE,
     "fagi_snap_to_way": O_SNAP_TO_WAY,
+    "doc_bpe_encode_fixed": O_DOC_BPE_FIXED,
     # fagi_schema_match stays rows-only (mean pairwise Jaro-Winkler over
     # word-broken predicate names is a Python kernel; exact-value pytest
     # fixtures cover it) — its SQL-expressible sub-stage is value-exact

@@ -97,3 +97,44 @@ def test_apply_bpe_matches_reference_encode(spark):
     new = spark.createDataFrame([(99, "lowest")], "doc_id long, text string")
     out = bpe.apply_bpe(new, merges).collect()[0]
     assert "".join(out.bpe_tokens) == "lowest" + bpe.END
+
+
+def test_one_at_a_time_equals_full_pass_for_valid_tables():
+    """The recursive-CTE oracle of doc_bpe_encode_fixed merges ONE
+    leftmost occurrence of the lowest-rank pair per step; encode_word
+    merges ALL occurrences of that rank per pass. For any WELL-FORMED
+    table (a pair using a merged symbol ranks after the merge that
+    created it) the two are identical — checked on random valid tables
+    and random words."""
+    import random
+
+    from fagi_spark.bpe import END, _merge_pair_in_seq, encode_word
+
+    def one_at_a_time(word, ranks):
+        seq = list(word) + [END]
+        while True:
+            best_rank, best_i = None, None
+            for i in range(len(seq) - 1):
+                rk = ranks.get((seq[i], seq[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_i is None:
+                return seq
+            seq = (seq[:best_i] + [seq[best_i] + seq[best_i + 1]]
+                   + seq[best_i + 2:])
+
+    rng = random.Random(13)
+    for trial in range(200):
+        # grow a VALID table: each merge pairs two existing symbols
+        symbols = list("abcd") + [END]
+        merges = []
+        for _ in range(rng.randrange(1, 10)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            if (a, b) in merges or a == END:
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        ranks = {p: i for i, p in enumerate(merges)}
+        word = "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 12)))
+        assert one_at_a_time(word, ranks) == encode_word(word, ranks), \
+            (word, merges)
