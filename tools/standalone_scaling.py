@@ -94,29 +94,29 @@ def _wait_workers(ports: set[int], timeout_s: float = 60.0) -> None:
 
 
 def run_level(n_workers: int, zip_path: str, n_pages: int,
-              filler: int) -> float:
+              filler: int, cores: int = CORES_PER_WORKER) -> float:
     """pages/sec for the standard scaling pipeline on a cluster of
-    ``n_workers`` 8-core executor JVMs."""
+    ``n_workers`` executor JVMs with ``cores`` cores each."""
     # level-unique webui ports so _wait_workers can tell this level's
     # workers apart from a previous level's not-yet-expired entries
     ports = {MASTER_UI + 10 * n_workers + i for i in range(n_workers)}
     procs = [_launch(
         "org.apache.spark.deploy.worker.Worker",
         [f"spark://127.0.0.1:{MASTER_PORT}", "--host", "127.0.0.1",
-         "--cores", str(CORES_PER_WORKER), "--memory", WORKER_MEM,
+         "--cores", str(cores), "--memory", WORKER_MEM,
          "--webui-port", str(port),
          "--work-dir", f"/tmp/sa_scaling_w{n_workers}_{i}"],
         f"/tmp/sa_scaling_worker{n_workers}_{i}.log")
         for i, port in enumerate(sorted(ports))]
     try:
         _wait_workers(ports)
-        total_cores = n_workers * CORES_PER_WORKER
+        total_cores = n_workers * cores
         from fagi_spark.session import get_spark
         spark = get_spark(
             f"standalone-scaling-{n_workers}w",
             master=f"spark://127.0.0.1:{MASTER_PORT}",
             shuffle_partitions=total_cores,
-            **{"spark.executor.cores": str(CORES_PER_WORKER),
+            **{"spark.executor.cores": str(cores),
                "spark.executor.memory": EXEC_MEM,
                "spark.cores.max": str(total_cores),
                "spark.pyspark.python": sys.executable,
@@ -155,6 +155,12 @@ def main() -> None:
     levels = [1, 4]
     if "--workers" in sys.argv:
         levels = [int(sys.argv[sys.argv.index("--workers") + 1])]
+    cores = CORES_PER_WORKER
+    if "--cores" in sys.argv:
+        # DIAGNOSTIC topology (e.g. 4 workers x 6 cores to test the
+        # oversubscription attribution): never merged into the
+        # best-per-level record — different topology, different claim
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
     n_pages = bench.SCALING_N_PAGES
     zip_path = build("/tmp/fagi_spark_scaling.zip")
     master = _launch("org.apache.spark.deploy.master.Master",
@@ -171,7 +177,12 @@ def main() -> None:
                 state = json.load(f)
         for w in levels:
             pps = round(run_level(w, zip_path, n_pages,
-                                  bench.SCALING_FILLER), 1)
+                                  bench.SCALING_FILLER, cores=cores), 1)
+            if cores != CORES_PER_WORKER:
+                print(json.dumps({"workers": w, "cores_per_worker": cores,
+                                  "pages_per_sec": pps,
+                                  "diagnostic": True}))
+                continue
             key = str(w)
             prev = state["pages_per_sec"].get(key)
             if prev is None or pps > prev:
