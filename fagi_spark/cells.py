@@ -224,6 +224,8 @@ def tile_topk_pyramid(df: DataFrame, base_res: int = 13,
 
     if any(r >= base_res for r in levels):
         raise ValueError("levels must all be coarser than base_res")
+    if len(set(levels)) != len(levels):
+        raise ValueError("duplicate levels would duplicate selections")
     b = with_cell(df, base_res, lon=lon, lat=lat)
     pairs = [F.struct(F.lit(base_res).cast("long").alias("res"),
                       F.col("cell").alias("cell"))]
