@@ -148,9 +148,17 @@ class FagiSession:
                       **kw) -> DataFrame:
         """``exact=True``: the fully-distributed JW-disabled variant
         (schema_match.match_schemas_exact — no driver collect, every
-        term oracle-comparable)."""
+        term oracle-comparable). ``exact`` and ``weighted`` are
+        mutually exclusive: the exact variant has no weighted scoring
+        form, so requesting both raises instead of silently ignoring
+        ``weighted`` (ADVICE r3)."""
         if self.meta_a is None or self.meta_b is None:
             raise ValueError("match_schemas needs meta_a and meta_b")
+        if exact and weighted:
+            raise ValueError(
+                "match_schemas: exact=True and weighted=True are "
+                "mutually exclusive — the exact distributed variant "
+                "has no weighted scoring form")
         if exact:
             return schema_match.match_schemas_exact(self.meta_a,
                                                     self.meta_b, **kw)

@@ -2674,7 +2674,7 @@ def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline on a bounded
     slice; LSH-blocked variant is the scale path, recall in pytest)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    out = vector.cosine_neardup_pairs(emb, threshold=0.35)
+    out = vector.cosine_neardup_pairs(emb, threshold=0.35, n_planes=0)
     return out.select(F.col("id_a").cast("long").alias("id_a"),
                       F.col("id_b").cast("long").alias("id_b"), "cosine")
 
@@ -4143,7 +4143,11 @@ def q_shift_polygon_grid(spark, sf_dir):
     links, ga, gb = _fagi_inputs(spark, sf_dir)
     j = fuse.resolve_links(links, ga, gb).filter(
         (F.col("a_geom_kind") == "POINT") & (F.col("b_geom_kind") == "POLYGON"))
-    gcx, gcy, _ok = fuse.grid_centroid_cols(F.col("b_geom_wkt"))
+    gcx, gcy, ok = fuse.grid_centroid_cols(F.col("b_geom_wkt"))
+    # guard on the valid flag (area2 non-null and != 0): a degenerate
+    # zero-area ring would divide by zero, where Spark and DuckDB
+    # disagree — the oracle mirrors the same predicate (ADVICE r3)
+    j = j.filter(ok)
     return j.select(
         F.col("node_a").alias("subject_a"),
         F.col("node_b").alias("subject_b"),
@@ -4171,14 +4175,15 @@ bm AS (
       i -> (verts[i].gx + verts[i+1].gx) * ({_O_CROSS}))) AS BIGINT) AS cnx,
     CAST(list_sum(list_transform(range(1, len(verts)),
       i -> (verts[i].gy + verts[i+1].gy) * ({_O_CROSS}))) AS BIGINT) AS cny
-  FROM bp)
+  FROM bp),
+bm_ok AS (SELECT * FROM bm WHERE area2 IS NOT NULL AND area2 != 0)
 SELECT l.node_a AS subject_a, l.node_b AS subject_b,
   {_O_GC_X} AS b_gcx, {_O_GC_Y} AS b_gcy,
   CAST(a.v AS DOUBLE)/100.0 - ({_O_GC_X}) AS dx,
   CAST(a.w AS DOUBLE)/100.0 - ({_O_GC_Y}) AS dy
 FROM links l
 JOIN geo_a a ON l.node_a = a.subject AND a.kind = 'POINT'
-JOIN bm ON l.node_b = bm.subject"""
+JOIN bm_ok bm ON l.node_b = bm.subject"""
 
 
 def _line_wkt(pts):

@@ -40,7 +40,8 @@ STAGES = ("entities", "density", "hotspots", "lisa", "clusters",
 
 
 def run(spark, out: str, n_pages: int, res: int = 7,
-        min_pts: int = 5, fail_after: str | None = None):
+        min_pts: int = 5, prehull_salts: int = 8,
+        fail_after: str | None = None):
     store = CheckpointStore(out)
 
     def maybe_fail(stage):
@@ -97,7 +98,11 @@ def run(spark, out: str, n_pages: int, res: int = 7,
             F.col("url"),
             gridgeom.point_wkt_grid(F.col("lon"),
                                     F.col("lat")).alias("geom_wkt"))
-        return cluster.dbscan_cluster_hull(labels, pts, key="url")
+        # prehull_salts > 0 keeps one dense cluster from funnelling all
+        # of its distinct grid points into a single applyInPandas group
+        # (two-level salted monotone-chain reduction; ADVICE r3)
+        return cluster.dbscan_cluster_hull(labels, pts, key="url",
+                                           prehull_salts=prehull_salts)
 
     hulls = store.run_stage(
         spark, "hulls", hulls_df,
@@ -121,6 +126,7 @@ def main(argv=None):
     p.add_argument("--n-pages", type=int, default=20000)
     p.add_argument("--res", type=int, default=7)
     p.add_argument("--min-pts", type=int, default=5)
+    p.add_argument("--prehull-salts", type=int, default=8)
     p.add_argument("--fail-after", default=None, choices=STAGES)
     p.add_argument("--master", default=None)
     p.add_argument("--vacuum-keep", type=int, default=None)
@@ -128,7 +134,8 @@ def main(argv=None):
     spark = get_spark("fagi_analytics", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     out = run(spark, args.out, args.n_pages, res=args.res,
-              min_pts=args.min_pts, fail_after=args.fail_after)
+              min_pts=args.min_pts, prehull_salts=args.prehull_salts,
+              fail_after=args.fail_after)
     for stage in STAGES:
         lin = out["store"].lineage(stage)
         print(f"{stage}: {lin['n_rows']} rows in {lin['n_files']} files, "

@@ -478,8 +478,8 @@ def pip_auto_res(polygons: DataFrame, quantile: float = 0.9,
     return 0
 
 
-def pip_refine(points: DataFrame, polygons: DataFrame, res: int | None = 10,
-               pad_cells: int = 1) -> DataFrame:
+def pip_refine(points: DataFrame, polygons: DataFrame,
+               res: int | None = 10) -> DataFrame:
     """All (point, polygon) pairs where the polygon contains the point.
 
     points:   (subject, cx, cy)
@@ -556,8 +556,8 @@ def pip_refine(points: DataFrame, polygons: DataFrame, res: int | None = 10,
 
 
 def zonal_stats(points: DataFrame, polygons: DataFrame,
-                value: str | None = None, res: int | None = 10,
-                pad_cells: int = 1) -> DataFrame:
+                value: str | None = None,
+                res: int | None = 10) -> DataFrame:
     """Zonal statistics (the raster-toolbox staple): per-polygon
     aggregates of the points it contains — count, and when ``value``
     names a numeric point column, its exact sum/min/max. Polygons
@@ -571,7 +571,7 @@ def zonal_stats(points: DataFrame, polygons: DataFrame,
     order-independent exact sums (the engine-wide integer-cents
     convention)."""
     pts = points.select("subject", "cx", "cy")
-    pairs = pip_refine(pts, polygons, res=res, pad_cells=pad_cells)
+    pairs = pip_refine(pts, polygons, res=res)
     aggs = [F.count(F.lit(1)).alias("n_points")]
     if value is not None:
         joined = pairs.join(

@@ -207,13 +207,18 @@ def ivf_fixed_topk(queries: DataFrame, corpus: DataFrame, centroids,
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         dim: int | None = None, n_planes: int = 0,
+                         dim: int | None = None, n_planes: int = 8,
                          seed: int = 7) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold). With ``n_planes`` > 0 the pairing is blocked by LSH
-    bucket (the 100 TB path: same-bucket equi-join, recall traded for
-    the eliminated cross product); with 0 it is the exact baseline —
-    use only on bounded inputs (the oracle/correctness path)."""
+    threshold). The DEFAULT is the scale path: pairing blocked by LSH
+    bucket (same-bucket equi-join — the cross product never
+    materializes; recall traded for the eliminated O(n^2)). The exact
+    all-pairs baseline is OPT-IN via an explicit ``n_planes=0`` and is
+    for bounded inputs only (the oracle/correctness path). ``dim`` is
+    inferred from the first row when omitted on the bucketed path."""
+    if n_planes > 0 and dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row is not None else 0
     # norm once per ROW, not per pair — inside the pair join the
     # higher-order fold would re-run O(d) work per candidate pair
     normed = df.withColumn("_norm", norm_double(F.col(vec_col)))
@@ -222,7 +227,6 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     b = normed.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vb"), F.col("_norm").alias("_nb"))
     if n_planes > 0:
-        assert dim is not None
         a = with_lsh_bucket(a, dim, n_planes, "va", seed)
         b = with_lsh_bucket(b, dim, n_planes, "vb", seed)
         pairs = a.join(b, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))

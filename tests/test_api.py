@@ -58,6 +58,8 @@ def test_geometry_measures_and_exact_match_wiring(sess):
     assert {"pred_a", "pred_b", "sem", "type_compat",
             "score_nojw"} == set(ex.columns)
     assert ex.count() > 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sess.match_schemas(exact=True, weighted=True)
 
 
 def test_find_links_and_set(sess, spark):

@@ -57,11 +57,16 @@ def test_lsh_topk_subset_of_brute(spark, emb, exact_topk):
 def test_cosine_neardup_lsh_is_subset(spark, emb):
     sub = emb.filter(F.col("vec_id") < 200)
     exact = {(r["id_a"], r["id_b"]) for r in
-             vector.cosine_neardup_pairs(sub, 0.3).collect()}
+             vector.cosine_neardup_pairs(sub, 0.3, n_planes=0).collect()}
     lsh = {(r["id_a"], r["id_b"]) for r in
            vector.cosine_neardup_pairs(sub, 0.3, dim=64, n_planes=2).collect()}
     assert lsh.issubset(exact)
     assert len(lsh) > 0
+    # the DEFAULT is the bucketed scale path (n_planes=8, dim inferred
+    # from the data) — exact all-pairs is opt-in via n_planes=0
+    dflt = {(r["id_a"], r["id_b"]) for r in
+            vector.cosine_neardup_pairs(sub, 0.3).collect()}
+    assert dflt.issubset(exact)
 
 
 def test_minhash_finds_planted_near_dups(spark):

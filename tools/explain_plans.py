@@ -575,7 +575,16 @@ def main():
     # the islands aggregate stopped reusing the window's partitioning)
     sp_plan = contract.q_events_stay_points(spark, SF)
     sp_text = plan_text(sp_plan)
-    sp_tree = sp_text[:max(sp_text.find("(1) Scan"), 0) or None]
+    sp_idx = sp_text.find("(1) Scan")
+    if sp_idx <= 0:
+        # missing marker (or at index 0, which would make the slice
+        # empty/whole-text) must be a hard error, not a silent
+        # whole-plan fallback that double-counts the details section
+        raise SystemExit(
+            "stay_points structural check failed: '(1) Scan' marker "
+            "not found in the formatted plan — cannot isolate the "
+            "tree section for the Exchange count")
+    sp_tree = sp_text[:sp_idx]
     n_sp_ex = sp_tree.count("Exchange")
     if n_sp_ex != 1:
         raise SystemExit(
