@@ -508,7 +508,8 @@ def geohash_value(lon: float, lat: float, res: int) -> str:
 
 
 def density_surface(df: DataFrame, res: int,
-                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+                    lon: str = "lon", lat: str = "lat",
+                    counts: DataFrame | None = None) -> DataFrame:
     """Smoothed per-cell density surface: 3x3 binomial kernel
     ([1,2,1] x [1,2,1] / 16) over the res-grid point counts — the
     heatmap layer behind a Leaflet density preview (the reference's
@@ -524,10 +525,13 @@ def density_surface(df: DataFrame, res: int,
     an exact dyadic double on any IEEE engine — value-exact by
     construction (sql mirror: sql_density_surface). World-edge cells
     simply lose the out-of-grid taps (no wraparound), matching the
-    SQL mirror's bounds filter."""
+    SQL mirror's bounds filter.
+    ``counts``: a precomputed cell_counts frame to share the rollup
+    with the rest of the ESDA layer."""
     n = 1 << res
-    counts = (with_cell(df, res, lon=lon, lat=lat)
-              .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n")))
+    if counts is None:
+        counts = cell_counts(df, res, lon=lon, lat=lat)
+    counts = counts.select("ix", "iy", F.col("x").alias("n"))
     offs = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     c = (counts.withColumn("_dx", F.explode(offs))
                .withColumn("_dy", F.explode(offs)))
@@ -565,18 +569,36 @@ SELECT CAST({res} * {1 << _RES_SHIFT} + ix * {1 << res} + iy AS BIGINT) AS cell,
 FROM st GROUP BY ix, iy"""
 
 
-def _field_stats(df: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
+def cell_counts(df: DataFrame, res: int, lon: str = "lon",
+                lat: str = "lat") -> DataFrame:
+    """Per-occupied-cell point counts (ix, iy, cell, x) — the shared
+    base rollup of the whole ESDA layer (hotspots, LISA, Moran's I,
+    grid-DBSCAN all start from exactly this frame). One map-side-
+    combined groupBy; compute it ONCE, ``.persist()``, and hand it to
+    every consumer via their ``counts=`` / ``field=`` parameters so an
+    analytics mart pays a single pass over the points instead of one
+    per statistic (r3 verdict item 4)."""
+    return (with_cell(df.select(lon, lat), res, lon=lon, lat=lat)
+            .groupBy("ix", "iy", "cell")
+            .agg(F.count(F.lit(1)).alias("x")))
+
+
+def field_frame(df: DataFrame, res: int, lon: str = "lon",
+                lat: str = "lat",
+                counts: DataFrame | None = None) -> DataFrame:
     """Shared ESDA field frame (hotspots + local_morans_i): per
     occupied cell (ix, iy, x, wx, wi) joined with the one-row global
     (n, s1, s2) — ONE count rollup, one broadcast scalar agg, one
     stencil-after-aggregate 9-tap neighbor sum, wi = in-bounds window
     size from pure arithmetic. Both consumers derive their statistic
     from this frame with pure column math, and sql mirrors share
-    _sql_field_cte so the four copies can never desynchronize."""
+    _sql_field_cte so the four copies can never desynchronize.
+    ``counts``: a precomputed (persisted) cell_counts frame — pass the
+    same one to morans_i / grid_dbscan to share the rollup."""
     n_grid = 1 << res
-    counts = (with_cell(df, res, lon=lon, lat=lat)
-              .groupBy("ix", "iy")
-              .agg(F.count(F.lit(1)).alias("x")))
+    if counts is None:
+        counts = cell_counts(df, res, lon=lon, lat=lat)
+    counts = counts.select("ix", "iy", "x")
     g = counts.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("x").alias("s1"),
                    F.sum(F.col("x") * F.col("x")).alias("s2"))
@@ -600,7 +622,7 @@ def _field_stats(df: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
 
 def _sql_field_cte(lon_expr: str, lat_expr: str, from_clause: str,
                    res: int) -> str:
-    """DuckDB twin of _field_stats: the shared pts/cnt/gstats/nbr/j
+    """DuckDB twin of field_frame: the shared pts/cnt/gstats/nbr/j
     CTE chain. Every SUM output is CAST AS BIGINT (DuckDB SUM(BIGINT)
     is HUGEINT, which the driver's pandas canonicalizer would coerce
     to float64 and hash-mismatch Spark's long)."""
@@ -627,7 +649,8 @@ j AS (SELECT c.ix, c.iy, c.x, nbr.wx,
 
 
 def hotspots(df: DataFrame, res: int,
-             lon: str = "lon", lat: str = "lat") -> DataFrame:
+             lon: str = "lon", lat: str = "lat",
+             field: DataFrame | None = None) -> DataFrame:
     """Getis-Ord Gi* hotspot score per occupied cell — the
     statistically normalized companion to ``density_surface``: where
     the heatmap shows raw smoothed mass, Gi* says how many standard
@@ -649,8 +672,10 @@ def hotspots(df: DataFrame, res: int,
     aggregates via the IEEE ops + - * / sqrt with a fixed association,
     mirrored literally by sql_hotspots — value-exact, no
     transcendentals. Cells where the Gi* denominator is 0 (constant
-    counts, or a window covering the whole universe) score NULL."""
-    j = _field_stats(df, res, lon, lat)
+    counts, or a window covering the whole universe) score NULL.
+    ``field``: a precomputed field_frame to share with local_morans_i
+    (compute once, persist, pass to both)."""
+    j = field_frame(df, res, lon, lat) if field is None else field
     nd = F.col("n").cast("double")
     xbar = F.col("s1").cast("double") / nd
     s = F.sqrt(F.col("s2").cast("double") / nd - xbar * xbar)
@@ -752,7 +777,8 @@ def tile_counts_update(prev: DataFrame, added: DataFrame,
 
 
 def morans_i(df: DataFrame, res: int,
-             lon: str = "lon", lat: str = "lat") -> DataFrame:
+             lon: str = "lon", lat: str = "lat",
+             counts: DataFrame | None = None) -> DataFrame:
     """Global Moran's I spatial autocorrelation of the per-cell point
     counts (Moran 1950; binary 8-adjacency weights over OCCUPIED
     cells, the hotspots() sparse-lattice convention) — one number
@@ -768,10 +794,11 @@ def morans_i(df: DataFrame, res: int,
     final I is one fixed + - * / tree — value-exact (mirror:
     sql_morans_i). Scale shape: one count rollup, one 9-tap ring
     equi-join on cells, two single-row aggregates. Returns one row
-    (n_cells, w_pairs, morans_i); NULL when n < 2 or variance is 0."""
-    counts = (with_cell(df, res, lon=lon, lat=lat)
-              .groupBy("ix", "iy", "cell")
-              .agg(F.count(F.lit(1)).alias("x")))
+    (n_cells, w_pairs, morans_i); NULL when n < 2 or variance is 0.
+    ``counts``: a precomputed cell_counts frame to share the rollup
+    with the rest of the ESDA layer."""
+    if counts is None:
+        counts = cell_counts(df, res, lon=lon, lat=lat)
     g = counts.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("x").alias("s1"),
                    F.sum(F.col("x") * F.col("x")).alias("s2"))
@@ -838,7 +865,8 @@ FROM gstats CROSS JOIN pg"""
 
 
 def local_morans_i(df: DataFrame, res: int,
-                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+                   lon: str = "lon", lat: str = "lat",
+                   field: DataFrame | None = None) -> DataFrame:
     """Local Moran's I (Anselin 1995 LISA) per occupied cell — the
     cluster-map companion to morans_i and hotspots: I_i =
     ((x_i - xbar) / m2) * sum_j w_ij (x_j - xbar), with the quadrant
@@ -852,8 +880,9 @@ def local_morans_i(df: DataFrame, res: int,
     sum_j w_ij (x_j - xbar) = (wx - x_i) - xbar*(W_i - 1) with W_i the
     in-bounds window size — integer aggregates into a fixed float
     tree, value-exact (mirror: sql_local_morans_i). m2 is the biased
-    variance (S2/n - xbar^2). Rows with m2 = 0 score NULL."""
-    j = _field_stats(df, res, lon, lat)
+    variance (S2/n - xbar^2). Rows with m2 = 0 score NULL.
+    ``field``: a precomputed field_frame to share with hotspots."""
+    j = field_frame(df, res, lon, lat) if field is None else field
     nd = F.col("n").cast("double")
     xbar = F.col("s1").cast("double") / nd
     m2 = F.col("s2").cast("double") / nd - xbar * xbar

@@ -257,7 +257,8 @@ def cluster_table(features: DataFrame, chosen: list[int], **kw) -> DataFrame:
 
 def grid_dbscan(pts: DataFrame, res: int, min_pts: int,
                 key: str = "subject", lon: str = "lon",
-                lat: str = "lat") -> DataFrame:
+                lat: str = "lat",
+                counts: DataFrame | None = None) -> DataFrame:
     """Cell-grid DBSCAN (GDBSCAN with eps = one grid cell): a cell
     holding >= ``min_pts`` points is CORE; clusters are the 8-adjacency
     connected components of core cells (label = min packed cell id in
@@ -276,13 +277,17 @@ def grid_dbscan(pts: DataFrame, res: int, min_pts: int,
     count and the final label join (both keyed on cell, no ring
     replication of points). SQL mirror: sql_grid_dbscan (recursive-CTE
     closure; the iterative Spark loop and the declarative closure
-    must agree exactly)."""
+    must agree exactly).
+    ``counts``: a precomputed cells.cell_counts frame — pass the one
+    shared with hotspots/LISA/Moran's to skip this operator's own
+    rollup (the point-level label join still scans the points)."""
     from . import cells, components
 
     labeled = cells.with_cell(pts.select(key, lon, lat), res,
                               lon=lon, lat=lat)
-    counts = (labeled.groupBy("ix", "iy", "cell")
-              .agg(F.count(F.lit(1)).alias("_n")))
+    if counts is None:
+        counts = cells.cell_counts(pts, res, lon=lon, lat=lat)
+    counts = counts.select("ix", "iy", "cell", F.col("x").alias("_n"))
     core = counts.filter(F.col("_n") >= min_pts).select("ix", "iy", "cell")
     ring = (cells.explode_ring(core, res, 1, out="probe_cell")
             .filter(F.col("probe_cell") != F.col("cell"))

@@ -525,3 +525,36 @@ def test_tile_topk_pyramid_semantics_and_plan(spark):
         assert got_keys == want, (ix, iy)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_shared_cell_counts_frame_matches_per_operator_rollups(spark):
+    """cells.cell_counts / field_frame passed into the ESDA entry
+    points (hotspots, LISA, Moran's I, density, grid-DBSCAN) must give
+    byte-identical results to each operator's own internal rollup —
+    the compute-once-share-everywhere contract of the analytics mart
+    (r3 verdict item 4)."""
+    from fagi_spark import cells, cluster, synth
+
+    pages = synth.synth_pages(spark, 600, partitions=4)
+    from fagi_spark import extract
+    pts = extract.geocode_pages(pages).select("url", "lon", "lat")
+    res = 6
+    counts = cells.cell_counts(pts, res).persist()
+    field = cells.field_frame(pts, res, counts=counts).persist()
+
+    def rows(df, *key):
+        return sorted(map(tuple, df.collect()), key=lambda t: t[:len(key)])
+
+    assert rows(cells.hotspots(pts, res, field=field), 0) == \
+        rows(cells.hotspots(pts, res), 0)
+    assert rows(cells.local_morans_i(pts, res, field=field), 0) == \
+        rows(cells.local_morans_i(pts, res), 0)
+    assert rows(cells.morans_i(pts, res, counts=counts), 0) == \
+        rows(cells.morans_i(pts, res), 0)
+    assert rows(cells.density_surface(pts, res, counts=counts), 0) == \
+        rows(cells.density_surface(pts, res), 0)
+    shared = cluster.grid_dbscan(pts, res, 3, key="url", counts=counts)
+    solo = cluster.grid_dbscan(pts, res, 3, key="url")
+    assert rows(shared, 0, 1) == rows(solo, 0, 1)
+    field.unpersist()
+    counts.unpersist()
