@@ -111,6 +111,16 @@ def run_pipeline(spark, pages):
     return n_match, n_tiles
 
 
+def _failed_tasks(spark) -> int:
+    """Total failed (retried) task attempts this app, summed over the
+    status store's executor list. -1 = store unavailable."""
+    try:
+        execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+        return sum(execs.apply(i).failedTasks() for i in range(execs.size()))
+    except Exception:
+        return -1
+
+
 def bench_once(sf_dir: str, cpus: str) -> dict:
     from fagi_spark.session import get_spark
 
@@ -355,6 +365,10 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         "pipeline_matches": n_match,
         "pipeline_tiles": n_tiles,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
+        # tasks Spark retried during the suite: a nonzero count means
+        # the invocation paid retry inflation (e.g. the r3 /tmp
+        # blockmgr churn) and its timings are visibly tainted
+        "task_retries": _failed_tasks(spark),
     }
     spark.stop()
     # stamp the host epoch: the VM's own compute ceiling swings 2-3x

@@ -17,6 +17,14 @@ def get_spark(app: str = "fagi_spark", master: str | None = None,
               shuffle_partitions: int | None = None, **extra) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[{}]".format(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    # private scratch dir for the block manager: the r3 bench tail
+    # showed mid-suite shuffle_*.index "No such file or directory"
+    # executor errors from /tmp churn on the shared host (tasks retried
+    # and the suite completed, but the affected invocation is inflated).
+    # A dir we own keeps external /tmp cleaners off our shuffle files.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/tmp/fagi_spark_blockmgr")
+    os.makedirs(local_dir, exist_ok=True)
     if shuffle_partitions is None:
         # match local core count; on a real cluster: ~2-3x total cores
         inner = master.split("[")[-1].rstrip("]")
@@ -36,6 +44,7 @@ def get_spark(app: str = "fagi_spark", master: str | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2500")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.local.dir", local_dir)
          .config("spark.ui.enabled", "false"))
     for k, v in extra.items():
         b = b.config(k, v)
