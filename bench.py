@@ -65,6 +65,40 @@ def prepare_pages(spark, n_pages: int, path: str, filler_words: int = 0):
     return spark.read.parquet(path)
 
 
+def _skewed_points(spark, n: int, hot_n: int, side: str):
+    """Deterministic skewed point table shaped for joins.radius_join:
+    ``hot_n`` of ``n`` points land inside ONE grid cell at the
+    resolution a 200 m radius selects (a dense \"city\"); the rest
+    spread uniformly over ~2 degrees. Pure column math from
+    spark.range ids — partition-independent, no Python."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fagi_spark import cells, geom
+
+    res = cells.res_for_radius_deg(200.0 / geom.METERS_PER_DEGREE)
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    hot_lon = (math.floor(10.0 / w) + 0.5) * w
+    hot_lat = (math.floor(45.0 / h) + 0.5) * h
+
+    def u(salt):
+        return (F.pmod(F.xxhash64(F.col("id"), F.lit(side), F.lit(salt)),
+                       F.lit(1_000_000)).cast("double") / 1e6)
+
+    hot = F.col("id") < hot_n
+    lon = (F.when(hot, F.lit(hot_lon) + (u(1) - 0.5) * (0.9 * w))
+           .otherwise(F.lit(9.0) + u(3) * 2.0))
+    lat = (F.when(hot, F.lit(hot_lat) + (u(2) - 0.5) * (0.9 * h))
+           .otherwise(F.lit(44.0) + u(4) * 2.0))
+    return (spark.range(n)
+            .select(F.concat(F.lit(side), F.col("id").cast("string"))
+                    .alias("subject"),
+                    lon.alias("cx"), lat.alias("cy"))
+            .withColumn("xmin", F.col("cx")).withColumn("xmax", F.col("cx"))
+            .withColumn("geom_kind", F.lit("POINT")))
+
+
 def run_pipeline(spark, pages):
     """North-rule pipeline over a materialized page table: geocode
     (Arrow-UDF extract + precedence dedup + multi-res cells) ->
@@ -196,6 +230,41 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("raster_iou", lambda: contract.q_raster_iou(spark, sf_dir).count())
     timed("fusion_actions", lambda: contract.QUERIES["fagi_keep_most_points"](spark, sf_dir).count())
     timed("metadata_fusion", lambda: contract.q_metadata_keep_left(spark, sf_dir).count())
+
+    # 2a'. skew: radius_join over a deliberately hot-celled corpus (one
+    # "city" cell holds 16% of A and ~5% of B — SURVEY §7.4's real
+    # risk). The hot key's cost is the CANDIDATE-PAIR blowup (8k x 8k
+    # in-cell pairs all land in one task), which AQE's skew-join split
+    # cannot see: it triggers on shuffle-partition BYTES (default
+    # threshold 256 MB) and the hot partition is ~1 MB of input rows —
+    # the quadratic work only materializes inside the join. Explicit
+    # salting (a: hash salt, b: explode all salts) is the engine's
+    # answer; this entry measures it against the unsalted plan on the
+    # same input. Broadcast is disabled for both sides of the contrast:
+    # at warehouse scale a dense-region gazetteer shard does not fit in
+    # a broadcast table, and a broadcast hash join has no key
+    # partitioning to skew in the first place.
+    skew_a = _skewed_points(spark, 50_000, 8_000, "a").persist()
+    skew_b = _skewed_points(spark, 150_000, 8_000, "b").persist()
+    skew_a.count(), skew_b.count()
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    from fagi_spark import joins as _joins
+    n_unsalted = timed(
+        "radius_join_skew_unsalted",
+        lambda: _joins.radius_join(skew_a, skew_b, 200.0,
+                                   expand_side="probe").count())
+    n_salted = timed(
+        "radius_join_skew_salted",
+        lambda: _joins.radius_join(skew_a, skew_b, 200.0, n_salts=8,
+                                   expand_side="probe").count())
+    assert n_salted == n_unsalted, (n_salted, n_unsalted)
+    skew_speedup = round(queries["radius_join_skew_unsalted"]
+                         / max(queries["radius_join_skew_salted"], 1e-9), 2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    skew_a.unpersist(); skew_b.unpersist()
 
     # 2b. LATE_FETCH (the reference's flagship optimization,
     # Constants.java:19): links reference ~1% of a raw-WKT gazetteer;
@@ -364,6 +433,7 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         "pages_per_sec_sf_corpus": round(n_pages / pipeline_s, 1),
         "pipeline_matches": n_match,
         "pipeline_tiles": n_tiles,
+        "skew_salted_speedup": skew_speedup,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         # tasks Spark retried during the suite: a nonzero count means
         # the invocation paid retry inflation (e.g. the r3 /tmp

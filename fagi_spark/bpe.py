@@ -67,12 +67,35 @@ def _merge_pair_in_seq(seq: list, a: str, b: str, joined: str) -> list:
 
 
 def train_bpe(df: DataFrame, text: str = "text", n_merges: int = 50,
-              min_freq: int = 2, checkpoint_every: int = 8) -> list:
+              min_freq: int = 2, checkpoint_every: int = 8,
+              sample_words: int | None = None) -> list:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(sym_a, sym_b), ...]. Stops early when no pair
     reaches ``min_freq``. Ties on count break by lexicographic pair
-    order (deterministic, partition-independent)."""
-    syms = _word_freq(df, text).select(
+    order (deterministic, partition-independent).
+
+    Merge-count ceiling: each round is ONE Spark job over the
+    word-frequency frame plus a 1-row collect — inherent to the
+    paper's sequential argmax (round r+1's counts depend on round r's
+    merge). At n_merges in the tens this is cheap; a production-vocab
+    run (30-50k merges) means that many jobs, each rescanning a frame
+    of ~10^7-10^8 distinct words. The fix at that scale is shrinking
+    the FRAME, not Spark heroics: pass ``sample_words=N`` to train on
+    the N highest-frequency words only (deterministic TakeOrdered —
+    freq desc, word asc — so results are partition-independent).
+    Zipf's law puts nearly all pair mass in the frequency head, and
+    any tail word's total influence on a pair count is bounded by its
+    own frequency, so a 10^5-word head recovers the same early merge
+    table as the full vocab in practice; with N >= |vocab| the merges
+    are exactly the full run's (pytest-pinned). Per-round cost then
+    drops from vocab-sized to N-sized regardless of corpus size."""
+    freqs = _word_freq(df, text)
+    if sample_words is not None and sample_words > 0:
+        # TakeOrdered (per-partition top-N, then merge) — never a
+        # full sort; ties on freq break by word for determinism
+        freqs = freqs.orderBy(F.col("freq").desc(), F.col("word").asc()) \
+                     .limit(sample_words)
+    syms = freqs.select(
         "freq",
         F.concat(F.split(F.col("word"), ""),
                  F.array(F.lit(END))).alias("syms"))

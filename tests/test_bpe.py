@@ -72,6 +72,21 @@ def test_train_bpe_matches_reference(spark):
         ("est", "</w>") in got
 
 
+def test_train_bpe_sampled_frame_recovers_merges(spark):
+    """sample_words: with N >= |vocab| the frequency-head sample IS the
+    full vocab, so the merge table is exactly the full run's; a head
+    that still covers every word with freq >= 2 also recovers it on
+    this fixture (the min_freq floor makes the dropped tail
+    uninfluential here: a singleton word contributes < min_freq to any
+    pair)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    want = _ref_train(CORPUS, 12)
+    # N >= vocab (5 distinct words): exact recovery guaranteed
+    assert bpe.train_bpe(df, n_merges=12, sample_words=100) == want
+    assert bpe.train_bpe(df, n_merges=12, sample_words=5) == want
+
+
 def test_train_bpe_min_freq_stops_early(spark):
     df = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
     got = bpe.train_bpe(df, n_merges=50, min_freq=2)

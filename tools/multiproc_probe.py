@@ -91,12 +91,15 @@ def _last_json(txt: str) -> dict:
     return json.loads([l for l in txt.splitlines() if l.startswith("{")][-1])
 
 
-def orchestrate() -> None:
+def run_probe(repeats: int = 2) -> dict:
+    """One single-vs-quad measurement pair; returns the result dict
+    (importable by scaling_probe --full so the topology control runs
+    inside the same gated epoch as the thread-pair sweep)."""
     shards = ensure_shards()
 
-    # single-process baseline: one local[8] over shard 0, best of 2
+    # single-process baseline: one local[8] over shard 0, best of N
     t_single = None
-    for _ in range(2):
+    for _ in range(repeats):
         p = _spawn(shards[0])
         out, _ = p.communicate(timeout=900)
         assert p.returncode == 0, out
@@ -110,7 +113,7 @@ def orchestrate() -> None:
     # startup, so use the max of the workers' own timed passes (every
     # worker is warmed before timing, same as the baseline)
     t_quad = None
-    for _ in range(2):
+    for _ in range(repeats):
         procs = [_spawn(s) for s in shards]
         outs = [p.communicate(timeout=1200)[0] for p in procs]
         assert all(p.returncode == 0 for p in procs)
@@ -120,9 +123,15 @@ def orchestrate() -> None:
           file=sys.stderr)
 
     eff = t_single / t_quad
-    result = {"t_single_s": round(t_single, 3), "t_quad_worst_s": round(t_quad, 3),
-              "efficiency": round(eff, 3), "worker_cpus": WORKER_CPUS,
-              "n_shards": N_SHARDS, "corpus": CORPUS}
+    return {"t_single_s": round(t_single, 3),
+            "t_quad_worst_s": round(t_quad, 3),
+            "efficiency": round(eff, 3), "worker_cpus": WORKER_CPUS,
+            "n_shards": N_SHARDS, "corpus": CORPUS}
+
+
+def orchestrate() -> None:
+    result = run_probe()
+    eff = result["efficiency"]
     path = os.path.join(ROOT, "BENCH", "multiproc.json")
     best = {}
     if os.path.exists(path):
