@@ -410,7 +410,12 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     def _curate_count():
         scrub = (_curation.with_pii_scrub(pages)
                  .drop("text").withColumnRenamed("text_clean", "text"))
-        filt = (_textops.with_filter_decision(scrub, key="url", min_words=5)
+        # repetition_mode="local": the sorted run-length fold computes
+        # top_bigram_frac per row (identical values, pytest-pinned), so
+        # the whole scrub->filter prefix is ONE map-only codegen stage —
+        # no bigram explode shuffle, no join back of the wide text frame
+        filt = (_textops.with_filter_decision(scrub, key="url", min_words=5,
+                                              repetition_mode="local")
                 .filter(F.col("keep")))
         ded = _textops.dedup_exact(filt, key="url")
         return _curation.stratified_sample(

@@ -234,12 +234,15 @@ def with_repetition(df: DataFrame, key: str = "doc_id",
     ``mode="agg"`` (default): explode + two-level groupBy — the per-doc
     mode never materializes a per-row map; one shuffle keyed on
     (doc, bigram) then (doc) with map-side combine, scaling to
-    documents of any length. ``mode="local"``: the same number from
-    pure array math on the row (count each distinct bigram in place)
-    — no shuffle and streaming-legal (no aggregation), at
-    O(distinct_bigrams x n) per row, the right trade for typical web
-    pages in a micro-batch map stage. Both modes produce identical
-    values (tested).
+    documents of any length (a single pathological 1 GB page's bigrams
+    distribute across reducers). ``mode="local"``: the same number from
+    pure array math on the row — sort the bigram array, then the max
+    multiplicity is the longest run of equal adjacent elements
+    (array_sort + one aggregate fold: O(n log n) per row, all
+    whole-stage codegen). No shuffle, no join back of the wide text
+    frame, and streaming-legal (no aggregation) — the right trade for
+    bounded web pages, and what the bench curation chain uses. Both
+    modes produce identical values (tested).
 
     Degenerate docs (<2 words, so no bigrams) score 0.0 on
     ``top_bigram_frac``; empty text scores 0.0 on both."""
@@ -253,12 +256,24 @@ def with_repetition(df: DataFrame, key: str = "doc_id",
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))).otherwise(
             F.array().cast("array<string>"))
     if mode == "local":
-        bg = F.col("_bgs")
-        top = F.array_max(F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b))))
-        frac = (F.when(F.size(bg) > 0,
-                       top.cast("double") / F.size(bg).cast("double"))
+        bg = F.array_sort(F.col("_bgs"))
+        # longest equal-adjacent run in the sorted array == max bigram
+        # multiplicity. State (prev, run, best); init prev="" is safe:
+        # every bigram contains its separator space, so it never
+        # equals "". Runs entirely in whole-stage codegen.
+        def _step(acc, x):
+            run = (F.when(x == acc["prev"], acc["run"] + F.lit(1))
+                   .otherwise(F.lit(1)))
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc["best"], run).alias("best"))
+        top = F.aggregate(
+            bg,
+            F.struct(F.lit("").alias("prev"), F.lit(1).alias("run"),
+                     F.lit(0).alias("best")),
+            _step, lambda acc: acc["best"])
+        frac = (F.when(F.size(F.col("_bgs")) > 0,
+                       top.cast("double")
+                       / F.size(F.col("_bgs")).cast("double"))
                 .otherwise(F.lit(0.0)))
         return (df.withColumn("_bgs", bigrams)
                 .withColumn("dup_word_frac", dup_word)
