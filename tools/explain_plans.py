@@ -143,8 +143,12 @@ def main():
     if len(key_lines) < 2 or not all("salt#" in l for l in key_lines):
         raise SystemExit("salted radius_join: salt column missing from "
                          f"the join keys: {key_lines}")
+    # (no "codegen" want here: broadcast disabled means the plan is an
+    # AQE non-final SortMergeJoin, and Spark assigns codegen ids only
+    # to finalized stages — the marker is structurally absent, not a
+    # property of this plan's quality)
     add("radius_join_skewed salted (J4 + SURVEY §7.4 skew)", salted_plan,
-        ["sort_merge_join", "codegen"],
+        ["sort_merge_join"],
         "one 'city' cell holds 16% of the probe side; broadcast "
         "disabled (a dense-region gazetteer shard does not broadcast "
         "at warehouse scale). The salt is verified to sit INSIDE both "
@@ -574,7 +578,14 @@ def main():
         (F.col("c_custkey") % 100).alias("val"))
     idw_plan = cells.idw_surface(idw_pts, 8, value="val")
     idw_text = plan_text(idw_plan)
-    idw_tree = idw_text[:max(idw_text.find("(1) Scan"), 0) or None]
+    idw_idx = idw_text.find("(1) Scan")
+    if idw_idx <= 0:
+        # missing marker must be a hard error, not a silent whole-plan
+        # fallback that double-counts Exchanges from the details section
+        raise SystemExit(
+            "idw_surface structural check failed: '(1) Scan' marker "
+            "not found in the formatted plan — cannot isolate the tree")
+    idw_tree = idw_text[:idw_idx]
     n_ex = idw_tree.count("Exchange")
     if n_ex != 1:
         raise SystemExit(
