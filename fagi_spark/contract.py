@@ -3945,6 +3945,66 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM r WHERE rn <= {k}"""
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """IVF-SQ8 ANN (vector.sq8_fixed_topk): coarse cell equi-join +
+    signed symmetric int8-code inner product — the 4x-compressed
+    corpus layout between raw floats and PQ codes. Calibration is a
+    distributed per-dim min/max pass reduced to one global |v| bound
+    (comparisons only, so both engines recover the identical double
+    from the data); quantization is floor-based (round-half semantics
+    differ between engines, floor does not) and the score is a BIGINT
+    fold — the one ANN score that needs no IEEE-mirroring argument at
+    all."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = vector.sq8_fixed_topk(q, emb, _IVF_FIXED_CENTROIDS, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("score").cast("long").alias("score"))
+
+
+def _o_sq8(k: int = 5) -> str:
+    dists = []
+    for c in _IVF_FIXED_CENTROIDS:
+        ss = _dlit(sum(float(v) * float(v) for v in c))
+        dists.append(f"(-2.0 * {_sql_dot_lits('CAST(embedding AS DOUBLE[])', c)}"
+                     f" + {ss})")
+    darr = "[" + ", ".join(dists) + "]"
+    code = (
+        "LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), v -> "
+        "CASE WHEN amax = 0e0 THEN CAST(0 AS BIGINT) "
+        "ELSE GREATEST(CAST(-128 AS BIGINT), LEAST(CAST(127 AS BIGINT), "
+        "CAST(FLOOR(v * 127.0 / amax) AS BIGINT))) END)")
+    return f"""WITH params AS (
+  SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM (
+    SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+           UNNEST(RANGE(1, LEN(embedding)+1)) AS pos FROM embeddings)
+  GROUP BY pos),
+pl AS (SELECT MAX(GREATEST(ABS(mn), ABS(mx))) AS amax FROM params),
+e AS (
+  SELECT vec_id,
+         LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS cell,
+         {code} AS code
+  FROM embeddings, pl),
+q AS (SELECT vec_id AS query_id, code AS qc, cell FROM e WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(LIST_ZIP(q.qc, c.code), x -> x[1] * x[2])),
+           (a, v) -> a + v) AS score
+  FROM q JOIN e c ON q.cell = c.cell AND c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
+FROM r WHERE rn <= {k}"""
+
+
 def q_doc_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct-count sketch (fagi_spark/sketch.py): the
     ESTIMATE itself is value-checked, not just bounded — the poly-of-
@@ -4728,6 +4788,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "doc_url_parts": q_doc_url_parts,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pagerank": q_doc_pagerank,
@@ -4863,6 +4924,7 @@ ORACLES = {
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     "doc_kmv_distinct": _o_kmv(),
     "ann_ivfpq_topk": _o_ivfpq(),
+    "ann_sq8_topk": _o_sq8(),
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_pagerank": _o_pagerank(),
