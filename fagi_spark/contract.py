@@ -4349,6 +4349,77 @@ FROM r GROUP BY user_id, run, cell
 HAVING COUNT(*) >= 2 AND MAX(us) - MIN(us) >= 0"""
 
 
+def q_events_map_match(spark, sf_dir):
+    """Trajectory map-matching (events.map_match): per-ping nearest-way
+    snap (knn_shape_join k=1, true shape distance to axis-aligned
+    staircase roads — the fagi_snap_to_way box-gap IEEE argument) +
+    per-user gaps-and-islands collapse of consecutive same-way pings
+    into traversal intervals. Roads tile the [0,16]x[0,8] deg box so
+    roughly half the event fixture snaps and the rest exercises the
+    off-network drop path; epoch-micro bounds and ping counts are
+    exact integers, min_snap_m folds identically on both engines."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events")
+    pts = _event_pts(e, "event_id", "ts", "user_id")
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 41) % 1600, (k * 59) % 800
+    ways = cust.select(
+        F.concat(F.lit("road"), k.cast("string")).alias("subject"),
+        _line_wkt([(v, w), (v + 6, w), (v + 6, w + 5)]).alias("geom_wkt"))
+    return ev.map_match(pts, fuse.prepare_geoms(ways), 25000.0)
+
+
+def _o_map_match(radius_m: float = 25000.0) -> str:
+    from . import geom as _g
+    rdeg = _dlit(radius_m / _g.METERS_PER_DEGREE)
+    mpd = _dlit(_g.METERS_PER_DEGREE)
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {_EV_LON_SQL} AS px, {_EV_LAT_SQL} AS py
+  FROM events),
+w AS (
+  SELECT CONCAT('road', CAST(c_custkey AS STRING)) AS way,
+         CAST((c_custkey*41) % 1600 AS DOUBLE)/100.0 AS wx0,
+         CAST((c_custkey*41) % 1600 + 6 AS DOUBLE)/100.0 AS wx1,
+         CAST((c_custkey*59) % 800 AS DOUBLE)/100.0 AS wy0,
+         CAST((c_custkey*59) % 800 + 5 AS DOUBLE)/100.0 AS wy1
+  FROM customer),
+g AS (
+  SELECT user_id, event_id, us, way,
+         GREATEST(0e0, wx0 - px, px - wx1) AS h_gx,
+         GREATEST(0e0, wy0 - py, py - wy0) AS h_gy,
+         GREATEST(0e0, wx1 - px, px - wx1) AS v_gx,
+         GREATEST(0e0, wy0 - py, py - wy1) AS v_gy
+  FROM p JOIN w ON px BETWEEN wx0 - {rdeg} AND wx1 + {rdeg}
+               AND py BETWEEN wy0 - {rdeg} AND wy1 + {rdeg}),
+d AS (
+  SELECT user_id, event_id, us, way,
+         LEAST(SQRT(h_gx*h_gx + h_gy*h_gy),
+               SQRT(v_gx*v_gx + v_gy*v_gy)) AS d_deg
+  FROM g),
+s AS (
+  SELECT user_id, event_id, us, way, d_deg * {mpd} AS snap_m
+  FROM d WHERE d_deg <= {rdeg}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+                             ORDER BY d_deg * {mpd}, way) = 1),
+m AS (SELECT user_id, event_id, us, way, snap_m,
+             CASE WHEN LAG(way) OVER win IS NULL
+                       OR LAG(way) OVER win <> way THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)),
+r AS (SELECT user_id, us, event_id, way, snap_m,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM m)
+SELECT user_id, way, MIN(us) AS enter_us, MAX(us) AS exit_us,
+       MAX(us) - MIN(us) AS dwell_us, COUNT(*) AS n_pings,
+       MIN(snap_m) AS min_snap_m
+FROM r GROUP BY user_id, run, way"""
+
+
+O_EVENTS_MAP_MATCH = _o_map_match()
+
+
 def q_snap_to_way(spark, sf_dir):
     """Snap-to-road: nearest way (LINESTRING) per point by TRUE shape
     distance — joins.knn_shape_join (dwithin candidates + per-point
@@ -4814,6 +4885,7 @@ QUERIES = {
     "fagi_dbscan_hull": q_dbscan_hull,
     "fagi_tile_topk": q_tile_topk,
     "events_stay_points": q_events_stay_points,
+    "events_map_match": q_events_map_match,
     "doc_script_mix": q_doc_script_mix,
     "fagi_toponym_resolve": q_toponym_resolve,
     "fagi_snap_to_way": q_snap_to_way,
@@ -4948,6 +5020,7 @@ ORACLES = {
     "fagi_dbscan_hull": O_DBSCAN_HULL,
     "fagi_tile_topk": O_TILE_TOPK,
     "events_stay_points": O_EVENTS_STAY_POINTS,
+    "events_map_match": O_EVENTS_MAP_MATCH,
     "doc_script_mix": O_DOC_SCRIPT_MIX,
     "fagi_toponym_resolve": O_TOPONYM_RESOLVE,
     "fagi_snap_to_way": O_SNAP_TO_WAY,

@@ -426,3 +426,67 @@ def stay_points(events: DataFrame, res: int, min_duration_s: float = 0.0,
            .select(user, "cell", "enter_us", "exit_us", "dwell_us",
                    "n_events"))
     return out
+
+
+def map_match(events: DataFrame, ways: DataFrame, max_radius_m: float,
+              res: int | None = None, user: str = "user_id",
+              key: str = "event_id", ts: str = "ts",
+              lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Trajectory map-matching: assign each ping to its nearest road
+    (TRUE shape distance to the LINESTRING, not a centroid metric),
+    then collapse each user's consecutive same-way pings into traversal
+    intervals — the mobility op that turns raw GPS streams into
+    per-segment travel records (the snap step is joins.knn_shape_join's
+    k=1 assignment, the collapse is stay_points' gaps-and-islands over
+    ways instead of cells).
+
+    1. Snap: pings become POINT geometries (double -> shortest-roundtrip
+       string -> parse gives back the identical double) and
+       knn_shape_join(k=1) picks each ping's nearest way within
+       ``max_radius_m`` — padded-PBSM candidate cells, envelope
+       prefilter, exact refinement, per-ping WindowGroupLimit rank.
+       Off-network pings (nothing in radius) drop out; a run therefore
+       spans consecutive SURVIVING pings (an off-network ping between
+       two same-way pings does not split the traversal).
+    2. Recover (user, ts) by joining back on the unique ping key.
+    3. Runs: lag flags way changes per user (ordered by event time,
+       ping key), a running sum numbers traversals, ONE
+       groupBy((user, run, way)) emits exact epoch-micro enter/exit
+       bounds, the ping count and the closest snap distance.
+
+    ``ways`` is a prepare_geoms frame. One user-key shuffle carries
+    both windows and the groupBy (the stay_points plan argument); the
+    snap join's shuffles are cell-bounded. Every output column is an
+    exact integer except min_snap_m, which both engines fold with
+    identical IEEE ops (the fagi_snap_to_way argument)."""
+    from . import fuse as _fuse
+    from . import joins as _joins
+
+    pts = events.select(
+        F.col(key).cast("string").alias("subject"),
+        F.concat(F.lit("POINT ("), F.col(lon).cast("string"), F.lit(" "),
+                 F.col(lat).cast("string"), F.lit(")")).alias("geom_wkt"))
+    snap = (_joins.knn_shape_join(_fuse.prepare_geoms(pts), ways, 1,
+                                  max_radius_m, res=res)
+            .select(F.col("a_subject").alias("_k"),
+                    F.col("b_subject").alias("way"),
+                    F.col("distance_m").alias("snap_m")))
+    base = (events.select(F.col(user), F.col(key),
+                          F.col(key).cast("string").alias("_k"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us"))
+            .join(snap, "_k"))
+    w = Window.partitionBy(user).orderBy("_us", key)
+    chg = F.when(F.lag("way").over(w).isNull()
+                 | (F.lag("way").over(w) != F.col("way")), 1).otherwise(0)
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("_run", run)
+            .groupBy(user, "_run", "way")
+            .agg(F.min("_us").alias("enter_us"),
+                 F.max("_us").alias("exit_us"),
+                 F.count(F.lit(1)).alias("n_pings"),
+                 F.min("snap_m").alias("min_snap_m"))
+            .select(user, "way", "enter_us", "exit_us",
+                    (F.col("exit_us") - F.col("enter_us")).alias("dwell_us"),
+                    "n_pings", "min_snap_m"))

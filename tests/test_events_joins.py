@@ -203,3 +203,48 @@ def test_stay_points_gaps_and_islands(spark):
     again = sorted(map(tuple,
                        ev.stay_points(pts.repartition(7), res=6).collect()))
     assert again == got
+
+
+def test_map_match_runs_and_offnetwork(spark):
+    """Map-matching: pings snap to the nearest road by true shape
+    distance; consecutive same-way pings collapse into one traversal;
+    an off-network ping (outside the radius) drops out WITHOUT
+    splitting the run around it; A-B-A way sequences produce three
+    traversals; result is partition-independent."""
+    from fagi_spark import fuse
+
+    ways = spark.createDataFrame(
+        [("roadA", "LINESTRING (10.0 20.0, 10.1 20.0)"),
+         ("roadB", "LINESTRING (10.0 20.5, 10.1 20.5)")],
+        "subject string, geom_wkt string")
+    ways = fuse.prepare_geoms(ways)
+    rows = [
+        # user 1: two pings on A, an off-network ping 2 deg away, two
+        # more on A (one run of 4), then one on B, then back to A
+        (0, 1, _ts("2024-01-01T00:00"), 10.02, 20.001),
+        (1, 1, _ts("2024-01-01T00:10"), 10.03, 20.002),
+        (2, 1, _ts("2024-01-01T00:20"), 12.50, 22.500),
+        (3, 1, _ts("2024-01-01T00:30"), 10.04, 20.001),
+        (4, 1, _ts("2024-01-01T00:40"), 10.05, 20.003),
+        (5, 1, _ts("2024-01-01T00:50"), 10.05, 20.499),
+        (6, 1, _ts("2024-01-01T01:00"), 10.06, 20.002),
+    ]
+    pts = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    got = sorted(map(tuple, ev.map_match(pts, ways, 5000.0).collect()),
+                 key=lambda r: r[2])
+    assert [(r[0], r[1], r[5]) for r in got] == [
+        (1, "roadA", 4), (1, "roadB", 1), (1, "roadA", 1)]
+    runA = got[0]
+    assert runA[3] - runA[2] == runA[4] == 40 * 60 * 1_000_000
+    # closest ping of the first run sits 0.001 deg off the road
+    import math
+    from fagi_spark import geom
+    assert math.isclose(runA[6], 0.001 * geom.METERS_PER_DEGREE,
+                        rel_tol=1e-9)
+    again = sorted(map(tuple,
+                       ev.map_match(pts.repartition(5), ways,
+                                    5000.0).collect()),
+                   key=lambda r: r[2])
+    assert again == got
