@@ -599,3 +599,93 @@ def stay_points_stream(events: DataFrame, res: int, ts: str = "ts",
     return (keyed.groupBy(user).applyInPandasWithState(
         fn, STAY_OUT_SCHEMA, STAY_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout))
+
+
+MM_OUT_SCHEMA = ("user_id bigint, way string, enter_us bigint, "
+                 "exit_us bigint, n_pings bigint, min_snap_m double")
+MM_STATE_SCHEMA = ("way string, enter_us bigint, last_us bigint, "
+                   "n bigint, min_snap double")
+
+
+def map_match_stream(events: DataFrame, ways: DataFrame,
+                     max_radius_m: float, res: int, user: str = "user_id",
+                     ts: str = "ts", lon: str = "lon",
+                     lat: str = "lat") -> DataFrame:
+    """Streaming twin of events.map_match: per-user keyed state carries
+    the OPEN traversal across micro-batches; a traversal is EMITTED
+    when a ping snaps to a DIFFERENT way (closed-run append semantics,
+    like stay_points_stream).
+
+    The snap's candidate generation is the stream-static dwithin join
+    (explodes + equi-join + mapInPandas exact refinement — all
+    streaming-legal; ``res`` must be explicit because auto-resolution
+    needs an action). The per-ping nearest-way ARGMIN cannot be a
+    row_number window in a stream, so it moves inside the state fn:
+    candidates sort by (ping, distance, way) — the exact batch
+    tie-break — and each ping keeps its first row before the run
+    collapse. Off-network pings never reach the fn (no candidates), so
+    they drop without splitting runs, exactly like batch.
+
+    Ordering contract: same as stay_points_stream — feed per-user
+    event-time-ordered batches; same-way out-of-order pings extend the
+    open run's bounds, cross-batch way CHANGES cannot be repaired once
+    the earlier traversal closed. Parity: closed stream traversals ==
+    batch map_match minus each user's final (still open) run —
+    asserted in pytest across a batch boundary."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import fuse as _fuse
+    from . import joins as _joins
+
+    pts = events.select(
+        F.concat(F.col(user).cast("string"), F.lit("|"),
+                 F.unix_micros(F.col(ts).cast("timestamp")).cast("string"))
+         .alias("subject"),
+        F.concat(F.lit("POINT ("), F.col(lon).cast("string"), F.lit(" "),
+                 F.col(lat).cast("string"), F.lit(")")).alias("geom_wkt"))
+    cand = _joins.dwithin_join(_fuse.prepare_geoms(pts), ways,
+                               max_radius_m, res=res)
+    split = F.split(F.col("a_subject"), "\\|")
+    keyed = cand.select(
+        split.getItem(0).cast("bigint").alias("user_id"),
+        split.getItem(1).cast("bigint").alias("_us"),
+        F.col("b_subject").alias("way"),
+        F.col("distance_m").alias("d"))
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cur_way, enter_us, last_us, n, msnap = state.get
+        else:
+            cur_way, enter_us, last_us, n, msnap = None, None, None, 0, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["_us", "d", "way"])
+        best = batch.groupby("_us", sort=True).first().reset_index()
+        closed = []
+        for t_us, way, d in zip(best["_us"].astype("int64"),
+                                best["way"], best["d"]):
+            t_us, way, d = int(t_us), str(way), float(d)
+            if cur_way is None:
+                cur_way, enter_us, last_us, n, msnap = way, t_us, t_us, 1, d
+            elif way == cur_way:
+                enter_us = min(enter_us, t_us)
+                last_us = max(last_us, t_us)
+                n += 1
+                msnap = min(msnap, d)
+            else:
+                closed.append((key[0], cur_way, enter_us, last_us, n, msnap))
+                cur_way, enter_us, last_us, n, msnap = way, t_us, t_us, 1, d
+        state.update((cur_way, enter_us, last_us, n, msnap))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [c[0] for c in closed],
+                "way": [c[1] for c in closed],
+                "enter_us": [c[2] for c in closed],
+                "exit_us": [c[3] for c in closed],
+                "n_pings": [c[4] for c in closed],
+                "min_snap_m": [c[5] for c in closed],
+            })
+
+    return (keyed.groupBy("user_id").applyInPandasWithState(
+        fn, MM_OUT_SCHEMA, MM_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))

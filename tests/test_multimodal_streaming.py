@@ -688,3 +688,61 @@ def test_stateful_stay_points_stream_matches_batch(spark, tmp_path):
     # u1's A run closed with all 3 events incl. the cross-batch one
     assert any(u == 1 and n == 3 for u, _, _, _, n in got)
     assert len(got) == 2  # u1 A run + u2 X run; open runs not emitted
+
+
+def test_stateful_map_match_stream_matches_batch(spark, tmp_path):
+    """Keyed-state map-matching across a micro-batch boundary: closed
+    stream traversals == batch map_match minus each user's final
+    (still open) run; the off-network ping and the per-ping nearest-way
+    argmin behave exactly like batch."""
+    import datetime as dt
+
+    from fagi_spark import events as ev
+    from fagi_spark import fuse
+
+    ways = fuse.prepare_geoms(spark.createDataFrame(
+        [("roadA", "LINESTRING (10.0 20.0, 10.1 20.0)"),
+         ("roadB", "LINESTRING (10.0 20.5, 10.1 20.5)")],
+        "subject string, geom_wkt string"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(user, minutes, x, y):
+        return (user, t0 + dt.timedelta(minutes=minutes), x, y)
+
+    # file 1: u1 two pings on A, one off-network; u2 one ping on B
+    f1 = [row(1, 0, 10.02, 20.001), row(1, 5, 10.03, 20.002),
+          row(1, 10, 12.5, 22.5), row(2, 0, 10.05, 20.499)]
+    # file 2: u1 continues A (cross-batch same-way) then moves to B
+    # (closes A); u2 moves to A (closes B)
+    f2 = [row(1, 15, 10.04, 20.003), row(1, 20, 10.05, 20.501),
+          row(2, 30, 10.02, 20.002)]
+    src = str(tmp_path / "mm_src")
+    schema = "user_id long, ts timestamp, lon double, lat double"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming.map_match_stream(stream, ways, 5000.0, res=6)
+         .writeStream.format("memory").queryName("mm_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM mm_mem").collect()}
+
+    allrows = spark.createDataFrame(f1 + f2, schema).withColumn(
+        "event_id", F.monotonically_increasing_id())
+    batch = ev.map_match(allrows, ways, 5000.0, res=6)
+    from pyspark.sql import Window
+    win = Window.partitionBy("user_id")
+    closed = (batch.withColumn("_mx", F.max("enter_us").over(win))
+              .filter(F.col("enter_us") != F.col("_mx"))
+              .select("user_id", "way", "enter_us", "exit_us",
+                      "n_pings", "min_snap_m"))
+    want = {tuple(r) for r in closed.collect()}
+    assert got == want
+    # u1's roadA run closed with all 3 pings (incl. the cross-batch
+    # one; the off-network ping did not split it)
+    assert any(u == 1 and w == "roadA" and n == 3
+               for u, w, _, _, n, _ in got)
+    assert len(got) == 2
