@@ -351,7 +351,14 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     timed("ann_gemm_200q",
           lambda: _vector.brute_force_topk_gemm(
               emb_g.filter(F.col("vec_id") < 200), emb_g, k=5).count())
+    # IVF-SQ8: the 4x-compressed code layout — calibration pass + cell
+    # join + BIGINT code dot; contrast with ann_topk (raw floats)
+    timed("ann_sq8", lambda: contract.q_ann_sq8_topk(spark, sf_dir).count())
     timed("doc_quality_lang", lambda: contract.q_doc_quality(spark, sf_dir).count())
+    # trajectory map-matching over the 100k-event fixture: snap join
+    # (padded-PBSM + exact refinement) + per-user run collapse
+    timed("map_match_events",
+          lambda: contract.q_events_map_match(spark, sf_dir).count())
 
     # 4. multi-resolution tile pyramid over the sf-corpus entities
     # (extraction untimed — the pyramid's own cost is the number:

@@ -649,6 +649,48 @@ def main():
         "dense-city tile ships k rows per partition, never its "
         "millions of points.")
 
+    # 21. trajectory map-matching: the snap must thin per-ping
+    # candidates with WindowGroupLimit BEFORE the rank exchange, and
+    # the run-collapse tail (lag window + running sum + groupBy) must
+    # ride ONE user-key exchange — the stay_points argument, re-checked
+    # because map_match appends the collapse AFTER a join
+    mm_plan = contract.q_events_map_match(spark, SF)
+    mm_text = plan_text(mm_plan)
+    mm_idx = mm_text.find("(1) Scan")
+    if mm_idx <= 0:
+        raise SystemExit("map_match structural check failed: '(1) Scan' "
+                         "marker not found in the formatted plan")
+    mm_tree = mm_text[:mm_idx]
+    if "WindowGroupLimit" not in mm_tree:
+        raise SystemExit("map_match structural check failed: snap k=1 "
+                         "rank lost its WindowGroupLimit pre-thinning")
+    # exactly TWO shuffle exchanges in the whole plan: the snap rank
+    # exchange and the user-key exchange the lag window, running-sum
+    # window and traversal aggregate all share (broadcasts excluded —
+    # the ways dim and the snap->events join-back both broadcast at
+    # this SF). A third exchange means the collapse tail stopped
+    # reusing the user-key partitioning.
+    n_shuffle = mm_tree.count("Exchange") - mm_tree.count("BroadcastExchange")
+    if n_shuffle != 2:
+        raise SystemExit(
+            f"map_match structural check failed: {n_shuffle} shuffle "
+            "Exchanges in the tree (want exactly 2: snap rank + the "
+            "one user-key exchange under the whole collapse tail)")
+    if mm_tree.count("Window (") < 2 or "HashAggregate" not in mm_tree:
+        raise SystemExit(
+            "map_match structural check failed: lag/running-sum "
+            "windows or the traversal aggregate missing from the plan")
+    add("events map_match (trajectory map-matching)", mm_plan,
+        ["window_group_limit", "partial_agg"],
+        "snap: padded-PBSM candidate cells -> envelope prefilter -> "
+        "Arrow exact refinement -> per-ping WindowGroupLimit (k=1 "
+        "leaders only reach the rank exchange); collapse: the lag "
+        "window, the running-sum traversal numbering and the interval "
+        "aggregate all cluster on the user key — structurally enforced "
+        "to sit after the plan's final exchange, so a 10^12-ping "
+        "corpus pays the snap shuffles plus exactly ONE user-key "
+        "exchange for the whole gaps-and-islands tail.")
+
     add("gridgeom polygon_measures (J5m exact measures)", gg_plan,
         ["codegen"],
         "exact BIGINT shoelace area2 + centroid numerators + the IEEE "
