@@ -327,3 +327,39 @@ def test_analytics_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     assert members + noise == n_ents
     assert res["global_stats"].count() == 1
 
+
+
+def test_mobility_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
+    """Mobility mart: crash after the stays stage; relaunch resumes
+    (committed snapshots untouched) and every layer equals a fresh
+    run. Layer invariants: snapped pings never exceed pings; the
+    summary's traversal total equals the traversals layer; stays cover
+    at least two events each."""
+    from fagi_spark.jobs import mobility
+
+    out = str(tmp_path / "mob")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        mobility.run(spark, out, n_users=40, pings_per_user=25,
+                     fail_after="stays")
+    store = CheckpointStore(out)
+    before = {s: store.latest(s) for s in ("pings", "traversals", "stays")}
+    assert store.latest("summary") is None
+
+    res = mobility.run(spark, out, n_users=40, pings_per_user=25)
+    for s, snap in before.items():
+        assert res["store"].latest(s) == snap  # resumed, not recomputed
+
+    fresh = mobility.run(spark, str(tmp_path / "mob2"),
+                         n_users=40, pings_per_user=25)
+    for layer in ("traversals", "stays", "od", "summary"):
+        a = sorted(map(tuple, res[layer].collect()))
+        b = sorted(map(tuple, fresh[layer].collect()))
+        assert a == b, layer
+
+    n_pings = res["pings"].count()
+    snapped = res["traversals"].agg(F.sum("n_pings")).first()[0] or 0
+    assert 0 < snapped <= n_pings
+    assert res["traversals"].count() > 0
+    s_tr = res["summary"].agg(F.sum("n_traversals")).first()[0]
+    assert s_tr == res["traversals"].count()
+    assert res["stays"].filter(F.col("n_events") < 2).count() == 0
