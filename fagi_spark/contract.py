@@ -4354,8 +4354,9 @@ def q_events_map_match(spark, sf_dir):
     snap (knn_shape_join k=1, true shape distance to axis-aligned
     staircase roads — the fagi_snap_to_way box-gap IEEE argument) +
     per-user gaps-and-islands collapse of consecutive same-way pings
-    into traversal intervals. Roads tile the [0,16]x[0,8] deg box so
-    roughly half the event fixture snaps and the rest exercises the
+    into traversal intervals. Roads tile the [0,16]x[0,8] deg box at ~120/deg^2; the 8 km
+    snap radius keeps per-ping candidates bounded (the realistic
+    map-matching regime) while a good fraction of the fixture snaps and the rest exercises the
     off-network drop path; epoch-micro bounds and ping counts are
     exact integers, min_snap_m folds identically on both engines."""
     from . import events as ev
@@ -4367,10 +4368,10 @@ def q_events_map_match(spark, sf_dir):
     ways = cust.select(
         F.concat(F.lit("road"), k.cast("string")).alias("subject"),
         _line_wkt([(v, w), (v + 6, w), (v + 6, w + 5)]).alias("geom_wkt"))
-    return ev.map_match(pts, fuse.prepare_geoms(ways), 25000.0)
+    return ev.map_match(pts, fuse.prepare_geoms(ways), 8000.0)
 
 
-def _o_map_match(radius_m: float = 25000.0) -> str:
+def _o_map_match(radius_m: float = 8000.0) -> str:
     from . import geom as _g
     rdeg = _dlit(radius_m / _g.METERS_PER_DEGREE)
     mpd = _dlit(_g.METERS_PER_DEGREE)
