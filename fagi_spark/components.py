@@ -257,3 +257,54 @@ def keep_longest_keys(df: DataFrame, clusters: DataFrame,
     return (sized.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
             .select(F.col("node").alias(key)))
+
+
+def khop_reachability(edges: DataFrame, seeds: DataFrame,
+                      max_hops: int, src: str = "src", dst: str = "dst",
+                      node_col: str = "node") -> DataFrame:
+    """Bounded-hop BFS reachability over an edge list -> (node, hops)
+    where ``hops`` is the MINIMUM hop count (0 for seeds) to reach the
+    node from ANY seed within ``max_hops`` — the "entities within k
+    link-hops of a trusted set" primitive (seed-based crawl frontier
+    expansion, toponym neighbourhood harvesting, spam-distance
+    labelling a la TrustRank seeds). The unbounded transitive closure
+    is ``connected_components`` (log-round star contraction); this op
+    exists precisely for the SMALL-k regime where hop distance itself
+    is the signal, so the round count is k by definition, not a
+    convergence property.
+
+    Each round is one frontier-to-edges equi-join + distinct + one
+    left-anti join against the reached set — all shuffle-partitioned
+    on node id; the frontier never revisits a node, so level-by-level
+    expansion yields exact min-hop labels without a per-node min
+    aggregate over all paths (the path set, which the recursive-CTE
+    oracle DOES enumerate, can be exponentially larger). Lineage is
+    truncated per round (``localCheckpoint``, same discipline as
+    ``connected_components``), and the loop early-exits on an empty
+    frontier — at most ``max_hops`` jobs of edge-list size, never
+    graph-diameter-many.
+
+    ``edges`` is consumed as DIRECTED; callers wanting undirected
+    reachability pass the symmetrized list (union of both
+    orientations), which keeps one semantics instead of a flag that
+    silently doubles the edge frame."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                 & (F.col("src") != F.col("dst")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    frontier = (seeds.select(F.col(node_col).alias("node")).distinct()
+                .withColumn("hops", F.lit(0).cast("int"))
+                .localCheckpoint(eager=True))
+    reached = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(reached.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h).cast("int"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached

@@ -4753,6 +4753,108 @@ SELECT pred_a, pred_b,
 FROM pairs"""
 
 
+def q_khop_reach(spark, sf_dir):
+    """Bounded-hop BFS reachability (components.khop_reachability):
+    min hop count from a seed set within 4 hops over a symmetrized
+    deterministic 300-node customer graph (two edge generators so
+    branching is real). The engine expands level-by-level with an
+    anti-join (each node visited once — exact min-hop by BFS
+    invariant); the oracle enumerates ALL paths up to 4 hops with a
+    recursive CTE and takes MIN(hop) — two different evaluation
+    strategies, identical integer answer."""
+    from . import components
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = cust.select((k % 300).alias("src"), ((k * 17 + 5) % 300).alias("dst"))
+    e2 = cust.filter(k % 5 == 0).select(
+        ((k * 7) % 300).alias("src"), ((k * 29 + 11) % 300).alias("dst"))
+    e0 = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    e = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    seeds = (e.select(F.col("src").alias("node"))
+             .filter(F.col("node") % 59 == 0).distinct())
+    return components.khop_reachability(e, seeds, 4)
+
+
+O_KHOP_REACH = """WITH RECURSIVE c AS (SELECT c_custkey AS k FROM customer),
+e0 AS (
+  SELECT DISTINCT k % 300 AS src, (k*17+5) % 300 AS dst FROM c
+  UNION
+  SELECT DISTINCT (k*7) % 300, (k*29+11) % 300 FROM c WHERE k % 5 = 0),
+e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+s AS (SELECT DISTINCT src AS node FROM e WHERE src % 59 = 0),
+r AS (SELECT node, 0 AS hop FROM s
+      UNION ALL
+      SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
+      WHERE r.hop < 4)
+SELECT node, CAST(MIN(hop) AS INT) AS hops FROM r GROUP BY node"""
+
+
+def q_trajectory_hausdorff(spark, sf_dir):
+    """Symmetric Hausdorff trajectory distance
+    (events.trajectory_hausdorff): co-location-blocked user pairs
+    (shared 32-cell block) scored with the exact BIGINT squared grid
+    Hausdorff over each user's DISTINCT grid points. A denser variant
+    of the _event_pts layout (320x160 cells) so blocks actually
+    collide; every value is integer arithmetic end to end."""
+    from . import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        (F.col("user_id") * 37 % 320 + F.col("event_id") * 11 % 5).alias("ix"),
+        (F.col("user_id") * 53 % 160 + F.col("event_id") * 7 % 5).alias("iy"))
+    return ev.trajectory_hausdorff(pts, block_shift=5)
+
+
+O_TRAJECTORY_HAUSDORFF = """WITH p AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(user_id*37 % 320 + event_id*11 % 5 AS BIGINT) AS px,
+         CAST(user_id*53 % 160 + event_id*7 % 5 AS BIGINT) AS py
+  FROM events),
+b AS (SELECT DISTINCT u, px >> 5 AS bx, py >> 5 AS by FROM p),
+pr AS (SELECT DISTINCT l.u AS ua, r.u AS ub
+       FROM b l JOIN b r ON l.bx = r.bx AND l.by = r.by AND l.u < r.u),
+mab AS (SELECT pr.ua, pr.ub, a.px AS ax, a.py AS ay,
+               MIN((a.px-q.px)*(a.px-q.px) + (a.py-q.py)*(a.py-q.py)) AS md
+        FROM pr JOIN p a ON a.u = pr.ua JOIN p q ON q.u = pr.ub
+        GROUP BY pr.ua, pr.ub, a.px, a.py),
+hab AS (SELECT ua, ub, MAX(md) AS h_ab FROM mab GROUP BY ua, ub),
+mba AS (SELECT pr.ua, pr.ub, a.px AS ax, a.py AS ay,
+               MIN((a.px-q.px)*(a.px-q.px) + (a.py-q.py)*(a.py-q.py)) AS md
+        FROM pr JOIN p a ON a.u = pr.ub JOIN p q ON q.u = pr.ua
+        GROUP BY pr.ua, pr.ub, a.px, a.py),
+hba AS (SELECT ua, ub, MAX(md) AS h_ba FROM mba GROUP BY ua, ub)
+SELECT hab.ua AS user_a, hab.ub AS user_b,
+       GREATEST(h_ab, h_ba) AS hausdorff_d2
+FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub"""
+
+
+def q_dissolve_area(spark, sf_dir):
+    """Dissolve (joins.dissolve_area): per-group raster union of the B
+    squares at res 13 — distinct covered cells per group (overlaps not
+    double-counted) plus the polygon count. Groups are custkey % 8
+    parsed back out of the subject string identically on both sides;
+    the rasterizer is the already-proven center-sample kernel, so the
+    oracle is the rasterize oracle wrapped in one GROUP BY."""
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    polys = (fuse.prepare_geoms(gb)
+             .filter(F.col("geom_kind") == "POLYGON")
+             .withColumn("group_id",
+                         F.substring("subject", 6, 20).cast("long") % 8))
+    return joins.dissolve_area(polys, res=13, mode="center")
+
+
+O_DISSOLVE_AREA = f"""SELECT
+  CAST(SUBSTR(subject, 6) AS BIGINT) % 8 AS group_id,
+  COUNT(DISTINCT cell) AS n_cells,
+  COUNT(DISTINCT subject) AS n_polys
+FROM ({O_RASTERIZE_POLYGONS}) ras
+GROUP BY 1"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -4779,6 +4881,9 @@ QUERIES = {
     "fagi_knn_shape": q_knn_shape,
     "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
+    "fagi_dissolve_area": q_dissolve_area,
+    "fagi_khop_reach": q_khop_reach,
+    "events_hausdorff": q_trajectory_hausdorff,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -4919,6 +5024,9 @@ ORACLES = {
     "fagi_knn_shape": O_KNN_SHAPE,
     "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
+    "fagi_dissolve_area": O_DISSOLVE_AREA,
+    "fagi_khop_reach": O_KHOP_REACH,
+    "events_hausdorff": O_TRAJECTORY_HAUSDORFF,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

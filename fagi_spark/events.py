@@ -490,3 +490,64 @@ def map_match(events: DataFrame, ways: DataFrame, max_radius_m: float,
             .select(user, "way", "enter_us", "exit_us",
                     (F.col("exit_us") - F.col("enter_us")).alias("dwell_us"),
                     "n_pings", "min_snap_m"))
+
+
+def trajectory_hausdorff(pts: DataFrame, block_shift: int,
+                         user: str = "user_id",
+                         ix: str = "ix", iy: str = "iy") -> DataFrame:
+    """Symmetric Hausdorff distance between user trajectories on the
+    integer grid -> (user_a, user_b, hausdorff_d2) for every candidate
+    pair — the trajectory-similarity op behind "which users move alike"
+    (carpool detection, mirrored-bot crawls, duplicate GPS devices).
+
+    ``pts`` carries integer grid coordinates (``ix``/``iy``, e.g.
+    ``cells.ix_col`` output or centi-degree ints); the distance is the
+    exact BIGINT squared grid distance
+    ``max(h(A->B), h(B->A)), h(A->B) = max_a min_b ((ax-bx)^2+(ay-by)^2)``
+    — no floats anywhere, so the contract oracle is value-exact by
+    construction.
+
+    Candidate pairs are CO-LOCATION BLOCKED, never all-pairs: users
+    sharing any ``2^block_shift``-cell block are compared (the
+    minhash-band shape applied to space). Per-pair work is
+    |A|x|B| over DISTINCT grid points, which trajectory quantization
+    bounds (a device pinging a cell twice adds nothing); the pair
+    cross-product rides an equi-join on the pair key, so a hot block
+    spreads across partitions by pair, not by block. At 100 TB the
+    knobs are ``block_shift`` (bigger blocks = more recall, more
+    pairs) and the upstream grid resolution (coarser = fewer distinct
+    points per user)."""
+    p = (pts.select(F.col(user).alias("u"),
+                    F.col(ix).cast("long").alias("px"),
+                    F.col(iy).cast("long").alias("py"))
+         .distinct())
+    b = (p.select("u", F.shiftright("px", block_shift).alias("bx"),
+                  F.shiftright("py", block_shift).alias("by"))
+         .distinct())
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bx") == F.col("r.bx"))
+                    & (F.col("l.by") == F.col("r.by"))
+                    & (F.col("l.u") < F.col("r.u")))
+             .select(F.col("l.u").alias("user_a"),
+                     F.col("r.u").alias("user_b"))
+             .distinct())
+
+    def directed(pa, pb):
+        """max over pa's points of min over pb's points, per pair."""
+        a = pairs.join(p.select(F.col("u").alias(pa),
+                                F.col("px").alias("ax"),
+                                F.col("py").alias("ay")), pa)
+        ab = a.join(p.select(F.col("u").alias(pb),
+                             F.col("px").alias("qx"),
+                             F.col("py").alias("qy")), pb)
+        d2 = ((F.col("ax") - F.col("qx")) * (F.col("ax") - F.col("qx"))
+              + (F.col("ay") - F.col("qy")) * (F.col("ay") - F.col("qy")))
+        mn = (ab.groupBy("user_a", "user_b", "ax", "ay")
+              .agg(F.min(d2).alias("_md")))
+        return mn.groupBy("user_a", "user_b").agg(F.max("_md").alias("_h"))
+
+    hab = directed("user_a", "user_b").withColumnRenamed("_h", "_hab")
+    hba = directed("user_b", "user_a").withColumnRenamed("_h", "_hba")
+    return (hab.join(hba, ["user_a", "user_b"])
+            .select("user_a", "user_b",
+                    F.greatest("_hab", "_hba").alias("hausdorff_d2")))

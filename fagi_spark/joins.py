@@ -583,3 +583,36 @@ def zonal_stats(points: DataFrame, polygons: DataFrame,
     else:
         joined = pairs
     return joined.groupBy("poly_subject").agg(*aggs)
+
+
+def dissolve_area(polygons: DataFrame, res: int, group_col: str = "group_id",
+                  mode: str = "center") -> DataFrame:
+    """Dissolve: per-group raster UNION of polygon footprints ->
+    (group, n_cells, n_polys) — the GIS dissolve/union-area operation
+    (admin-boundary merge, coverage-of-a-layer reporting) expressed in
+    the engine's raster domain, where union is simply DISTINCT cells
+    (FAGI's fusion actions operate per linked pair; dissolve is the
+    layer-level aggregate the reference's OSM import sidesteps by
+    leaning on PostGIS ST_Union — here it is a group-key rollup of
+    ``rasterize_polygons`` output, reference VirtuosoImporter.java's
+    polygon layer handling being the nearest analog).
+
+    ``n_cells`` counts DISTINCT covered cells per group — overlapping
+    polygons in one group are not double-counted, which is the entire
+    semantic difference vs summing per-polygon areas. Exact integers
+    at any scale; multiply by the cell area for a surface measure.
+
+    Scale shape: one rasterize pass (JVM explode + Arrow ray-cast on
+    candidates), one narrow (subject, group) equi-join, one
+    partial-aggregated groupBy — no geometry ever crosses a shuffle,
+    only (group, cell) longs. Overlap hot-spots fan out by cell before
+    the distinct, so a group with millions of cells never concentrates
+    on one task until the final count, which AQE handles."""
+    ras = rasterize_polygons(
+        polygons.select("subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        res, mode=mode)
+    grp = polygons.select("subject", group_col).distinct()
+    return (ras.join(grp, "subject")
+            .groupBy(group_col)
+            .agg(F.countDistinct("cell").alias("n_cells"),
+                 F.countDistinct("subject").alias("n_polys")))

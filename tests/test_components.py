@@ -230,3 +230,47 @@ def test_pagerank_deterministic_equals_sum_path(spark):
     assert det1 == det2                      # bit-stable
     assert set(fast) == set(det1)
     assert all(abs(fast[k] - det1[k]) < 1e-12 for k in det1)
+
+
+def _bfs_bruteforce(edges, seeds, k):
+    """Level-by-level BFS ground truth: node -> min hops (<= k)."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    hops = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, k + 1):
+        frontier = {v for u in frontier for v in adj.get(u, ())
+                    if v not in hops}
+        for v in frontier:
+            hops[v] = h
+    return hops
+
+
+def test_khop_reachability_min_hops(spark):
+    """Exact min-hop labels on a graph with a shortcut: the 2-hop
+    shortcut must win over the 5-hop chain path, and nodes past the
+    horizon must be absent."""
+    # chain 0-1-2-3-4-5-6 plus shortcut 0-9-5
+    edges = [(i, i + 1) for i in range(6)] + [(0, 9), (9, 5)]
+    edges = edges + [(b, a) for a, b in edges]  # symmetrize
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"]
+           for r in components.khop_reachability(e, seeds, 3).collect()}
+    want = _bfs_bruteforce(edges, [0], 3)
+    assert got == want
+    assert got[5] == 2 and got[4] == 3 and got[6] == 3  # shortcut wins
+
+
+def test_khop_reachability_random_graph(spark):
+    """Random-ish deterministic digraph vs brute force, including an
+    early-exit case (k larger than the graph's eccentricity)."""
+    edges = [((i * 7) % 40, (i * 17 + 3) % 40) for i in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (13,)], "node long")
+    for k in (1, 2, 50):
+        got = {r["node"]: r["hops"]
+               for r in components.khop_reachability(e, seeds, k).collect()}
+        assert got == _bfs_bruteforce(edges, [0, 13], k), f"k={k}"

@@ -248,3 +248,45 @@ def test_map_match_runs_and_offnetwork(spark):
                                     5000.0).collect()),
                    key=lambda r: r[2])
     assert again == got
+
+
+def _hausdorff_bruteforce(pts, shift):
+    """All-blocked-pairs symmetric Hausdorff over distinct grid points."""
+    byu = {}
+    for u, x, y in set(pts):
+        byu.setdefault(u, set()).add((x, y))
+    blocks = {u: {(x >> shift, y >> shift) for x, y in p}
+              for u, p in byu.items()}
+
+    def directed(a, b):
+        return max(min((ax - bx) ** 2 + (ay - by) ** 2
+                       for bx, by in b) for ax, ay in a)
+
+    out = {}
+    users = sorted(byu)
+    for i, u1 in enumerate(users):
+        for u2 in users[i + 1:]:
+            if blocks[u1] & blocks[u2]:
+                a, b = byu[u1], byu[u2]
+                out[(u1, u2)] = max(directed(a, b), directed(b, a))
+    return out
+
+
+def test_trajectory_hausdorff_bruteforce(spark):
+    """Blocked pairs + exact BIGINT Hausdorff vs brute force, with
+    duplicate pings (must not change the distance) and a far-away user
+    (must produce no pair)."""
+    from fagi_spark import events as ev
+    pts = ([(1, 3, 4), (1, 5, 6), (1, 3, 4),        # dup ping
+            (2, 4, 4), (2, 9, 9),
+            (3, 1000, 1000)]                         # isolated block
+           + [(4, 7, 2), (4, 8, 8)])
+    df = spark.createDataFrame(pts, "user_id long, ix long, iy long")
+    got = {(r["user_a"], r["user_b"]): r["hausdorff_d2"]
+           for r in ev.trajectory_hausdorff(df, block_shift=4).collect()}
+    want = _hausdorff_bruteforce(pts, 4)
+    assert got == want
+    assert all(u != 3 and v != 3 for u, v in got)
+    # symmetry of the metric itself on a hand case
+    assert got[(1, 2)] == max((5 - 9) ** 2 + (6 - 9) ** 2,
+                              (9 - 5) ** 2 + (9 - 6) ** 2)

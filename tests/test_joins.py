@@ -344,3 +344,38 @@ def test_snap_to_way_contract_semantics(spark):
     # p2 snaps to r1's VERTICAL leg at 0.01 deg (centroid logic would
     # not see this)
     assert got["p2"] == ("r1", (0.07 - 0.06) * geom.METERS_PER_DEGREE)
+
+
+def test_dissolve_area_overlap_not_double_counted(spark):
+    """Two overlapping squares in one group dissolve to the UNION of
+    their raster cells; a disjoint group just sums; per-group polygon
+    counts are exact."""
+    d = 360.0 / (1 << 13)  # one res-13 cell width
+    rows = [
+        # group 0: two squares overlapping by half their width
+        ("p0", _sq(0.0, 0.0, 8 * d), 0),
+        ("p1", _sq(4 * d, 0.0, 8 * d), 0),
+        # group 1: one far-away square
+        ("p2", _sq(50.0, 10.0, 8 * d), 1),
+    ]
+    polys = fuse.prepare_geoms(
+        spark.createDataFrame([(s, w) for s, w, _ in rows],
+                              "subject string, geom_wkt string"))
+    grp = spark.createDataFrame([(s, g) for s, _, g in rows],
+                                "subject string, group_id long")
+    out = {r["group_id"]: (r["n_cells"], r["n_polys"])
+           for r in joins.dissolve_area(polys.join(grp, "subject"), res=13)
+           .collect()}
+    per_poly = {r["subject"]: set()
+                for r in grp.collect()}
+    for r in joins.rasterize_polygons(polys, res=13).collect():
+        per_poly[r["subject"]].add(r["cell"])
+    assert out[0] == (len(per_poly["p0"] | per_poly["p1"]), 2)
+    assert len(per_poly["p0"] & per_poly["p1"]) > 0  # overlap is real
+    assert out[0][0] < len(per_poly["p0"]) + len(per_poly["p1"])
+    assert out[1] == (len(per_poly["p2"]), 1)
+
+
+def _sq(x0, y0, d):
+    return (f"POLYGON (({x0} {y0}, {x0 + d} {y0}, {x0 + d} {y0 + d}, "
+            f"{x0} {y0 + d}, {x0} {y0}))")
