@@ -699,6 +699,40 @@ def main():
         "(structurally enforced above), so the measures are free to "
         "attach as a projection inside any 100 TB polygon scan.")
 
+    # 22. trajectory Hausdorff: the per-pair point cross-product MUST
+    # ride equi-joins on the pair key — a CartesianProduct anywhere
+    # means the blocking degenerated to all-pairs; the max-min tower is
+    # two partial-agg HashAggregates per direction
+    hd_plan = contract.q_trajectory_hausdorff(spark, SF)
+    hd_text = plan_text(hd_plan)
+    if "CartesianProduct" in hd_text:
+        raise SystemExit("trajectory_hausdorff structural check failed: "
+                         "CartesianProduct in plan — candidate blocking "
+                         "degenerated to all-pairs")
+    add("events trajectory_hausdorff (blocked pair similarity)", hd_plan,
+        ["partial_agg"],
+        "co-location blocking (shared 2^shift-cell block) generates "
+        "candidate pairs via a self equi-join on the block key; each "
+        "pair's |A|x|B| point cross-product rides equi-joins keyed on "
+        "the PAIR (a hot block spreads by pair, not block), and the "
+        "min-then-max tower is partial-aggregated. Structurally "
+        "enforced: zero CartesianProduct nodes.")
+
+    # 23. dissolve: rasterize fan-out then ONE distinct-count aggregate
+    # over (group, cell) longs — geometry never crosses the shuffle
+    dv_plan = contract.q_dissolve_area(spark, SF)
+    dv_text = plan_text(dv_plan)
+    if "CartesianProduct" in dv_text:
+        raise SystemExit("dissolve_area structural check failed: "
+                         "CartesianProduct in plan")
+    add("joins dissolve_area (per-group raster union)", dv_plan,
+        ["partial_agg"],
+        "rasterize (JVM explode + Arrow ray-cast on candidates) -> "
+        "narrow (subject, group) equi-join -> COUNT(DISTINCT cell) "
+        "groupBy with partial aggregation: only (group, cell) longs "
+        "cross the shuffle, so a group covering millions of cells "
+        "fans out by cell before the final count.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
