@@ -308,3 +308,52 @@ def khop_reachability(edges: DataFrame, seeds: DataFrame,
         reached = reached.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return reached
+
+
+def bounded_shortest_paths(edges: DataFrame, seeds: DataFrame,
+                           max_hops: int, src: str = "src",
+                           dst: str = "dst", weight: str = "w",
+                           node_col: str = "node") -> DataFrame:
+    """Weighted bounded-hop shortest paths -> (node, dist): the
+    minimum total edge weight over all walks of at most ``max_hops``
+    edges from any seed (0 for seeds) — the routing-flavoured
+    companion to ``khop_reachability`` (nearest-depot distance,
+    link-graph trust decay with real edge costs). Weights are
+    NON-NEGATIVE integers so every distance is BIGINT-exact.
+
+    This is ``max_hops`` rounds of distributed Bellman-Ford
+    relaxation: each round joins the current distance frame to the
+    edge list (shuffle on node id), unions the relaxed candidates with
+    the standing distances, and takes one partial-aggregated MIN per
+    node. After round h the frame holds the exact min cost over walks
+    of <= h edges — no convergence subtlety, the bound IS the
+    semantics. Parallel edges collapse to their MIN weight up front;
+    lineage is cut per round (localCheckpoint) and the loop early-exits
+    when a round changes nothing (two scalar aggregates, the
+    ``connected_components`` discipline). For unbounded true shortest
+    paths run it with max_hops >= the graph's weighted hop diameter —
+    the early exit stops the loop as soon as a round is a no-op."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                 & (F.col("src") != F.col("dst")) & (F.col("w") >= 0))
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    prev = None
+    for _ in range(max_hops):
+        relax = (dist.join(e, dist["node"] == e["src"])
+                 .select(F.col("dst").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        cur = dist.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dist").alias("s")).first()
+        cur = (cur["n"], cur["s"])
+        if cur == prev:
+            break
+        prev = cur
+    return dist

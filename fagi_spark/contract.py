@@ -4792,6 +4792,47 @@ r AS (SELECT node, 0 AS hop FROM s
 SELECT node, CAST(MIN(hop) AS INT) AS hops FROM r GROUP BY node"""
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Weighted bounded-hop shortest paths
+    (components.bounded_shortest_paths): 4 rounds of distributed
+    Bellman-Ford over the khop graph with deterministic integer
+    weights. The engine relaxes round-by-round with a per-node MIN;
+    the oracle enumerates all <=4-edge walks in a recursive CTE and
+    takes MIN(total) — min-plus algebra says both are the min cost
+    over walks of <=4 edges, and every cost is BIGINT-exact."""
+    from . import components
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = cust.select((k % 300).alias("src"), ((k * 17 + 5) % 300).alias("dst"))
+    e2 = cust.filter(k % 5 == 0).select(
+        ((k * 7) % 300).alias("src"), ((k * 29 + 11) % 300).alias("dst"))
+    e0 = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    e = (e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+         .distinct()
+         .withColumn("w", (F.col("src") * 3 + F.col("dst") * 5) % 7 + 1))
+    seeds = (e.select(F.col("src").alias("node"))
+             .filter(F.col("node") % 59 == 0).distinct())
+    return components.bounded_shortest_paths(e, seeds, 4)
+
+
+O_SHORTEST_PATHS = """WITH RECURSIVE c AS (SELECT c_custkey AS k FROM customer),
+e0 AS (
+  SELECT DISTINCT k % 300 AS src, (k*17+5) % 300 AS dst FROM c
+  UNION
+  SELECT DISTINCT (k*7) % 300, (k*29+11) % 300 FROM c WHERE k % 5 = 0),
+e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+e2 AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+e AS (SELECT src, dst, CAST((src*3 + dst*5) % 7 + 1 AS BIGINT) AS w FROM e2),
+s AS (SELECT DISTINCT src AS node FROM e WHERE src % 59 = 0),
+r AS (SELECT node, 0 AS hop, CAST(0 AS BIGINT) AS d FROM s
+      UNION ALL
+      SELECT e.dst, r.hop + 1, r.d + e.w FROM r JOIN e ON e.src = r.node
+      WHERE r.hop < 4)
+SELECT node, MIN(d) AS dist FROM r GROUP BY node"""
+
+
 def q_trajectory_hausdorff(spark, sf_dir):
     """Symmetric Hausdorff trajectory distance
     (events.trajectory_hausdorff): co-location-blocked user pairs
@@ -4883,6 +4924,7 @@ QUERIES = {
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_dissolve_area": q_dissolve_area,
     "fagi_khop_reach": q_khop_reach,
+    "fagi_shortest_paths": q_shortest_paths,
     "events_hausdorff": q_trajectory_hausdorff,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
@@ -5026,6 +5068,7 @@ ORACLES = {
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_dissolve_area": O_DISSOLVE_AREA,
     "fagi_khop_reach": O_KHOP_REACH,
+    "fagi_shortest_paths": O_SHORTEST_PATHS,
     "events_hausdorff": O_TRAJECTORY_HAUSDORFF,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,

@@ -274,3 +274,42 @@ def test_khop_reachability_random_graph(spark):
         got = {r["node"]: r["hops"]
                for r in components.khop_reachability(e, seeds, k).collect()}
         assert got == _bfs_bruteforce(edges, [0, 13], k), f"k={k}"
+
+
+def _bf_bruteforce(edges, seeds, k):
+    """k-round Bellman-Ford ground truth: node -> min cost walk <= k edges."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    return dist
+
+
+def test_bounded_shortest_paths(spark):
+    """Cheap long detour beats expensive direct edge; hop bound k=1
+    must pick the expensive edge; early exit past convergence."""
+    edges = [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1),  # detour cost 3
+             (1, 4, 2), (5, 6, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    for k in (1, 2, 3, 20):
+        got = {r["node"]: r["dist"]
+               for r in components.bounded_shortest_paths(e, seeds, k)
+               .collect()}
+        assert got == _bf_bruteforce(edges, [0], k), f"k={k}"
+    got3 = {r["node"]: r["dist"]
+            for r in components.bounded_shortest_paths(e, seeds, 3).collect()}
+    assert got3[1] == 3  # detour 0-2-3-1 beats direct 10
+
+
+def test_bounded_shortest_paths_parallel_edges(spark):
+    """Parallel edges collapse to their min weight; multi-seed min."""
+    edges = [(0, 1, 9), (0, 1, 4), (2, 1, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in components.bounded_shortest_paths(e, seeds, 2).collect()}
+    assert got == {0: 0, 2: 0, 1: 1}
