@@ -4873,6 +4873,77 @@ SELECT hab.ua AS user_a, hab.ub AS user_b,
 FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub"""
 
 
+def q_trajectory_dtw(spark, sf_dir):
+    """Order-aware DTW trajectory similarity (events.trajectory_dtw)
+    over a thinned fixture (40 users, every 4th event, ~17 pings per
+    sequence). The engine runs the batch O(n*m) DP in an Arrow kernel;
+    the oracle fills the SAME DP one cell per recursive-CTE step,
+    carrying the flattened matrix as list state (the sanctioned
+    sequential-oracle pattern: each step appends exactly one value
+    computed from three known offsets). Costs are BIGINT squared grid
+    distances, so equality is bit-for-bit."""
+    from . import events as ev
+
+    e = (_t(spark, sf_dir, "events")
+         .filter((F.col("user_id") < 40) & (F.col("event_id") % 4 == 0)))
+    pts = e.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("user_id") * 37 % 320 + F.col("event_id") * 11 % 5).alias("ix"),
+        (F.col("user_id") * 53 % 160 + F.col("event_id") * 7 % 5).alias("iy"))
+    return ev.trajectory_dtw(pts, block_shift=5, order=("us", "event_id"))
+
+
+def _o_trajectory_dtw() -> str:
+    i_, j_ = "r.step // pq.m", "r.step % pq.m"
+
+    def cost(idx_i, idx_j):
+        ai = f"pq.axs[CAST({idx_i} + 1 AS BIGINT)]"
+        bi = f"pq.bxs[CAST({idx_j} + 1 AS BIGINT)]"
+        ay = f"pq.ays[CAST({idx_i} + 1 AS BIGINT)]"
+        by = f"pq.bys[CAST({idx_j} + 1 AS BIGINT)]"
+        return f"({ai} - {bi}) * ({ai} - {bi}) + ({ay} - {by}) * ({ay} - {by})"
+
+    return f"""WITH RECURSIVE p AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+         CAST(user_id*37 % 320 + event_id*11 % 5 AS BIGINT) AS px,
+         CAST(user_id*53 % 160 + event_id*7 % 5 AS BIGINT) AS py
+  FROM events WHERE user_id < 40 AND event_id % 4 = 0),
+seqs AS (SELECT u, LIST(px ORDER BY us, eid) AS xs,
+                LIST(py ORDER BY us, eid) AS ys, COUNT(*) AS n
+         FROM p GROUP BY u),
+pd AS (SELECT DISTINCT u, px, py FROM p),
+b AS (SELECT DISTINCT u, px >> 5 AS bx, py >> 5 AS by FROM pd),
+pr AS (SELECT DISTINCT l.u AS ua, r.u AS ub
+       FROM b l JOIN b r ON l.bx = r.bx AND l.by = r.by AND l.u < r.u),
+pq AS (SELECT pr.ua, pr.ub, a.xs AS axs, a.ys AS ays,
+              b.xs AS bxs, b.ys AS bys,
+              CAST(a.n AS BIGINT) AS n, CAST(b.n AS BIGINT) AS m
+       FROM pr JOIN seqs a ON a.u = pr.ua JOIN seqs b ON b.u = pr.ub),
+r AS (
+  SELECT ua, ub, CAST(0 AS BIGINT) AS step, []::BIGINT[] AS d FROM pq
+  UNION ALL
+  SELECT r.ua, r.ub, r.step + 1,
+         list_append(r.d, {cost(i_, j_)}
+         + CASE
+             WHEN {i_} = 0 AND {j_} = 0 THEN 0
+             WHEN {i_} = 0 THEN r.d[CAST({j_} AS BIGINT)]
+             WHEN {j_} = 0 THEN r.d[CAST(({i_} - 1) * pq.m + 1 AS BIGINT)]
+             ELSE LEAST(r.d[CAST(({i_} - 1) * pq.m + {j_} + 1 AS BIGINT)],
+                        r.d[CAST(({i_} - 1) * pq.m + {j_} AS BIGINT)],
+                        r.d[CAST({i_} * pq.m + {j_} AS BIGINT)])
+           END)
+  FROM r JOIN pq ON pq.ua = r.ua AND pq.ub = r.ub
+  WHERE r.step < pq.n * pq.m)
+SELECT r.ua AS user_a, r.ub AS user_b,
+       r.d[CAST(pq.n * pq.m AS BIGINT)] AS dtw_d2
+FROM r JOIN pq ON pq.ua = r.ua AND pq.ub = r.ub
+WHERE r.step = pq.n * pq.m"""
+
+
+O_TRAJECTORY_DTW = _o_trajectory_dtw()
+
+
 def q_dissolve_area(spark, sf_dir):
     """Dissolve (joins.dissolve_area): per-group raster union of the B
     squares at res 13 — distinct covered cells per group (overlaps not
@@ -4926,6 +4997,7 @@ QUERIES = {
     "fagi_khop_reach": q_khop_reach,
     "fagi_shortest_paths": q_shortest_paths,
     "events_hausdorff": q_trajectory_hausdorff,
+    "events_dtw": q_trajectory_dtw,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5070,6 +5142,7 @@ ORACLES = {
     "fagi_khop_reach": O_KHOP_REACH,
     "fagi_shortest_paths": O_SHORTEST_PATHS,
     "events_hausdorff": O_TRAJECTORY_HAUSDORFF,
+    "events_dtw": O_TRAJECTORY_DTW,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

@@ -17,6 +17,7 @@ are order-independent.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -551,3 +552,107 @@ def trajectory_hausdorff(pts: DataFrame, block_shift: int,
     return (hab.join(hba, ["user_a", "user_b"])
             .select("user_a", "user_b",
                     F.greatest("_hab", "_hba").alias("hausdorff_d2")))
+
+
+def _dtw_numpy(ax, ay, bx, by, band=None):
+    """Exact integer DTW on two grid sequences (squared cell costs).
+    Classic O(n*m) DP; ``band`` (Sakoe-Chiba half-width) bounds the
+    scan to a diagonal corridor for long sequences."""
+    n, m = len(ax), len(by)
+    if n == 0 or m == 0:
+        return None
+    import numpy as _np
+    ax = _np.asarray(ax, dtype=_np.int64)
+    ay = _np.asarray(ay, dtype=_np.int64)
+    bx = _np.asarray(bx, dtype=_np.int64)
+    by = _np.asarray(by, dtype=_np.int64)
+    big = _np.iinfo(_np.int64).max // 4
+    prev = _np.full(m, big, dtype=_np.int64)
+    for i in range(n):
+        cost = (ax[i] - bx) ** 2 + (ay[i] - by) ** 2
+        cur = _np.full(m, big, dtype=_np.int64)
+        lo, hi = 0, m
+        if band is not None:
+            lo, hi = max(0, i - band), min(m, i + band + 1)
+        for j in range(lo, hi):
+            if i == 0 and j == 0:
+                best = 0
+            elif i == 0:
+                best = cur[j - 1]
+            elif j == 0:
+                best = prev[0]
+            else:
+                best = min(prev[j], prev[j - 1], cur[j - 1])
+            cur[j] = cost[j] + best
+        prev = cur
+    return int(prev[m - 1]) if prev[m - 1] < big else None
+
+
+def trajectory_dtw(pts: DataFrame, block_shift: int,
+                   user: str = "user_id", ix: str = "ix", iy: str = "iy",
+                   order: tuple = ("us",), band: int | None = None) -> DataFrame:
+    """Dynamic-time-warping trajectory similarity -> (user_a, user_b,
+    dtw_d2) over co-location-blocked user pairs — the ORDER-aware
+    companion to ``trajectory_hausdorff``: Hausdorff asks "do the two
+    point CLOUDS overlap", DTW asks "did they trace the same PATH in
+    the same order" (route-following convoy detection vs mere shared
+    territory). Cost per aligned step is the exact BIGINT squared grid
+    distance; the DTW total is the min over monotone alignments, so
+    the whole value is integer-exact and the contract oracle
+    (one-DP-cell-per-step recursive CTE carrying the flattened DP list
+    — the sanctioned sequential-state oracle pattern, cf.
+    sql_cluster_hull / the BPE-fixed oracle) matches bit-for-bit.
+
+    Candidate pairs reuse the Hausdorff blocking (shared
+    ``2^block_shift``-cell block). Each pair costs O(n*m) in an Arrow
+    pandas UDF over the two collected sequences — per-user sequences
+    must therefore be BOUNDED upstream (session/day segmentation, or
+    ping thinning), which is the standard DTW deployment shape; pass
+    ``band`` (Sakoe-Chiba half-width) to cut a long pair to O(n*band).
+    The pair frame itself is an equi-join on the pair key, so hot
+    blocks spread by pair exactly as in the Hausdorff plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    ocols = [F.col(c) for c in order]
+    seq = (pts.select(F.col(user).alias("u"), *[F.col(c) for c in order],
+                      F.col(ix).cast("long").alias("px"),
+                      F.col(iy).cast("long").alias("py"))
+           .groupBy("u")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(*ocols, F.col("px"), F.col("py")))).alias("_s"))
+           .select("u", F.transform("_s", lambda r: r["px"]).alias("xs"),
+                   F.transform("_s", lambda r: r["py"]).alias("ys")))
+    p = (pts.select(F.col(user).alias("u"),
+                    F.col(ix).cast("long").alias("px"),
+                    F.col(iy).cast("long").alias("py"))
+         .distinct())
+    b = (p.select("u", F.shiftright("px", block_shift).alias("bx"),
+                  F.shiftright("py", block_shift).alias("by"))
+         .distinct())
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bx") == F.col("r.bx"))
+                    & (F.col("l.by") == F.col("r.by"))
+                    & (F.col("l.u") < F.col("r.u")))
+             .select(F.col("l.u").alias("user_a"),
+                     F.col("r.u").alias("user_b"))
+             .distinct())
+
+    @pandas_udf("long")
+    def dtw_udf(axs: pd.Series, ays: pd.Series,
+                bxs: pd.Series, bys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_dtw_numpy(a, c, d, e, band=band)
+             for a, c, d, e in zip(axs, ays, bxs, bys)],
+            dtype="object")
+
+    withseq = (pairs
+               .join(seq.select(F.col("u").alias("user_a"),
+                                F.col("xs").alias("axs"),
+                                F.col("ys").alias("ays")), "user_a")
+               .join(seq.select(F.col("u").alias("user_b"),
+                                F.col("xs").alias("bxs"),
+                                F.col("ys").alias("bys")), "user_b"))
+    return (withseq
+            .select("user_a", "user_b",
+                    dtw_udf("axs", "ays", "bxs", "bys").alias("dtw_d2"))
+            .filter(F.col("dtw_d2").isNotNull()))

@@ -290,3 +290,65 @@ def test_trajectory_hausdorff_bruteforce(spark):
     # symmetry of the metric itself on a hand case
     assert got[(1, 2)] == max((5 - 9) ** 2 + (6 - 9) ** 2,
                               (9 - 5) ** 2 + (9 - 6) ** 2)
+
+
+def _dtw_recursive(a, b):
+    """Independent memoized-recursion DTW ground truth."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def d(i, j):
+        c = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+        if i == 0 and j == 0:
+            return c
+        opts = []
+        if i > 0:
+            opts.append(d(i - 1, j))
+        if j > 0:
+            opts.append(d(i, j - 1))
+        if i > 0 and j > 0:
+            opts.append(d(i - 1, j - 1))
+        return c + min(opts)
+
+    return d(len(a) - 1, len(b) - 1)
+
+
+def test_trajectory_dtw_bruteforce(spark):
+    """Engine DTW equals memoized-recursion ground truth on every
+    blocked pair; identical paths score 0; order matters (reversed
+    path scores strictly worse than Hausdorff would suggest)."""
+    from fagi_spark import events as ev
+    import sys
+    sys.setrecursionlimit(100000)
+    seqs = {
+        1: [(3, 4), (5, 6), (7, 8), (9, 9)],
+        2: [(3, 4), (5, 6), (7, 8), (9, 9)],        # identical to 1
+        3: [(9, 9), (7, 8), (5, 6), (3, 4)],        # reversed 1
+        4: [(2, 2), (8, 3), (4, 9)],                 # same block, other shape
+    }
+    rows = [(u, t, x, y) for u, s in seqs.items()
+            for t, (x, y) in enumerate(s)]
+    df = spark.createDataFrame(rows, "user_id long, t long, ix long, iy long")
+    got = {(r["user_a"], r["user_b"]): r["dtw_d2"]
+           for r in ev.trajectory_dtw(df, block_shift=4, order=("t",))
+           .collect()}
+    for (u1, u2), v in got.items():
+        assert v == _dtw_recursive(seqs[u1], seqs[u2]), (u1, u2)
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] > 0  # order-aware: reversal costs
+
+
+def test_trajectory_dtw_band(spark):
+    """A Sakoe-Chiba band wide enough to cover the optimal alignment
+    reproduces the unbanded value exactly."""
+    from fagi_spark import events as ev
+    seqs = {1: [(i, i) for i in range(10)],
+            2: [(i, i + 1) for i in range(10)]}
+    rows = [(u, t, x, y) for u, s in seqs.items()
+            for t, (x, y) in enumerate(s)]
+    df = spark.createDataFrame(rows, "user_id long, t long, ix long, iy long")
+    full = ev.trajectory_dtw(df, block_shift=6, order=("t",)).collect()
+    band = ev.trajectory_dtw(df, block_shift=6, order=("t",),
+                             band=3).collect()
+    assert full[0]["dtw_d2"] == band[0]["dtw_d2"] == \
+        _dtw_recursive(seqs[1], seqs[2])
