@@ -324,3 +324,14 @@ class FagiSession:
         pts = geo.filter(F.col("geom_kind") == "POINT")
         lab = self.dbscan(side=side, res=res, min_pts=min_pts)
         return cluster.dbscan_cluster_hull(lab, pts)
+
+    def dissolve(self, groups: DataFrame, side: str = "a",
+                 res: int = 13) -> DataFrame:
+        """Per-group raster union of this side's polygons
+        (joins.dissolve_area): ``groups`` maps subject -> group_id;
+        overlapping footprints within a group are never
+        double-counted."""
+        geo = self._geo_a if side == "a" else self._geo_b
+        polys = (geo.filter(F.col("geom_kind") == "POLYGON")
+                 .join(groups, "subject"))
+        return joins.dissolve_area(polys, res=res)

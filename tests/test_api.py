@@ -123,3 +123,11 @@ def test_esda_wiring(sess):
     assert li.count() > 0
     hs = sess.hotspots(res=6)
     assert {"cell", "gi_star"} <= set(hs.columns)
+
+
+def test_dissolve_wiring(sess, spark):
+    groups = sess._geo_b.select("subject").withColumn(
+        "group_id", F.xxhash64("subject") % 3)
+    out = sess.dissolve(groups, side="b", res=16)
+    assert {"group_id", "n_cells", "n_polys"} == set(out.columns)
+    assert out.count() > 0
