@@ -4944,6 +4944,60 @@ WHERE r.step = pq.n * pq.m"""
 O_TRAJECTORY_DTW = _o_trajectory_dtw()
 
 
+def q_polygon_adjacency(spark, sf_dir):
+    """Polygon adjacency graph (joins.polygon_adjacency): square
+    footprints on a dense deterministic layout, pairs within Chebyshev
+    distance 1 cell at res 13. The engine dilates one rasterized side
+    by the 3x3 stencil and equi-joins on cells; the oracle rasterizes
+    with the same half-open center test and dilates with two
+    range(-1,2) cross joins — identical integer cell sets, identical
+    pairs."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 7) % 240, (k * 11) % 120
+    polys = fuse.prepare_geoms(cust.filter(k % 4 == 0).select(
+        F.concat(F.lit("poly"), k.cast("string")).alias("subject"),
+        _square_wkt(v, w).alias("geom_wkt")))
+    return joins.polygon_adjacency(polys, res=13, ring=1)
+
+
+def _o_polygon_adjacency(res: int = 13, ring: int = 1) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+    n = 1 << res
+    return f"""WITH geo AS (
+  SELECT CONCAT('poly', CAST(c_custkey AS STRING)) AS subject,
+         (c_custkey*7) % 240 AS v, (c_custkey*11) % 120 AS w
+  FROM customer WHERE c_custkey % 4 = 0),
+p AS (SELECT subject,
+             CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+             CAST(v + 8 AS DOUBLE)/100.0 AS x1,
+             CAST(w + 8 AS DOUBLE)/100.0 AS y1
+      FROM geo),
+gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)},
+                              {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
+gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)},
+                               {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx),
+c AS (SELECT subject, ix, iy,
+             -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) AS cx,
+             -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) AS cy,
+             x0, y0, x1, y1
+      FROM gxy),
+ras AS (SELECT subject, ix, iy FROM c
+        WHERE cx >= x0 AND cx < x1 AND cy >= y0 AND cy < y1),
+dil AS (SELECT subject, ix + dx.g AS ix, iy + dy.g AS iy FROM ras
+        CROSS JOIN range(-{ring}, {ring} + 1) dx(g)
+        CROSS JOIN range(-{ring}, {ring} + 1) dy(g)
+        WHERE ix + dx.g BETWEEN 0 AND {n} - 1
+          AND iy + dy.g BETWEEN 0 AND {n} - 1)
+SELECT DISTINCT a.subject AS a_subject, b.subject AS b_subject
+FROM dil a JOIN ras b ON a.ix = b.ix AND a.iy = b.iy
+                     AND a.subject < b.subject"""
+
+
+O_POLYGON_ADJACENCY = _o_polygon_adjacency()
+
+
 def q_dissolve_area(spark, sf_dir):
     """Dissolve (joins.dissolve_area): per-group raster union of the B
     squares at res 13 — distinct covered cells per group (overlaps not
@@ -4994,6 +5048,7 @@ QUERIES = {
     "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_dissolve_area": q_dissolve_area,
+    "fagi_polygon_adjacency": q_polygon_adjacency,
     "fagi_khop_reach": q_khop_reach,
     "fagi_shortest_paths": q_shortest_paths,
     "events_hausdorff": q_trajectory_hausdorff,
@@ -5139,6 +5194,7 @@ ORACLES = {
     "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_dissolve_area": O_DISSOLVE_AREA,
+    "fagi_polygon_adjacency": O_POLYGON_ADJACENCY,
     "fagi_khop_reach": O_KHOP_REACH,
     "fagi_shortest_paths": O_SHORTEST_PATHS,
     "events_hausdorff": O_TRAJECTORY_HAUSDORFF,

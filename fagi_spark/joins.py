@@ -616,3 +616,35 @@ def dissolve_area(polygons: DataFrame, res: int, group_col: str = "group_id",
             .groupBy(group_col)
             .agg(F.countDistinct("cell").alias("n_cells"),
                  F.countDistinct("subject").alias("n_polys")))
+
+
+def polygon_adjacency(polygons: DataFrame, res: int, ring: int = 1,
+                      mode: str = "center") -> DataFrame:
+    """Polygon adjacency/topology graph -> (a_subject, b_subject):
+    pairs whose raster footprints at ``res`` come within Chebyshev
+    distance ``ring`` cells of each other (``ring=0`` = footprints
+    sharing a cell, i.e. overlap; ``ring=1`` = touching-or-overlapping
+    — the admin-boundary neighbour graph ST_Touches builds in PostGIS,
+    here in the engine's raster domain where it is one equi-join).
+
+    Scale shape: rasterize once, DILATE ONE SIDE by the (2*ring+1)^2
+    stencil (the density_surface explode — bounded by touched cells),
+    then a single cell equi-join + distinct. Dilating one side is
+    exactly symmetric adjacency (|dx|,|dy| <= ring is a symmetric
+    predicate), and only (subject, cell) longs ever shuffle. The
+    output feeds connected_components / pagerank directly — dissolve's
+    group map can BE a component labelling of this graph."""
+    ras = rasterize_polygons(
+        polygons.select("subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        res, mode=mode)
+    axy = ras.select(F.col("subject").alias("a_subject"),
+                     cells.unpack_ix(F.col("cell"), res).alias("ix"),
+                     cells.unpack_iy(F.col("cell"), res).alias("iy"))
+    dil = (cells.explode_ring(axy, res, ring, out="probe_cell")
+           .select("a_subject", "probe_cell"))
+    b = ras.select(F.col("subject").alias("b_subject"),
+                   F.col("cell").alias("probe_cell"))
+    return (dil.join(b, "probe_cell")
+            .filter(F.col("a_subject") < F.col("b_subject"))
+            .select("a_subject", "b_subject")
+            .distinct())

@@ -379,3 +379,38 @@ def test_dissolve_area_overlap_not_double_counted(spark):
 def _sq(x0, y0, d):
     return (f"POLYGON (({x0} {y0}, {x0 + d} {y0}, {x0 + d} {y0 + d}, "
             f"{x0} {y0 + d}, {x0} {y0}))")
+
+
+def test_polygon_adjacency_bruteforce(spark):
+    """ring=1 pairs == brute-force Chebyshev-1 footprint test; ring=0
+    is exactly footprint overlap; far squares never pair."""
+    d = 360.0 / (1 << 13)
+    rows = [("a", _sq(0.0, 0.0, 4 * d)),
+            ("b", _sq(5 * d, 0.0, 4 * d)),      # one EMPTY cell gap to a
+                                                 # (Chebyshev 2 - not ring-1)
+            ("c", _sq(2 * d, 0.0, 4 * d)),      # overlaps a and b
+            ("d", _sq(60.0, 30.0, 4 * d))]      # far away
+    polys = fuse.prepare_geoms(
+        spark.createDataFrame(rows, "subject string, geom_wkt string"))
+    foot = {}
+    for r in joins.rasterize_polygons(polys, res=13).collect():
+        foot.setdefault(r["subject"], set()).add(
+            (r["cell"] >> 13 & (1 << 13) - 1, r["cell"] & (1 << 13) - 1))
+
+    def cheb_within(s1, s2, k):
+        return any(abs(x1 - x2) <= k and abs(y1 - y2) <= k
+                   for x1, y1 in foot[s1] for x2, y2 in foot[s2])
+
+    for ring in (0, 1):
+        got = {(r["a_subject"], r["b_subject"])
+               for r in joins.polygon_adjacency(polys, res=13, ring=ring)
+               .collect()}
+        want = {(s1, s2) for s1 in foot for s2 in foot if s1 < s2
+                and cheb_within(s1, s2, ring)}
+        assert got == want, f"ring={ring}"
+    got1 = {(r["a_subject"], r["b_subject"])
+            for r in joins.polygon_adjacency(polys, res=13, ring=1).collect()}
+    assert got1 == {("a", "c"), ("b", "c")}  # gap cell keeps a-b apart
+    got2 = {(r["a_subject"], r["b_subject"])
+            for r in joins.polygon_adjacency(polys, res=13, ring=2).collect()}
+    assert ("a", "b") in got2  # ring=2 bridges the one-cell gap
