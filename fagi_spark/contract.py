@@ -4998,6 +4998,58 @@ FROM dil a JOIN ras b ON a.ix = b.ix AND a.iy = b.iy
 O_POLYGON_ADJACENCY = _o_polygon_adjacency()
 
 
+def q_heading_octants(spark, sf_dir):
+    """Per-user heading-octant profile (events.heading_octants):
+    consecutive displacements on the integer grid classified into the
+    8 floor(angle/45deg) sectors with pure integer comparisons (no
+    atan2), counts + exact BIGINT squared step lengths. The oracle
+    mirrors the sequential CASE branch-for-branch and the same
+    (us, event_id) lag order."""
+    from . import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("user_id") * 37 % 320 + F.col("event_id") * 11 % 5).alias("ix"),
+        (F.col("user_id") * 53 % 160 + F.col("event_id") * 7 % 5).alias("iy"))
+    return ev.heading_octants(pts, order=("us", "event_id"))
+
+
+O_HEADING_OCTANTS = """WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(user_id*37 % 320 + event_id*11 % 5 AS BIGINT) AS px,
+         CAST(user_id*53 % 160 + event_id*7 % 5 AS BIGINT) AS py
+  FROM events),
+d0 AS (
+  SELECT user_id,
+         px - LAG(px) OVER w AS dx, py - LAG(py) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+d AS (SELECT * FROM d0
+      WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
+o AS (
+  SELECT user_id,
+         CAST(CASE
+           WHEN dx > 0 AND dy >= 0 AND ABS(dx) > ABS(dy) THEN 0
+           WHEN dx >= 0 AND dy > 0 AND ABS(dy) >= ABS(dx)
+                AND ABS(dx) > 0 THEN 1
+           WHEN dx = 0 AND dy > 0 THEN 2
+           WHEN dx < 0 AND dy > 0 AND ABS(dy) > ABS(dx) THEN 2
+           WHEN dx < 0 AND dy > 0 AND ABS(dx) >= ABS(dy) THEN 3
+           WHEN dx < 0 AND dy <= 0 AND ABS(dx) > ABS(dy) THEN 4
+           WHEN dx <= 0 AND dy < 0 AND ABS(dy) >= ABS(dx)
+                AND ABS(dx) > 0 THEN 5
+           WHEN dx = 0 AND dy < 0 THEN 6
+           WHEN dx > 0 AND dy < 0 AND ABS(dy) > ABS(dx) THEN 6
+           ELSE 7 END AS INT) AS octant,
+         dx*dx + dy*dy AS d2
+  FROM d)
+SELECT user_id, octant, COUNT(*) AS n_moves,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM o GROUP BY user_id, octant"""
+
+
 def q_dissolve_area(spark, sf_dir):
     """Dissolve (joins.dissolve_area): per-group raster union of the B
     squares at res 13 — distinct covered cells per group (overlaps not
@@ -5053,6 +5105,7 @@ QUERIES = {
     "fagi_shortest_paths": q_shortest_paths,
     "events_hausdorff": q_trajectory_hausdorff,
     "events_dtw": q_trajectory_dtw,
+    "events_heading_octants": q_heading_octants,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5199,6 +5252,7 @@ ORACLES = {
     "fagi_shortest_paths": O_SHORTEST_PATHS,
     "events_hausdorff": O_TRAJECTORY_HAUSDORFF,
     "events_dtw": O_TRAJECTORY_DTW,
+    "events_heading_octants": O_HEADING_OCTANTS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

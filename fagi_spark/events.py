@@ -656,3 +656,53 @@ def trajectory_dtw(pts: DataFrame, block_shift: int,
             .select("user_a", "user_b",
                     dtw_udf("axs", "ays", "bxs", "bys").alias("dtw_d2"))
             .filter(F.col("dtw_d2").isNotNull()))
+
+
+def heading_octants(pts: DataFrame, user: str = "user_id",
+                    ix: str = "ix", iy: str = "iy",
+                    order: tuple = ("us",)) -> DataFrame:
+    """Per-user movement-direction profile -> (user, octant, n_moves,
+    sum_d2): consecutive ping displacements classified into the 8
+    integer octants (0=E, 1=NE, 2=N, ... 7=SE — 45-degree sectors
+    bounded by the axes and diagonals), with the exact BIGINT squared
+    step length summed per octant. The transcendental-free heading
+    feature (no atan2 anywhere): a commuter shows two opposite heavy
+    octants, a delivery round spreads flat, a mirrored-bot trace
+    matches another user's profile exactly.
+
+    Sector rule (deterministic ties): with adx=|dx|, ady=|dy|, the
+    diagonal goes to the sector it starts (adx==ady ties break toward
+    the diagonal's own octant, axis-exact steps to the axis octant);
+    zero-displacement steps (same grid cell twice) are dropped. All
+    comparisons are integer, so the oracle mirrors them with one CASE.
+
+    One user-key shuffle carries the lag window AND the final groupBy
+    (the stay_points plan argument)."""
+    ocols = [F.col(c) for c in order]
+    w = Window.partitionBy(user).orderBy(*ocols)
+    p = pts.select(F.col(user).alias("u"), *[F.col(c) for c in order],
+                   F.col(ix).cast("long").alias("px"),
+                   F.col(iy).cast("long").alias("py"))
+    dx = F.col("px") - F.lag("px").over(w.partitionBy("u"))
+    dy = F.col("py") - F.lag("py").over(w.partitionBy("u"))
+    d = (p.withColumn("dx", dx).withColumn("dy", dy)
+         .filter(F.col("dx").isNotNull()
+                 & ((F.col("dx") != 0) | (F.col("dy") != 0))))
+    adx, ady = F.abs(F.col("dx")), F.abs(F.col("dy"))
+    oct_ = (
+        F.when((F.col("dx") > 0) & (F.col("dy") >= 0) & (adx > ady), 0)
+        .when((F.col("dx") >= 0) & (F.col("dy") > 0) & (ady >= adx) & (adx > 0), 1)
+        .when((F.col("dx") == 0) & (F.col("dy") > 0), 2)
+        .when((F.col("dx") < 0) & (F.col("dy") > 0) & (ady > adx), 2)
+        .when((F.col("dx") < 0) & (F.col("dy") > 0) & (adx >= ady), 3)
+        .when((F.col("dx") < 0) & (F.col("dy") <= 0) & (adx > ady), 4)
+        .when((F.col("dx") <= 0) & (F.col("dy") < 0) & (ady >= adx) & (adx > 0), 5)
+        .when((F.col("dx") == 0) & (F.col("dy") < 0), 6)
+        .when((F.col("dx") > 0) & (F.col("dy") < 0) & (ady > adx), 6)
+        .otherwise(7).cast("int"))
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    return (d.select(F.col("u").alias(user), oct_.alias("octant"),
+                     d2.alias("_d2"))
+            .groupBy(user, "octant")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.sum("_d2").alias("sum_d2")))

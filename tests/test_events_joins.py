@@ -352,3 +352,34 @@ def test_trajectory_dtw_band(spark):
                              band=3).collect()
     assert full[0]["dtw_d2"] == band[0]["dtw_d2"] == \
         _dtw_recursive(seqs[1], seqs[2])
+
+
+def test_heading_octants_known_directions(spark):
+    """All 8 compass directions plus diagonals and zero-steps, checked
+    against the floor(angle/45) sector definition via math.atan2."""
+    import math
+    from fagi_spark import events as ev
+    # one user stepping through known displacements
+    steps = [(3, 0), (2, 2), (0, 4), (-1, 3), (-5, 0), (-2, -2),
+             (0, -7), (4, -4), (1, 0), (0, 0), (5, 1), (-3, -1)]
+    pos, rows, t = (0, 0), [(1, 0, 1000, 1000)], 0
+    for dx, dy in steps:
+        t += 1
+        pos = (pos[0] + dx, pos[1] + dy)
+        rows.append((1, t, pos[0] + 1000, pos[1] + 1000))
+    df = spark.createDataFrame(
+        [(u, t, x, y) for u, t, x, y in rows],
+        "user_id long, us long, ix long, iy long")
+    got = {(r["octant"]): (r["n_moves"], r["sum_d2"])
+           for r in ev.heading_octants(df, order=("us",))
+           .filter(F.col("user_id") == 1).collect()}
+    want = {}
+    for dx, dy in steps:
+        if dx == 0 and dy == 0:
+            continue  # dropped
+        ang = math.degrees(math.atan2(dy, dx)) % 360.0
+        o = int(ang // 45)
+        n, s = want.get(o, (0, 0))
+        want[o] = (n + 1, s + dx * dx + dy * dy)
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(steps) - 1  # one zero-step
