@@ -1040,3 +1040,38 @@ idw AS (
                      (acc, v) -> acc + v)
          END AS idw
   FROM id2 GROUP BY tix, tiy)"""
+
+
+def coverage_gaps(df: DataFrame, res: int,
+                  bbox: tuple[float, float, float, float],
+                  ring: int = 1,
+                  lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Coverage holes -> (cell, ix, iy): cells of the ``bbox`` viewport
+    with NO entity within Chebyshev distance ``ring`` cells — where
+    the gazetteer/corpus has no coverage (survey-planning, "which map
+    tiles would render empty", dead zones in a mobility mart). The
+    dual of density_surface: that ranks what IS covered, this
+    enumerates what is not.
+
+    Scale shape: the candidate universe is GENERATED as one
+    ``spark.range`` over the bbox's (nx * ny) cell indices — no input
+    scan, perfectly even partitions — and the covered set is the
+    input's distinct touched cells dilated by the (2*ring+1)^2 stencil
+    (bounded by touched cells, not rows). One left-anti equi-join on
+    the packed cell id finishes it. Work therefore scales with
+    viewport area + touched cells; the 10^12-row corpus only
+    contributes its distinct-cell rollup."""
+    ix0, ix1, iy0, iy1 = bbox_cells_range(res, *bbox)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    spark = df.sparkSession
+    uni = (spark.range(nx * ny)
+           .select((F.lit(ix0) + F.expr(f"id DIV {ny}")).alias("ix"),
+                   (F.lit(iy0) + F.col("id") % ny).alias("iy")))
+    uni = uni.withColumn("cell", pack_cell(F.col("ix"), F.col("iy"), res))
+    cov = (df.select(ix_col(F.col(lon), res).alias("ix"),
+                     iy_col(F.col(lat), res).alias("iy"))
+           .distinct())
+    dil = (explode_ring(cov, res, ring, out="cell")
+           .select("cell").distinct())
+    return (uni.join(dil, "cell", "left_anti")
+            .select("cell", "ix", "iy"))

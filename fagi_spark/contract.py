@@ -4998,6 +4998,49 @@ FROM dil a JOIN ras b ON a.ix = b.ix AND a.iy = b.iy
 O_POLYGON_ADJACENCY = _o_polygon_adjacency()
 
 
+def q_coverage_gaps(spark, sf_dir):
+    """Coverage holes (cells.coverage_gaps): res-10 viewport cells of
+    [0,16]x[0,8] deg with no point within 1 cell. The engine generates
+    the universe with spark.range + integer DIV/mod and anti-joins the
+    stencil-dilated covered set; the oracle generates it with
+    range()+// and NOT EXISTS — identical integer cell ids."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.filter(k % 4 == 0).select(
+        (((k * 7) % 1600) / 100.0).alias("lon"),
+        (((k * 11) % 800) / 100.0).alias("lat"))
+    return cells.coverage_gaps(pts, res=10, bbox=(0.0, 0.0, 16.0, 8.0),
+                               ring=1)
+
+
+def _o_coverage_gaps(res: int = 10, ring: int = 1) -> str:
+    n = 1 << res
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(res, 0.0, 0.0, 16.0, 8.0)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    return f"""WITH pts AS (
+  SELECT CAST((c_custkey*7) % 1600 AS DOUBLE)/100.0 AS px,
+         CAST((c_custkey*11) % 800 AS DOUBLE)/100.0 AS py
+  FROM customer WHERE c_custkey % 4 = 0),
+cov AS (SELECT DISTINCT {cells.sql_ix('px', res)} AS ix,
+               {cells.sql_iy('py', res)} AS iy FROM pts),
+dil AS (SELECT DISTINCT ix + dx.g AS ix, iy + dy.g AS iy FROM cov
+        CROSS JOIN range(-{ring}, {ring} + 1) dx(g)
+        CROSS JOIN range(-{ring}, {ring} + 1) dy(g)
+        WHERE ix + dx.g BETWEEN 0 AND {n} - 1
+          AND iy + dy.g BETWEEN 0 AND {n} - 1),
+uni AS (SELECT {ix0} + g // {ny} AS ix, {iy0} + g % {ny} AS iy
+        FROM range({nx * ny}) t(g))
+SELECT CAST(CAST({res} AS BIGINT) * {1 << 58} + u.ix * {1 << res} + u.iy
+            AS BIGINT) AS cell,
+       u.ix, u.iy
+FROM uni u
+WHERE NOT EXISTS (SELECT 1 FROM dil d
+                  WHERE d.ix = u.ix AND d.iy = u.iy)"""
+
+
+O_COVERAGE_GAPS = _o_coverage_gaps()
+
+
 def q_heading_octants(spark, sf_dir):
     """Per-user heading-octant profile (events.heading_octants):
     consecutive displacements on the integer grid classified into the
@@ -5106,6 +5149,7 @@ QUERIES = {
     "events_hausdorff": q_trajectory_hausdorff,
     "events_dtw": q_trajectory_dtw,
     "events_heading_octants": q_heading_octants,
+    "fagi_coverage_gaps": q_coverage_gaps,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5253,6 +5297,7 @@ ORACLES = {
     "events_hausdorff": O_TRAJECTORY_HAUSDORFF,
     "events_dtw": O_TRAJECTORY_DTW,
     "events_heading_octants": O_HEADING_OCTANTS,
+    "fagi_coverage_gaps": O_COVERAGE_GAPS,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

@@ -558,3 +558,34 @@ def test_shared_cell_counts_frame_matches_per_operator_rollups(spark):
     assert rows(shared, 0, 1) == rows(solo, 0, 1)
     field.unpersist()
     counts.unpersist()
+
+
+def test_coverage_gaps_bruteforce(spark):
+    """Gap set == brute-force universe-minus-dilated-coverage; ring=0
+    leaves exactly the untouched cells; a fully covered viewport has
+    zero gaps."""
+    from fagi_spark import cells
+    res = 12
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+    # points on a few known cells inside a 6x4-cell viewport at origin
+    pts_cells = [(2, 1), (4, 3), (0, 0)]
+    rows = [(-180.0 + (ix + 0.5) * w, -90.0 + (iy + 0.5) * h)
+            for ix, iy in pts_cells]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    bbox = (-180.0, -90.0, -180.0 + 5.5 * w, -90.0 + 3.5 * h)
+    ix0, ix1, iy0, iy1 = cells.bbox_cells_range(res, *bbox)
+    uni = {(x, y) for x in range(ix0, ix1 + 1) for y in range(iy0, iy1 + 1)}
+    for ring in (0, 1):
+        got = {(r["ix"], r["iy"])
+               for r in cells.coverage_gaps(df, res, bbox, ring=ring)
+               .collect()}
+        dil = {(x + dx, y + dy) for x, y in pts_cells
+               for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)}
+        assert got == uni - dil, f"ring={ring}"
+    # fully covered: every universe cell has a point
+    full = spark.createDataFrame(
+        [(-180.0 + (x + 0.5) * w, -90.0 + (y + 0.5) * h) for x, y in uni],
+        "lon double, lat double")
+    assert cells.coverage_gaps(full, res, bbox, ring=0).count() == 0
