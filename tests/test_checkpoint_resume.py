@@ -363,3 +363,44 @@ def test_mobility_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
     s_tr = res["summary"].agg(F.sum("n_traversals")).first()[0]
     assert s_tr == res["traversals"].count()
     assert res["stays"].filter(F.col("n_events") < 2).count() == 0
+
+
+def test_graph_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
+    """Link-graph mart: crash after ranks; relaunch resumes (committed
+    snapshots untouched) and every layer equals a fresh run. Layer
+    invariants: rank mass stays positive, BFS hop labels never exceed
+    the bound and every reached node also carries a weighted distance,
+    the summary's host total equals the component layer."""
+    from fagi_spark.jobs import graph
+
+    out = str(tmp_path / "gr")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        graph.run(spark, out, n_hosts=300, n_edges=1500,
+                  fail_after="ranks")
+    store = CheckpointStore(out)
+    before = {s: store.latest(s) for s in ("edges", "components", "ranks")}
+    assert store.latest("summary") is None
+
+    res = graph.run(spark, out, n_hosts=300, n_edges=1500)
+    for s, snap in before.items():
+        assert res["store"].latest(s) == snap  # resumed, not recomputed
+
+    fresh = graph.run(spark, str(tmp_path / "gr2"),
+                      n_hosts=300, n_edges=1500)
+    for layer in ("components", "reach", "dist", "summary"):
+        a = sorted(map(tuple, res[layer].collect()))
+        b = sorted(map(tuple, fresh[layer].collect()))
+        assert a == b, layer
+    # ranks are floats from identical committed inputs -> identical too
+    a = sorted(map(tuple, res["ranks"].collect()))
+    b = sorted(map(tuple, fresh["ranks"].collect()))
+    assert a == b
+
+    assert res["ranks"].agg(F.sum("rank")).first()[0] > 0
+    reach = {r["node"]: r["hops"] for r in res["reach"].collect()}
+    dist = {r["node"]: r["dist"] for r in res["dist"].collect()}
+    assert reach and set(reach) == set(dist)
+    assert max(reach.values()) <= 3
+    assert all(dist[n] == 0 for n, h in reach.items() if h == 0)
+    s_hosts = res["summary"].agg(F.sum("n_hosts")).first()[0]
+    assert s_hosts == res["components"].count()
