@@ -4998,6 +4998,45 @@ FROM dil a JOIN ras b ON a.ix = b.ix AND a.iy = b.iy
 O_POLYGON_ADJACENCY = _o_polygon_adjacency()
 
 
+def q_knox_statistic(spark, sf_dir):
+    """Knox space-time interaction (events.knox_statistic): one row of
+    exact pair counts (space-and-time via the composite cell-ring x
+    bucket join, space-only via the ring join, time-only via the
+    bucket join) plus the single-division ratio. The oracle
+    brute-forces all three pair predicates with inequality self-joins
+    — different plan, identical integers, identical one IEEE
+    division."""
+    from . import events as ev
+
+    pts = _event_pts(_t(spark, sf_dir, "events"), "event_id", "ts")
+    return ev.knox_statistic(pts, radius_deg=0.03, window_s=3600)
+
+
+def _o_knox(radius_deg: float = 0.03, window_s: int = 3600) -> str:
+    r2 = _dlit(radius_deg * radius_deg)
+    w_us = int(window_s) * 1_000_000
+    return f"""WITH p AS (
+  SELECT event_id AS id, epoch_us(ts) AS us,
+         {_EV_LON_SQL} AS x, {_EV_LAT_SQL} AS y
+  FROM events),
+st AS (SELECT COUNT(*) AS c FROM p a JOIN p b ON a.id < b.id
+       AND ABS(a.us - b.us) <= {w_us}
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {r2}),
+s AS (SELECT COUNT(*) AS c FROM p a JOIN p b ON a.id < b.id
+      AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {r2}),
+t AS (SELECT COUNT(*) AS c FROM p a JOIN p b ON a.id < b.id
+      AND ABS(a.us - b.us) <= {w_us}),
+n AS (SELECT COUNT(*) AS c FROM p)
+SELECT n.c AS n_events, n.c * (n.c - 1) // 2 AS n_pairs,
+       st.c AS n_close_st, s.c AS n_close_s, t.c AS n_close_t,
+       CAST(st.c * (n.c * (n.c - 1) // 2) AS DOUBLE)
+         / NULLIF(CAST(s.c * t.c AS DOUBLE), 0.0) AS knox_ratio
+FROM n, st, s, t"""
+
+
+O_KNOX_STATISTIC = _o_knox()
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Coverage holes (cells.coverage_gaps): res-10 viewport cells of
     [0,16]x[0,8] deg with no point within 1 cell. The engine generates
@@ -5150,6 +5189,7 @@ QUERIES = {
     "events_dtw": q_trajectory_dtw,
     "events_heading_octants": q_heading_octants,
     "fagi_coverage_gaps": q_coverage_gaps,
+    "events_knox": q_knox_statistic,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5298,6 +5338,7 @@ ORACLES = {
     "events_dtw": O_TRAJECTORY_DTW,
     "events_heading_octants": O_HEADING_OCTANTS,
     "fagi_coverage_gaps": O_COVERAGE_GAPS,
+    "events_knox": O_KNOX_STATISTIC,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

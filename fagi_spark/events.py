@@ -706,3 +706,77 @@ def heading_octants(pts: DataFrame, user: str = "user_id",
             .groupBy(user, "octant")
             .agg(F.count(F.lit(1)).alias("n_moves"),
                  F.sum("_d2").alias("sum_d2")))
+
+
+def knox_statistic(events: DataFrame, radius_deg: float, window_s: int,
+                   key: str = "event_id", ts: str = "ts",
+                   lon: str = "lon", lat: str = "lat",
+                   res: int | None = None) -> DataFrame:
+    """Knox space-time interaction statistic -> ONE row (n_events,
+    n_pairs, n_close_st, n_close_s, n_close_t, knox_ratio): do events
+    that are close in SPACE also tend to be close in TIME (disease
+    clusters, aftershock-like bursts, coordinated bot swarms)? The
+    classic ESDA test: knox_ratio = (n_close_st * n_pairs) /
+    (n_close_s * n_close_t) — ratio > 1 means space-time interaction
+    beyond what the marginals explain.
+
+    All four counts are exact BIGINTs from blocked pair joins —
+    space-and-time pairs are ``cooccurrence_join``'s composite
+    (cell-ring x time-bucket) join, space-only pairs the cell-ring
+    join alone, time-only pairs the bucket join alone — never an
+    all-pairs product; the ratio is ONE IEEE division of exact
+    integers, so the whole row is oracle-exact. At 100 TB the time-only
+    count is the widest join (every same-window pair); its bucket key
+    spreads uniformly by construction, and the window is the knob.
+
+    Follows the morans_i single-row-aggregate pattern: four
+    single-row count frames cross-joined into the statistic."""
+    from . import cells
+
+    res = res if res is not None else cells.res_for_radius_deg(radius_deg)
+    kx, ky = cells.ring_k_for_radius(radius_deg, res)
+    window_us = int(window_s) * 1_000_000
+    r2 = radius_deg * radius_deg
+    base = _st_keys(events, res, window_us, key, ts, lon, lat)
+
+    st_pairs = cooccurrence_join(events, radius_deg, window_s,
+                                 key=key, ts=ts, lon=lon, lat=lat, res=res)
+
+    probe_s = base.select(F.col(key).alias("a_id"),
+                          F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                          F.col("cell").alias("probe_cell"))
+    build_s = (cells.explode_ring(base, res, (kx, ky))
+               .select(F.col(key).alias("b_id"),
+                       F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                       "probe_cell"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    s_pairs = (probe_s.join(build_s, "probe_cell")
+               .filter((F.col("a_id") < F.col("b_id"))
+                       & (dx * dx + dy * dy <= F.lit(r2))))
+
+    probe_t = base.select(F.col(key).alias("a_id"),
+                          F.col("_us").alias("_aus"),
+                          F.col("_bk").alias("pbk"))
+    build_t = (base.withColumn("_dbk", F.explode(F.array(
+                   F.lit(-1), F.lit(0), F.lit(1))))
+               .select(F.col(key).alias("b_id"),
+                       F.col("_us").alias("_bus"),
+                       (F.col("_bk") + F.col("_dbk")).alias("pbk")))
+    t_pairs = (probe_t.join(build_t, "pbk")
+               .filter((F.col("a_id") < F.col("b_id"))
+                       & (F.abs(F.col("_aus") - F.col("_bus"))
+                          <= F.lit(window_us))))
+
+    c_n = base.agg(F.count(F.lit(1)).alias("n_events"))
+    c_st = st_pairs.agg(F.count(F.lit(1)).alias("n_close_st"))
+    c_s = s_pairs.agg(F.count(F.lit(1)).alias("n_close_s"))
+    c_t = t_pairs.agg(F.count(F.lit(1)).alias("n_close_t"))
+    out = c_n.crossJoin(c_st).crossJoin(c_s).crossJoin(c_t)
+    n_pairs = F.expr("n_events * (n_events - 1) DIV 2")
+    return (out.withColumn("n_pairs", n_pairs)
+            .withColumn("knox_ratio",
+                        (F.col("n_close_st") * F.col("n_pairs"))
+                        / F.nullif(F.col("n_close_s") * F.col("n_close_t"),
+                                   F.lit(0)))
+            .select("n_events", "n_pairs", "n_close_st", "n_close_s",
+                    "n_close_t", "knox_ratio"))

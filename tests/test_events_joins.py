@@ -383,3 +383,43 @@ def test_heading_octants_known_directions(spark):
         want[o] = (n + 1, s + dx * dx + dy * dy)
     assert got == want
     assert sum(n for n, _ in got.values()) == len(steps) - 1  # one zero-step
+
+
+def test_knox_statistic_bruteforce(spark):
+    """Exact pair counts vs a brute-force O(n^2) scan, and a planted
+    space-time cluster drives the ratio above 1."""
+    from datetime import datetime, timezone
+    from fagi_spark import events as ev
+    rows = []
+    # planted cluster: 4 events same place, same minute
+    for i in range(4):
+        rows.append((i, datetime(2024, 1, 1, 0, 0, i), 10.0, 10.0))
+    # background: spread in space AND time
+    for i in range(12):
+        rows.append((100 + i, datetime(2024, 1, 1 + i, 12, 0, 0),
+                     10.0 + i * 0.5, 10.0))
+    # same place, far apart in time (space-close only)
+    rows.append((200, datetime(2024, 6, 1), 10.0, 10.0))
+    # same time as cluster, far away (time-close only)
+    rows.append((201, datetime(2024, 1, 1, 0, 0, 30), 50.0, 10.0))
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, "
+                               "lon double, lat double")
+    r, w = 0.05, 3600
+    out = ev.knox_statistic(df, radius_deg=r, window_s=w).first()
+    import itertools
+    pts = [(i, t.replace(tzinfo=timezone.utc).timestamp(), x, y)
+           for i, t, x, y in rows]
+    n_s = n_t = n_st = 0
+    for (i1, t1, x1, y1), (i2, t2, x2, y2) in itertools.combinations(pts, 2):
+        cs = (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+        ct = abs(t1 - t2) <= w
+        n_s += cs
+        n_t += ct
+        n_st += cs and ct
+    n = len(pts)
+    assert (out["n_events"], out["n_pairs"]) == (n, n * (n - 1) // 2)
+    assert (out["n_close_s"], out["n_close_t"], out["n_close_st"]) == \
+        (n_s, n_t, n_st)
+    assert out["knox_ratio"] == n_st * (n * (n - 1) // 2) / (n_s * n_t)
+    assert out["knox_ratio"] > 1.0  # planted interaction
