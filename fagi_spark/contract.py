@@ -1353,6 +1353,51 @@ FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.2"""
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Directed word-3-gram containment (subset-absorption dedup:
+    |src ∩ dst| / |src| — the asymmetric score that flags a quote
+    embedded in a long article where Jaccard stays tiny). Same shingle
+    plan as doc_ngram_jaccard; both directions emit from one joined
+    frame."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.ngram_containment_pairs(docs, block="source", k=3,
+                                            threshold=0.3)
+            .select(F.col("id_src").cast("long").alias("id_src"),
+                    F.col("id_dst").cast("long").alias("id_dst"),
+                    "containment"))
+
+
+O_NGRAM_CONTAINMENT = """WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, source, ws,
+         UNNEST(range(0, GREATEST(LEN(ws) - 3, 0) + 1)) AS i
+  FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         CASE WHEN LEN(ws) >= 3 THEN CONCAT_WS(' ', ws[i+1], ws[i+2], ws[i+3])
+              ELSE ARRAY_TO_STRING(ws, ' ') END AS shingle
+  FROM idx),
+n AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+j AS (SELECT id_a, id_b, n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+      FROM inter JOIN n na ON na.doc_id = id_a
+                 JOIN n nb ON nb.doc_id = id_b),
+d AS (
+  SELECT id_a AS id_src, id_b AS id_dst,
+         CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+  FROM j
+  UNION ALL
+  SELECT id_b, id_a, CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM j)
+SELECT CAST(id_src AS BIGINT) AS id_src, CAST(id_dst AS BIGINT) AS id_dst,
+       containment
+FROM d WHERE containment >= 0.3"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-word fraction +
     top-bigram fraction per document (textops.with_repetition)."""
@@ -5219,6 +5264,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_corpus_stats": q_corpus_stats,
     "doc_ngram_jaccard": q_ngram_jaccard,
+    "doc_ngram_containment": q_ngram_containment,
     "ann_topk": q_ann_topk,
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_minhash_candidates": q_minhash_candidates,
@@ -5368,6 +5414,7 @@ ORACLES = {
     "doc_repetition": O_DOC_REPETITION,
     "doc_corpus_stats": O_CORPUS_STATS,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
+    "doc_ngram_containment": O_NGRAM_CONTAINMENT,
     "ann_topk": O_ANN_TOPK,
     "ann_hybrid_lang_topk": O_HYBRID_LANG_ANN,
     "fagi_cluster_features": O_CLUSTER_FEATURES,

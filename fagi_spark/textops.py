@@ -914,3 +914,46 @@ JOIN co_uni ua ON p.a = ua.w
 JOIN co_uni ub ON p.b = ub.w
 CROSS JOIN co_tot t
 ORDER BY lift DESC, p.a, p.b LIMIT {topk}"""
+
+
+def ngram_containment_pairs(df: DataFrame, key: str = "doc_id",
+                            text: str = "text", block: str | None = None,
+                            k: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """DIRECTED word-k-gram containment -> (id_src, id_dst,
+    containment = |src ∩ dst| / |src|): how much of SRC's shingle set
+    appears in DST — the asymmetric near-dup test Jaccard misses. A
+    short quote embedded in a long article scores containment ~1.0
+    (quote -> article) while its Jaccard is tiny; this is the
+    subset-absorption rule ("drop the fragment, keep the superset")
+    real dedup pipelines apply after symmetric near-dup.
+
+    Same plan as ngram_jaccard_pairs (one shingle explode, one
+    equi-join with ``block`` limiting candidates — never a cartesian,
+    one map-side-combined intersection count); both directions of each
+    undirected intersection row emit from the SAME joined frame, so
+    the asymmetric scores cost no extra shuffle."""
+    sh = df.select(F.col(key), *([F.col(block)] if block else []),
+                   F.explode(_shingles(F.col(text), k)).alias("shingle"))
+    n_sh = sh.groupBy(key).agg(F.countDistinct("shingle").alias("n_sh"))
+    join_keys = ["shingle"] + ([block] if block else [])
+    a = sh.select(*([F.col(key).alias("id_a"), F.col("shingle")]
+                    + ([F.col(block)] if block else [])))
+    b = sh.select(*([F.col(key).alias("id_b"), F.col("shingle")]
+                    + ([F.col(block)] if block else [])))
+    inter = (a.join(b, join_keys).filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    na = n_sh.select(F.col(key).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col(key).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = inter.join(na, "id_a").join(nb, "id_b")
+    d1 = j.select(F.col("id_a").alias("id_src"),
+                  F.col("id_b").alias("id_dst"),
+                  (F.col("n_inter").cast("double")
+                   / F.col("n_a").cast("double")).alias("containment"))
+    d2 = j.select(F.col("id_b").alias("id_src"),
+                  F.col("id_a").alias("id_dst"),
+                  (F.col("n_inter").cast("double")
+                   / F.col("n_b").cast("double")).alias("containment"))
+    return (d1.unionByName(d2)
+            .filter(F.col("containment") >= threshold))

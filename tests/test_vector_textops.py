@@ -705,3 +705,36 @@ def test_sq8_topk_recall_vs_exact(spark, emb, exact_topk):
     # through quantization error — it should stay close
     assert r_sq8 >= r_ivf - 0.15
     assert r_sq8 >= 0.4
+
+
+def test_ngram_containment_quote_absorption(spark):
+    """A short quote inside a long article: containment(quote ->
+    article) == 1.0 while Jaccard stays below any dedup threshold;
+    direction matters (article -> quote is small); brute-force set
+    parity on every emitted pair."""
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = ("breaking news today " + quote +
+               " and much more text follows here with many extra "
+               "unique words padding the body out considerably now")
+    docs = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "totally unrelated content here")],
+        "doc_id long, text string")
+    out = {(r["id_src"], r["id_dst"]): r["containment"]
+           for r in textops.ngram_containment_pairs(
+               docs, k=3, threshold=0.0).collect()}
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)} \
+            if len(ws) >= 3 else {" ".join(ws)}
+
+    s = {1: shingles(quote), 2: shingles(article),
+         3: shingles("totally unrelated content here")}
+    for (src, dst), v in out.items():
+        assert v == len(s[src] & s[dst]) / len(s[src]), (src, dst)
+    assert out[(1, 2)] == 1.0            # quote fully contained
+    assert out[(2, 1)] < 0.5             # direction matters
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in textops.ngram_jaccard_pairs(
+               docs, k=3, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.5             # Jaccard misses the quote
