@@ -1398,6 +1398,25 @@ SELECT CAST(id_src AS BIGINT) AS id_src, CAST(id_dst AS BIGINT) AS id_dst,
 FROM d WHERE containment >= 0.3"""
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered Jaccard pairs (textops.ngram_jaccard_prefix_pairs,
+    the AllPairs/PPJoin candidate reduction): IDENTICAL output to the
+    naive shingle join at dyadic threshold 0.25, so the oracle is the
+    doc_ngram_jaccard SQL with the threshold swapped — the value-exact
+    proof that the prefix filter loses no pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.ngram_jaccard_prefix_pairs(docs, block="source", k=3,
+                                               threshold=0.25)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "jaccard"))
+
+
+# same brute-force oracle as doc_ngram_jaccard, dyadic threshold 0.25
+# (the prefix filter is lossless, so the naive SQL IS the spec)
+O_JACCARD_PREFIX = O_NGRAM_JACCARD.replace(">= 0.2", ">= 0.25")
+assert O_JACCARD_PREFIX != O_NGRAM_JACCARD
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-word fraction +
     top-bigram fraction per document (textops.with_repetition)."""
@@ -5265,6 +5284,7 @@ QUERIES = {
     "doc_corpus_stats": q_corpus_stats,
     "doc_ngram_jaccard": q_ngram_jaccard,
     "doc_ngram_containment": q_ngram_containment,
+    "doc_jaccard_prefix": q_jaccard_prefix,
     "ann_topk": q_ann_topk,
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_minhash_candidates": q_minhash_candidates,
@@ -5415,6 +5435,7 @@ ORACLES = {
     "doc_corpus_stats": O_CORPUS_STATS,
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "doc_ngram_containment": O_NGRAM_CONTAINMENT,
+    "doc_jaccard_prefix": O_JACCARD_PREFIX,
     "ann_topk": O_ANN_TOPK,
     "ann_hybrid_lang_topk": O_HYBRID_LANG_ANN,
     "fagi_cluster_features": O_CLUSTER_FEATURES,

@@ -957,3 +957,69 @@ def ngram_containment_pairs(df: DataFrame, key: str = "doc_id",
                    / F.col("n_b").cast("double")).alias("containment"))
     return (d1.unionByName(d2)
             .filter(F.col("containment") >= threshold))
+
+
+def ngram_jaccard_prefix_pairs(df: DataFrame, key: str = "doc_id",
+                               text: str = "text", k: int = 3,
+                               threshold: float = 0.5,
+                               block: str | None = None) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs — the AllPairs/PPJoin
+    candidate reduction (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW 2007; Chaudhuri et al.'s prefix filter —
+    published literature): identical OUTPUT to ``ngram_jaccard_pairs``
+    at the same threshold, from a plan that joins only each document's
+    PREFIX shingles instead of all of them.
+
+    Prefix filter: order every document's shingles by ascending global
+    document frequency (ties by the shingle string — a strict total
+    order), keep the first ``n - ceil(t*n) + 1``; any pair with
+    Jaccard >= t must share at least one prefix token, so the prefix
+    self-join loses no true pair. Because prefixes hold each
+    document's RAREST shingles, the boilerplate shingle shared by a
+    million pages (the quadratic blow-up of the naive shingle join)
+    almost never reaches the join — at 100 TB this is the difference
+    between candidates ~ sum of rare-token df^2 and candidates ~ df^2
+    of "click here to subscribe".
+
+    Plan: one shingle explode -> global df rollup (map-side combine)
+    -> per-doc WindowGroupLimit prefix -> prefix self-join (candidate
+    pairs, distinct) -> exact verification joining the candidates back
+    to the FULL shingle sets -> the same final Jaccard filter
+    expression as the naive operator, so equality is bit-for-bit.
+    Use a dyadic ``threshold`` (0.5, 0.25, 0.75) when mirroring in an
+    oracle so ceil(t*n) is float-exact."""
+    from pyspark.sql.window import Window
+
+    sh = df.select(F.col(key), *([F.col(block)] if block else []),
+                   F.explode(_shingles(F.col(text), k)).alias("shingle"))
+    n_sh = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(key).orderBy("_df", "shingle")
+    ranked = (sh.join(dfreq, "shingle")
+              .withColumn("_pos", F.row_number().over(w))
+              .join(n_sh, key))
+    plen = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    prefix = ranked.filter(F.col("_pos") <= plen)
+    pa = prefix.select(*([F.col(key).alias("id_a"), F.col("shingle")]
+                         + ([F.col(block)] if block else [])))
+    pb = prefix.select(*([F.col(key).alias("id_b"), F.col("shingle")]
+                         + ([F.col(block)] if block else [])))
+    jk = ["shingle"] + ([block] if block else [])
+    cand = (pa.join(pb, jk).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    # exact verification on candidates only: count the full-set
+    # intersection per surviving pair
+    full_a = sh.select(F.col(key).alias("id_a"), F.col("shingle"))
+    full_b = sh.select(F.col(key).alias("id_b"), F.col("shingle"))
+    inter = (cand.join(full_a, "id_a").join(full_b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    na = n_sh.select(F.col(key).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col(key).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (inter.join(na, "id_a").join(nb, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_inter").cast("double")
+                       / (F.col("n_a") + F.col("n_b")
+                          - F.col("n_inter")).cast("double")))
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

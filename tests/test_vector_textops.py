@@ -738,3 +738,30 @@ def test_ngram_containment_quote_absorption(spark):
            for r in textops.ngram_jaccard_pairs(
                docs, k=3, threshold=0.0).collect()}
     assert jac[(1, 2)] < 0.5             # Jaccard misses the quote
+
+
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """The prefix-filtered plan returns EXACTLY the naive shingle-join
+    result (pairs and float scores) on random near-dup-seeded corpora
+    — the lossless-filter property of Bayardo-style prefix filtering."""
+    import random
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(25))))
+    # planted near-dups: copies with small edits
+    for i in range(5):
+        base = docs[i][1].split()
+        base[3] = "edited"
+        docs.append((100 + i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.25):
+        naive = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in textops.ngram_jaccard_pairs(
+                     df, k=3, threshold=t).collect()}
+        pref = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in textops.ngram_jaccard_prefix_pairs(
+                    df, k=3, threshold=t).collect()}
+        assert pref == naive, f"t={t}"
+        assert any(a < 100 <= b for a, b in naive)  # planted pairs found
