@@ -987,7 +987,19 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, key: str = "doc_id",
     to the FULL shingle sets -> the same final Jaccard filter
     expression as the naive operator, so equality is bit-for-bit.
     Use a dyadic ``threshold`` (0.5, 0.25, 0.75) when mirroring in an
-    oracle so ceil(t*n) is float-exact."""
+    oracle so ceil(t*n) is float-exact.
+
+    Measured (r4, local[32], honesty note): at sandbox scale the two
+    plans are comparable — 7.3s vs 8.8s on the 5k-doc sf0.1 table, and
+    a planted-boilerplate 2k-doc corpus (13 shingles with df=2000,
+    i.e. ~52M naive intersect rows) ran dead even, because Spark chews
+    50M cheap rows in seconds while the prefix plan pays a ranking
+    window plus a verify join back. The filter's value is asymptotic:
+    naive candidates grow with sum(df^2) over COMMON shingles (one
+    df=10M boilerplate line is 10^14 intersect rows — unpayable),
+    prefix candidates with df^2 over each doc's RAREST shingles.
+    Below ~10^5 docs per block, prefer the naive operator's simpler
+    plan."""
     from pyspark.sql.window import Window
 
     sh = df.select(F.col(key), *([F.col(block)] if block else []),
