@@ -146,11 +146,26 @@ def run_pipeline(spark, pages):
 
 
 def _failed_tasks(spark) -> int:
-    """Total failed (retried) task attempts this app, summed over the
-    status store's executor list. -1 = store unavailable."""
+    """Total failed (retried) task attempts this app. Primary source:
+    per-stage numFailedTasks over ALL stages in the status store (the
+    r4 bench showed executor-level failedTasks report 0 while stage
+    tasks demonstrably failed — failures in already-complete stages,
+    e.g. the shuffle-cleaner race, never land on the live executor
+    row). Fallback: the executor sum; -1 = store unavailable."""
     try:
-        execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
-        return sum(execs.apply(i).failedTasks() for i in range(execs.size()))
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        try:
+            jvm, gw = sc._jvm, sc._gateway
+            stages = store.stageList(jvm.java.util.ArrayList(), False,
+                                     False, gw.new_array(jvm.double, 0),
+                                     jvm.java.util.ArrayList())
+            return sum(stages.apply(i).numFailedTasks()
+                       for i in range(stages.size()))
+        except Exception:
+            execs = store.executorList(True)
+            return sum(execs.apply(i).failedTasks()
+                       for i in range(execs.size()))
     except Exception:
         return -1
 

@@ -43,6 +43,16 @@ def get_spark(app: str = "fagi_spark", master: str | None = None,
          # full-core contention and cut per-batch python latency.
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2500")
          .config("spark.sql.session.timeZone", "UTC")
+         # blocking shuffle GC: the async ContextCleaner deletes a
+         # GC'd shuffle's files while a resubmitted straggler still
+         # writes them — the recurring mid-suite
+         # "shuffle_*.index (No such file or directory)" executor
+         # errors (r3 tail, r4 bench run), which cost task retries
+         # inside OUR pinned local dir (so not an external cleaner).
+         # Blocking cleanup serializes the delete behind the driver's
+         # reference-processing, closing the race.
+         .config("spark.cleaner.referenceTracking.blocking.shuffle",
+                 "true")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.local.dir", local_dir)
          .config("spark.ui.enabled", "false"))
