@@ -689,3 +689,93 @@ def map_match_stream(events: DataFrame, ways: DataFrame,
     return (keyed.groupBy("user_id").applyInPandasWithState(
         fn, MM_OUT_SCHEMA, MM_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout))
+
+
+OCT_OUT_SCHEMA = "user_id bigint, octant int, d2 bigint"
+OCT_STATE_SCHEMA = "us bigint, k bigint, px bigint, py bigint"
+
+
+def _octant_int(dx: int, dy: int) -> int:
+    """The heading sector rule of events.heading_octants as plain
+    integer python — MUST stay branch-identical to the Spark CASE
+    (pytest pins stream == batch on all 8 directions + diagonals)."""
+    adx, ady = abs(dx), abs(dy)
+    if dx > 0 and dy >= 0 and adx > ady:
+        return 0
+    if dx >= 0 and dy > 0 and ady >= adx and adx > 0:
+        return 1
+    if dx == 0 and dy > 0:
+        return 2
+    if dx < 0 and dy > 0 and ady > adx:
+        return 2
+    if dx < 0 and dy > 0 and adx >= ady:
+        return 3
+    if dx < 0 and dy <= 0 and adx > ady:
+        return 4
+    if dx <= 0 and dy < 0 and ady >= adx and adx > 0:
+        return 5
+    if dx == 0 and dy < 0:
+        return 6
+    if dx > 0 and dy < 0 and ady > adx:
+        return 6
+    return 7
+
+
+def heading_octants_stream(pts: DataFrame, user: str = "user_id",
+                           key: str = "event_id", ts: str = "ts",
+                           ix: str = "ix", iy: str = "iy") -> DataFrame:
+    """Streaming twin of events.heading_octants: per-user keyed state
+    carries the LAST ping (us, key, px, py) across micro-batches; each
+    batch chains its (us, key)-sorted pings onto it and APPENDS one
+    row per non-zero displacement (user, octant, d2). The profile is a
+    downstream rollup of these rows, so the union of per-batch outputs
+    grouped by (user, octant) equals the batch operator — including
+    the displacement that crosses the batch boundary (tested).
+
+    Same late-data stance as od_flows_stream: an event at or before
+    the state's (last_us, last_key) is dropped, never spliced
+    retroactively. Integer-typed user/key validated up front."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    for c in (user, key):
+        dt = pts.schema[c].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"heading_octants_stream: column {c!r} must be "
+                f"integer-typed (state schema is BIGINT), got {dt}")
+    ev = pts.select(F.col(user).cast("long").alias("user_id"),
+                    F.col(key).cast("long").alias("_k"),
+                    F.unix_micros(F.col(ts).cast("timestamp")).alias("_us"),
+                    F.col(ix).cast("long").alias("_px"),
+                    F.col(iy).cast("long").alias("_py"))
+
+    def fn(k, pdfs, state: GroupState):
+        if state.exists:
+            last_us, last_key, last_px, last_py = state.get
+        else:
+            last_us = last_key = last_px = last_py = None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["_us", "_k"])
+        octs, d2s = [], []
+        for us, kk, px, py in zip(batch["_us"], batch["_k"],
+                                  batch["_px"], batch["_py"]):
+            us, kk, px, py = int(us), int(kk), int(px), int(py)
+            if last_us is not None and (us, kk) <= (last_us, last_key):
+                continue  # cross-batch late event: dropped (see doc)
+            if last_us is not None:
+                dx, dy = px - last_px, py - last_py
+                if dx != 0 or dy != 0:
+                    octs.append(_octant_int(dx, dy))
+                    d2s.append(dx * dx + dy * dy)
+            last_us, last_key, last_px, last_py = us, kk, px, py
+        if last_us is not None:
+            state.update((last_us, last_key, last_px, last_py))
+        if octs:
+            yield pd.DataFrame({"user_id": [k[0]] * len(octs),
+                                "octant": pd.array(octs, dtype="int32"),
+                                "d2": d2s})
+
+    return (ev.groupBy("user_id").applyInPandasWithState(
+        fn, OCT_OUT_SCHEMA, OCT_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))

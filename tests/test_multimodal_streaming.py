@@ -746,3 +746,59 @@ def test_stateful_map_match_stream_matches_batch(spark, tmp_path):
     assert any(u == 1 and w == "roadA" and n == 3
                for u, w, _, _, n, _ in got)
     assert len(got) == 2
+
+
+def test_heading_octants_stream_union_equals_batch(spark, tmp_path):
+    """Streaming heading octants: pings in two micro-batches; the
+    rolled-up union of per-batch move rows equals the batch operator
+    exactly (counts AND summed d2), including the displacement that
+    crosses the batch boundary via keyed state. The fixture walks all
+    8 directions plus both diagonals so the python sector rule is
+    pinned to the Spark CASE branch-for-branch."""
+    import datetime as dt
+
+    from fagi_spark import events as evmod
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = [(3, 0), (2, 2), (0, 4), (-1, 3), (-5, 0), (-2, -2),
+             (0, -7), (4, -4), (1, 0), (0, 0), (5, 1), (-3, -1)]
+    rows, pos = [], (1000, 1000)
+    rows.append((0, 1, t0, pos[0], pos[1]))
+    for n, (dx, dy) in enumerate(steps, 1):
+        pos = (pos[0] + dx, pos[1] + dy)
+        rows.append((n, 1, t0 + dt.timedelta(seconds=60 * n),
+                     pos[0], pos[1]))
+    # second user entirely inside batch 2
+    rows.append((100, 2, t0, 50, 50))
+    rows.append((101, 2, t0 + dt.timedelta(seconds=60), 53, 54))
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "ix long, iy long")
+    cut = 7  # boundary splits user 1's walk mid-way
+    src = str(tmp_path / "octsrc")
+    spark.createDataFrame(rows[:cut], schema).repartition(1) \
+        .write.parquet(src)
+    spark.createDataFrame(rows[cut:], schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_path = str(tmp_path / "octout")
+    q = (streaming.heading_octants_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", str(tmp_path / "octck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["octant"]): (r["n_moves"], r["sum_d2"])
+           for r in spark.read.parquet(out_path)
+           .groupBy("user_id", "octant")
+           .agg(F.count(F.lit(1)).alias("n_moves"),
+                F.sum("d2").alias("sum_d2")).collect()}
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "us", F.unix_micros("ts"))
+    want = {(r["user_id"], r["octant"]): (r["n_moves"], r["sum_d2"])
+            for r in evmod.heading_octants(
+                batch, order=("us", "event_id")).collect()}
+    assert got == want
+    assert len({u for u, _ in got}) == 2
