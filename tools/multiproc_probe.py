@@ -79,11 +79,18 @@ def worker(corpus_dir: str, cpus: int) -> None:
     spark.stop()
 
 
-def _spawn(shard: str):
+def _spawn(shard: str, cpu_list: str | None = None):
+    """cpu_list pins the worker's whole process tree (JVM + python
+    workers) to that core set via taskset — the per-executor isolation
+    a real cluster provides in hardware. Unpinned, the single-shard
+    baseline's JVM overflow threads borrow idle cores of the 32-core
+    box that the 4-shard quad cannot, skewing the efficiency ratio."""
     env = dict(os.environ)
+    argv = ([] if cpu_list is None else ["taskset", "-c", cpu_list]) + [
+        sys.executable, os.path.abspath(__file__), "--worker", shard,
+        str(WORKER_CPUS)]
     return subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--worker", shard,
-         str(WORKER_CPUS)],
+        argv,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
 
 
@@ -91,16 +98,22 @@ def _last_json(txt: str) -> dict:
     return json.loads([l for l in txt.splitlines() if l.startswith("{")][-1])
 
 
-def run_probe(repeats: int = 2) -> dict:
+def run_probe(repeats: int = 2, pin: bool = True) -> dict:
     """One single-vs-quad measurement pair; returns the result dict
     (importable by scaling_probe --full so the topology control runs
-    inside the same gated epoch as the thread-pair sweep)."""
+    inside the same gated epoch as the thread-pair sweep). pin=True
+    confines the baseline to cores 0-7 and quad worker i to cores
+    8i..8i+7 — each "executor" owns exactly 8 cores, like a cluster."""
     shards = ensure_shards()
+
+    def _cores(i: int) -> str | None:
+        return (f"{i * WORKER_CPUS}-{(i + 1) * WORKER_CPUS - 1}"
+                if pin else None)
 
     # single-process baseline: one local[8] over shard 0, best of N
     t_single = None
     for _ in range(repeats):
-        p = _spawn(shards[0])
+        p = _spawn(shards[0], _cores(0))
         out, _ = p.communicate(timeout=900)
         assert p.returncode == 0, out
         r = _last_json(out)
@@ -114,7 +127,7 @@ def run_probe(repeats: int = 2) -> dict:
     # worker is warmed before timing, same as the baseline)
     t_quad = None
     for _ in range(repeats):
-        procs = [_spawn(s) for s in shards]
+        procs = [_spawn(s, _cores(i)) for i, s in enumerate(shards)]
         outs = [p.communicate(timeout=1200)[0] for p in procs]
         assert all(p.returncode == 0 for p in procs)
         worst = max(_last_json(o)["t"] for o in outs)
@@ -126,18 +139,23 @@ def run_probe(repeats: int = 2) -> dict:
     return {"t_single_s": round(t_single, 3),
             "t_quad_worst_s": round(t_quad, 3),
             "efficiency": round(eff, 3), "worker_cpus": WORKER_CPUS,
+            "pinned": pin,
             "n_shards": N_SHARDS, "corpus": CORPUS}
 
 
 def orchestrate() -> None:
-    result = run_probe()
+    pin = os.environ.get("SCALING_PIN", "1") != "0"
+    result = run_probe(pin=pin)
     eff = result["efficiency"]
     path = os.path.join(ROOT, "BENCH", "multiproc.json")
     best = {}
     if os.path.exists(path):
         with open(path) as f:
             best = json.load(f)
-    if not best or eff > best.get("efficiency", 0):
+    # pinned and unpinned runs are different measurements — only
+    # replace a stored best from the same mode
+    same_mode = best.get("pinned", False) == result["pinned"]
+    if not best or not same_mode or eff > best.get("efficiency", 0):
         with open(path, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result))

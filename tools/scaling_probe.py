@@ -59,6 +59,24 @@ GATE_MIN_MOPS = 17.0   # capped epochs measure ~15-16; quiet 19-28+
 LEVELS = (2, 4, 8, 16, 32)
 SWEEP_PATH = os.path.join(ROOT, "BENCH", "full_sweep.json")
 
+# CPU pinning (SCALING_PIN=0 to disable): an UNPINNED local[N] run is
+# not an N-core measurement on this 32-core box — the JVM's GC/netty
+# threads and the N python workers overflow onto idle cores, so the
+# small-N baseline gets free hardware a real N-core cluster would not
+# have, deflating every measured N->4N efficiency. `taskset -c 0-(N-1)`
+# confines the whole process tree (JVM + python workers) to exactly N
+# cores — the faithful "cluster of N cores vs cluster of 4N cores"
+# emulation the north rule asks for. Pinned and unpinned sweeps keep
+# SEPARATE cross-invocation state files (the numbers are not
+# comparable) and the verdict records which mode produced it.
+PIN = os.environ.get("SCALING_PIN", "1") != "0"
+STATE_NAME = "scaling_state_pinned.json" if PIN else "scaling_state.json"
+
+
+def _pin_argv(level: int) -> list[str]:
+    return (["taskset", "-c", f"0-{level - 1}"] if PIN and level < 32
+            else [])
+
 
 def _gate(tag: str, seconds: float = 2.0, tries: int = 3,
           settle_s: float = 0.0) -> dict:
@@ -100,8 +118,10 @@ def _run_level(level: int, n_pages: int, repeats: int = 2) -> float:
                BENCH_PIPELINE_ONLY="1", BENCH_N_PAGES=str(n_pages),
                BENCH_FILLER=str(bench.SCALING_FILLER),
                BENCH_REPEATS=str(repeats))
-    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                         env=env, capture_output=True, text=True, check=True)
+    argv = _pin_argv(level) + [sys.executable,
+                               os.path.join(ROOT, "bench.py")]
+    out = subprocess.run(argv, env=env, capture_output=True, text=True,
+                         check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)["pages_per_sec"]
 
@@ -121,7 +141,7 @@ def _cpu_control() -> dict:
 def _merge_state(n_pages: int, pps: dict) -> dict:
     """Fold this sweep's per-level samples into the cross-invocation
     bests (same semantics as bench.scaling_run)."""
-    state_path = os.path.join(ROOT, "BENCH", "scaling_state.json")
+    state_path = os.path.join(ROOT, "BENCH", STATE_NAME)
     state = {}
     if os.path.exists(state_path):
         with open(state_path) as f:
@@ -158,6 +178,14 @@ def _update_baseline_md(verdict: dict) -> None:
     pairs = verdict["pairs"]
     cpu = verdict["cpu_control"]
     mp_eff = verdict.get("multiproc", {}).get("efficiency")
+    pin_note = (
+        "CPU-PINNED: each local[N] level ran under `taskset -c 0-(N-1)` "
+        "— confined to exactly N cores, the faithful emulation of an "
+        "N-core cluster (unpinned, the JVM's GC/netty threads and the "
+        "python workers of a local[8] run overflow onto idle cores of "
+        "this 32-core box, inflating the small-N baseline)."
+        if verdict.get("pinned") else
+        "UNPINNED: local[N] levels could borrow idle cores beyond N.")
     sec = f"""{beg}
 
 ## One-invocation gated sweep (tools/scaling_probe.py --full)
@@ -166,7 +194,7 @@ Latest reproducible sweep — every number below was measured
 back-to-back in one invocation, host-gated (refuses to start, and
 marks itself tainted mid-run, at steal >= {GATE_MAX_STEAL}% or below
 {GATE_MIN_MOPS} Mops/proc), written by the tool, not by hand. Raw
-record: BENCH/full_sweep.json.
+record: BENCH/full_sweep.json. {pin_note}
 
 | level | pages/sec (this invocation) |
 |---|---|
@@ -223,7 +251,7 @@ def full() -> int:
     # The better sample wins; retry counts are recorded per level.
     MAX_RETRY = int(os.environ.get("SCALING_MAX_RETRY", "3"))
     RETRY_FRAC = 0.8
-    state_path = os.path.join(ROOT, "BENCH", "scaling_state.json")
+    state_path = os.path.join(ROOT, "BENCH", STATE_NAME)
     stored = {}
     if os.path.exists(state_path):
         with open(state_path) as f:
@@ -263,8 +291,8 @@ def full() -> int:
         if not g["ok"]:
             tainted = True
 
-    mp_res = multiproc_probe.run_probe(repeats=2)
-    mp2 = multiproc_probe.run_probe(repeats=2)
+    mp_res = multiproc_probe.run_probe(repeats=2, pin=PIN)
+    mp2 = multiproc_probe.run_probe(repeats=2, pin=PIN)
     if mp2["efficiency"] > mp_res["efficiency"]:
         mp_res = mp2  # best-of-2: the quad's worst-worker time is the
     # single most epoch-sensitive number in the sweep (stored best
@@ -322,6 +350,7 @@ def full() -> int:
                    f"control even in executor topology")
 
     verdict = {"verdict": verdict_s, "reading": reading, "ts": time.time(),
+               "pinned": PIN,
                "n_pages": n_pages, "levels": levels, "pairs": pairs,
                "level_retries": retries,
                "cpu_control": cpu, "cpu_control_post": cpu2,
@@ -338,20 +367,23 @@ def single(level: str) -> None:
     n_pages = bench.SCALING_N_PAGES
     pps = _run_level(int(level), n_pages,
                      repeats=int(os.environ.get("BENCH_REPEATS", "2")))
-    state_path = os.path.join(ROOT, "BENCH", "scaling_state.json")
-    with open(state_path) as f:
-        state = json.load(f)
+    state_path = os.path.join(ROOT, "BENCH", STATE_NAME)
+    state = {"n_pages": n_pages, "pages_per_sec": {}}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
     best = state["pages_per_sec"].get(level)
     if best is None or pps > best:
         state["pages_per_sec"][level] = pps
         with open(state_path, "w") as f:
             json.dump(state, f, indent=1)
-        env2 = dict(os.environ, BENCH_SCALING_REGEN="1")
-        subprocess.run([sys.executable, os.path.join(ROOT, "bench.py"),
-                        "--scaling"], env=env2, capture_output=True,
-                       check=True)
+        if not PIN:  # the bench.py --scaling table renders unpinned state
+            env2 = dict(os.environ, BENCH_SCALING_REGEN="1")
+            subprocess.run([sys.executable, os.path.join(ROOT, "bench.py"),
+                            "--scaling"], env=env2, capture_output=True,
+                           check=True)
         print(f"local[{level}]: {pps} pages/sec — new best "
-              f"(was {best}); BASELINE.md regenerated")
+              f"(was {best}; pinned={PIN})")
     else:
         print(f"local[{level}]: {pps} pages/sec — below stored best {best}")
 
