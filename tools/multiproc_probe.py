@@ -143,21 +143,31 @@ def run_probe(repeats: int = 2, pin: bool = True) -> dict:
             "n_shards": N_SHARDS, "corpus": CORPUS}
 
 
+def load_store(path: str) -> dict:
+    """Per-mode best store: {"pinned": {...}, "unpinned": {...}}.
+    Migrates the pre-r4 flat single-result form (which was always an
+    unpinned measurement) on read — pinned and unpinned efficiencies
+    are different measurements and must never replace each other."""
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        d = json.load(f)
+    if "efficiency" in d:  # old flat form
+        return {"pinned" if d.get("pinned") else "unpinned": d}
+    return d
+
+
 def orchestrate() -> None:
     pin = os.environ.get("SCALING_PIN", "1") != "0"
     result = run_probe(pin=pin)
     eff = result["efficiency"]
     path = os.path.join(ROOT, "BENCH", "multiproc.json")
-    best = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            best = json.load(f)
-    # pinned and unpinned runs are different measurements — only
-    # replace a stored best from the same mode
-    same_mode = best.get("pinned", False) == result["pinned"]
-    if not best or not same_mode or eff > best.get("efficiency", 0):
+    store = load_store(path)
+    key = "pinned" if pin else "unpinned"
+    if eff > store.get(key, {}).get("efficiency", 0):
+        store[key] = result
         with open(path, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(store, f, indent=1)
     print(json.dumps(result))
 
 

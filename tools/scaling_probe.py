@@ -291,15 +291,42 @@ def full() -> int:
         if not g["ok"]:
             tainted = True
 
-    mp_res = multiproc_probe.run_probe(repeats=2, pin=PIN)
-    mp2 = multiproc_probe.run_probe(repeats=2, pin=PIN)
-    if mp2["efficiency"] > mp_res["efficiency"]:
-        mp_res = mp2  # best-of-2: the quad's worst-worker time is the
-    # single most epoch-sensitive number in the sweep (stored best
-    # 0.69 vs 0.43 observed in one clean-gate invocation)
-    gates.append(_gate("after[multiproc]", settle_s=20.0))
-    if not gates[-1]["ok"]:
+    # multiproc topology control under the SAME retry protocol as the
+    # levels (the r4 pinned sweep measured why this matters: the quad's
+    # worst-worker time is the single most epoch-sensitive number in
+    # the sweep — its first probe ran straight after the level-32
+    # full-width burst and hit 24.6s vs 15.1s minutes later, and the
+    # phase's own CPU control read 0.653 vs 0.793 at sweep start).
+    # Pre-registered rule, identical to the levels': wait for a quiet
+    # gate BEFORE each probe, retake on a failed closing gate or on a
+    # sample below RETRY_FRAC of the stored same-mode best; at least
+    # two probes always run (the old best-of-2), better sample wins.
+    mp_path = os.path.join(ROOT, "BENCH", "multiproc.json")
+    mp_store = multiproc_probe.load_store(mp_path)
+    mode_key = "pinned" if PIN else "unpinned"
+    stored_mp = mp_store.get(mode_key, {}).get("efficiency")
+    mp_res = None
+    for attempt in range(2 + MAX_RETRY):
+        gates.append(wait_quiet(f"pre-multiproc#{attempt}"))
+        m = multiproc_probe.run_probe(repeats=2, pin=PIN)
+        if mp_res is None or m["efficiency"] > mp_res["efficiency"]:
+            mp_res = m
+        g = _gate(f"after[multiproc]#{attempt}", settle_s=20.0)
+        gates.append(g)
+        print(f"multiproc attempt {attempt}: eff {m['efficiency']}",
+              file=sys.stderr)
+        low = (stored_mp is not None
+               and mp_res["efficiency"] < RETRY_FRAC * stored_mp)
+        if attempt >= 1 and g["ok"] and not low:
+            break
+    if not g["ok"]:
         tainted = True
+    # merge into the cross-invocation same-mode best (levels have
+    # scaling_state.json; the topology control gets the same protocol)
+    if stored_mp is None or mp_res["efficiency"] > stored_mp:
+        mp_store[mode_key] = mp_res
+        with open(mp_path, "w") as f:
+            json.dump(mp_store, f, indent=1)
 
     cpu2 = _cpu_control()
     gates.append(_gate("end"))
