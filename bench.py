@@ -588,6 +588,12 @@ fixed stage-scheduling floor. Timing is best-of-2 after a full-shape
 warmup; the page corpus is pre-materialized parquet (the north-rule
 metric times the pipeline that reads the warehouse, not synthesis).
 
+Best-per-level across invocations, UNPINNED (this protocol lets a
+local[N] JVM's GC/netty threads and python workers borrow idle cores
+beyond N, inflating the small-N baselines ~20-25%; kept for history.
+The authoritative criterion reading uses the CPU-PINNED sweeps — see
+"Criterion reading (r4, CPU-pinned)" below the marker):
+
 | pair | pages | low pages/sec | high pages/sec | speedup | efficiency |
 |---|---|---|---|---|---|
 """)
@@ -608,6 +614,11 @@ runs 2-3x (measured: local[32] at 35k pages/sec during a load-17 epoch
 vs 83k quiet minutes later, with /proc/stat showing zero
 container-local busy cores in between), so single-invocation pairs
 confound engine scaling with someone else's workload.
+
+*(r4 pinning note: point (d) below — "process isolation recovers most
+of the single-JVM contention share" — is WITHDRAWN; it was the
+borrowed-core artifact. Pinned, the topology control lands AT the
+single-JVM pair; see the criterion reading below the marker.)*
 
 Attribution (round 3, revised on measurement): rounds 1-2 blamed the
 sub-0.8 high-thread pair on single-socket MEMORY BANDWIDTH; the
@@ -651,23 +662,31 @@ everything else (multiproc samples this session: 0.34, 0.47, 0.69,
                                "multiproc.json")
         if os.path.exists(mp_path):
             with open(mp_path) as mf:
-                mp = json.load(mf)
-            f.write(f"""
+                mp_store = json.load(mf)
+            if "efficiency" in mp_store:  # pre-r4 flat (unpinned) form
+                mp_store = {"unpinned": mp_store}
+            f.write("""
 ## Process-topology control: 4 x local[8] JVMs vs 1 x local[8]
 
-`tools/multiproc_probe.py`: the 1.5M-page corpus split into
-{mp['n_shards']} equal shards; one warmed local[{mp['worker_cpus']}]
-process over one shard (baseline) vs {mp['n_shards']} CONCURRENT
-local[{mp['worker_cpus']}] processes over all shards — separate JVMs,
-heaps, Arrow pipes and python-worker pools, the per-executor isolation
-of a real cluster, minus the extra hardware. Best across invocations:
-single {mp['t_single_s']}s, concurrent slowest-worker
-{mp['t_quad_worst_s']}s -> efficiency **{mp['efficiency']}** (1.0 =
-perfect executor-style scale-out on this box). Read together with the
-other controls (single-JVM 8->32 ~0.6, this 4-JVM topology ~0.7,
-pure-CPU no-Spark ceiling ~0.76): executor-style process isolation
-recovers most of the single-JVM contention share, and the rest is the
-VM's own 32-thread capacity, which only real added hardware lifts.
+`tools/multiproc_probe.py`: the 1.5M-page corpus split into 4 equal
+shards; one warmed local[8] process over one shard (baseline) vs 4
+CONCURRENT local[8] processes over all shards — separate JVMs, heaps,
+Arrow pipes and python-worker pools, the per-executor isolation of a
+real cluster, minus the extra hardware. Best across invocations, per
+pinning mode (pinned = each worker taskset to its own 8-core set —
+the faithful per-executor hardware budget):
+""")
+            for mode, mp in sorted(mp_store.items()):
+                f.write(f"""
+- **{mode}**: single {mp['t_single_s']}s, concurrent slowest-worker
+  {mp['t_quad_worst_s']}s -> efficiency **{mp['efficiency']}**
+""")
+            f.write("""
+(1.0 = perfect executor-style scale-out on this box.) PINNED, the
+topology control lands AT the single-JVM 8->32 pair — process
+isolation recovers nothing, so the knee is the host memory system,
+not JVM contention; the unpinned control's apparent recovery was the
+borrowed-core artifact (see the criterion reading below the marker).
 """)
         mb_path = os.path.join(os.path.dirname(__file__), "BENCH",
                                "membench.json")
