@@ -188,6 +188,13 @@ def _update_baseline_md(verdict: dict) -> None:
     rows = "\n".join(
         f"| local[{l}] | {verdict['levels'][str(l)]:.1f} |"
         for l in LEVELS if str(l) in verdict["levels"])
+    bests = verdict.get("state_bests", {})
+    best_pairs = _pairs({int(k): v for k, v in bests.items()})
+    bests_rows = "\n".join(
+        f"| local[{l}] | {bests[str(l)]:.1f} |"
+        for l in LEVELS if str(l) in bests)
+    bests_pairs_row = ", ".join(
+        f"{k}: **{v}**" for k, v in best_pairs.items())
     pairs = verdict["pairs"]
     cpu = verdict["cpu_control"]
     envelope = (f"[{cpu['triad_eff_8_32']}, {cpu['fma_eff_8_32']}]"
@@ -228,6 +235,15 @@ Sweep epoch: {verdict['gates'][0]['mops_per_proc']} Mops/proc,
 {verdict['gates'][-1]['mops_per_proc']} Mops/proc,
 {verdict['gates'][-1]['steal_pct']}% steal at end
 ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime(verdict['ts']))}).
+
+Cross-invocation bests for this mode
+({'BENCH/' + STATE_NAME}; best-per-level merge protocol):
+
+| level | best pages/sec |
+|---|---|
+{bests_rows}
+
+Best-based pairs: {bests_pairs_row}.
 
 {end}"""
     with open(path) as f:
