@@ -4086,6 +4086,36 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+def q_doc_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership (fagi_spark/sketch.py): the crawl-
+    frontier "seen URL?" test that gates incremental ingest before any
+    exact anti-join. The filter is built over the urls of even doc_ids
+    (the already-crawled half) and probed with every url; m_bits=1024
+    against ~250 build keys forces real false positives, so BOTH
+    verdict paths are exercised and value-checked — packed 32-bit
+    words, affine bit positions and bitwise-AND verdicts are identical
+    integer math on both engines. False negatives are impossible by
+    construction (pytest pins that plus mergeability)."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat_ws("/", F.col("source"),
+                    F.col("doc_id").cast("string")).alias("url"),
+        "doc_id")
+    built = sketch.bloom_build(urls.filter(F.col("doc_id") % 2 == 0),
+                               "url", m_bits=1024)
+    return sketch.bloom_probe(built, urls, "url", m_bits=1024)
+
+
+def _o_bloom():
+    from . import sketch
+    urls = ("(SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url, "
+            "doc_id FROM documents)")
+    return sketch.sql_bloom_probe(
+        f"(SELECT url FROM {urls} u WHERE doc_id % 2 = 0)",
+        f"(SELECT url FROM {urls} u)", "url", m_bits=1024)
+
+
 def q_doc_collocations(spark, sf_dir):
     """Top bigram collocations by PMI (textops.collocations): the
     phrase-mining pass before tokenizer training. Ranking by
@@ -5336,6 +5366,7 @@ QUERIES = {
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
+    "doc_bloom_probe": q_doc_bloom_probe,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_sq8_topk": q_ann_sq8_topk,
     "doc_url_parts": q_doc_url_parts,
@@ -5500,6 +5531,7 @@ ORACLES = {
     "doc_bm25_topk": _o_bm25(),
     "doc_keywords": _o_doc_keywords(),
     "doc_heavy_tokens": _o_cms(),
+    "doc_bloom_probe": _o_bloom(),
     "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),
     "fagi_polygon_measures": O_POLYGON_MEASURES,

@@ -178,6 +178,100 @@ SELECT _k AS {col}, CAST(est AS BIGINT) AS est
 FROM est WHERE est >= {threshold}"""
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): bounded-memory membership with NO false
+# negatives — the crawl-frontier "have we seen this URL?" test.
+# ---------------------------------------------------------------------------
+#
+# KMV answers "how many distinct", count-min answers "how often"; the
+# Bloom filter answers "is this one IN the set", which is what incre-
+# mental crawl/ingest dedup needs before paying a full anti-join: a
+# `seen=false` verdict is certain (skip the join for the bulk of new
+# keys), a `seen=true` verdict is a candidate for the exact check.
+# Scale shape: the filter is (word_idx, word) — m_bits/32 rows of
+# packed bits, built by one groupBy(word_idx) BIT_OR whose shuffle is
+# bounded by the FILTER size per partition, never by key cardinality;
+# probes broadcast-join the tiny word table. Shards/days merge by
+# word-wise BIT_OR (bloom_merge, tested == build over the union).
+# Hash family: pos_j(x) = affine_j(poly(md5(x))) % m_bits — the same
+# seeded family as count-min, formula-expressible on both engines, so
+# the packed words AND the per-key verdicts are value-exact in the
+# contract. 32-bit words packed into BIGINT keep every word positive
+# and shift-exact on both engines (bit < 32 -> 1<<bit < 2^31).
+
+_BLOOM_K = 4
+_WORD_BITS = 32
+
+
+def _bloom_word_cols(hs: DataFrame, k: int, m_bits: int) -> DataFrame:
+    """(… , pos) -> (word_idx, bitval) for each of the k positions."""
+    poss = F.array(*[_cms_slot(F.col("_h"), j, m_bits) for j in range(k)])
+    return (hs.select("*", F.explode(poss).alias("pos"))
+            .select("*",
+                    F.expr(f"CAST(pos DIV {_WORD_BITS} AS BIGINT)")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(pos % {_WORD_BITS} AS INT))")
+                    .alias("bitval")))
+
+
+def bloom_build(df: DataFrame, col: str, k: int = _BLOOM_K,
+                m_bits: int = 1 << 13) -> DataFrame:
+    """The filter: (word_idx BIGINT, word BIGINT), <= m_bits/32 rows."""
+    hs = _with_base_hash(df, col).select("_h")
+    bits = _bloom_word_cols(hs, k, m_bits)
+    return (bits.groupBy("word_idx")
+            .agg(F.expr("bit_or(bitval)").alias("word")))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Word-wise OR — the filter of the concatenated inputs (tested
+    equal to bloom_build over the union)."""
+    return (a.unionByName(b).groupBy("word_idx")
+            .agg(F.expr("bit_or(word)").alias("word")))
+
+
+def bloom_probe(filter_df: DataFrame, keys: DataFrame, col: str,
+                k: int = _BLOOM_K, m_bits: int = 1 << 13) -> DataFrame:
+    """Per distinct key: seen = all k bits set (maybe-in-set; false
+    positives possible at the designed rate, false negatives never).
+    Broadcast left join on word_idx; an absent word is all-zeros."""
+    hs = _with_base_hash(keys.select(col).distinct(), col)
+    kbits = _bloom_word_cols(hs, k, m_bits)
+    joined = kbits.join(F.broadcast(filter_df), "word_idx", "left")
+    hit = (F.coalesce(F.col("word"), F.lit(0))
+           .bitwiseAND(F.col("bitval")) != 0).cast("int")
+    return (joined.groupBy("_k").agg(F.min(hit).alias("_all"))
+            .select(F.col("_k").alias(col),
+                    (F.col("_all") == 1).alias("seen")))
+
+
+def sql_bloom_probe(build_expr: str, probe_expr: str, col: str,
+                    k: int = _BLOOM_K, m_bits: int = 1 << 13) -> str:
+    """DuckDB mirror of bloom_build + bloom_probe (value-exact: integer
+    hash grid, packed-word BIT_OR, bitwise-AND verdicts). Both args are
+    FROM-able expressions exposing ``col``."""
+    from .textops import sql_poly_base
+    h = sql_poly_base(f"MD5(CAST({col} AS VARCHAR))")
+    pos = f"((((2*j+1) * h + (j*1000003 + 12345)) % {POLY_MOD}) % {m_bits})"
+    shift = (f"(CAST(1 AS BIGINT) << "
+             f"CAST(pos % {_WORD_BITS} AS INTEGER))")
+    return f"""WITH bh AS (SELECT {h} AS h FROM {build_expr}),
+bpos AS (SELECT {pos} AS pos FROM bh CROSS JOIN RANGE(0, {k}) t(j)),
+words AS (
+  SELECT pos // {_WORD_BITS} AS word_idx, BIT_OR({shift}) AS word
+  FROM bpos GROUP BY 1),
+ph AS (SELECT DISTINCT {col} AS _k, {h} AS h FROM {probe_expr}),
+ppos AS (SELECT _k, {pos} AS pos FROM ph CROSS JOIN RANGE(0, {k}) t(j)),
+hits AS (
+  SELECT _k,
+         MIN(CASE WHEN (COALESCE(word, 0) & {shift}) <> 0
+                  THEN 1 ELSE 0 END) AS _all
+  FROM ppos LEFT JOIN words ON ppos.pos // {_WORD_BITS} = words.word_idx
+  GROUP BY _k)
+SELECT _k AS {col}, (_all = 1) AS seen FROM hits"""
+
+
 def sql_kmv_distinct(table: str, col: str, k: int = 64) -> str:
     """DuckDB mirror of kmv_distinct (value-exact, same IEEE ops)."""
     from .textops import sql_poly_base

@@ -62,3 +62,53 @@ def test_cms_unseen_key_estimates_small(skewed, spark):
     est = sketch.cms_lookup(sketch.cms_build(skewed, "k", w=4096),
                             probe, "k", w=4096).collect()
     assert est[0]["est"] == 0
+
+
+# --------------------------- Bloom filter ---------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_urls(spark):
+    rows = [("https://site%d.example/p%d" % (i % 7, i),) for i in range(300)]
+    return spark.createDataFrame(rows, ["url"]).repartition(8)
+
+
+def test_bloom_no_false_negatives(bloom_urls):
+    # every built key must probe seen=true regardless of fill factor
+    filt = sketch.bloom_build(bloom_urls, "url", m_bits=512)  # saturated
+    got = {r["url"]: r["seen"] for r in
+           sketch.bloom_probe(filt, bloom_urls, "url", m_bits=512).collect()}
+    assert len(got) == 300 and all(got.values())
+
+
+def test_bloom_unseen_mostly_new_some_false_positives(bloom_urls, spark):
+    built = bloom_urls.filter(F.col("url").contains("site0"))
+    n_built = built.count()
+    filt = sketch.bloom_build(built, "url", m_bits=1024)
+    verdicts = {r["url"]: r["seen"] for r in
+                sketch.bloom_probe(filt, bloom_urls, "url",
+                                   m_bits=1024).collect()}
+    seen = {u for u, s in verdicts.items() if s}
+    in_set = {r["url"] for r in built.collect()}
+    assert in_set <= seen                      # no false negatives
+    assert len(seen) < len(verdicts)           # most others definite-new
+    # tight filter (43 keys * 4 bits in 1024) keeps fp rate < 30%
+    fp = len(seen - in_set)
+    assert fp / (len(verdicts) - n_built) < 0.3
+
+
+def test_bloom_merge_equals_union_build(bloom_urls):
+    a = bloom_urls.filter(F.col("url").contains("site1"))
+    b = bloom_urls.filter(F.col("url").contains("site2"))
+    merged = sketch.bloom_merge(sketch.bloom_build(a, "url", m_bits=2048),
+                                sketch.bloom_build(b, "url", m_bits=2048))
+    direct = sketch.bloom_build(a.unionByName(b), "url", m_bits=2048)
+    assert ({(r["word_idx"], r["word"]) for r in merged.collect()}
+            == {(r["word_idx"], r["word"]) for r in direct.collect()})
+
+
+def test_bloom_partition_invariance(bloom_urls):
+    f1 = sketch.bloom_build(bloom_urls, "url", m_bits=2048)
+    f2 = sketch.bloom_build(bloom_urls.repartition(1), "url", m_bits=2048)
+    assert ({tuple(r) for r in f1.collect()}
+            == {tuple(r) for r in f2.collect()})
