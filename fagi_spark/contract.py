@@ -5249,6 +5249,56 @@ FROM ({O_RASTERIZE_POLYGONS}) ras
 GROUP BY 1"""
 
 
+def q_areal_weights(spark, sf_dir):
+    """Areal-interpolation weight matrix (joins.areal_weights): the
+    A-polygon zoning split across the incompatible B-polygon zoning at
+    res 13 — overlap in the raster domain is a shared-cell count, so
+    n_overlap and n_src are exact BIGINTs and w = n_overlap/n_src is
+    one IEEE division, value-exact cross-engine. The aggregated
+    transfer (areal_interpolate) is pytest-pinned against a rational
+    ground truth (its float SUM order is engine-internal)."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    src = fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
+    dst = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.areal_weights(src, dst, res=13)
+
+
+def _o_areal_weights(res: int = 13) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+
+    def raster(src: str) -> str:
+        return f"""(
+  WITH p AS (
+    SELECT subject,
+           CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+           CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+    FROM {src} WHERE kind = 'POLYGON'),
+  gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)}, {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
+  gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)}, {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx)
+  SELECT subject, ix, iy FROM gxy
+  WHERE -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) >= x0
+    AND -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) < x1
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) >= y0
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) < y1)"""
+
+    return f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+ra AS {raster('geo_a')},
+rb AS {raster('geo_b')},
+ns AS (SELECT subject AS src_subject, CAST(COUNT(*) AS BIGINT) AS n_src
+       FROM ra GROUP BY 1),
+ov AS (SELECT ra.subject AS src_subject, rb.subject AS dst_subject,
+              CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM ra JOIN rb ON rb.ix = ra.ix AND rb.iy = ra.iy
+       GROUP BY 1, 2)
+SELECT src_subject, dst_subject, n_overlap, n_src,
+       CAST(n_overlap AS DOUBLE) / CAST(n_src AS DOUBLE) AS w
+FROM ov JOIN ns USING (src_subject)"""
+
+
+O_AREAL_WEIGHTS = _o_areal_weights()
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -5276,6 +5326,7 @@ QUERIES = {
     "fagi_raster_iou": q_raster_iou,
     "fagi_rasterize_polygons": q_rasterize_polygons,
     "fagi_dissolve_area": q_dissolve_area,
+    "fagi_areal_weights": q_areal_weights,
     "fagi_polygon_adjacency": q_polygon_adjacency,
     "fagi_khop_reach": q_khop_reach,
     "fagi_shortest_paths": q_shortest_paths,
@@ -5428,6 +5479,7 @@ ORACLES = {
     "fagi_raster_iou": O_RASTER_IOU,
     "fagi_rasterize_polygons": O_RASTERIZE_POLYGONS,
     "fagi_dissolve_area": O_DISSOLVE_AREA,
+    "fagi_areal_weights": O_AREAL_WEIGHTS,
     "fagi_polygon_adjacency": O_POLYGON_ADJACENCY,
     "fagi_khop_reach": O_KHOP_REACH,
     "fagi_shortest_paths": O_SHORTEST_PATHS,

@@ -618,6 +618,64 @@ def dissolve_area(polygons: DataFrame, res: int, group_col: str = "group_id",
                  F.countDistinct("subject").alias("n_polys")))
 
 
+def areal_weights(src: DataFrame, dst: DataFrame, res: int,
+                  mode: str = "center") -> DataFrame:
+    """Areal-interpolation weight matrix (Goodchild & Lam 1980): how a
+    per-source-zone quantity splits across an INCOMPATIBLE target
+    zoning — census tracts onto grid tiles, admin regions onto
+    viewport cells (the zoning-mismatch problem every FAGI-style
+    conflation of two polygon layers eventually hits; the PostGIS
+    idiom is ST_Intersection area ratios, reference GeoClusterer.java's
+    ST_Intersects coverage being the nearest analog).
+
+    -> (src_subject, dst_subject, n_overlap, n_src, w): in the raster
+    domain overlap area is a shared-cell COUNT, so the weight
+    w = n_overlap / n_src is ONE IEEE division of exact BIGINTs —
+    value-exact cross-engine (fagi_areal_weights).
+
+    Scale shape: two rasterize passes (JVM explode + Arrow ray-cast on
+    candidates), one cell equi-join (the PBSM shape — co-located
+    zones meet only in shared cells, never an all-pairs zone join),
+    two partial-aggregated integer rollups; only (subject, cell) longs
+    cross a shuffle."""
+    ras_s = rasterize_polygons(
+        src.select("subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        res, mode=mode)
+    ras_d = rasterize_polygons(
+        dst.select("subject", "geom_wkt", "xmin", "ymin", "xmax", "ymax"),
+        res, mode=mode)
+    tot = (ras_s.groupBy("subject")
+           .agg(F.count(F.lit(1)).alias("n_src"))
+           .select(F.col("subject").alias("src_subject"), "n_src"))
+    ov = (ras_s.select(F.col("subject").alias("src_subject"), "cell")
+          .join(ras_d.select(F.col("subject").alias("dst_subject"), "cell"),
+                "cell")
+          .groupBy("src_subject", "dst_subject")
+          .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (ov.join(tot, "src_subject")
+            .select("src_subject", "dst_subject", "n_overlap", "n_src",
+                    (F.col("n_overlap").cast("double")
+                     / F.col("n_src").cast("double")).alias("w")))
+
+
+def areal_interpolate(src: DataFrame, dst: DataFrame, value_col: str,
+                      res: int, mode: str = "center") -> DataFrame:
+    """Areal-weighted value transfer: est(d) = sum_s value_s * w(s, d)
+    — population/count reallocation onto the target zoning. The float
+    SUM's order is engine-internal, so this aggregate is pytest-pinned
+    against a rational ground truth rather than oracle-compared; the
+    weight matrix itself is the value-exact contract entry
+    (fagi_areal_weights). Sources with no overlap contribute nowhere;
+    targets with no overlap are absent (LEFT-join dst downstream if a
+    0.0 row per empty target is needed)."""
+    wts = areal_weights(src, dst, res, mode=mode)
+    vals = src.select(F.col("subject").alias("src_subject"),
+                      F.col(value_col).cast("double").alias("_v"))
+    return (wts.join(vals, "src_subject")
+            .groupBy("dst_subject")
+            .agg(F.sum(F.col("_v") * F.col("w")).alias("est")))
+
+
 def polygon_adjacency(polygons: DataFrame, res: int, ring: int = 1,
                       mode: str = "center") -> DataFrame:
     """Polygon adjacency/topology graph -> (a_subject, b_subject):

@@ -414,3 +414,58 @@ def test_polygon_adjacency_bruteforce(spark):
     got2 = {(r["a_subject"], r["b_subject"])
             for r in joins.polygon_adjacency(polys, res=13, ring=2).collect()}
     assert ("a", "b") in got2  # ring=2 bridges the one-cell gap
+
+
+def test_areal_interpolation_rational_ground_truth(spark):
+    """Weights are exact cell-count ratios; the aggregated transfer
+    matches a Fraction-exact ground truth computed from the engine's
+    own rasterization (one float product+sum per target at this size,
+    so == holds). Mass is conserved for fully-covered sources."""
+    from fractions import Fraction
+    d = 360.0 / (1 << 13)
+    # source zones: two 8-cell squares side by side, values 100 / 40
+    src_rows = [("s0", _sq(0.0, 0.0, 8 * d), 100),
+                ("s1", _sq(8 * d, 0.0, 8 * d), 40)]
+    # target zoning: one 16-cell-wide strip covering both, split in
+    # half vertically at 4 cells — offset zoning, partial overlaps
+    dst_rows = [("t0", _sq(0.0, 0.0, 4 * d)),
+                ("t1", _sq(4 * d, 0.0, 12 * d))]
+    src = fuse.prepare_geoms(
+        spark.createDataFrame([(s, w) for s, w, _ in src_rows],
+                              "subject string, geom_wkt string"))
+    dst = fuse.prepare_geoms(
+        spark.createDataFrame(dst_rows, "subject string, geom_wkt string"))
+    vals = spark.createDataFrame([(s, v) for s, w, v in src_rows],
+                                 "subject string, pop long")
+    cells_of = {}
+    for name, df in (("src", src), ("dst", dst)):
+        for r in joins.rasterize_polygons(df, res=13).collect():
+            cells_of.setdefault((name, r["subject"]), set()).add(r["cell"])
+    vmap = {s: v for s, _, v in src_rows}
+    want = {}
+    for (side_d, t), dc in cells_of.items():
+        if side_d != "dst":
+            continue
+        tot = Fraction(0)
+        for (side_s, s), sc in cells_of.items():
+            if side_s != "src":
+                continue
+            n_ov = len(sc & dc)
+            if n_ov:
+                tot += Fraction(vmap[s]) * Fraction(n_ov, len(sc))
+        want[t] = tot
+    got = {r["dst_subject"]: r["est"]
+           for r in joins.areal_interpolate(src.join(vals, "subject"),
+                                            dst, "pop", res=13).collect()}
+    assert set(got) == {t for t, v in want.items() if v > 0}
+    for t, v in got.items():
+        # one product or a two-term sum of exact dyadic-safe ratios:
+        # compare within one ulp of the rational value
+        assert abs(v - float(want[t])) <= 1e-12 * max(1.0, float(want[t]))
+    # conservation against the rational total: t0 covers only s0's
+    # lower-left quadrant (16 of 64 cells) and no target covers s0's
+    # upper-left one, so exactly 100*16/64 = 25 units remain
+    # un-transferred — correct semantics for a non-covering target
+    # zoning, and the transferred mass matches the rational sum
+    assert sum(want.values()) == Fraction(115)
+    assert abs(sum(got.values()) - 115.0) <= 1e-9
