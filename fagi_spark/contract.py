@@ -4086,6 +4086,28 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+def q_doc_kmv_by_lang(spark, sf_dir):
+    """Per-group KMV distinct-count (sketch.kmv_distinct_grouped):
+    distinct texts per language at bounded per-group memory — the
+    "distinct users per tile" shape. k=16 forces the ESTIMATION branch
+    for the large language groups while small groups stay exhaustive-
+    exact, so both estimator paths are value-checked; the bottom-k
+    rank filter plans as WindowGroupLimit (per-partition heaps)."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    return (sketch.kmv_distinct_grouped(docs, "lang", "text", k=16)
+            .select(F.col("grp").alias("lang"),
+                    F.col("n_seen").cast("long").alias("n_seen"),
+                    F.col("h_k").cast("long").alias("h_k"), "est"))
+
+
+def _o_kmv_grouped():
+    from . import sketch
+    inner = sketch.sql_kmv_distinct_grouped("documents", "lang", "text",
+                                            k=16)
+    return (f"SELECT grp AS lang, n_seen, h_k, est FROM ({inner}) g")
+
+
 def q_doc_bloom_probe(spark, sf_dir):
     """Bloom-filter membership (fagi_spark/sketch.py): the crawl-
     frontier "seen URL?" test that gates incremental ingest before any
@@ -5418,6 +5440,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
     "doc_bloom_probe": q_doc_bloom_probe,
+    "doc_kmv_by_lang": q_doc_kmv_by_lang,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_sq8_topk": q_ann_sq8_topk,
     "doc_url_parts": q_doc_url_parts,
@@ -5584,6 +5607,7 @@ ORACLES = {
     "doc_keywords": _o_doc_keywords(),
     "doc_heavy_tokens": _o_cms(),
     "doc_bloom_probe": _o_bloom(),
+    "doc_kmv_by_lang": _o_kmv_grouped(),
     "doc_collocations": _o_collocations(),
     "fagi_zorder_index": _o_zorder(),
     "fagi_polygon_measures": O_POLYGON_MEASURES,

@@ -178,6 +178,63 @@ SELECT _k AS {col}, CAST(est AS BIGINT) AS est
 FROM est WHERE est >= {threshold}"""
 
 
+def kmv_bottom_k_grouped(df: DataFrame, group_col: str, col: str,
+                         k: int = 64) -> DataFrame:
+    """Per-group bottom-k sketch: (group, h) rows, <= k per group —
+    "distinct users per tile / distinct domains per language" at
+    bounded memory. One distinct + one window shuffle, both on the
+    group key; Spark 3.5+ plans the rank filter as WindowGroupLimit
+    (per-partition top-k heaps, never a full per-group sort
+    materialization). Groups with < k distinct values are exhaustive,
+    so their estimate is exact."""
+    hashed = df.select(F.col(group_col).alias("grp"),
+                       F.md5(F.col(col).cast("string")).alias("_m"))
+    hs = hashed.select("grp", _poly_base_expr("_m").alias("h")).distinct()
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy("h")
+    return (hs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_estimate_grouped(sketch_df: DataFrame, k: int = 64) -> DataFrame:
+    """(grp, n_seen, h_k, est) per group — same estimator and IEEE ops
+    as the global kmv_estimate, value-exact cross-engine."""
+    agg = sketch_df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("h_k"))
+    return agg.select(
+        "grp", "n_seen", "h_k",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_M_FLOAT)
+                   / F.col("h_k").cast("double")).alias("est"))
+
+
+def kmv_distinct_grouped(df: DataFrame, group_col: str, col: str,
+                         k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate (grp, n_seen, h_k, est)."""
+    return kmv_estimate_grouped(kmv_bottom_k_grouped(df, group_col,
+                                                     col, k), k)
+
+
+def sql_kmv_distinct_grouped(table: str, group_col: str, col: str,
+                             k: int = 64) -> str:
+    """DuckDB mirror of kmv_distinct_grouped (value-exact)."""
+    from .textops import sql_poly_base
+    h = sql_poly_base(f"MD5(CAST({col} AS VARCHAR))")
+    return f"""WITH hs AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}),
+rk AS (SELECT grp, h,
+              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       FROM hs),
+a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_seen,
+             CAST(MAX(h) AS BIGINT) AS h_k
+      FROM rk WHERE rn <= {k} GROUP BY grp)
+SELECT grp, n_seen, h_k,
+       CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+            ELSE {float(k - 1)!r} * {_M_FLOAT!r} / CAST(h_k AS DOUBLE)
+       END AS est
+FROM a"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter (Bloom 1970): bounded-memory membership with NO false
 # negatives — the crawl-frontier "have we seen this URL?" test.

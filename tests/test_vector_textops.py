@@ -765,3 +765,27 @@ def test_prefix_filter_jaccard_equals_naive(spark):
                     df, k=3, threshold=t).collect()}
         assert pref == naive, f"t={t}"
         assert any(a < 100 <= b for a, b in naive)  # planted pairs found
+
+
+def test_kmv_grouped_matches_per_group_global(spark):
+    """Per-group sketch == the global sketch run on each group alone;
+    exhaustive groups are exact and big groups estimate within KMV
+    error."""
+    from fagi_spark import sketch
+    rows = ([("small", f"s{i % 10}") for i in range(200)]
+            + [("big", f"b{i}") for i in range(3000)])
+    df = spark.createDataFrame(rows, "grp string, text string")
+    got = {r.grp: r for r in
+           sketch.kmv_distinct_grouped(df, "grp", "text", k=64).collect()}
+    assert (got["small"].n_seen, got["small"].est) == (10, 10.0)
+    assert got["big"].n_seen == 64
+    assert abs(got["big"].est - 3000) / 3000 < 0.38
+    # group isolation: per-group rows equal the global sketch of that
+    # group's data alone (hashes don't leak across groups)
+    for g in ("small", "big"):
+        alone = sorted(r.h for r in sketch.kmv_bottom_k(
+            df.filter(f"grp = '{g}'"), "text", k=64).collect())
+        grouped = sorted(r.h for r in
+                         sketch.kmv_bottom_k_grouped(df, "grp", "text", k=64)
+                         .filter(f"grp = '{g}'").collect())
+        assert alone == grouped
