@@ -293,6 +293,16 @@ class FagiSession:
             geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
             res)
 
+    def geary_c(self, side: str = "a", res: int = 7) -> DataFrame:
+        """Global Geary's C of one side's cell counts — the
+        local-contrast companion to morans_i (cells.geary_c, one
+        row; C < 1 clustered, C > 1 checkerboard-dissimilar)."""
+        from . import cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        return cells.geary_c(
+            geo.select(F.col("cx").alias("lon"), F.col("cy").alias("lat")),
+            res)
+
     def lisa(self, side: str = "a", res: int = 7) -> DataFrame:
         """LISA cluster map: per-cell local Moran's I with HH/LL/HL/LH
         quadrant labels (cells.local_morans_i)."""

@@ -864,6 +864,93 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
 FROM gstats CROSS JOIN pg"""
 
 
+def geary_c(df: DataFrame, res: int,
+            lon: str = "lon", lat: str = "lat",
+            counts: DataFrame | None = None) -> DataFrame:
+    """Global Geary's C spatial autocorrelation of the per-cell point
+    counts (Geary 1954; binary 8-adjacency weights over OCCUPIED
+    cells, the morans_i sparse-lattice convention) — the
+    local-contrast companion to Moran's I: C < 1 means adjacent cells
+    hold SIMILAR counts (positive autocorrelation), C > 1 dissimilar;
+    because it squares pairwise DIFFERENCES instead of cross-products
+    around the mean, C is more sensitive to local edges than I.
+
+    C = ((n-1) / (2W)) * (sum_ij w_ij (x_i - x_j)^2)
+                       / (sum_i (x_i - xbar)^2)
+    with both double sums over DIRECTED adjacent pairs (each
+    unordered pair appears twice in both W and the numerator, so the
+    standard symmetric-weights formula holds verbatim).
+
+    Same value-exactness recipe as morans_i: everything reduces to
+    five integer scalars — n, S1, S2 over occupied cells, and over
+    directed adjacent pairs W = count and dsum = sum (x_i - x_j)^2
+    (integer, order-independent) — then one fixed + - * / tree
+    (mirror: sql_geary_c). Scale shape: one count rollup, one 9-tap
+    ring equi-join on cells, two single-row aggregates. Returns one
+    row (n_cells, w_pairs, geary_c); NULL when n < 2, W = 0, or the
+    variance sum is 0. ``counts``: a precomputed cell_counts frame to
+    share the rollup with the rest of the ESDA layer."""
+    if counts is None:
+        counts = cell_counts(df, res, lon=lon, lat=lat)
+    g = counts.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("s1"),
+                   F.sum(F.col("x") * F.col("x")).alias("s2"))
+    ring = (explode_ring(counts, res, 1)
+            .filter(F.col("probe_cell") != F.col("cell"))
+            .select(F.col("probe_cell").alias("cell"),
+                    F.col("x").alias("xj")))
+    pairs = ring.join(counts.select("cell", F.col("x").alias("xi")), "cell")
+    pg = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum((F.col("xi") - F.col("xj"))
+              * (F.col("xi") - F.col("xj"))).alias("dsum"))
+    j = g.crossJoin(pg)
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    wd = F.col("w").cast("double")
+    dsumd = F.col("dsum").cast("double")
+    xbar = s1 / nd
+    var = s2 - F.lit(2.0) * xbar * s1 + nd * xbar * xbar
+    c_val = ((nd - F.lit(1.0)) / (F.lit(2.0) * wd)) * (dsumd / var)
+    return j.select(F.col("n").alias("n_cells"),
+                    F.col("w").alias("w_pairs"),
+                    F.when((F.col("n") >= 2) & (F.col("w") > 0)
+                           & (var != 0.0), c_val).alias("geary_c"))
+
+
+def sql_geary_c(lon_expr: str, lat_expr: str, from_clause: str,
+                res: int) -> str:
+    """DuckDB mirror of geary_c — same integer scalars, same float
+    tree (2.0e0 / 1.0e0 literals typed DOUBLE at the token level)."""
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+gstats AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM cnt),
+pr AS (SELECT a.x AS xi, b.x AS xj FROM cnt a JOIN cnt b
+       ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+      AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+      AND NOT (b.ix = a.ix AND b.iy = a.iy)),
+pg AS (SELECT COUNT(*) AS w,
+              CAST(SUM((xi - xj) * (xi - xj)) AS BIGINT) AS dsum FROM pr)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       CASE WHEN n >= 2 AND w > 0
+                 AND (CAST(s2 AS DOUBLE) - 2.0e0 * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE)
+                      + CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE))) <> 0.0
+            THEN ((CAST(n AS DOUBLE) - 1.0e0) / (2.0e0 * CAST(w AS DOUBLE)))
+                 * (CAST(dsum AS DOUBLE)
+                    / (CAST(s2 AS DOUBLE) - 2.0e0 * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE)
+                       + CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))))
+            ELSE NULL END AS geary_c
+FROM gstats CROSS JOIN pg"""
+
+
 def local_morans_i(df: DataFrame, res: int,
                    lon: str = "lon", lat: str = "lat",
                    field: DataFrame | None = None) -> DataFrame:

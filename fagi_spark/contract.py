@@ -728,6 +728,26 @@ O_MORANS_I = f"""WITH {GEO_A_CTE},
                     res=6).removeprefix("WITH ")}"""
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C of the A-point cell counts at res 6
+    (cells.geary_c): the local-contrast companion to fagi_morans_i —
+    squared differences over directed adjacent pairs instead of
+    cross-products around the mean. The float IS value-compared:
+    both engines reduce to the same five integer scalars (the pair
+    sum of squared differences is integer, hence order-independent),
+    then apply the same fixed + - * / tree."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.geary_c(a, 6)
+
+
+O_GEARY_C = f"""WITH {GEO_A_CTE},
+{cells.sql_geary_c("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                   "FROM geo_a WHERE kind = 'POINT'",
+                   res=6).removeprefix("WITH ")}"""
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid DBSCAN over the A points (cluster.grid_dbscan): res-6
     cells, min_pts 7 — every point labeled core/border/noise with a
@@ -5363,6 +5383,7 @@ QUERIES = {
     "fagi_density_surface": q_density_surface,
     "fagi_hotspots": q_hotspots,
     "fagi_morans_i": q_morans_i,
+    "fagi_geary_c": q_geary_c,
     "fagi_local_morans": q_local_morans,
     "fagi_idw_surface": q_idw_surface,
     "fagi_grid_dbscan": q_grid_dbscan,
@@ -5517,6 +5538,7 @@ ORACLES = {
     "fagi_density_surface": O_DENSITY_SURFACE,
     "fagi_hotspots": O_HOTSPOTS,
     "fagi_morans_i": O_MORANS_I,
+    "fagi_geary_c": O_GEARY_C,
     "fagi_local_morans": O_LOCAL_MORANS,
     "fagi_idw_surface": O_IDW_SURFACE,
     "fagi_grid_dbscan": O_GRID_DBSCAN,

@@ -420,6 +420,54 @@ def test_morans_i_clustered_vs_checkerboard(spark):
     assert r3.morans_i is None or math.isnan(r3.morans_i)
 
 
+def test_geary_c_clustered_vs_checkerboard(spark):
+    """Clustered mass gives C < 1 (similar neighbors), a checkerboard
+    gives C > 1 (dissimilar neighbors); the checkerboard value matches
+    a Python recomputation bit-for-bit via the same integer scalars;
+    constant field hits the NULL variance guard."""
+    import math
+
+    from fagi_spark import cells
+
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+
+    def field(counts_grid):
+        rows = []
+        for (i, j), c in counts_grid.items():
+            rows += [(lon0 + i * w, lat0 + j * h)] * c
+        return spark.createDataFrame(rows, "lon double, lat double")
+
+    clustered = {(i, j): (9 if i < 3 else 1)
+                 for i in range(6) for j in range(3)}
+    r1 = cells.geary_c(field(clustered), res).collect()[0]
+    assert r1.geary_c is not None and r1.geary_c < 1.0
+    checker = {(i, j): (9 if (i + j) % 2 == 0 else 1)
+               for i in range(6) for j in range(3)}
+    r2 = cells.geary_c(field(checker), res).collect()[0]
+    assert r2.geary_c is not None and r2.geary_c > 1.0
+    # bit-exact recompute for the checkerboard
+    n = len(checker)
+    s1 = sum(checker.values())
+    s2 = sum(v * v for v in checker.values())
+    wp = dsum = 0
+    for (i, j), xi in checker.items():
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if (di, dj) != (0, 0) and (i + di, j + dj) in checker:
+                    xj = checker[(i + di, j + dj)]
+                    wp += 1
+                    dsum += (xi - xj) * (xi - xj)
+    xbar = s1 / n
+    var = s2 - 2.0 * xbar * s1 + n * xbar * xbar
+    assert r2.n_cells == n and r2.w_pairs == wp
+    assert r2.geary_c == ((n - 1.0) / (2.0 * wp)) * (dsum / var)
+    const = {(i, j): 5 for i in range(3) for j in range(2)}
+    r3 = cells.geary_c(field(const), res).collect()[0]
+    assert r3.geary_c is None or math.isnan(r3.geary_c)
+
+
 def test_local_morans_quadrants(spark):
     """A high block beside a low field: block interior cells read HH,
     low cells adjacent to the block read LH, far low cells LL or LH by
