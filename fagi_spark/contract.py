@@ -1265,6 +1265,39 @@ O_DOC_TOKENS = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
+def q_doc_skyline(spark, sf_dir):
+    """Length-vs-richness Pareto frontier (curation.skyline_2d):
+    documents not dominated on (whitespace token count, distinct
+    token count) — the weighting-free "keep the frontier" selection.
+    The engine's plan is groupBy(x) -> running-max window over the
+    DISTINCT-x frame -> broadcast join back (never all-pairs); the
+    oracle brute-forces dominance with a NOT EXISTS self-join — a
+    genuinely different plan that must select the identical rows.
+    All comparisons integer/exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce("text", F.lit("")), " ")
+    m = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.size(toks).cast("long").alias("n_tok"),
+                    F.size(F.array_distinct(toks)).cast("long")
+                    .alias("n_distinct"))
+    return curation.skyline_2d(m, "n_tok", "n_distinct").select(
+        "doc_id", "n_tok", "n_distinct")
+
+
+O_DOC_SKYLINE = """WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tok,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(COALESCE(text, ''), ' ')))
+           AS BIGINT) AS n_distinct
+  FROM documents)
+SELECT doc_id, n_tok, n_distinct FROM m q
+WHERE NOT EXISTS (
+  SELECT 1 FROM m p
+  WHERE p.n_tok >= q.n_tok AND p.n_distinct >= q.n_distinct
+    AND (p.n_tok > q.n_tok OR p.n_distinct > q.n_distinct))"""
+
+
 def q_doc_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_quality(docs)
@@ -3907,6 +3940,67 @@ r{i + 1} AS (
             + f"\nSELECT node, rank FROM r{iters}")
 
 
+def q_doc_hits(spark, sf_dir):
+    """HITS hubs & authorities (components.hits, 2 iterations,
+    deterministic fold mode, L1 normalization) over the same planted
+    out-degree-2 web graph as doc_pagerank. Both floats ARE
+    value-compared: per-node half-step sums fold in neighbor-sorted
+    order and the normalization totals fold the node-sorted score
+    list, mirrored by LIST_REDUCE(LIST_PREPEND(0.0, LIST(..
+    ORDER BY ..))) on both the group and global folds. The scale
+    path (plain SUMs) is pytest-pinned proportional on the same
+    fixture."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    out = components.hits(e1.unionByName(e2), iters=2,
+                          deterministic=True,
+                          nodes=docs, node_col="doc_id")
+    return out.select("node", "hub", "auth")
+
+
+def _o_hits(iters: int = 2) -> str:
+    z = "CAST(0.0 AS DOUBLE)"
+    parts = [f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT node AS src, (node * 31 + 7) % n AS dst FROM nd, nn
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % n AS dst FROM nd, nn),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nd)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""ar{i} AS (
+  SELECT b.node, COALESCE(s.s, {z}) AS v
+  FROM nd b LEFT JOIN (
+    SELECT e.dst, LIST_REDUCE(LIST_PREPEND({z},
+             LIST(h.hub ORDER BY e.src)), (acc, v) -> acc + v) AS s
+    FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) s
+  ON s.dst = b.node),
+at{i} AS (SELECT LIST_REDUCE(LIST_PREPEND({z},
+            LIST(v ORDER BY node)), (acc, v) -> acc + v) AS tot FROM ar{i}),
+a{i} AS (SELECT node, CASE WHEN tot <> 0.0 THEN v / tot ELSE {z} END AS auth
+         FROM ar{i}, at{i}),
+hr{i} AS (
+  SELECT b.node, COALESCE(s.s, {z}) AS v
+  FROM nd b LEFT JOIN (
+    SELECT e.src, LIST_REDUCE(LIST_PREPEND({z},
+             LIST(a.auth ORDER BY e.dst)), (acc, v) -> acc + v) AS s
+    FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s
+  ON s.src = b.node),
+ht{i} AS (SELECT LIST_REDUCE(LIST_PREPEND({z},
+            LIST(v ORDER BY node)), (acc, v) -> acc + v) AS tot FROM hr{i}),
+h{i} AS (SELECT node, CASE WHEN tot <> 0.0 THEN v / tot ELSE {z} END AS hub
+         FROM hr{i}, ht{i})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.node, h.hub, a.auth"
+            + f"\nFROM h{iters} h JOIN a{iters} a USING (node)")
+
+
 def q_doc_lang_mixture(spark, sf_dir):
     """Temperature-based language-mixture weights (alpha=0.5, the
     XLM-R sampling rule): per-language token totals -> sqrt-amplified
@@ -5400,6 +5494,7 @@ QUERIES = {
     "doc_filter_decision": q_doc_filter_decision,
     "doc_corpus_vocab": q_corpus_vocab,
     "doc_token_count": q_doc_token_count,
+    "doc_skyline": q_doc_skyline,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_rolling_hash": q_doc_rolling_hash,
@@ -5467,6 +5562,7 @@ QUERIES = {
     "doc_url_parts": q_doc_url_parts,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pagerank": q_doc_pagerank,
+    "doc_hits": q_doc_hits,
     "doc_lang_mixture": q_doc_lang_mixture,
     "doc_surprisal": q_doc_surprisal,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -5555,6 +5651,7 @@ ORACLES = {
     "doc_filter_decision": O_DOC_FILTER_DECISION,
     "doc_corpus_vocab": O_CORPUS_VOCAB,
     "doc_token_count": O_DOC_TOKENS,
+    "doc_skyline": O_DOC_SKYLINE,
     "doc_quality": O_DOC_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
@@ -5617,6 +5714,7 @@ ORACLES = {
     "doc_url_parts": O_DOC_URL_PARTS,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_pagerank": _o_pagerank(),
+    "doc_hits": _o_hits(),
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_surprisal": O_DOC_SURPRISAL,
     "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,

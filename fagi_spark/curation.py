@@ -704,6 +704,36 @@ def sql_canonical_url(url_expr: str) -> str:
     return f"CASE WHEN {scheme} = '' THEN {url_expr} ELSE {canon} END"
 
 
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2D Pareto frontier (maximize both columns): rows not dominated
+    by any other row, where p dominates q iff p.x >= q.x and
+    p.y >= q.y with at least one strict — the curation shape for
+    "keep every document on the length-vs-richness frontier" style
+    selection without committing to a weighting of the two metrics.
+    Duplicates of a frontier point all survive (neither dominates
+    the other).
+
+    Never all-pairs: a point q is dominated iff
+      max{ gm(x') : x' > q.x } >= q.y        (strictly longer, as rich)
+      or gm(q.x) > q.y                       (same length, richer)
+    where gm(x) = max y within the x group. So the plan is ONE
+    map-side-combined groupBy(x) -> a running-max window over the
+    DISTINCT-x frame (cardinality = distinct metric values, e.g.
+    bounded by the max token count — thousands, not corpus-sized;
+    the only single-partition step runs on that tiny frame) -> a
+    broadcast join back on x. All comparisons are integer/exact;
+    works for any orderable numeric columns."""
+    gm = df.groupBy(x).agg(F.max(y).alias("_gm"))
+    w = (Window.orderBy(F.col(x).desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rm = gm.withColumn("_rm", F.max("_gm").over(w))
+    dominated = ((F.col("_rm").isNotNull() & (F.col("_rm") >= F.col(y)))
+                 | (F.col("_gm") > F.col(y)))
+    return (df.join(F.broadcast(rm), x)
+            .filter(~dominated)
+            .drop("_gm", "_rm"))
+
+
 # ---------------------------------------------------------------------------
 # Learned quality classifier (fastText-style)
 # ---------------------------------------------------------------------------

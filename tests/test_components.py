@@ -232,6 +232,46 @@ def test_pagerank_deterministic_equals_sum_path(spark):
     assert all(abs(fast[k] - det1[k]) < 1e-12 for k in det1)
 
 
+def test_hits_bipartite_and_sum_path(spark):
+    """On a pure bipartite graph {0,1,2} -> {3,4}, the left side are
+    pure hubs (auth 0) and the right pure authorities (hub 0); node 3
+    with two in-edges out-scores node 4 with one; each L1-normalized
+    score vector sums to ~1. The scale-path plain SUM matches the
+    deterministic sorted fold to float tolerance, and the
+    deterministic path is bit-stable across runs."""
+    from fagi_spark import components
+    bi = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 4)], "src long, dst long")
+    r = {x.node: (x.hub, x.auth) for x in
+         components.hits(bi, iters=3).collect()}
+    assert r[0][1] == 0.0 and r[1][1] == 0.0 and r[2][1] == 0.0
+    assert r[3][0] == 0.0 and r[4][0] == 0.0
+    assert r[3][1] > r[4][1] > 0.0
+    assert abs(sum(h for h, _ in r.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in r.values()) - 1.0) < 1e-9
+
+    n = 97
+    edges = [(i, (i * 31 + 7) % n) for i in range(n)] \
+        + [(i, (i * 17 + 3) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    det1 = {x.node: (x.hub, x.auth) for x in
+            components.hits(e, iters=3, deterministic=True).collect()}
+    det2 = {x.node: (x.hub, x.auth) for x in
+            components.hits(e, iters=3, deterministic=True).collect()}
+    fast = {x.node: (x.hub, x.auth) for x in
+            components.hits(e, iters=3, checkpoint_every=2).collect()}
+    assert det1 == det2                      # bit-stable
+    assert set(fast) == set(det1)
+    assert all(abs(fast[k][0] - det1[k][0]) < 1e-12
+               and abs(fast[k][1] - det1[k][1]) < 1e-12 for k in det1)
+    # zero-edge graph: all scores 0, never NaN
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    empty = spark.createDataFrame([], "src long, dst long")
+    z = components.hits(empty, iters=2, nodes=nodes,
+                        node_col="id").collect()
+    assert all(x.hub == 0.0 and x.auth == 0.0 for x in z)
+
+
 def _bfs_bruteforce(edges, seeds, k):
     """Level-by-level BFS ground truth: node -> min hops (<= k)."""
     adj = {}

@@ -485,3 +485,31 @@ def test_dedup_paragraphs_partition_invariance_and_order(spark):
            for r in curation.dedup_paragraphs(docs).collect()}
     assert out[0] == "u0\n\ncommon tail\n\nv0"
     assert all(out[i] == f"u{i}\n\nv{i}" for i in range(1, 40))
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """The window-based frontier equals an all-pairs dominance
+    brute force on a fixture with ties, duplicates, and a dominated
+    diagonal; duplicate frontier points all survive."""
+    from fagi_spark import curation
+
+    pts = [(0, 5, 1), (1, 4, 2), (2, 4, 2), (3, 3, 3), (4, 2, 2),
+           (5, 1, 5), (6, 5, 1), (7, 3, 1), (8, 1, 1), (9, 2, 3)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted((r.id, r.x, r.y) for r in
+                 curation.skyline_2d(df, "x", "y").collect())
+
+    def dominated(q):
+        return any(p[1] >= q[1] and p[2] >= q[2]
+                   and (p[1] > q[1] or p[2] > q[2]) for p in pts)
+
+    want = sorted(p for p in pts if not dominated(p))
+    assert got == want
+    # duplicates (0,5,1) and (6,5,1) both on the frontier
+    ids = {i for i, _, _ in got}
+    assert {0, 6} <= ids
+    # single row is trivially the frontier; empty in -> empty out
+    one = spark.createDataFrame([(0, 1, 1)], "id long, x long, y long")
+    assert curation.skyline_2d(one, "x", "y").count() == 1
+    empty = spark.createDataFrame([], "id long, x long, y long")
+    assert curation.skyline_2d(empty, "x", "y").count() == 0
