@@ -352,6 +352,81 @@ def keep_longest_keys(df: DataFrame, clusters: DataFrame,
             .select(F.col("node").alias(key)))
 
 
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   nodes: DataFrame | None = None,
+                   node_col: str | None = None) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected simple graph -> (node, degree, triangles, lcc) — the
+    cohesion companion to ``pagerank``/``hits`` for link-graph
+    curation: link farms and boilerplate nav meshes are triangle-dense
+    (lcc ~ 1) while organic editorial linking is sparse, so lcc is a
+    standard spam / template-cluster discriminator. Input edges may
+    carry duplicates, self-loops and either orientation; they collapse
+    to the canonical simple graph first (same contract as
+    ``connected_components``).
+
+    Scale shape is the degree-ordered node-iterator (Schank &
+    Wagner 2005; the MapReduce form in Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"): every
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, so a node's OUT-neighborhood — the only thing the wedge
+    self-join fans out on — is bounded by O(sqrt(m)) regardless of how
+    hot a hub is. That is THE difference between this and the naive
+    adjacency self-join, whose wedge count on a 10M-degree crawl hub
+    (m^2 on the hottest reducer) is the canonical last-reducer
+    death. Three shuffles total: degree groupBy, wedge self-join on
+    the oriented source, closure equi-join of wedges against the
+    canonical edge set; each triangle materializes exactly once (its
+    minimum-rank vertex is the wedge pivot, the other two ordered by
+    id) and then explodes to its three member nodes for one final
+    counting groupBy. No loops, no driver-side data.
+
+    ``lcc`` = 2*triangles / (degree*(degree-1)) for degree >= 2 else
+    0.0 — integer numerator and denominator with ONE IEEE division,
+    so the float is oracle-comparable. Isolated nodes (only with a
+    ``nodes`` frame) report degree 0, triangles 0, lcc 0.0."""
+    e = _canon_edges(edges, src, dst)
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+    # orient low-(deg, id) -> high; e already has a < b, so ties on
+    # degree orient a -> b
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(F.col("_da") <= F.col("_db"), F.col("a"))
+                 .otherwise(F.col("b")).alias("u"),
+                 F.when(F.col("_da") <= F.col("_db"), F.col("b"))
+                 .otherwise(F.col("a")).alias("v")))
+    x = o.select(F.col("u"), F.col("v").alias("_v1"))
+    y = o.select(F.col("u"), F.col("v").alias("_v2"))
+    wedges = (x.join(y, "u")
+              .filter(F.col("_v1") < F.col("_v2")))
+    tri = wedges.join(e, (wedges["_v1"] == e["a"])
+                      & (wedges["_v2"] == e["b"]))
+    per = (tri.select(F.explode(F.array("u", "_v1", "_v2")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    out = (deg.select(F.col("a").alias("node"), "deg")
+           .join(per, "node", "left")
+           .select("node", F.col("deg").alias("degree"),
+                   F.coalesce(F.col("triangles"),
+                              F.lit(0).cast("long")).alias("triangles")))
+    if nodes is not None:
+        assert node_col is not None, "node_col required with nodes"
+        isolated = (nodes.select(F.col(node_col).alias("node")).distinct()
+                    .join(out.select("node"), "node", "left_anti")
+                    .select("node",
+                            F.lit(0).cast("long").alias("degree"),
+                            F.lit(0).cast("long").alias("triangles")))
+        out = out.unionByName(isolated)
+    return out.select(
+        "node", "degree", "triangles",
+        F.when(F.col("degree") >= 2,
+               (F.lit(2.0) * F.col("triangles"))
+               / (F.col("degree") * (F.col("degree") - 1)))
+        .otherwise(F.lit(0.0)).alias("lcc"))
+
+
 def khop_reachability(edges: DataFrame, seeds: DataFrame,
                       max_hops: int, src: str = "src", dst: str = "dst",
                       node_col: str = "node") -> DataFrame:

@@ -4001,6 +4001,66 @@ h{i} AS (SELECT node, CASE WHEN tot <> 0.0 THEN v / tot ELSE {z} END AS hub
             + f"\nFROM h{iters} h JOIN a{iters} a USING (node)")
 
 
+def q_doc_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (components.triangle_count, degree-ordered node-iterator) over a
+    planted ring+chords web graph: edges (i, i+1), (i, i+2) and
+    (i, 7i+3) mod n — the ring/chord pair guarantees a dense triangle
+    population and the multiplicative family creates rank-crossing
+    hubs that exercise the (deg, id) orientation. degree/triangles
+    are BIGINT-exact; lcc is 2*tri / (deg*(deg-1)) — integer numerator
+    and denominator with one mirrored IEEE division, value-compared.
+    The oracle replays the same canonicalize/orient/wedge/close steps
+    in SQL over the identical planted edge list."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    fams = [lambda c: (c + 1) % n, lambda c: (c + 2) % n,
+            lambda c: (c * 7 + 3) % n]
+    e = None
+    for f in fams:
+        part = docs.select(F.col("doc_id").alias("src"),
+                           f(F.col("doc_id")).alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    out = components.triangle_count(e, nodes=docs, node_col="doc_id")
+    return out.select("node", "degree", "triangles", "lcc")
+
+
+O_DOC_TRIANGLES = """WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e0 AS (
+  SELECT node AS s, (node + 1) % n AS d FROM nd, nn
+  UNION ALL SELECT node, (node + 2) % n FROM nd, nn
+  UNION ALL SELECT node, (node * 7 + 3) % n FROM nd, nn),
+e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+      FROM e0 WHERE s <> d),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+o AS (SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON da.node = e.a
+             JOIN deg db ON db.node = e.b),
+w AS (SELECT x.u AS u, x.v AS v1, y.v AS v2
+      FROM o x JOIN o y ON x.u = y.u AND x.v < y.v),
+tri AS (SELECT u, v1, v2 FROM w JOIN e ON e.a = w.v1 AND e.b = w.v2),
+per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v1 FROM tri
+          UNION ALL SELECT v2 FROM tri) GROUP BY node)
+SELECT nd.node,
+       COALESCE(deg.deg, 0) AS degree,
+       COALESCE(per.triangles, 0) AS triangles,
+       CASE WHEN COALESCE(deg.deg, 0) >= 2
+            THEN (2.0 * COALESCE(per.triangles, 0))
+                 / (deg.deg * (deg.deg - 1))
+            ELSE CAST(0.0 AS DOUBLE) END AS lcc
+FROM nd LEFT JOIN deg ON deg.node = nd.node
+        LEFT JOIN per ON per.node = nd.node"""
+
+
 def q_doc_lang_mixture(spark, sf_dir):
     """Temperature-based language-mixture weights (alpha=0.5, the
     XLM-R sampling rule): per-language token totals -> sqrt-amplified
@@ -5563,6 +5623,7 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pagerank": q_doc_pagerank,
     "doc_hits": q_doc_hits,
+    "doc_triangles": q_doc_triangles,
     "doc_lang_mixture": q_doc_lang_mixture,
     "doc_surprisal": q_doc_surprisal,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -5715,6 +5776,7 @@ ORACLES = {
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "doc_pagerank": _o_pagerank(),
     "doc_hits": _o_hits(),
+    "doc_triangles": O_DOC_TRIANGLES,
     "doc_lang_mixture": O_DOC_LANG_MIXTURE,
     "doc_surprisal": O_DOC_SURPRISAL,
     "doc_chunk_overlap": O_DOC_CHUNK_OVERLAP,

@@ -353,3 +353,61 @@ def test_bounded_shortest_paths_parallel_edges(spark):
     got = {r["node"]: r["dist"]
            for r in components.bounded_shortest_paths(e, seeds, 2).collect()}
     assert got == {0: 0, 2: 0, 1: 1}
+
+
+def _tri_bruteforce(edges):
+    """Per-node triangle counts on the canonical simple graph."""
+    es = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nbr = {}
+    for a, b in es:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in nbr}
+    for a, b in es:
+        for c in nbr[a] & nbr[b]:
+            tri[a] += 1  # each triangle touches edge (a,b) once; the
+            # common-neighbor scan credits a and b per closing vertex
+            tri[b] += 1
+    # every triangle was credited twice per vertex (once per incident
+    # edge scanned), i.e. each vertex counted 2x -> halve
+    return {n: t // 2 for n, t in tri.items()}, nbr
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 (every node: deg 3, tri 3, lcc 1.0) glued to a 3-path tail
+    (no triangles, middle node lcc 0); duplicate / reversed /
+    self-loop edges collapse."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    dirty = k4 + [(1, 0), (2, 2), (0, 1), (3, 10), (10, 11)]
+    e = spark.createDataFrame(dirty, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"], r["lcc"])
+           for r in components.triangle_count(e).collect()}
+    for n in (0, 1, 2):
+        assert got[n] == (3, 3, 1.0)
+    assert got[3] == (4, 3, 0.5)          # 6/(4*3)
+    assert got[10] == (2, 0, 0.0)
+    assert got[11] == (1, 0, 0.0)
+
+
+def test_triangle_count_bruteforce_parity_and_isolated(spark):
+    """Planted ring + two chord families vs a python brute force;
+    isolated nodes from the nodes frame report all-zero."""
+    n = 60
+    edges = ([(i, (i + 1) % n) for i in range(n)]
+             + [(i, (i + 2) % n) for i in range(n)]
+             + [(i, (i * 7 + 3) % n) for i in range(n)])
+    want, nbr = _tri_bruteforce(edges)
+    e = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    nodes = spark.createDataFrame([(i,) for i in range(n + 5)],
+                                  "doc_id long")
+    rows = components.triangle_count(
+        e, nodes=nodes, node_col="doc_id").collect()
+    got = {r["node"]: (r["degree"], r["triangles"], r["lcc"]) for r in rows}
+    assert len(got) == n + 5
+    for i in range(n):
+        d, t = len(nbr[i]), want[i]
+        lcc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[i] == (d, t, lcc), i
+    for i in range(n, n + 5):
+        assert got[i] == (0, 0, 0.0)
+    assert sum(t for _, t, _ in got.values()) % 3 == 0
