@@ -4372,6 +4372,48 @@ def _o_bm25():
     return retrieval.sql_bm25_topk(_BM25_TERMS, k=20)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (retrieval.rrf_fuse; Cormack et al. SIGIR'09): BM25 top-20 for the
+    fixed query terms fused with the exact ANN top-20 for query vector
+    0 (embeddings.vec_id aligns with documents.doc_id). The RRF score
+    is two exact integer-rank reciprocals added in a fixed order, so
+    the whole hybrid stack — BM25 stats, dot products, both rank
+    windows, the fusion — is value-checked end to end. Scale shape:
+    the two retrievers bound the inputs to k rows each; the fusion
+    join broadcasts."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = (retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+          .select(F.col("doc_id").cast("long").alias("doc_id"), "rank"))
+    qv = emb.filter(F.col("vec_id") == 0)
+    ann = (vector.brute_force_topk(qv, emb, k=20)
+           .select(F.col("neighbor_id").cast("long").alias("doc_id"), "rank"))
+    out = retrieval.rrf_fuse(bm, ann, k0=60, out_k=10)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "rrf_score", F.col("rank").cast("long").alias("rank"))
+
+
+def _o_hybrid_rrf():
+    from . import retrieval
+    bm = retrieval.sql_bm25_topk(_BM25_TERMS, k=20)
+    fuse = retrieval.sql_rrf_fuse("bm", "ann", k0=60, out_k=10)
+    return f"""WITH bm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, rank FROM ({bm})
+), ann AS (
+  SELECT CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+                                     x -> x[1] * x[2])) DESC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0) q,
+         embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= 20
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_score, rank FROM ({fuse})"""
+
+
 def q_doc_keywords(spark, sf_dir):
     """Per-document top-5 TF-IDF keywords (retrieval.doc_keywords):
     the tagging twin of BM25 retrieval — WindowGroupLimit top-k per
@@ -5566,6 +5608,7 @@ QUERIES = {
     "doc_jaccard_prefix": q_jaccard_prefix,
     "ann_topk": q_ann_topk,
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
+    "doc_hybrid_rrf": q_hybrid_rrf,
     "doc_minhash_candidates": q_minhash_candidates,
     "doc_duplicate_spans": q_doc_duplicate_spans,
     "doc_strip_spans": q_doc_strip_spans,
@@ -5724,6 +5767,7 @@ ORACLES = {
     "doc_jaccard_prefix": O_JACCARD_PREFIX,
     "ann_topk": O_ANN_TOPK,
     "ann_hybrid_lang_topk": O_HYBRID_LANG_ANN,
+    "doc_hybrid_rrf": _o_hybrid_rrf(),
     "fagi_cluster_features": O_CLUSTER_FEATURES,
     "fagi_learning_features": O_LEARNING_FEATURES,
     "fagi_schema_kind_inventory": O_SCHEMA_KIND_INVENTORY,

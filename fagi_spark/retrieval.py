@@ -170,6 +170,69 @@ FROM (
 ) ORDER BY score DESC, {key} ASC LIMIT {k}"""
 
 
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k0: int = 60,
+             out_k: int = 10, key: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of two ranked retrieval lists — the standard hybrid-search combiner
+    for a lexical ranker (bm25_topk) and a vector ranker (ANN top-k):
+
+        rrf(d) = 1/(k0 + rank_a(d)) + 1/(k0 + rank_b(d))
+
+    with a missing rank contributing 0. Rank fusion beats score fusion
+    here because BM25 scores and cosine scores live on incompatible
+    scales; RRF only consumes the integer ranks.
+
+    Returns (key, rrf_score, rank) with rank 1..out_k, ties broken by
+    key. The score is two exact IEEE divisions of integers plus one
+    addition in a fixed order (a-term first), so a SQL oracle can check
+    VALUES.
+
+    Scale shape: both inputs are already top-k lists (bounded by their
+    upstream retrievers — the expensive work), so the fusion is a join
+    of two k-row frames; Spark broadcasts both sides and the final
+    top-k is a TakeOrdered. Fusing FULL ranked lists instead (rare)
+    would swap the outer join for a union + groupBy(key) sum — still
+    one bounded shuffle — but per-group float-sum order would then be
+    nondeterministic, so keep the two-list expression form wherever
+    value reproducibility matters.
+    """
+    ra = ranked_a.select(F.col(key), F.col(rank_col).alias("_ra"))
+    rb = ranked_b.select(F.col(key), F.col(rank_col).alias("_rb"))
+    fused = ra.join(rb, key, "full_outer")
+    sa = (F.when(F.col("_ra").isNotNull(),
+                 F.lit(1.0) / (F.lit(float(k0)) + F.col("_ra").cast("double")))
+          .otherwise(F.lit(0.0)))
+    sb = (F.when(F.col("_rb").isNotNull(),
+                 F.lit(1.0) / (F.lit(float(k0)) + F.col("_rb").cast("double")))
+          .otherwise(F.lit(0.0)))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(key))
+    return (fused.select(F.col(key), (sa + sb).alias("rrf_score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= out_k))
+
+
+def sql_rrf_fuse(cte_a: str, cte_b: str, k0: int = 60, out_k: int = 10,
+                 key: str = "doc_id", rank_col: str = "rank") -> str:
+    """DuckDB mirror of :func:`rrf_fuse`: ``cte_a``/``cte_b`` are CTE
+    names exposing (key, rank). Same fixed a-then-b addition order and
+    the k0 constant emitted as a DOUBLE-typed literal."""
+    k0l = repr(float(k0)) + "e0"
+    score = (f"(CASE WHEN _ra IS NOT NULL THEN 1.0e0 / ({k0l} + CAST(_ra AS DOUBLE)) ELSE 0.0e0 END"
+             f" + CASE WHEN _rb IS NOT NULL THEN 1.0e0 / ({k0l} + CAST(_rb AS DOUBLE)) ELSE 0.0e0 END)")
+    return f"""SELECT {key}, rrf_score, rank FROM (
+  SELECT {key}, rrf_score,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, {key} ASC) AS BIGINT) AS rank
+  FROM (
+    SELECT COALESCE(a.{key}, b.{key}) AS {key}, {score} AS rrf_score
+    FROM (SELECT {key}, {rank_col} AS _ra FROM {cte_a}) a
+    FULL OUTER JOIN (SELECT {key}, {rank_col} AS _rb FROM {cte_b}) b
+    ON a.{key} = b.{key}
+  )
+) WHERE rank <= {out_k}"""
+
+
 def doc_keywords(docs: DataFrame, k: int = 5,
                  key: str = "doc_id", text: str = "text") -> DataFrame:
     """Per-document top-``k`` TF-IDF keywords — the tagging/indexing

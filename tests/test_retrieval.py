@@ -96,3 +96,33 @@ def test_doc_keywords_ranking_and_values(spark):
     assert all(rank <= 2 for (_, rank) in got)
     # every doc contributes exactly k rows (vocab >= k here)
     assert len(got) == 6
+
+
+# ---- reciprocal-rank fusion -------------------------------------------------
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(11, 1), (13, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"])
+           for r in retrieval.rrf_fuse(a, b, k0=60, out_k=10).collect()}
+    want = {
+        10: 1.0 / 61.0,
+        11: 1.0 / 62.0 + 1.0 / 61.0,
+        12: 1.0 / 63.0,
+        13: 1.0 / 62.0,
+    }
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d][0] == pytest.approx(s, rel=0, abs=0)  # exact IEEE
+    # 11 (in both lists) wins, then 10 (1/61), 13 (1/62), 12 (1/63)
+    order = sorted(got.items(), key=lambda kv: kv[1][1])
+    assert [d for d, _ in order] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_out_k_truncates_and_ties_break_by_key(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    got = retrieval.rrf_fuse(a, b, k0=60, out_k=3).collect()
+    assert len(got) == 3
+    # (1,3) tie at 1/61 -> key asc; (2,4) tie at 1/62 -> 2 wins slot 3
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 3, 2]
