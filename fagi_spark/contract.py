@@ -1470,6 +1470,48 @@ O_JACCARD_PREFIX = O_NGRAM_JACCARD.replace(">= 0.2", ">= 0.25")
 assert O_JACCARD_PREFIX != O_NGRAM_JACCARD
 
 
+def q_edit_dist_join(spark, sf_dir):
+    """Edit-distance similarity join (textops.edit_distance_join,
+    Ed-Join q-gram prefix filtering — Xiao et al. VLDB'08) over short
+    title strings (first three words of each document) plus a planted
+    1-substitution variant of every 7th title, so true near-matches
+    exist by construction. The blocking is lossless, so the oracle is
+    the naive all-pairs ``levenshtein(a,b) <= 2`` join — the strongest
+    possible check: any false negative from the q-gram prefix filter
+    would hash-mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    title = F.array_join(F.slice(F.split(F.coalesce("text", F.lit("")),
+                                         " "), 1, 3), " ")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       title.alias("title"))
+    plant = (base.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat(F.lit("x"), F.substring("title", 2, 100000))
+                     .alias("title")))
+    aug = base.unionByName(plant)
+    out = textops.edit_distance_join(aug, d=2, q=2, key="doc_id",
+                                     col="title")
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("dist").cast("long").alias("dist"))
+
+
+O_EDIT_DIST_JOIN = """WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         ARRAY_TO_STRING((STRING_SPLIT(COALESCE(text, ''), ' '))[1:3], ' ') AS title
+  FROM documents),
+aug AS (
+  SELECT doc_id, title FROM base
+  UNION ALL
+  SELECT doc_id + 100000, 'x' || SUBSTRING(title, 2) FROM base WHERE doc_id % 7 = 0)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(LEVENSHTEIN(a.title, b.title) AS BIGINT) AS dist
+FROM aug a JOIN aug b
+  ON a.doc_id < b.doc_id
+ AND ABS(LENGTH(a.title) - LENGTH(b.title)) <= 2
+WHERE LEVENSHTEIN(a.title, b.title) <= 2"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-word fraction +
     top-bigram fraction per document (textops.with_repetition)."""
@@ -5606,6 +5648,7 @@ QUERIES = {
     "doc_ngram_jaccard": q_ngram_jaccard,
     "doc_ngram_containment": q_ngram_containment,
     "doc_jaccard_prefix": q_jaccard_prefix,
+    "doc_edit_dist_join": q_edit_dist_join,
     "ann_topk": q_ann_topk,
     "ann_hybrid_lang_topk": q_hybrid_lang_ann,
     "doc_hybrid_rrf": q_hybrid_rrf,
@@ -5765,6 +5808,7 @@ ORACLES = {
     "doc_ngram_jaccard": O_NGRAM_JACCARD,
     "doc_ngram_containment": O_NGRAM_CONTAINMENT,
     "doc_jaccard_prefix": O_JACCARD_PREFIX,
+    "doc_edit_dist_join": O_EDIT_DIST_JOIN,
     "ann_topk": O_ANN_TOPK,
     "ann_hybrid_lang_topk": O_HYBRID_LANG_ANN,
     "doc_hybrid_rrf": _o_hybrid_rrf(),

@@ -789,3 +789,43 @@ def test_kmv_grouped_matches_per_group_global(spark):
                          sketch.kmv_bottom_k_grouped(df, "grp", "text", k=64)
                          .filter(f"grp = '{g}'").collect())
         assert alone == grouped
+
+
+# ---- edit-distance similarity join ------------------------------------------
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_edit_distance_join_equals_all_pairs(spark):
+    from fagi_spark import textops
+    rows = [
+        (0, "spark engine"),
+        (1, "spark enginx"),      # ed 1 from 0
+        (2, "spark engines"),     # ed 1 from 0, ed 2 from 1
+        (3, "completely different title"),
+        (4, "a"),                 # short-string edge (len < q)
+        (5, "ab"),                # ed 1 from 4
+        (6, ""),                  # empty edge: ed 1 from 4, 2 from 5
+        (7, "spark ennine"),      # ed 1 from 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "title"])
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in textops.edit_distance_join(df, d=2, q=2).collect()}
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            dd = _lev(ta, tb)
+            if dd <= 2:
+                want[(ia, ib)] = dd
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (4, 6) in got  # padding closes the short-string hole
