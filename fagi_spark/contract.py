@@ -5579,6 +5579,170 @@ FROM ov JOIN ns USING (src_subject)"""
 O_AREAL_WEIGHTS = _o_areal_weights()
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strict ordered-funnel conversion (events.funnel): per step, how
+    many users completed signup -> view -> click -> purchase in order,
+    each step strictly after the previous match. The engine runs one
+    groupBy(user) + JVM aggregate-fold (greedy-earliest pointer); the
+    oracle is the textbook sequential-min join chain — the fold's
+    greedy-optimal equivalence is exactly what the hash check proves.
+    The event stream is thinned (event_id % 23) so the fixture's
+    hyperactive users don't all convert (72 -> 19 -> 3 -> 1 at
+    sf0.01)."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    out = ev.funnel(e, _FUNNEL_STEPS)
+    return out.select(F.col("step").cast("long").alias("step"),
+                      "step_name",
+                      F.col("n_users").cast("long").alias("n_users"),
+                      "frac_of_first")
+
+
+def _o_events_funnel() -> str:
+    s1, s2, s3, s4 = _FUNNEL_STEPS
+    return f"""WITH e AS (SELECT * FROM events WHERE event_id % 23 = 0),
+t1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM e
+       WHERE event_type = '{s1}' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM e
+       JOIN t1 USING (user_id)
+       WHERE e.event_type = '{s2}' AND epoch_us(e.ts) > t1.t
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM e
+       JOIN t2 USING (user_id)
+       WHERE e.event_type = '{s3}' AND epoch_us(e.ts) > t2.t
+       GROUP BY e.user_id),
+t4 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM e
+       JOIN t3 USING (user_id)
+       WHERE e.event_type = '{s4}' AND epoch_us(e.ts) > t3.t
+       GROUP BY e.user_id),
+c(step, step_name, n_users) AS (
+  SELECT CAST(1 AS BIGINT), '{s1}', (SELECT CAST(COUNT(*) AS BIGINT) FROM t1)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{s2}', (SELECT CAST(COUNT(*) AS BIGINT) FROM t2)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), '{s3}', (SELECT CAST(COUNT(*) AS BIGINT) FROM t3)
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), '{s4}', (SELECT CAST(COUNT(*) AS BIGINT) FROM t4))
+SELECT step, step_name, n_users,
+       CAST(n_users AS DOUBLE)
+         / NULLIF(CAST((SELECT n_users FROM c WHERE step = 1) AS DOUBLE), 0.0)
+         AS frac_of_first
+FROM c"""
+
+
+O_EVENTS_FUNNEL = _o_events_funnel()
+
+
+def q_events_cohort(spark, sf_dir):
+    """Weekly cohort-retention matrix (events.cohort_retention): users
+    bucketed by first-event week, counted per active week offset, with
+    the retained fraction vs the cohort's offset-0 size. Thinned
+    (event_id % 13) so later cohorts exist and retention decays."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    return ev.cohort_retention(e)
+
+
+O_EVENTS_COHORT = """WITH e AS (
+  SELECT * FROM events WHERE event_id % 13 = 0),
+act AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    / 7.0) AS BIGINT) AS week
+  FROM e),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+cells AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM act JOIN c USING (user_id)
+  GROUP BY 1, 2),
+base AS (SELECT cohort_week, n_users AS sz FROM cells WHERE week_offset = 0)
+SELECT cohort_week, week_offset, n_users,
+       CAST(n_users AS DOUBLE) / CAST(sz AS DOUBLE) AS retained_frac
+FROM cells JOIN base USING (cohort_week)"""
+
+
+_RIPLEY_RADII = [0.01, 0.02, 0.04, 0.08]
+
+
+def q_events_ripley(spark, sf_dir):
+    """Ripley's K at four radii (events.ripley_k): blocked cell-ring
+    pair counting at max(r), per-radius conditional sums, bounding-box
+    window area — the oracle brute-forces every pair predicate over
+    the thinned point set (event_id % 7) and mirrors the two float
+    ops (area product, one division) plus the pi*r^2 CSR literal."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    pts = _event_pts(e, "event_id")
+    return ev.ripley_k(pts, _RIPLEY_RADII)
+
+
+def _o_events_ripley() -> str:
+    import math
+    arms = []
+    for i, r in enumerate(_RIPLEY_RADII):
+        arms.append(
+            f"SELECT CAST({i} AS INT) AS r_idx, {_dlit(r)} AS r_deg, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM pr "
+            f"WHERE pr.d2 <= {_dlit(r * r)}) AS n_close, "
+            f"{_dlit(math.pi * r * r)} AS k_csr")
+    radii_sql = "\nUNION ALL\n".join(arms)
+    return f"""WITH p AS (
+  SELECT event_id AS id, {_EV_LON_SQL} AS x, {_EV_LAT_SQL} AS y
+  FROM events WHERE event_id % 7 = 0),
+pr AS (
+  SELECT ((a.x - b.x) * (a.x - b.x)) + ((a.y - b.y) * (a.y - b.y)) AS d2
+  FROM p a JOIN p b ON a.id < b.id),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              (MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS area FROM p),
+r AS ({radii_sql})
+SELECT r.r_idx, r.r_deg, r.n_close,
+       (st.area * CAST(2 * r.n_close AS DOUBLE))
+         / CAST(st.n * (st.n - 1) AS DOUBLE) AS k_hat,
+       r.k_csr
+FROM r, st"""
+
+
+O_EVENTS_RIPLEY = _o_events_ripley()
+
+
+_PHRASE = "stream table hash"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query over the positional token stream
+    (retrieval.phrase_search): one posexplode + m-1 equi-joins on
+    (doc, pos - i); the oracle slides a window over each document's
+    token list — every start position, overlapping matches included."""
+    from . import retrieval
+    return retrieval.phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+def _o_phrase_search() -> str:
+    terms = _PHRASE.split(" ")
+    m = len(terms)
+    conds = " AND ".join(
+        f"w[i + {i}] = '{t}'" if i else f"w[i] = '{t}'"
+        for i, t in enumerate(terms))
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_filter(range(1, len(w) - {m} + 2), i -> {conds}) AS hits
+  FROM t)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) - 1 AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0"""
+
+
+O_PHRASE_SEARCH = _o_phrase_search()
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -5615,6 +5779,10 @@ QUERIES = {
     "events_heading_octants": q_heading_octants,
     "fagi_coverage_gaps": q_coverage_gaps,
     "events_knox": q_knox_statistic,
+    "events_funnel": q_events_funnel,
+    "events_cohort_retention": q_events_cohort,
+    "events_ripley_k": q_events_ripley,
+    "doc_phrase_search": q_phrase_search,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5775,6 +5943,10 @@ ORACLES = {
     "events_heading_octants": O_HEADING_OCTANTS,
     "fagi_coverage_gaps": O_COVERAGE_GAPS,
     "events_knox": O_KNOX_STATISTIC,
+    "events_funnel": O_EVENTS_FUNNEL,
+    "events_cohort_retention": O_EVENTS_COHORT,
+    "events_ripley_k": O_EVENTS_RIPLEY,
+    "doc_phrase_search": O_PHRASE_SEARCH,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

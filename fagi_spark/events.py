@@ -780,3 +780,184 @@ def knox_statistic(events: DataFrame, radius_deg: float, window_s: int,
                                    F.lit(0)))
             .select("n_events", "n_pairs", "n_close_st", "n_close_s",
                     "n_close_t", "knox_ratio"))
+
+
+def funnel_stages(events: DataFrame, steps: list,
+                  ts: str = "ts", user: str = "user_id",
+                  kind: str = "event_type") -> DataFrame:
+    """Per-user strict ordered-funnel progress: ``stage`` = how many of
+    ``steps`` the user completed IN ORDER, each step strictly after the
+    previous one (the product-analytics funnel; no FAGI analog — the
+    web-event side of the graft).
+
+    One shuffle: groupBy(user) -> time-sorted event array -> a JVM
+    ``aggregate`` fold that greedily advances the stage pointer when
+    the next step's event type appears at a strictly later timestamp.
+    Greedy-earliest is optimal here (matching a step sooner never
+    blocks a later step, since the only constraint is ``ts >`` the
+    previous match), so the fold equals the sequential-min-join
+    definition the SQL oracle uses — different algorithm, same rows.
+    Per-user state is the user's own event list; web-scale per-user
+    event counts are bounded (sessions of one principal), and the
+    all-users work distributes on the groupBy key.
+
+    Returns (user_id, stage) with stage in [0, len(steps)].
+    """
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_stages needs at least one step")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.select(
+        F.col(user).alias("user_id"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("_us"),
+        F.col(kind).alias("_k"))
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("_us").alias("us"), F.col("_k").alias("k")))).alias("evs"))
+    init = F.struct(F.lit(0).cast("int").alias("stage"),
+                    F.lit(-1).cast("long").alias("t"))
+    fold = F.aggregate(
+        "evs", init,
+        lambda st, e: F.when(
+            (st["stage"] < F.lit(n))
+            & (e["k"] == F.element_at(steps_arr, st["stage"] + 1))
+            & (e["us"] > st["t"]),
+            F.struct((st["stage"] + 1).alias("stage"),
+                     e["us"].alias("t"))).otherwise(st))
+    return agg.select("user_id", fold["stage"].cast("int").alias("stage"))
+
+
+def funnel(events: DataFrame, steps: list, ts: str = "ts",
+           user: str = "user_id", kind: str = "event_type") -> DataFrame:
+    """Funnel conversion report: one row per step with the number of
+    users who reached it (strict in-order semantics of
+    ``funnel_stages``) and the fraction of step-1 users retained.
+
+    Everything after the per-user fold is driver-free tiny-frame
+    algebra: stage histogram (<= len(steps)+1 rows) -> broadcast
+    non-equi join against the step list -> one cross join for the
+    step-1 denominator. Returns (step, step_name, n_users,
+    frac_of_first) sorted by step.
+    """
+    spark = events.sparkSession
+    st = funnel_stages(events, steps, ts=ts, user=user, kind=kind)
+    by_stage = st.groupBy("stage").agg(F.count(F.lit(1)).alias("cnt"))
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string")
+    reached = (steps_df.join(F.broadcast(by_stage),
+                             F.col("stage") >= F.col("step"), "left")
+               .groupBy("step", "step_name")
+               .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                    .alias("n_users")))
+    first = (reached.filter(F.col("step") == 1)
+             .select(F.col("n_users").alias("_first")))
+    return (reached.crossJoin(F.broadcast(first))
+            .select("step", "step_name", "n_users",
+                    (F.col("n_users").cast("double")
+                     / F.nullif(F.col("_first").cast("double"), F.lit(0.0)))
+                    .alias("frac_of_first")))
+
+
+def cohort_retention(events: DataFrame, anchor: str = "2024-01-01",
+                     ts: str = "ts", user: str = "user_id") -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = the week (7-day index
+    from ``anchor``) of a user's first event; each later active week
+    counts toward (cohort_week, week_offset). The classic growth
+    analytics rollup a web-events warehouse runs daily.
+
+    Scale shape: distinct (user, week) -> min-per-user cohort (both
+    map-side combinable) -> equi-join on user -> final rollup; the
+    per-cohort denominator joins back on the tiny cohort_week frame
+    (broadcast). No windows over the full table, no driver loops.
+
+    Returns (cohort_week, week_offset, n_users, retained_frac) where
+    retained_frac = n_users / cohort size (offset-0 count).
+    """
+    wk = F.floor(F.datediff(F.to_date(F.col(ts)), F.lit(anchor)) / 7) \
+        .cast("long")
+    act = (events.select(F.col(user).alias("user_id"), wk.alias("week"))
+           .distinct())
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells_ = (act.join(cohort, "user_id")
+              .groupBy("cohort_week",
+                       (F.col("week") - F.col("cohort_week"))
+                       .alias("week_offset"))
+              .agg(F.count(F.lit(1)).alias("n_users")))
+    base = (cells_.filter(F.col("week_offset") == 0)
+            .select("cohort_week", F.col("n_users").alias("_size")))
+    return (cells_.join(F.broadcast(base), "cohort_week")
+            .select("cohort_week", "week_offset", "n_users",
+                    (F.col("n_users").cast("double")
+                     / F.col("_size").cast("double")).alias("retained_frac")))
+
+
+def ripley_k(pts: DataFrame, radii_deg: list, key: str = "event_id",
+             lon: str = "lon", lat: str = "lat",
+             res: int | None = None) -> DataFrame:
+    """Ripley's K point-pattern statistic (uncorrected estimator) at a
+    ladder of radii — the multi-scale sibling of the single-radius
+    Knox/Gi* tests: K(r) = A/(n(n-1)) * #{ordered pairs within r}.
+    K above pi*r^2 means clustering at that scale, below means
+    dispersion (Ripley 1976; standard ESDA literature).
+
+    One blocked pair join at max(radii) (the same cell-ring probe/build
+    skeleton as ``knox_statistic`` — never all-pairs), then every
+    radius is a conditional SUM over the one candidate frame, stacked
+    to rows; n and the bounding-box window area A come from one
+    aggregate row cross-joined in. All counts are exact BIGINTs and
+    the only float ops are the same (dx*dx)+(dy*dy) form the oracle
+    mirrors plus one multiply/divide per output — value-exact.
+
+    Returns (r_idx, r_deg, n_close, k_hat, k_csr) with n_close the
+    UNORDERED (a<b) pair count; k_hat doubles it for the ordered-sum
+    estimator; k_csr = pi*r^2 is the CSR reference curve.
+    """
+    import math
+    from . import cells
+
+    radii = sorted(float(r) for r in radii_deg)
+    if not radii or radii[0] <= 0:
+        raise ValueError("ripley_k needs positive radii")
+    r_max = radii[-1]
+    res = res if res is not None else cells.res_for_radius_deg(r_max)
+    kx, ky = cells.ring_k_for_radius(r_max, res)
+    base = cells.with_cell(
+        pts.select(F.col(key).alias("_id"),
+                   F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    probe = base.select(F.col("_id").alias("a_id"),
+                        F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                        F.col("cell").alias("probe_cell"))
+    build = (cells.explode_ring(base, res, (kx, ky))
+             .select(F.col("_id").alias("b_id"),
+                     F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                     "probe_cell"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    d2 = (dx * dx) + (dy * dy)
+    pairs = (probe.join(build, "probe_cell")
+             .filter((F.col("a_id") < F.col("b_id"))
+                     & (d2 <= F.lit(r_max * r_max)))
+             .select(d2.alias("d2")))
+    counts = pairs.agg(*[
+        F.sum(F.when(F.col("d2") <= F.lit(r * r), 1).otherwise(0))
+        .cast("long").alias(f"_c{i}") for i, r in enumerate(radii)])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        ((F.max("_x") - F.min("_x")) * (F.max("_y") - F.min("_y")))
+        .alias("_area"))
+    stacked = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("r_idx"),
+                 F.lit(r).alias("r_deg"),
+                 F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long")
+                 .alias("n_close"))
+        for i, r in enumerate(radii)])).alias("s")).select("s.*")
+    out = stacked.crossJoin(F.broadcast(stats))
+    k_hat = ((F.col("_area") * (F.lit(2) * F.col("n_close")).cast("double"))
+             / (F.col("_n") * (F.col("_n") - 1)).cast("double"))
+    return (out.select("r_idx", "r_deg", "n_close",
+                       k_hat.alias("k_hat"),
+                       *[])
+            .withColumn("k_csr", F.element_at(
+                F.array(*[F.lit(math.pi * r * r) for r in radii]),
+                F.col("r_idx") + 1)))

@@ -295,3 +295,44 @@ keywords AS (
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}
                   ORDER BY score DESC, term) AS rnk FROM scored)
   WHERE rnk <= {k})"""
+
+
+def phrase_search(docs: DataFrame, phrase: str, key: str = "doc_id",
+                  col: str = "text") -> DataFrame:
+    """Positional-inverted-index phrase query: documents containing the
+    exact token sequence ``phrase``, with occurrence counts — the
+    retrieval primitive BM25's bag-of-words scoring can't express
+    (quoted-phrase search, boilerplate-sentence hunting, exact-quote
+    contamination checks against a benchmark string).
+
+    Plan: ONE posexplode builds the positional postings frame; the
+    m-term phrase then chains m-1 equi-joins on (doc, pos - i) — each
+    join keyed on the normalized start position, so candidate rows are
+    only the postings of the phrase's own terms (rare terms shrink the
+    join immediately; the corpus-wide token stream is scanned once).
+    Overlapping matches count separately, same as the oracle's
+    sliding-window definition. At 100 TB the postings frame shuffles
+    on (doc, start) — uniform by construction; no per-doc state, no
+    driver loops, no Python.
+
+    Returns (doc_id, n_matches, first_pos) with first_pos 0-based.
+    """
+    terms = [t for t in phrase.split(" ") if t != ""]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    toks = docs.select(
+        F.col(key).alias("_doc"),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")), " "))
+        .alias("_pos", "_tok"))
+    starts = (toks.filter(F.col("_tok") == terms[0])
+              .select("_doc", F.col("_pos").alias("_start")))
+    for i, w in enumerate(terms[1:], start=1):
+        nxt = (toks.filter(F.col("_tok") == w)
+               .select("_doc", (F.col("_pos") - i).alias("_start")))
+        starts = starts.join(nxt, ["_doc", "_start"])
+    return (starts.groupBy("_doc")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("_start").alias("first_pos"))
+            .select(F.col("_doc").alias(key),
+                    F.col("n_matches").cast("long").alias("n_matches"),
+                    F.col("first_pos").cast("long").alias("first_pos")))

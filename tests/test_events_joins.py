@@ -423,3 +423,131 @@ def test_knox_statistic_bruteforce(spark):
         (n_s, n_t, n_st)
     assert out["knox_ratio"] == n_st * (n * (n - 1) // 2) / (n_s * n_t)
     assert out["knox_ratio"] > 1.0  # planted interaction
+
+
+# ---- funnel / cohort / ripley / phrase --------------------------------------
+
+def test_funnel_strict_order_bruteforce(spark):
+    # user 1: full in-order funnel; user 2: click BEFORE view (strict
+    # order blocks stage 3); user 3: signup only; user 4: view-first
+    # (never signs up -> stage 0); ties: user 5 has view at the SAME
+    # timestamp as signup -> strict '>' must reject it.
+    rows = [
+        (0, 1, "signup", "2024-01-01T01:00"),
+        (1, 1, "view", "2024-01-01T02:00"),
+        (2, 1, "click", "2024-01-01T03:00"),
+        (3, 1, "purchase", "2024-01-01T04:00"),
+        (4, 2, "signup", "2024-01-01T01:00"),
+        (5, 2, "click", "2024-01-01T01:30"),   # too early, not view yet
+        (6, 2, "view", "2024-01-01T02:00"),
+        (7, 3, "signup", "2024-01-01T01:00"),
+        (8, 4, "view", "2024-01-01T01:00"),
+        (9, 5, "signup", "2024-01-01T01:00"),
+        (10, 5, "view", "2024-01-01T01:00"),   # same instant: rejected
+        (11, 5, "view", "2024-01-01T01:01"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, k, _ts(t)) for i, u, k, t in rows],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    steps = ["signup", "view", "click", "purchase"]
+    stages = {r["user_id"]: r["stage"]
+              for r in ev.funnel_stages(df, steps).collect()}
+    assert stages == {1: 4, 2: 2, 3: 1, 4: 0, 5: 2}
+    out = {r["step"]: (r["step_name"], r["n_users"], r["frac_of_first"])
+           for r in ev.funnel(df, steps).collect()}
+    assert out == {1: ("signup", 4, 1.0), 2: ("view", 3, 0.75),
+                   3: ("click", 1, 0.25), 4: ("purchase", 1, 0.25)}
+
+
+def test_funnel_greedy_equals_sequential_min(spark):
+    # randomized-ish stream: greedy fold must equal the sequential-min
+    # definition the oracle uses
+    import itertools
+    steps = ["a", "b", "c"]
+    kinds = ["a", "b", "c", "x"]
+    rows, eid = [], 0
+    for u in range(30):
+        for j in range(7):
+            k = kinds[(u * 7 + j * 5) % len(kinds)]
+            t = f"2024-01-01T{(u + j * 3) % 24:02d}:{(u * j) % 60:02d}"
+            rows.append((eid, u, k, _ts(t)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts2 long, event_type string, ts timestamp") \
+        .withColumnRenamed("ts2", "user_id")
+    got = {r["user_id"]: r["stage"]
+           for r in ev.funnel_stages(df, steps).collect()}
+    per_user = {}
+    for _, u, k, t in [(r[0], r[1], r[2], r[3]) for r in rows]:
+        per_user.setdefault(u, []).append((t, k))
+    want = {}
+    for u, evs in per_user.items():
+        stage, last = 0, None
+        # sequential-min: for each step, earliest event strictly later
+        for s in steps:
+            cand = [t for t, k in evs if k == s
+                    and (last is None or t > last)]
+            if not cand:
+                break
+            last = min(cand)
+            stage += 1
+        want[u] = stage
+    assert got == want
+
+
+def test_cohort_retention_handcase(spark):
+    rows = [
+        (0, 1, "2024-01-02"), (1, 1, "2024-01-10"), (2, 1, "2024-01-20"),
+        (3, 2, "2024-01-03"), (4, 2, "2024-01-04"),
+        (5, 3, "2024-01-09"), (6, 3, "2024-01-16"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, _ts(d + "T12:00")) for i, u, d in rows],
+        "event_id long, user_id long, ts timestamp")
+    out = {(r["cohort_week"], r["week_offset"]):
+           (r["n_users"], r["retained_frac"])
+           for r in ev.cohort_retention(df).collect()}
+    # users 1,2 are week-0 cohort; user 1 active weeks 0,1,2; user 3 is
+    # week-1 cohort active weeks 1,2
+    assert out == {(0, 0): (2, 1.0), (0, 1): (1, 0.5), (0, 2): (1, 0.5),
+                   (1, 0): (1, 1.0), (1, 1): (1, 1.0)}
+
+
+def test_ripley_k_bruteforce(spark):
+    import itertools
+    pts = [(i, -7.0 + (i * 13 % 40) / 100.0, 2.0 + (i * 29 % 40) / 100.0)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+    radii = [0.02, 0.05, 0.11]
+    out = {r["r_idx"]: r for r in ev.ripley_k(df, radii).collect()}
+    xs = [x for _, x, _ in pts]
+    ys = [y for _, _, y in pts]
+    area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    n = len(pts)
+    for i, r in enumerate(radii):
+        naive = sum(
+            ((x1 - x2) * (x1 - x2)) + ((y1 - y2) * (y1 - y2)) <= r * r
+            for (_, x1, y1), (_, x2, y2) in itertools.combinations(pts, 2))
+        row = out[i]
+        assert row["n_close"] == naive
+        assert row["k_hat"] == area * (2 * naive) / (n * (n - 1))
+        import math
+        assert row["k_csr"] == math.pi * r * r
+
+
+def test_phrase_search_overlaps_and_absence(spark):
+    from fagi_spark import retrieval
+    docs = spark.createDataFrame(
+        [(0, "batch batch batch stream"),       # overlapping "batch batch" x2
+         (1, "stream table hash join"),
+         (2, "table hash stream"),              # wrong order
+         (3, None),
+         (4, "stream table hash stream table hash")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in retrieval.phrase_search(docs, "batch batch").collect()}
+    assert out == {0: (2, 0)}
+    out3 = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in retrieval.phrase_search(docs, "stream table hash")
+            .collect()}
+    assert out3 == {1: (1, 0), 4: (2, 0)}
