@@ -5709,6 +5709,114 @@ FROM r, st"""
 O_EVENTS_RIPLEY = _o_events_ripley()
 
 
+_G_RADII = [0.01, 0.02, 0.04, 0.08]
+
+
+def q_events_gfunction(spark, sf_dir):
+    """Nearest-neighbor G-function (events.nn_g_function): fraction of
+    points whose nearest other point lies within r, four radii. The
+    per-point MIN(d2) is an exactly order-independent float reduction,
+    so the blocked ring join is value-comparable against the naive
+    per-point-min oracle; n_within/g_frac mirror as integer counts +
+    one division."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    pts = _event_pts(e, "event_id")
+    return ev.nn_g_function(pts, _G_RADII)
+
+
+def _o_events_gfunction() -> str:
+    arms = []
+    for i, r in enumerate(_G_RADII):
+        arms.append(
+            f"SELECT CAST({i} AS INT) AS r_idx, {_dlit(r)} AS r_deg, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM nn "
+            f"WHERE nn.d2 <= {_dlit(r * r)}) AS n_within")
+    radii_sql = "\nUNION ALL\n".join(arms)
+    return f"""WITH p AS (
+  SELECT event_id AS id, {_EV_LON_SQL} AS x, {_EV_LAT_SQL} AS y
+  FROM events WHERE event_id % 7 = 0),
+nn AS (
+  SELECT a.id,
+         MIN(((a.x - b.x) * (a.x - b.x)) + ((a.y - b.y) * (a.y - b.y))) AS d2
+  FROM p a JOIN p b ON a.id <> b.id
+  GROUP BY a.id),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+r AS ({radii_sql})
+SELECT r.r_idx, r.r_deg, r.n_within,
+       CAST(r.n_within AS DOUBLE) / CAST(st.n AS DOUBLE) AS g_frac
+FROM r, st"""
+
+
+O_EVENTS_GFUNCTION = _o_events_gfunction()
+
+
+def q_doc_labelprop(spark, sf_dir):
+    """Fixed-round synchronous label propagation
+    (components.label_propagation, 3 rounds) over a planted-community
+    graph on the documents table: dense blocks of 20 (two intra-block
+    out-edges per node) plus a sparse inter-block bridge on every 13th
+    node — communities the pure-reachability components operator would
+    (wrongly, for this purpose) merge. The oracle unrolls the same
+    three synchronous rounds declaratively (count -> ROW_NUMBER argmax
+    -> COALESCE carry), proving the iterative join loop equals the
+    textbook definition."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    blk = F.floor(F.col("doc_id") / 20) * 20
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     (blk + (F.col("doc_id") * 7 + 1) % 20).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     (blk + (F.col("doc_id") * 3 + 2) % 20).alias("dst"))
+    e3 = (docs.filter(F.col("doc_id") % 13 == 0)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 31 + 5) % n).alias("dst")))
+    edges = e1.unionByName(e2).unionByName(e3).filter(F.col("dst") < n)
+    out = components.label_propagation(edges, iters=3, nodes=docs,
+                                       node_col="doc_id")
+    return out.select("node", "label")
+
+
+def _o_labelprop(iters: int = 3) -> str:
+    parts = [f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e0 AS (
+  SELECT node AS src,
+         (node // 20) * 20 + (node * 7 + 1) % 20 AS dst FROM nd
+  UNION ALL
+  SELECT node AS src,
+         (node // 20) * 20 + (node * 3 + 2) % 20 AS dst FROM nd
+  UNION ALL
+  SELECT node AS src, (node * 31 + 5) % n AS dst FROM nd, nn
+  WHERE node % 13 = 0),
+e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM e0, nn WHERE dst < n
+    UNION
+    SELECT dst AS src, src AS dst FROM e0, nn WHERE dst < n)
+  WHERE src <> dst),
+l0 AS (SELECT node AS id, node AS lbl FROM nd)"""]
+    for i in range(iters):
+        parts.append(f"""c{i + 1} AS (
+  SELECT e.dst AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e JOIN l{i} l ON l.id = e.src GROUP BY 1, 2),
+b{i + 1} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+    FROM c{i + 1}) WHERE rn = 1),
+l{i + 1} AS (
+  SELECT p.id, COALESCE(b{i + 1}.lbl, p.lbl) AS lbl
+  FROM l{i} p LEFT JOIN b{i + 1} USING (id))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id AS node, lbl AS label FROM l{iters}")
+
+
+O_DOC_LABELPROP = _o_labelprop()
+
+
 _PHRASE = "stream table hash"
 
 
@@ -5782,7 +5890,9 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort,
     "events_ripley_k": q_events_ripley,
+    "events_g_function": q_events_gfunction,
     "doc_phrase_search": q_phrase_search,
+    "doc_label_propagation": q_doc_labelprop,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5946,7 +6056,9 @@ ORACLES = {
     "events_funnel": O_EVENTS_FUNNEL,
     "events_cohort_retention": O_EVENTS_COHORT,
     "events_ripley_k": O_EVENTS_RIPLEY,
+    "events_g_function": O_EVENTS_GFUNCTION,
     "doc_phrase_search": O_PHRASE_SEARCH,
+    "doc_label_propagation": O_DOC_LABELPROP,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

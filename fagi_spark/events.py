@@ -961,3 +961,63 @@ def ripley_k(pts: DataFrame, radii_deg: list, key: str = "event_id",
             .withColumn("k_csr", F.element_at(
                 F.array(*[F.lit(math.pi * r * r) for r in radii]),
                 F.col("r_idx") + 1)))
+
+
+def nn_g_function(pts: DataFrame, radii_deg: list, key: str = "event_id",
+                  lon: str = "lon", lat: str = "lat",
+                  res: int | None = None) -> DataFrame:
+    """Nearest-neighbor G-function: the fraction of points whose
+    nearest OTHER point lies within r, at a ladder of radii — the
+    second classic point-pattern summary beside ``ripley_k`` (G rises
+    early under clustering, late under inhibition; Diggle's standard
+    ESDA pair). Radii must satisfy r <= max(radii): a point with no
+    neighbor inside the max-radius ring correctly counts as "beyond r"
+    for every reported r.
+
+    Same blocked skeleton as ripley_k, but directional (a != b) so
+    each point owns a MIN(d2) — an exactly order-independent float
+    reduction (no data-dependent float sums), then per-radius counts
+    are conditional integer SUMs and g_frac is one division. All
+    value-exact against the naive per-point-min oracle.
+
+    Returns (r_idx, r_deg, n_within, g_frac).
+    """
+    from . import cells
+
+    radii = sorted(float(r) for r in radii_deg)
+    if not radii or radii[0] <= 0:
+        raise ValueError("nn_g_function needs positive radii")
+    r_max = radii[-1]
+    res = res if res is not None else cells.res_for_radius_deg(r_max)
+    kx, ky = cells.ring_k_for_radius(r_max, res)
+    base = cells.with_cell(
+        pts.select(F.col(key).alias("_id"),
+                   F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    probe = base.select(F.col("_id").alias("a_id"),
+                        F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                        F.col("cell").alias("probe_cell"))
+    build = (cells.explode_ring(base, res, (kx, ky))
+             .select(F.col("_id").alias("b_id"),
+                     F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                     "probe_cell"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    d2 = (dx * dx) + (dy * dy)
+    nn = (probe.join(build, "probe_cell")
+          .filter((F.col("a_id") != F.col("b_id"))
+                  & (d2 <= F.lit(r_max * r_max)))
+          .groupBy("a_id").agg(F.min(d2).alias("nn_d2")))
+    counts = nn.agg(*[
+        F.sum(F.when(F.col("nn_d2") <= F.lit(r * r), 1).otherwise(0))
+        .cast("long").alias(f"_c{i}") for i, r in enumerate(radii)])
+    n_row = base.agg(F.count(F.lit(1)).alias("_n"))
+    stacked = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("r_idx"),
+                 F.lit(r).alias("r_deg"),
+                 F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long")
+                 .alias("n_within"))
+        for i, r in enumerate(radii)])).alias("s")).select("s.*")
+    return (stacked.crossJoin(F.broadcast(n_row))
+            .select("r_idx", "r_deg", "n_within",
+                    (F.col("n_within").cast("double")
+                     / F.col("_n").cast("double")).alias("g_frac")))

@@ -411,3 +411,71 @@ def test_triangle_count_bruteforce_parity_and_isolated(spark):
     for i in range(n, n + 5):
         assert got[i] == (0, 0, 0.0)
     assert sum(t for _, t, _ in got.values()) % 3 == 0
+
+
+# ---- label propagation ------------------------------------------------------
+
+def _lpa_bruteforce(n_nodes, edges, iters):
+    adj = {i: [] for i in range(n_nodes)}
+    for a, b in edges:
+        if a != b:
+            if b not in adj[a]:
+                adj[a].append(b)
+            if a not in adj[b]:
+                adj[b].append(a)
+    lbl = {i: i for i in range(n_nodes)}
+    for _ in range(iters):
+        new = {}
+        for v in range(n_nodes):
+            if not adj[v]:
+                new[v] = lbl[v]
+                continue
+            cnt = {}
+            for u in adj[v]:
+                cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    # two dense 6-cliques joined by ONE bridge + an isolated node
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    edges += [(0, 6)]
+    n = 13
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "node_id")
+    for iters in (1, 3):
+        got = {r["node"]: r["label"]
+               for r in components.label_propagation(
+                   df, iters=iters, nodes=nodes, node_col="node_id")
+               .collect()}
+        assert got == _lpa_bruteforce(n, edges, iters)
+    got3 = {r["node"]: r["label"]
+            for r in components.label_propagation(
+                df, iters=3, nodes=nodes, node_col="node_id").collect()}
+    # communities stay separate (components would merge them via 0-6)
+    assert len({got3[v] for v in range(6)}) == 1
+    assert len({got3[v] for v in range(6, 12)}) == 1
+    assert got3[0] != got3[7]
+    assert got3[12] == 12  # isolated keeps own label
+    cc = {r["node"]: r["component"]
+          for r in components.connected_components(
+              df, src="src", dst="dst", nodes=nodes,
+              node_col="node_id").collect()}
+    assert cc[0] == cc[7]  # reachability merges what LPA keeps apart
+
+
+def test_label_propagation_random_graph_parity(spark):
+    n = 60
+    edges = [(i, (i * 17 + 3) % n) for i in range(n)] + \
+            [(i, (i * 29 + 11) % n) for i in range(n) if i % 3 == 0]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "node_id")
+    got = {r["node"]: r["label"]
+           for r in components.label_propagation(
+               df, iters=4, nodes=nodes, node_col="node_id").collect()}
+    assert got == _lpa_bruteforce(n, edges, 4)

@@ -551,3 +551,26 @@ def test_phrase_search_overlaps_and_absence(spark):
             for r in retrieval.phrase_search(docs, "stream table hash")
             .collect()}
     assert out3 == {1: (1, 0), 4: (2, 0)}
+
+
+def test_nn_g_function_bruteforce(spark):
+    import itertools
+    pts = [(i, -7.0 + (i * 13 % 40) / 100.0, 2.0 + (i * 29 % 40) / 100.0)
+           for i in range(100)]
+    # add one isolated point whose NN is beyond max radius: must count
+    # as "beyond r" at every radius
+    pts.append((100, -2.0, 6.0))
+    df = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+    radii = [0.02, 0.05, 0.11]
+    out = {r["r_idx"]: r for r in ev.nn_g_function(df, radii).collect()}
+    n = len(pts)
+    nn = {}
+    for (i1, x1, y1) in pts:
+        best = min(((x1 - x2) * (x1 - x2)) + ((y1 - y2) * (y1 - y2))
+                   for (i2, x2, y2) in pts if i2 != i1)
+        nn[i1] = best
+    for i, r in enumerate(radii):
+        naive = sum(d <= r * r for d in nn.values())
+        assert out[i]["n_within"] == naive
+        assert out[i]["g_frac"] == naive / n
+    assert out[len(radii) - 1]["n_within"] < n  # the isolated point
