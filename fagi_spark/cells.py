@@ -1162,3 +1162,80 @@ def coverage_gaps(df: DataFrame, res: int,
            .select("cell").distinct())
     return (uni.join(dil, "cell", "left_anti")
             .select("cell", "ix", "iy"))
+
+
+def join_counts(df: DataFrame, res: int, threshold: int = 2,
+                lon: str = "lon", lat: str = "lat",
+                counts: DataFrame | None = None) -> DataFrame:
+    """Join-count statistics (Cliff & Ord; the CATEGORICAL sibling of
+    Moran's I / Geary's C): binarize occupied cells as Black
+    (x >= threshold) / White, then count Black-Black, Black-White and
+    White-White DIRECTED 8-adjacent pairs. BB above the free-sampling
+    expectation p_b^2 of all adjacent pairs means hot cells clump —
+    the lattice test to run when the field is a label, not a level.
+
+    Same sparse-lattice convention and scale shape as geary_c: one
+    count rollup (shareable via ``counts=``), one 9-tap ring equi-join
+    on occupied cells, single-row aggregates; every output is an exact
+    BIGINT except bb_ratio = (bb/w) / p_b^2 — three IEEE divisions of
+    exact integers, mirrored token-for-token by sql_join_counts.
+
+    Returns one row (n_cells, n_black, w_pairs, bb, bw, ww, bb_ratio);
+    bb_ratio NULL when w = 0 or n_black = 0.
+    """
+    if counts is None:
+        counts = cell_counts(df, res, lon=lon, lat=lat)
+    lab = counts.withColumn("bi", (F.col("x") >= threshold).cast("long"))
+    g = lab.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("bi").alias("nb"))
+    ring = (explode_ring(lab, res, 1)
+            .filter(F.col("probe_cell") != F.col("cell"))
+            .select(F.col("probe_cell").alias("cell"),
+                    F.col("bi").alias("bj")))
+    pairs = ring.join(lab.select("cell", "bi"), "cell")
+    pg = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.col("bi") * F.col("bj")).alias("bb"),
+        F.sum((F.lit(1) - F.col("bi")) * (F.lit(1) - F.col("bj")))
+        .alias("ww"))
+    j = g.crossJoin(pg).withColumn(
+        "bw", F.col("w") - F.col("bb") - F.col("ww"))
+    pb = F.col("nb").cast("double") / F.col("n").cast("double")
+    ratio = ((F.col("bb").cast("double") / F.col("w").cast("double"))
+             / (pb * pb))
+    return j.select(
+        F.col("n").alias("n_cells"), F.col("nb").alias("n_black"),
+        F.col("w").alias("w_pairs"),
+        F.col("bb").cast("long").alias("bb"),
+        F.col("bw").cast("long").alias("bw"),
+        F.col("ww").cast("long").alias("ww"),
+        F.when((F.col("w") > 0) & (F.col("nb") > 0), ratio)
+        .alias("bb_ratio"))
+
+
+def sql_join_counts(lon_expr: str, lat_expr: str, from_clause: str,
+                    res: int, threshold: int = 2) -> str:
+    """DuckDB mirror of join_counts — same integers, same three
+    divisions."""
+    return f"""WITH pts AS (SELECT {sql_ix(lon_expr, res)} AS ix,
+             {sql_iy(lat_expr, res)} AS iy {from_clause}),
+cnt AS (SELECT ix, iy, COUNT(*) AS x FROM pts GROUP BY ix, iy),
+lab AS (SELECT ix, iy,
+               CASE WHEN x >= {int(threshold)} THEN 1 ELSE 0 END AS bi
+        FROM cnt),
+gstats AS (SELECT COUNT(*) AS n, SUM(bi) AS nb FROM lab),
+pr AS (SELECT a.bi AS bi, b.bi AS bj FROM lab a JOIN lab b
+       ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+      AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+      AND NOT (b.ix = a.ix AND b.iy = a.iy)),
+pg AS (SELECT COUNT(*) AS w, CAST(SUM(bi * bj) AS BIGINT) AS bb,
+              CAST(SUM((1 - bi) * (1 - bj)) AS BIGINT) AS ww FROM pr)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(nb AS BIGINT) AS n_black,
+       CAST(w AS BIGINT) AS w_pairs, bb,
+       CAST(w - bb - ww AS BIGINT) AS bw, ww,
+       CASE WHEN w > 0 AND nb > 0
+            THEN (CAST(bb AS DOUBLE) / CAST(w AS DOUBLE))
+                 / ((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))
+            ELSE NULL END AS bb_ratio
+FROM gstats CROSS JOIN pg"""

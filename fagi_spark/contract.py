@@ -748,6 +748,24 @@ O_GEARY_C = f"""WITH {GEO_A_CTE},
                    res=6).removeprefix("WITH ")}"""
 
 
+def q_join_counts(spark, sf_dir):
+    """Join-count statistics of the A-point cells at res 6, black =
+    cells holding >= 2 points (cells.join_counts): the categorical
+    lattice autocorrelation test beside Moran/Geary. All counts exact
+    BIGINTs from the same 9-tap ring join; bb_ratio is three mirrored
+    IEEE divisions."""
+    _, ga, _ = _fagi_inputs(spark, sf_dir)
+    a = _points_side(ga).select(F.col("cx").alias("lon"),
+                                F.col("cy").alias("lat"))
+    return cells.join_counts(a, 6, threshold=2)
+
+
+O_JOIN_COUNTS = f"""WITH {GEO_A_CTE},
+{cells.sql_join_counts("CAST(v AS DOUBLE)/100.0", "CAST(w AS DOUBLE)/100.0",
+                       "FROM geo_a WHERE kind = 'POINT'",
+                       res=6, threshold=2).removeprefix("WITH ")}"""
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid DBSCAN over the A points (cluster.grid_dbscan): res-6
     cells, min_pts 7 — every point labeled core/border/noise with a
@@ -5817,6 +5835,53 @@ l{i + 1} AS (
 O_DOC_LABELPROP = _o_labelprop()
 
 
+_QUANTILES = [0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-language token-count quantiles by distributed
+    selection (textops.grouped_quantiles; type-1 ceil(q*n)
+    definition): the deterministic sibling of approx_percentile, and
+    the length-budget audit a packing/truncation stage reads. The
+    cumulative window runs over the (lang, value) AGGREGATE — distinct
+    values per group, never the raw table."""
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "lang",
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        .cast("long").alias("n_tokens"))
+    out = textops.grouped_quantiles(v, "n_tokens", _QUANTILES, by="lang")
+    return out.select("lang", "q", F.col("n").cast("long").alias("n"),
+                      F.col("q_value").cast("long").alias("q_value"))
+
+
+def _o_length_quantiles() -> str:
+    qvals = ", ".join(f"({_dlit(q)})" for q in _QUANTILES)
+    return f"""WITH v AS (
+  SELECT lang,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (SELECT lang, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n_tokens,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+q(q) AS (VALUES {qvals}),
+thr AS (SELECT lang, q, n,
+               CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) AS thr
+        FROM n, q)
+SELECT t.lang, t.q, t.n, CAST(MIN(cum.n_tokens) AS BIGINT) AS q_value
+FROM thr t JOIN cum ON cum.lang = t.lang AND cum.cum >= t.thr
+GROUP BY 1, 2, 3"""
+
+
+O_DOC_LENGTH_QUANTILES = _o_length_quantiles()
+
+
 _PHRASE = "stream table hash"
 
 
@@ -5893,6 +5958,7 @@ QUERIES = {
     "events_g_function": q_events_gfunction,
     "doc_phrase_search": q_phrase_search,
     "doc_label_propagation": q_doc_labelprop,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -5900,6 +5966,7 @@ QUERIES = {
     "fagi_hotspots": q_hotspots,
     "fagi_morans_i": q_morans_i,
     "fagi_geary_c": q_geary_c,
+    "fagi_join_counts": q_join_counts,
     "fagi_local_morans": q_local_morans,
     "fagi_idw_surface": q_idw_surface,
     "fagi_grid_dbscan": q_grid_dbscan,
@@ -6059,6 +6126,7 @@ ORACLES = {
     "events_g_function": O_EVENTS_GFUNCTION,
     "doc_phrase_search": O_PHRASE_SEARCH,
     "doc_label_propagation": O_DOC_LABELPROP,
+    "doc_length_quantiles": O_DOC_LENGTH_QUANTILES,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,
@@ -6066,6 +6134,7 @@ ORACLES = {
     "fagi_hotspots": O_HOTSPOTS,
     "fagi_morans_i": O_MORANS_I,
     "fagi_geary_c": O_GEARY_C,
+    "fagi_join_counts": O_JOIN_COUNTS,
     "fagi_local_morans": O_LOCAL_MORANS,
     "fagi_idw_surface": O_IDW_SURFACE,
     "fagi_grid_dbscan": O_GRID_DBSCAN,

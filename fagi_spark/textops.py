@@ -1123,3 +1123,43 @@ def edit_distance_join(df: DataFrame, d: int = 2, q: int = 2,
             .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
             .filter(F.col("dist") <= d)
             .select("id_a", "id_b", "dist"))
+
+
+def grouped_quantiles(df: DataFrame, col: str, qs,
+                      by: str = "lang") -> DataFrame:
+    """Exact per-group quantiles by distributed selection (type-1 /
+    lower-step definition: the smallest value v whose cumulative count
+    reaches ceil(q*n)) — the deterministic, SQL-mirrorable alternative
+    to approx_percentile for corpus length audits (p50/p90 token
+    counts per language drive truncation and packing budgets).
+
+    Scale shape: ONE rollup to (group, value, count) — cardinality is
+    distinct VALUES per group, not rows — then a cumulative window
+    over that aggregate (stencil-after-aggregate, the cells.py
+    principle), a broadcast-sized (group x q) threshold frame, and a
+    min-per-(group,q) reduce. Never a window over the raw table, never
+    a global sort. ceil(q*n) is the only float op and both engines
+    compute it identically.
+
+    Returns (by, q, n, q_value).
+    """
+    from pyspark.sql.window import Window
+
+    qs = [float(q) for q in qs]
+    if not qs or any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("grouped_quantiles needs quantiles in (0, 1]")
+    cnt = df.groupBy(by, col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (Window.partitionBy(by).orderBy(col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cnt.withColumn("_cum", F.sum("_c").over(w))
+    tot = df.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
+    qdf = (tot.sparkSession
+           .createDataFrame([(q,) for q in qs], "q double"))
+    thr = (tot.crossJoin(F.broadcast(qdf))
+           .withColumn("_thr",
+                       F.ceil(F.col("q") * F.col("n").cast("double"))
+                       .cast("long")))
+    return (cum.join(thr, by)
+            .filter(F.col("_cum") >= F.col("_thr"))
+            .groupBy(by, "q", "n")
+            .agg(F.min(col).alias("q_value")))

@@ -637,3 +637,42 @@ def test_coverage_gaps_bruteforce(spark):
         [(-180.0 + (x + 0.5) * w, -90.0 + (y + 0.5) * h) for x, y in uni],
         "lon double, lat double")
     assert cells.coverage_gaps(full, res, bbox, ring=0).count() == 0
+
+
+def test_join_counts_bruteforce_and_guards(spark):
+    """Hand lattice: BB/BW/WW directed pair counts match a Python
+    8-adjacency enumeration; clumped black cells push bb_ratio above
+    1; all-white field hits the NULL guard."""
+    res = 6
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+    lon0, lat0 = 10.0 + w / 2, 20.0 + h / 2
+
+    def field(counts_grid):
+        rows = []
+        for (i, j), c in counts_grid.items():
+            rows += [(lon0 + i * w, lat0 + j * h)] * c
+        return spark.createDataFrame(rows, "lon double, lat double")
+
+    # black clump (counts >= 2) at (0,0),(0,1),(1,0); white singles around
+    grid = {(0, 0): 3, (0, 1): 2, (1, 0): 4, (1, 1): 1,
+            (2, 0): 1, (2, 2): 1, (3, 1): 1}
+    out = cells.join_counts(field(grid), res, threshold=2).first()
+    blk = {k: v >= 2 for k, v in grid.items()}
+    bb = bw = ww = wp = 0
+    for (i1, j1), b1 in blk.items():
+        for (i2, j2), b2 in blk.items():
+            if (i1, j1) != (i2, j2) and abs(i1 - i2) <= 1 \
+                    and abs(j1 - j2) <= 1:
+                wp += 1
+                bb += b1 and b2
+                ww += (not b1) and (not b2)
+                bw += b1 != b2
+    assert (out["n_cells"], out["n_black"]) == (len(grid), 3)
+    assert (out["w_pairs"], out["bb"], out["bw"], out["ww"]) == \
+        (wp, bb, bw, ww)
+    pb = 3 / len(grid)
+    assert out["bb_ratio"] == (bb / wp) / (pb * pb)
+    assert out["bb_ratio"] > 1.0  # planted clump
+    allw = cells.join_counts(field({(0, 0): 1, (0, 1): 1}), res,
+                             threshold=2).first()
+    assert allw["n_black"] == 0 and allw["bb_ratio"] is None

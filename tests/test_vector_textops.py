@@ -829,3 +829,27 @@ def test_edit_distance_join_equals_all_pairs(spark):
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 1
     assert (4, 6) in got  # padding closes the short-string hole
+
+
+# ---- exact grouped quantiles -------------------------------------------------
+
+def test_grouped_quantiles_exact_selection(spark):
+    from fagi_spark import textops
+    rows = [("a", v) for v in [1, 2, 2, 3, 10, 10, 10, 50, 99, 100]] + \
+           [("b", v) for v in [7]] + \
+           [("c", v) for v in [5, 6]]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    qs = [0.25, 0.5, 0.75, 0.9, 1.0]
+    out = {(r["grp"], r["q"]): (r["n"], r["q_value"])
+           for r in textops.grouped_quantiles(df, "v", qs, by="grp")
+           .collect()}
+    import math
+    vals = {"a": sorted([1, 2, 2, 3, 10, 10, 10, 50, 99, 100]),
+            "b": [7], "c": [5, 6]}
+    for g, vs in vals.items():
+        for q in qs:
+            want = vs[math.ceil(q * len(vs)) - 1]
+            assert out[(g, q)] == (len(vs), want), (g, q)
+    import pytest
+    with pytest.raises(ValueError):
+        textops.grouped_quantiles(df, "v", [0.0], by="grp")
