@@ -5882,6 +5882,108 @@ GROUP BY 1, 2, 3"""
 O_DOC_LENGTH_QUANTILES = _o_length_quantiles()
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (events.transition_matrix): lag window ordered by
+    (ts, event_id) -> count rollup -> one division per row."""
+    from . import events as ev
+    return ev.transition_matrix(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_TRANSITIONS = """WITH s AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+FROM c JOIN t USING (from_type)"""
+
+
+def q_events_gap_regularity(spark, sf_dir):
+    """Inter-event-gap regularity per user (events.gap_regularity):
+    exact integer-seconds gap sums + the cv2 metronome score, a fixed
+    division tree over three order-independent BIGINTs."""
+    from . import events as ev
+    return ev.gap_regularity(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_GAP_REGULARITY = """WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps, sum_gap_s, sumsq_gap_s,
+       CASE WHEN sum_gap_s > 0 THEN
+         (CAST(sumsq_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          - (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+         / ((CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+       ELSE NULL END AS cv2
+FROM a WHERE n_gaps >= 2"""
+
+
+def q_doc_simpson(spark, sf_dir):
+    """Simpson / Gini-Simpson token-diversity index per language
+    (textops.simpson_diversity): the transcendental-free concentration
+    gauge — sum of squared counts is an exact BIGINT, then two
+    mirrored IEEE ops."""
+    return textops.simpson_diversity(_t(spark, sf_dir, "documents"),
+                                     by="lang")
+
+
+O_DOC_SIMPSON = """WITH toks AS (
+  SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents),
+c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM c GROUP BY lang)
+SELECT lang, n_tokens, n_distinct, sum_c2,
+       CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+         AS simpson,
+       1.0e0 - CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+         AS gini_simpson
+FROM g"""
+
+
+def q_doc_source_jaccard(spark, sf_dir):
+    """Pairwise vocabulary-Jaccard matrix between sources
+    (textops.source_jaccard_matrix): distinct (source, token) ->
+    token equi-join across pairs -> inclusion-exclusion — the
+    dataset-overlap audit."""
+    return textops.source_jaccard_matrix(_t(spark, sf_dir, "documents"),
+                                         by="source")
+
+
+O_DOC_SOURCE_JACCARD = """WITH v AS (
+  SELECT DISTINCT source AS s,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents),
+sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY s),
+i AS (SELECT a.s AS src_a, b.s AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.s < b.s
+      GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_inter,
+       sa.nv AS n_a, sb.nv AS n_b,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.nv + sb.nv - i.n_inter AS DOUBLE) AS jaccard
+FROM i JOIN sz sa ON sa.s = i.src_a JOIN sz sb ON sb.s = i.src_b"""
+
+
 _PHRASE = "stream table hash"
 
 
@@ -5959,6 +6061,10 @@ QUERIES = {
     "doc_phrase_search": q_phrase_search,
     "doc_label_propagation": q_doc_labelprop,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "events_transitions": q_events_transitions,
+    "events_gap_regularity": q_events_gap_regularity,
+    "doc_simpson_diversity": q_doc_simpson,
+    "doc_source_jaccard": q_doc_source_jaccard,
     "fagi_cell_bounds": q_cell_bounds,
     "fagi_quadkey": q_quadkey,
     "fagi_geohash": q_geohash,
@@ -6127,6 +6233,10 @@ ORACLES = {
     "doc_phrase_search": O_PHRASE_SEARCH,
     "doc_label_propagation": O_DOC_LABELPROP,
     "doc_length_quantiles": O_DOC_LENGTH_QUANTILES,
+    "events_transitions": O_EVENTS_TRANSITIONS,
+    "events_gap_regularity": O_EVENTS_GAP_REGULARITY,
+    "doc_simpson_diversity": O_DOC_SIMPSON,
+    "doc_source_jaccard": O_DOC_SOURCE_JACCARD,
     "fagi_cell_bounds": O_CELL_BOUNDS,
     "fagi_quadkey": O_QUADKEY,
     "fagi_geohash": O_GEOHASH,

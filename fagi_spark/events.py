@@ -1021,3 +1021,77 @@ def nn_g_function(pts: DataFrame, radii_deg: list, key: str = "event_id",
             .select("r_idx", "r_deg", "n_within",
                     (F.col("n_within").cast("double")
                      / F.col("_n").cast("double")).alias("g_frac")))
+
+
+def transition_matrix(events: DataFrame, ts: str = "ts",
+                      user: str = "user_id",
+                      kind: str = "event_type") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count every consecutive (from_type -> to_type) step and
+    row-normalize into transition probabilities — the behavioral
+    model a web-events warehouse fits for next-action prediction and
+    session-anomaly scoring.
+
+    One shuffle: lag window per user ordered by (ts, event_id)
+    (event_id tiebreak makes equal-timestamp order deterministic and
+    SQL-mirrorable), then a count rollup with map-side combine and a
+    broadcast row-total join. p is ONE division of exact BIGINTs.
+
+    Returns (from_type, to_type, n, p).
+    """
+    w = Window.partitionBy(user).orderBy(ts, "event_id")
+    steps = (events
+             .withColumn("_prev", F.lag(kind).over(w))
+             .filter(F.col("_prev").isNotNull())
+             .select(F.col("_prev").alias("from_type"),
+                     F.col(kind).alias("to_type")))
+    cnt = (steps.groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (cnt.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", F.col("n").cast("long").alias("n"),
+                    (F.col("n").cast("double")
+                     / F.col("_tot").cast("double")).alias("p")))
+
+
+def gap_regularity(events: DataFrame, ts: str = "ts",
+                   user: str = "user_id",
+                   min_gaps: int = 2) -> DataFrame:
+    """Inter-event-time regularity per user — the metronome test for
+    bot/crawler detection: humans produce bursty gaps (squared
+    coefficient of variation cv2 near or above 1), schedulers produce
+    near-constant gaps (cv2 near 0).
+
+    Gaps are exact integer SECONDS (epoch-micros diff DIV 1e6), so the
+    three per-user sums (n, sum, sum of squares) are order-independent
+    BIGINTs — one lag window on the user key, one rollup. cv2 =
+    var/mean^2 is a fixed tree of IEEE divisions over those integers,
+    mirrored token-for-token in the oracle. Integer-domain note: the
+    exact sumsq holds while n * max_gap_s^2 < 2^63 (any realistic
+    per-user stream); a 100-TB outlier principal would bucket gaps
+    first.
+
+    Returns (user_id, n_gaps, sum_gap_s, sumsq_gap_s, cv2) for users
+    with at least ``min_gaps`` gaps; cv2 NULL when the mean gap is 0.
+    """
+    w = Window.partitionBy(user).orderBy(ts, "event_id")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    gaps = (events
+            .withColumn("_g", (us - F.lag(us).over(w)))
+            .filter(F.col("_g").isNotNull())
+            .select(F.col(user).alias("user_id"),
+                    F.expr("_g DIV 1000000").alias("gap_s")))
+    agg = (gaps.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("gap_s").alias("sum_gap_s"),
+                F.sum(F.col("gap_s") * F.col("gap_s"))
+                .alias("sumsq_gap_s"))
+           .filter(F.col("n_gaps") >= int(min_gaps)))
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("sum_gap_s").cast("double")
+    qd = F.col("sumsq_gap_s").cast("double")
+    mean = sd / nd
+    var = qd / nd - mean * mean
+    return agg.select(
+        "user_id", "n_gaps", "sum_gap_s", "sumsq_gap_s",
+        F.when(F.col("sum_gap_s") > 0, var / (mean * mean)).alias("cv2"))

@@ -1163,3 +1163,75 @@ def grouped_quantiles(df: DataFrame, col: str, qs,
             .filter(F.col("_cum") >= F.col("_thr"))
             .groupBy(by, "q", "n")
             .agg(F.min(col).alias("q_value")))
+
+
+def simpson_diversity(df: DataFrame, by: str = "lang", key: str = "doc_id",
+                      text: str = "text") -> DataFrame:
+    """Simpson diversity of the token distribution per group — the
+    transcendental-free concentration/diversity index (entropy's
+    rational cousin): simpson = sum_i c_i^2 / N^2 is the probability
+    two random tokens coincide; gini_simpson = 1 - simpson. A corpus
+    health gauge (template-flooded sources spike simpson) that stays
+    value-exact because the c_i^2 sum is an exact BIGINT
+    (order-independent) and the rest is two mirrored IEEE ops.
+
+    One explode -> (group, token) rollup -> per-group sum of squared
+    counts, all map-side combinable. Integer domain: exact while the
+    squared counts sum below 2^63 (count a 100-TB token stream in
+    per-shard buckets first).
+
+    Returns (by, n_tokens, n_distinct, sum_c2, simpson, gini_simpson).
+    """
+    toks = df.select(
+        F.col(by),
+        F.explode(F.split(F.coalesce(F.col(text), F.lit("")), " "))
+        .alias("_tok"))
+    cnt = toks.groupBy(by, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    g = (cnt.groupBy(by)
+         .agg(F.sum("_c").alias("n_tokens"),
+              F.count(F.lit(1)).alias("n_distinct"),
+              F.sum(F.col("_c") * F.col("_c")).alias("sum_c2")))
+    simpson = (F.col("sum_c2").cast("double")
+               / (F.col("n_tokens") * F.col("n_tokens")).cast("double"))
+    return g.select(by, "n_tokens", "n_distinct", "sum_c2",
+                    simpson.alias("simpson"),
+                    (F.lit(1.0) - simpson).alias("gini_simpson"))
+
+
+def source_jaccard_matrix(df: DataFrame, by: str = "source",
+                          text: str = "text") -> DataFrame:
+    """Pairwise vocabulary-overlap (Jaccard) matrix between corpus
+    slices — the dataset-audit view that catches two "different"
+    sources serving the same mirrored content before dedup even runs.
+
+    Distinct (slice, token) -> per-slice vocab sizes -> token
+    equi-join across slice pairs (a < b) -> inclusion-exclusion
+    Jaccard. The join key is the TOKEN, so work scales with shared
+    vocabulary, never |slices|^2 x corpus; slice count itself is
+    assumed dimension-sized (sources, languages, shards).
+
+    Returns (src_a, src_b, n_inter, n_a, n_b, jaccard).
+    """
+    vocab = (df.select(F.col(by).alias("_s"),
+                       F.explode(F.split(F.coalesce(F.col(text), F.lit("")),
+                                         " ")).alias("_tok"))
+             .distinct())
+    sizes = vocab.groupBy("_s").agg(F.count(F.lit(1)).alias("_nv"))
+    a = vocab.select(F.col("_s").alias("src_a"), "_tok")
+    b = vocab.select(F.col("_s").alias("src_b"), "_tok")
+    inter = (a.join(b, "_tok")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(F.broadcast(sizes.select(F.col("_s").alias("src_a"),
+                                          F.col("_nv").alias("n_a"))),
+                 "src_a")
+           .join(F.broadcast(sizes.select(F.col("_s").alias("src_b"),
+                                          F.col("_nv").alias("n_b"))),
+                 "src_b"))
+    return out.select(
+        "src_a", "src_b", "n_inter", "n_a", "n_b",
+        (F.col("n_inter").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+        .alias("jaccard"))

@@ -574,3 +574,60 @@ def test_nn_g_function_bruteforce(spark):
         assert out[i]["n_within"] == naive
         assert out[i]["g_frac"] == naive / n
     assert out[len(radii) - 1]["n_within"] < n  # the isolated point
+
+
+def test_transition_matrix_handcase(spark):
+    rows = [
+        (0, 1, "a", "2024-01-01T01:00"), (1, 1, "b", "2024-01-01T02:00"),
+        (2, 1, "a", "2024-01-01T03:00"), (3, 1, "b", "2024-01-01T04:00"),
+        (4, 2, "a", "2024-01-01T01:00"), (5, 2, "c", "2024-01-01T02:00"),
+        (6, 3, "x", "2024-01-01T01:00"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        [(i, u, k, _ts(t)) for i, u, k, t in rows],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in ev.transition_matrix(df).collect()}
+    assert out == {("a", "b"): (2, 2 / 3), ("a", "c"): (1, 1 / 3),
+                   ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_tie_order_deterministic(spark):
+    # two events at the SAME timestamp: event_id breaks the tie
+    rows = [(0, 1, "a", "2024-01-01T01:00"),
+            (1, 1, "b", "2024-01-01T02:00"),
+            (2, 1, "c", "2024-01-01T02:00")]
+    df = spark.createDataFrame(
+        [(i, u, k, _ts(t)) for i, u, k, t in rows],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    out = {(r["from_type"], r["to_type"]): r["n"]
+           for r in ev.transition_matrix(df).collect()}
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_gap_regularity_metronome_vs_bursty(spark):
+    rows = []
+    # user 1: perfect metronome, 60 s gaps -> cv2 == 0
+    for i in range(5):
+        rows.append((i, 1, _ts(f"2024-01-01T01:{i:02d}:00")))
+    # user 2: bursty gaps 10 s, 10 s, 3600 s
+    from datetime import timedelta
+    for i, sec in enumerate([0, 10, 20, 3620]):
+        rows.append((10 + i, 2,
+                     _ts("2024-01-01T02:00:00") + timedelta(seconds=sec)))
+    # user 3: single event -> filtered (no gaps)
+    rows.append((20, 3, _ts("2024-01-01T03:00:00")))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in ev.gap_regularity(df).collect()}
+    assert set(out) == {1, 2}
+    m = out[1]
+    assert (m["n_gaps"], m["sum_gap_s"], m["sumsq_gap_s"]) == \
+        (4, 240, 4 * 3600)
+    assert m["cv2"] == 0.0
+    b = out[2]
+    gaps = [10, 10, 3600]
+    n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert (b["n_gaps"], b["sum_gap_s"], b["sumsq_gap_s"]) == (n, s, q)
+    mean = s / n
+    assert b["cv2"] == (q / n - mean * mean) / (mean * mean)
+    assert b["cv2"] > 0.5

@@ -853,3 +853,35 @@ def test_grouped_quantiles_exact_selection(spark):
     import pytest
     with pytest.raises(ValueError):
         textops.grouped_quantiles(df, "v", [0.0], by="grp")
+
+
+def test_simpson_diversity_handcase(spark):
+    from fagi_spark import textops
+    docs = spark.createDataFrame(
+        [(0, "a a a b", "en"), (1, "a b", "en"), (2, "x y", "fr"),
+         (3, None, "fr")],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           textops.simpson_diversity(docs, by="lang").collect()}
+    # en: a=4, b=2 -> N=6, sum_c2=20; fr: x=1,y=1,''=1 -> N=3, sum_c2=3
+    en = out["en"]
+    assert (en["n_tokens"], en["n_distinct"], en["sum_c2"]) == (6, 2, 20)
+    assert en["simpson"] == 20 / 36
+    assert en["gini_simpson"] == 1.0 - 20 / 36
+    fr = out["fr"]
+    assert (fr["n_tokens"], fr["n_distinct"], fr["sum_c2"]) == (3, 3, 3)
+
+
+def test_source_jaccard_matrix_handcase(spark):
+    from fagi_spark import textops
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "b c d", "s2"), (2, "x y", "s3"),
+         (3, "c", "s1")],
+        "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in
+           textops.source_jaccard_matrix(docs, by="source").collect()}
+    r12 = out[("s1", "s2")]
+    assert (r12["n_inter"], r12["n_a"], r12["n_b"]) == (2, 3, 3)
+    assert r12["jaccard"] == 2 / 4
+    assert ("s1", "s3") not in out  # disjoint vocab: no row
+    assert ("s2", "s3") not in out
