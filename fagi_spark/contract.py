@@ -6018,6 +6018,68 @@ FROM m WHERE len(hits) > 0"""
 O_PHRASE_SEARCH = _o_phrase_search()
 
 
+def q_doc_global_rank(spark, sf_dir):
+    """Exact global dense ROW_NUMBER over (token_count, doc_id)
+    via the two-pass distributed rank (textops.global_rank):
+    range-bucket by exact selection boundaries, rank inside each
+    bucket's PARTITIONED window, add the broadcast prefix offset —
+    never the one-partition global window."""
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        .cast("long").alias("n_tokens"))
+    return textops.global_rank(v, "n_tokens", key="doc_id",
+                               n_buckets=16)
+
+
+O_DOC_GLOBAL_RANK = """WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+         AS rank
+FROM v"""
+
+
+_SNM_WINDOW = 4
+
+
+def q_doc_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate
+    pairs within `window` positions of each other in the global
+    (token_count, doc_id) order (textops.sorted_neighborhood_pairs).
+    Rank is the two-pass distributed rank; pairs come from a
+    rank-block equi-join (blocks of size window-1, each row probing
+    its own and the previous block) — never a global sort or
+    self-cross-join."""
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        .cast("long").alias("n_tokens"))
+    return textops.sorted_neighborhood_pairs(
+        v, "n_tokens", key="doc_id", window=_SNM_WINDOW, n_buckets=16)
+
+
+O_DOC_SORTED_NEIGHBORHOOD = f"""WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+           AS rank
+  FROM v)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.rank AS rank_a, b.rank AS rank_b
+FROM r a JOIN r b
+  ON b.rank - a.rank >= 1 AND b.rank - a.rank <= {_SNM_WINDOW - 1}"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -6061,6 +6123,8 @@ QUERIES = {
     "doc_phrase_search": q_phrase_search,
     "doc_label_propagation": q_doc_labelprop,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_global_rank": q_doc_global_rank,
+    "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
     "events_transitions": q_events_transitions,
     "events_gap_regularity": q_events_gap_regularity,
     "doc_simpson_diversity": q_doc_simpson,
@@ -6233,6 +6297,8 @@ ORACLES = {
     "doc_phrase_search": O_PHRASE_SEARCH,
     "doc_label_propagation": O_DOC_LABELPROP,
     "doc_length_quantiles": O_DOC_LENGTH_QUANTILES,
+    "doc_global_rank": O_DOC_GLOBAL_RANK,
+    "doc_sorted_neighborhood": O_DOC_SORTED_NEIGHBORHOOD,
     "events_transitions": O_EVENTS_TRANSITIONS,
     "events_gap_regularity": O_EVENTS_GAP_REGULARITY,
     "doc_simpson_diversity": O_DOC_SIMPSON,

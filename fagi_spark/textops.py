@@ -1235,3 +1235,90 @@ def source_jaccard_matrix(df: DataFrame, by: str = "source",
         (F.col("n_inter").cast("double")
          / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
         .alias("jaccard"))
+
+
+def global_rank(df: DataFrame, sort_col: str, key: str = "doc_id",
+                n_buckets: int = 64) -> DataFrame:
+    """Exact dense global ROW_NUMBER over (sort_col, key) WITHOUT the
+    one-partition window anti-pattern: the classic two-pass
+    distributed rank. Pass 1 derives ``n_buckets`` range boundaries by
+    exact distributed selection (grouped_quantiles — deterministic, no
+    sampling) and counts rows per bucket; pass 2 ranks inside each
+    bucket (a PARTITIONED window) and adds the broadcast prefix
+    offset. Equal sort values always land in one bucket (strict
+    boundary comparison), so within-bucket (sort, key) order IS global
+    order. The only driver materialization is the boundary list
+    (n_buckets-1 values, bounded by design).
+
+    Skew note: a single sort value holding a huge fraction of rows
+    makes one hot bucket — the same hot-key caveat as any rank; salt
+    upstream if the key domain allows.
+
+    Returns df plus a 1-based ``rank`` column.
+    """
+    from pyspark.sql.window import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bsrc = df.select(F.lit(0).alias("_g"), F.col(sort_col).alias("_v"))
+    bnds = sorted(
+        r["q_value"]
+        for r in grouped_quantiles(bsrc, "_v", qs, by="_g").collect())
+    bucket = sum(
+        (F.col(sort_col) > F.lit(b)).cast("long") for b in bnds) \
+        if bnds else F.lit(0).cast("long")
+    t = df.withColumn("_bkt", bucket)
+    per = t.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    # one-group window over the per-bucket COUNTS frame only —
+    # O(n_buckets) rows by construction, never the raw table
+    wb = (Window.partitionBy(F.lit(0)).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = per.withColumn("_off", F.coalesce(F.sum("_c").over(wb),
+                                            F.lit(0)))
+    wl = Window.partitionBy("_bkt").orderBy(sort_col, key)
+    return (t.withColumn("_lr", F.row_number().over(wl))
+            .join(F.broadcast(off.select("_bkt", "_off")), "_bkt")
+            .withColumn("rank", (F.col("_off") + F.col("_lr")).cast("long"))
+            .drop("_bkt", "_lr", "_off"))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, sort_col: str,
+                              key: str = "doc_id",
+                              window: int = 5,
+                              n_buckets: int = 64) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95):
+    candidate pairs are rows within ``window`` positions of each other
+    in the global (sort_col, key) order — the third classic ER
+    blocking paradigm beside LSH bands and grid cells, best when
+    similarity correlates with a sortable key (titles, URLs,
+    timestamps).
+
+    Built on ``global_rank`` (two-pass, no global window); pairs then
+    come from a rank-block equi-join: with d = window - 1, row at
+    rank r joins blocks r//d and r//d + 1, so every pair within
+    distance d co-locates in at least one block and the filter
+    1 <= rb - ra <= d keeps each exactly once (pairs at distance in
+    (0, d] appear in exactly one shared block... both blocks can hold
+    the pair only when equal, which the strict inequality excludes;
+    a DISTINCT guards the double-block overlap regardless).
+
+    Returns (id_a, id_b, rank_a, rank_b) with rank_a < rank_b.
+    """
+    d = int(window) - 1
+    if d < 1:
+        raise ValueError("sorted_neighborhood_pairs needs window >= 2")
+    r = global_rank(df, sort_col, key=key, n_buckets=n_buckets) \
+        .select(F.col(key).alias("_id"), "rank")
+    probe = r.select(F.col("_id").alias("id_a"),
+                     F.col("rank").alias("rank_a"),
+                     ((F.col("rank") - 1) / d).cast("long").alias("_blk"))
+    bld = r.select(F.col("_id").alias("id_b"),
+                   F.col("rank").alias("rank_b"),
+                   F.explode(F.array(
+                       ((F.col("rank") - 1) / d).cast("long"),
+                       ((F.col("rank") - 1) / d).cast("long") - 1))
+                   .alias("_blk"))
+    return (probe.join(bld, "_blk")
+            .filter((F.col("rank_b") - F.col("rank_a") >= 1)
+                    & (F.col("rank_b") - F.col("rank_a") <= d))
+            .select("id_a", "id_b", "rank_a", "rank_b")
+            .distinct())

@@ -855,6 +855,43 @@ def test_grouped_quantiles_exact_selection(spark):
         textops.grouped_quantiles(df, "v", [0.0], by="grp")
 
 
+def test_global_rank_matches_row_number(spark):
+    from fagi_spark import textops
+    rows = [(i, v) for i, v in enumerate(
+        [5, 3, 3, 9, 1, 3, 9, 9, 2, 7, 7, 0, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    got = {r["doc_id"]: r["rank"]
+           for r in textops.global_rank(df, "v", n_buckets=4).collect()}
+    want = {i: rk + 1 for rk, (v, i) in
+            enumerate(sorted((v, i) for i, v in rows))}
+    assert got == want
+    # ties on v break by doc_id, ranks are a dense 1..n permutation
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+def test_sorted_neighborhood_pairs_exact(spark):
+    from fagi_spark import textops
+    import pytest
+    rows = [(i, v) for i, v in enumerate(
+        [5, 3, 3, 9, 1, 3, 9, 9, 2, 7, 7, 0, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    for window in (2, 3, 5):
+        out = textops.sorted_neighborhood_pairs(
+            df, "v", window=window, n_buckets=4).collect()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        rank = {i: rk + 1 for rk, (v, i) in
+                enumerate(sorted((v, i) for i, v in rows))}
+        want = {(a, b) for a in rank for b in rank
+                if 1 <= rank[b] - rank[a] <= window - 1}
+        assert got == want, window
+        assert len(out) == len(got)  # no duplicate pairs
+        for r in out:
+            assert r["rank_a"] == rank[r["id_a"]]
+            assert r["rank_b"] == rank[r["id_b"]]
+    with pytest.raises(ValueError):
+        textops.sorted_neighborhood_pairs(df, "v", window=1)
+
+
 def test_simpson_diversity_handcase(spark):
     from fagi_spark import textops
     docs = spark.createDataFrame(
