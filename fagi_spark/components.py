@@ -572,3 +572,39 @@ def label_propagation(edges: DataFrame, iters: int = 3,
                .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
                .localCheckpoint(eager=True))
     return lab.select("node", F.col("lbl").alias("label"))
+
+
+def k_core(edges: DataFrame, k: int = 3, iters: int = 4,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-core peel: repeatedly delete nodes with degree
+    < k (and their incident edges) from the undirected simple graph.
+    The k-core is the quality backbone a link-graph curation pass
+    keeps — spam farms and crawl tendrils peel off, densely
+    interlinked hosts survive (Batagelj-Zaversnik semantics, realized
+    as synchronous rounds).
+
+    Each of the ``iters`` rounds is one degree rollup + two semi-join
+    filters (both map-side combinable hash shuffles on the node key);
+    lineage is cut per round. The peel converges once no round deletes
+    a node; like label_propagation the round count is FIXED so the
+    oracle can unroll the identical computation — pass iters at the
+    graph's peel depth (pytest pins a cascade case).
+
+    Returns (node, degree) for nodes alive after ``iters`` rounds,
+    with degree counted in the surviving induced subgraph.
+    """
+    e = _canon_edges(edges, src, dst)
+    kk = int(k)
+    for _ in range(int(iters)):
+        both = e.select(F.col("a").alias("node")).unionAll(
+            e.select(F.col("b").alias("node")))
+        deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= kk).select("node")
+        e = (e.join(alive.withColumnRenamed("node", "a"), "a", "semi")
+             .join(alive.withColumnRenamed("node", "b"), "b", "semi")
+             .select("a", "b")
+             .localCheckpoint(eager=True))
+    both = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node")))
+    return (both.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))

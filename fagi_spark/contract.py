@@ -6080,6 +6080,238 @@ FROM r a JOIN r b
   ON b.rank - a.rank >= 1 AND b.rank - a.rank <= {_SNM_WINDOW - 1}"""
 
 
+_KCORE_K = 4
+_KCORE_ITERS = 4
+
+
+def q_doc_kcore(spark, sf_dir):
+    """Fixed-round k-core peel (components.k_core, k=4, 4 rounds)
+    over a planted link graph on the documents table: a 20-node
+    clique (the guaranteed surviving core) plus two pseudorandom
+    out-edges per node whose sparse fringe peels away round by
+    round. The oracle unrolls the identical synchronous rounds
+    (degree rollup -> alive filter -> induced-edge filter)."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    edges = e1.unionByName(e2).unionByName(cl)
+    return components.k_core(edges, k=_KCORE_K, iters=_KCORE_ITERS)
+
+
+def _o_kcore(k: int, iters: int) -> str:
+    parts = [f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * 7 + 3) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 13 + 5) % (SELECT n FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+  FROM documents a JOIN documents b
+    ON a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst)"""]
+    # each round's CTEs are referenced 2-3x downstream; without
+    # MATERIALIZED DuckDB inlines them and the unrolled peel
+    # recomputes its predecessor exponentially (measured 117s -> <1s)
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT a AS node FROM e{i - 1}
+    UNION ALL SELECT b FROM e{i - 1}) GROUP BY 1),
+a{i} AS (SELECT node FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN a{i} x ON x.node = e.a JOIN a{i} y ON y.node = e.b)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters})
+GROUP BY 1""")
+
+
+O_DOC_KCORE = _o_kcore(_KCORE_K, _KCORE_ITERS)
+
+
+_FS_ATTRS = [("lang", "lang"), ("source", "source"),
+             ("len_b", "n_chars // 16")]
+
+
+def q_doc_fs_weights(spark, sf_dir):
+    """Fellegi-Sunter m/u agreement weights (discover.fs_weights)
+    over an even/odd split of the documents table with (even, even+1)
+    truth links: per attribute (lang, source, n_chars-bucket), the
+    match-side agreement count from the links and the all-pairs
+    agreement census via the counts-product rollup — never the cross
+    product. m, u and the likelihood ratio w = m/u are fixed IEEE
+    division trees over exact BIGINTs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
+        F.expr("n_chars DIV 16").alias("len_b"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    links = (a.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+             .join(b.select(F.col("doc_id").alias("id_b")),
+                   "id_b", "semi"))
+    from . import discover as disc
+    return disc.fs_weights(a, b, links, [n for n, _ in _FS_ATTRS],
+                           key="doc_id")
+
+
+def _o_fs_weights() -> str:
+    blocks = []
+    for name, expr in _FS_ATTRS:
+        blocks.append(f"""SELECT '{name}' AS attr,
+  CAST((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b) AS BIGINT)
+    AS n_pairs,
+  CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_matched,
+  CAST((SELECT COUNT(*) FROM l
+        JOIN a ON a.id = l.ia JOIN b ON b.id = l.ib
+        WHERE a.{name} = b.{name}) AS BIGINT) AS agree_m,
+  CAST((SELECT COALESCE(SUM(ca.c * cb.c), 0) FROM
+          (SELECT {name} AS v, COUNT(*) AS c FROM a
+           WHERE {name} IS NOT NULL GROUP BY 1) ca
+        JOIN
+          (SELECT {name} AS v, COUNT(*) AS c FROM b
+           WHERE {name} IS NOT NULL GROUP BY 1) cb
+        USING (v)) AS BIGINT) AS agree_all""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""WITH a AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, lang, source,
+         CAST(n_chars // 16 AS BIGINT) AS len_b
+  FROM documents WHERE doc_id % 2 = 0),
+b AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, lang, source,
+         CAST(n_chars // 16 AS BIGINT) AS len_b
+  FROM documents WHERE doc_id % 2 = 1),
+l AS (SELECT a.id AS ia, a.id + 1 AS ib
+      FROM a JOIN b ON b.id = a.id + 1),
+per AS ({body}),
+f AS (
+  SELECT attr, n_pairs, n_matched, agree_m, agree_all,
+         CAST(agree_all - agree_m AS BIGINT) AS agree_u,
+         CAST(agree_m AS DOUBLE) / CAST(n_matched AS DOUBLE) AS m_prob,
+         CAST(agree_all - agree_m AS DOUBLE)
+           / CAST(n_pairs - n_matched AS DOUBLE) AS u_prob
+  FROM per)
+SELECT attr, n_pairs, n_matched, agree_m, agree_all, agree_u,
+       m_prob, u_prob,
+       CASE WHEN u_prob > 0 THEN m_prob / u_prob END AS w_agree
+FROM f"""
+
+
+O_DOC_FS_WEIGHTS = _o_fs_weights()
+
+
+def q_doc_blocking_quality(spark, sf_dir):
+    """Blocking audit (discover.blocking_quality): pair completeness
+    and reduction ratio of sorted-neighborhood blocking on token
+    count (window 4) against the planted exact-duplicate truth pairs
+    (md5 groups over the doc_exact_dedup augmented corpus). One
+    row of counts plus two mirrored IEEE divisions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    aug = docs.unionByName(plant).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    n = aug.count()
+    v = aug.select(
+        "doc_id",
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        .cast("long").alias("n_tokens"))
+    cand = textops.sorted_neighborhood_pairs(
+        v, "n_tokens", key="doc_id", window=_SNM_WINDOW, n_buckets=16)
+    h = aug.select("doc_id",
+                   F.md5(F.coalesce("text", F.lit(""))).alias("_h"))
+    x, y = h.alias("x"), h.alias("y")
+    truth = x.join(
+        y, (F.col("x._h") == F.col("y._h"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))).select(
+        F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    from . import discover as disc
+    return disc.blocking_quality(cand, truth, n)
+
+
+O_DOC_BLOCKING_QUALITY = f"""WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents
+  WHERE doc_id % 7 = 0),
+v AS (
+  SELECT doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM aug),
+r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+           AS rank
+  FROM v),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS lo,
+         GREATEST(a.doc_id, b.doc_id) AS hi
+  FROM r a JOIN r b
+    ON b.rank - a.rank >= 1 AND b.rank - a.rank <= {_SNM_WINDOW - 1}),
+h AS (SELECT doc_id, MD5(COALESCE(text, '')) AS hh FROM aug),
+truth AS (
+  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+  FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id),
+c AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT COUNT(*) FROM cand JOIN truth USING (lo, hi))
+              AS BIGINT) AS n_hit,
+         CAST((SELECT COUNT(*) FROM aug) AS BIGINT) AS n)
+SELECT n_candidates, n_truth, n_hit,
+       CASE WHEN n_truth > 0 THEN
+         CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+         AS pair_completeness,
+       1.0e0 - CAST(n_candidates AS DOUBLE)
+         / CAST(n * (n - 1) // 2 AS DOUBLE) AS reduction_ratio
+FROM c"""
+
+
+_DECAY_NOW = "2024-02-01 00:00:00"
+_DECAY_HL_S = 2 * 86400
+_DECAY_HORIZON = 40
+_DECAY_RES = 6
+
+
+def q_events_decayed_cells(spark, sf_dir):
+    """Exponentially time-decayed activity surface per grid cell
+    (events.decayed_cell_counts): the freshness-weighted "what's hot
+    now" rollup, transcendental-free — decay weights are exact BIGINT
+    powers of two (1 << (horizon - age//half_life)), the score one
+    IEEE division by the exactly-representable 2^horizon."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
+    return ev.decayed_cell_counts(pts, _DECAY_RES, _DECAY_NOW,
+                                  _DECAY_HL_S, horizon=_DECAY_HORIZON)
+
+
+def _o_decayed_cells() -> str:
+    from . import events as ev
+    return ev.sql_decayed_cell_counts(
+        _EV_LON_SQL, _EV_LAT_SQL, "ts", "FROM events", _DECAY_RES,
+        _DECAY_NOW, _DECAY_HL_S, horizon=_DECAY_HORIZON)
+
+
+O_EVENTS_DECAYED_CELLS = _o_decayed_cells()
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -6125,6 +6357,10 @@ QUERIES = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_global_rank": q_doc_global_rank,
     "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
+    "doc_k_core": q_doc_kcore,
+    "doc_fs_weights": q_doc_fs_weights,
+    "doc_blocking_quality": q_doc_blocking_quality,
+    "events_decayed_cells": q_events_decayed_cells,
     "events_transitions": q_events_transitions,
     "events_gap_regularity": q_events_gap_regularity,
     "doc_simpson_diversity": q_doc_simpson,
@@ -6299,6 +6535,10 @@ ORACLES = {
     "doc_length_quantiles": O_DOC_LENGTH_QUANTILES,
     "doc_global_rank": O_DOC_GLOBAL_RANK,
     "doc_sorted_neighborhood": O_DOC_SORTED_NEIGHBORHOOD,
+    "doc_k_core": O_DOC_KCORE,
+    "doc_fs_weights": O_DOC_FS_WEIGHTS,
+    "doc_blocking_quality": O_DOC_BLOCKING_QUALITY,
+    "events_decayed_cells": O_EVENTS_DECAYED_CELLS,
     "events_transitions": O_EVENTS_TRANSITIONS,
     "events_gap_regularity": O_EVENTS_GAP_REGULARITY,
     "doc_simpson_diversity": O_DOC_SIMPSON,

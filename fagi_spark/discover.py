@@ -248,3 +248,111 @@ def discover_links(geo_a: DataFrame, geo_b: DataFrame,
             .select(F.col("a_subject").alias("node_a"),
                     F.col("b_subject").alias("node_b"),
                     "similarity", "distance_m"))
+
+
+def fs_weights(a: DataFrame, b: DataFrame, links: DataFrame, attrs: list,
+               key: str = "id", link_a: str = "id_a",
+               link_b: str = "id_b") -> DataFrame:
+    """Fellegi-Sunter agreement statistics per attribute: m-probability
+    (P(values agree | pair is a true match), from the labeled links)
+    and u-probability (P(agree | non-match), from the closed-form
+    all-pairs census) — the weights a probabilistic record-linkage
+    scorer multiplies per field. Reported as the raw likelihood ratio
+    w_agree = m/u (no logarithms — the oracle-float contract), NULL
+    when u is 0.
+
+    The u-side NEVER enumerates the n_a x n_b cross product: total
+    agreeing pairs per attribute = sum over attribute values v of
+    count_a(v) * count_b(v), i.e. two per-side value rollups and one
+    equi-join on the value — the same counts-product trick that makes
+    this estimable at corpus scale. NULL attribute values never agree
+    (equi-join semantics on both engines).
+
+    Returns one row per attribute: (attr, n_pairs, n_matched,
+    agree_m, agree_all, agree_u, m_prob, u_prob, w_agree).
+    """
+    na = a.agg(F.count(F.lit(1)).alias("_na"))
+    nb = b.agg(F.count(F.lit(1)).alias("_nb"))
+    nm = links.agg(F.count(F.lit(1)).alias("_nm"))
+    out = None
+    for attr in attrs:
+        av = a.select(F.col(key).alias("_ka"), F.col(attr).alias("_va"))
+        bv = b.select(F.col(key).alias("_kb"), F.col(attr).alias("_vb"))
+        am = (links.select(F.col(link_a).alias("_ka"),
+                           F.col(link_b).alias("_kb"))
+              .join(av, "_ka").join(bv, "_kb")
+              .filter(F.col("_va") == F.col("_vb"))
+              .agg(F.count(F.lit(1)).alias("_am")))
+        ca = (av.filter(F.col("_va").isNotNull())
+              .groupBy("_va").agg(F.count(F.lit(1)).alias("_ca")))
+        cb = (bv.filter(F.col("_vb").isNotNull())
+              .groupBy(F.col("_vb").alias("_va"))
+              .agg(F.count(F.lit(1)).alias("_cb")))
+        aa = (ca.join(cb, "_va")
+              .agg(F.coalesce(F.sum(F.col("_ca") * F.col("_cb")),
+                              F.lit(0)).alias("_aa")))
+        row = (na.crossJoin(nb).crossJoin(nm)
+               .crossJoin(am).crossJoin(aa)
+               .select(F.lit(attr).alias("attr"),
+                       (F.col("_na") * F.col("_nb")).cast("long")
+                       .alias("n_pairs"),
+                       F.col("_nm").cast("long").alias("n_matched"),
+                       F.col("_am").cast("long").alias("agree_m"),
+                       F.col("_aa").cast("long").alias("agree_all")))
+        out = row if out is None else out.unionByName(row)
+    au = (F.col("agree_all") - F.col("agree_m")).cast("long")
+    nu = (F.col("n_pairs") - F.col("n_matched")).cast("long")
+    # NULL (not a 0/0 crash under ANSI) when a denominator is empty
+    m = F.when(F.col("n_matched") > 0,
+               F.col("agree_m").cast("double")
+               / F.col("n_matched").cast("double"))
+    u = F.when(nu > 0,
+               F.col("agree_u").cast("double") / nu.cast("double"))
+    return (out.withColumn("agree_u", au)
+            .withColumn("m_prob", m)
+            .withColumn("u_prob", u)
+            .withColumn("w_agree",
+                        F.when(F.col("u_prob") > 0,
+                               F.col("m_prob") / F.col("u_prob"))))
+
+
+def blocking_quality(cand: DataFrame, truth: DataFrame, n_total: int,
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Blocking-scheme audit: pair completeness (share of ground-truth
+    duplicate pairs the candidate set covers — blocking recall) and
+    reduction ratio (share of the all-pairs quadratic the blocker
+    avoided) — the two numbers that justify ANY blocking choice (LSH
+    bands, grid cells, sorted neighborhood) before the expensive
+    verify stage runs.
+
+    Both inputs are canonicalized to unordered distinct (lo, hi)
+    pairs, so orientation conventions don't skew the counts; the
+    denominator n_total*(n_total-1)/2 comes from the caller (a
+    bounded scalar). Two count rollups + one pair equi-join — never
+    the cross product.
+
+    Returns one row: (n_candidates, n_truth, n_hit,
+    pair_completeness, reduction_ratio).
+    """
+    def _canon(df):
+        return (df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi")).distinct())
+
+    c = _canon(cand)
+    t = _canon(truth)
+    nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = c.join(t, ["_lo", "_hi"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    total = int(n_total) * (int(n_total) - 1) // 2
+    return (nc.crossJoin(nt).crossJoin(nh)
+            .select(F.col("n_candidates").cast("long").alias("n_candidates"),
+                    F.col("n_truth").cast("long").alias("n_truth"),
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.when(F.col("n_truth") > 0,
+                           F.col("n_hit").cast("double")
+                           / F.col("n_truth").cast("double"))
+                    .alias("pair_completeness"),
+                    (F.lit(1.0) - F.col("n_candidates").cast("double")
+                     / F.lit(float(total))).alias("reduction_ratio")))

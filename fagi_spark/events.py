@@ -1095,3 +1095,78 @@ def gap_regularity(events: DataFrame, ts: str = "ts",
     return agg.select(
         "user_id", "n_gaps", "sum_gap_s", "sumsq_gap_s",
         F.when(F.col("sum_gap_s") > 0, var / (mean * mean)).alias("cv2"))
+
+
+def decayed_cell_counts(events: DataFrame, res: int, now: str,
+                        half_life_s: int, horizon: int = 40,
+                        ts: str = "ts", lon: str = "lon",
+                        lat: str = "lat") -> DataFrame:
+    """Exponentially time-decayed activity surface per grid cell —
+    the "what's hot right now" rollup a freshness-aware crawler or
+    trending-places feature reads — with NO transcendentals: the
+    decay weight 2^-(age // half_life) is realized as an exact BIGINT
+    power of two, 1 << (horizon - age_buckets), summed per cell
+    (order-independent integer arithmetic), and the final score is
+    one IEEE division by the exactly-representable double 2^horizon.
+    Events older than ``horizon`` half-lives (or after ``now``)
+    contribute 0.
+
+    Scale shape: one map-side weight expression + one hash rollup on
+    the cell key; the BIGINT sum stays inside int64 while
+    n_events * 2^horizon < 2^63 (horizon 40 leaves 8M events per
+    cell-free headroom; lower horizon at bigger scales).
+
+    Returns (cell, n_events, sum_w, decayed_score) per touched cell.
+    """
+    from . import cells
+
+    h_us = int(half_life_s) * 1_000_000
+    hz = int(horizon)
+    now_us = F.unix_micros(F.lit(now).cast("timestamp"))
+    age = (now_us - F.unix_micros(F.col(ts).cast("timestamp")))
+    base = (events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y"),
+                          age.alias("_a"))
+            # floor-division bucketing, exact for negative ages too
+            .withColumn("_b", F.expr(
+                f"(_a - pmod(_a, {h_us})) DIV {h_us}")))
+    w = (F.when((F.col("_b") >= 0) & (F.col("_b") <= hz),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST({hz} - _b AS INT))"))
+         .otherwise(F.lit(0)).cast("long"))
+    base = cells.with_cell(base.withColumn("_w", w), res,
+                           lon="_x", lat="_y")
+    denom = float(2 ** hz)  # exactly representable double
+    return (base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("_w").alias("sum_w"))
+            .select("cell",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("sum_w").cast("long").alias("sum_w"),
+                    (F.col("sum_w").cast("double") / F.lit(denom))
+                    .alias("decayed_score")))
+
+
+def sql_decayed_cell_counts(lon_expr: str, lat_expr: str, ts_expr: str,
+                            from_clause: str, res: int, now: str,
+                            half_life_s: int, horizon: int = 40) -> str:
+    """DuckDB twin of decayed_cell_counts — same integer bucket, same
+    BIGINT shift-sum, same single division by 2^horizon."""
+    from . import cells
+
+    h_us = int(half_life_s) * 1_000_000
+    hz = int(horizon)
+    return f"""WITH e AS (
+  SELECT {cells.sql_cell(lon_expr, lat_expr, res)} AS cell,
+         CAST((epoch_us(TIMESTAMP '{now}') - epoch_us({ts_expr}))
+              // {h_us} AS BIGINT) AS b
+  {from_clause}),
+w AS (
+  SELECT cell,
+         CASE WHEN b >= 0 AND b <= {hz}
+              THEN (CAST(1 AS BIGINT) << CAST({hz} - b AS INT))
+              ELSE CAST(0 AS BIGINT) END AS w
+  FROM e)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w) AS DOUBLE) / {float(2 ** hz)!r} AS decayed_score
+FROM w GROUP BY cell"""

@@ -479,3 +479,49 @@ def test_label_propagation_random_graph_parity(spark):
            for r in components.label_propagation(
                df, iters=4, nodes=nodes, node_col="node_id").collect()}
     assert got == _lpa_bruteforce(n, edges, 4)
+
+
+def _kcore_bruteforce(edges, k, iters):
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(iters):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in alive and b in alive}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_k_core_cascade(spark):
+    # 5-clique (the k=3 core) + a pendant chain 5-6-7 that peels one
+    # node per synchronous round: 7 (deg 1) falls in round 1, then 6,
+    # then 5 -- distinguishing fixed-round sync semantics from a
+    # one-shot degree filter.
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(0, 5), (1, 5), (5, 6), (6, 7)]
+    edges = clique + chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3, 4):
+        got = {r["node"]: r["degree"]
+               for r in components.k_core(df, k=3, iters=iters).collect()}
+        assert got == _kcore_bruteforce(edges, 3, iters), iters
+    got = {r["node"]: r["degree"]
+           for r in components.k_core(df, k=3, iters=4).collect()}
+    assert set(got) == set(range(5)) and all(d == 4 for d in got.values())
+
+
+def test_k_core_random_parity(spark):
+    n = 50
+    edges = [(i, (i * 17 + 3) % n) for i in range(n)] + \
+            [(i, (i * 29 + 11) % n) for i in range(n) if i % 2 == 0] + \
+            [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4):
+        got = {r["node"]: r["degree"]
+               for r in components.k_core(df, k=k, iters=5).collect()}
+        assert got == _kcore_bruteforce(edges, k, 5), k

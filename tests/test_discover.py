@@ -135,3 +135,57 @@ def test_discover_links_exact_matches_python_and_bounds_jw(spark):
         assert abs(exact[key] - want) < 1e-12, key
         jw = discover.token_jaccard_jw(r["a_text"], r["b_text"])
         assert exact[key] <= jw + 1e-12, key
+
+
+def test_fs_weights_handcase(spark):
+    a = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, None)], "id long, lang string")
+    b = spark.createDataFrame(
+        [(10, "en"), (11, "de"), (12, None)], "id long, lang string")
+    links = spark.createDataFrame(
+        [(1, 10), (3, 11), (2, 11)], "id_a long, id_b long")
+    [r] = discover.fs_weights(a, b, links, ["lang"]).collect()
+    # n_pairs = 4*3; matched pairs agreeing on lang: (1,10) en==en,
+    # (3,11) de==de -> 2 of 3.  census: en 2*1 + de 1*1 = 3 (NULLs
+    # never agree).  u-side = (3-2)/(12-3).
+    assert (r.attr, r.n_pairs, r.n_matched, r.agree_m,
+            r.agree_all, r.agree_u) == ("lang", 12, 3, 2, 3, 1)
+    assert r.m_prob == 2.0 / 3.0
+    assert r.u_prob == 1.0 / 9.0
+    assert r.w_agree == (2.0 / 3.0) / (1.0 / 9.0)
+
+
+def test_fs_weights_zero_u_is_null(spark):
+    # the only agreeing pair is a matched link -> u = 0 -> NULL w
+    a = spark.createDataFrame([(1, "x"), (5, "y")], "id long, k string")
+    b = spark.createDataFrame([(2, "x")], "id long, k string")
+    links = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    [r] = discover.fs_weights(a, b, links, ["k"]).collect()
+    assert (r.n_pairs, r.n_matched, r.agree_m, r.agree_u) == (2, 1, 1, 0)
+    assert r.u_prob == 0.0 and r.w_agree is None
+
+
+def test_fs_weights_empty_denominators_null(spark):
+    # all pairs are matched -> non-match universe empty -> u_prob NULL
+    a = spark.createDataFrame([(1, "x")], "id long, k string")
+    b = spark.createDataFrame([(2, "x")], "id long, k string")
+    links = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    [r] = discover.fs_weights(a, b, links, ["k"]).collect()
+    assert r.u_prob is None and r.w_agree is None
+    # and no labeled links at all -> m_prob NULL (not an ANSI 0/0)
+    empty = links.filter(F.lit(False))
+    [r2] = discover.fs_weights(a, b, empty, ["k"]).collect()
+    assert r2.m_prob is None and r2.w_agree is None
+
+
+def test_blocking_quality_handcase(spark):
+    # cand: (1,2) given twice in both orientations + a self-loop that
+    # must be dropped; truth has one pair the blocker missed.
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 5)], "id_a long, id_b long")
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 3), (7, 8)], "id_a long, id_b long")
+    [r] = discover.blocking_quality(cand, truth, n_total=10).collect()
+    assert (r.n_candidates, r.n_truth, r.n_hit) == (2, 3, 2)
+    assert r.pair_completeness == 2.0 / 3.0
+    assert r.reduction_ratio == 1.0 - 2.0 / 45.0

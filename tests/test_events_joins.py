@@ -631,3 +631,28 @@ def test_gap_regularity_metronome_vs_bursty(spark):
     mean = s / n
     assert b["cv2"] == (q / n - mean * mean) / (mean * mean)
     assert b["cv2"] > 0.5
+
+
+def test_decayed_cell_counts_handcase(spark):
+    # half-life 1 day, horizon 3: weight 1 << (3 - age//1d), zero for
+    # future events and events older than 3 half-lives.
+    now = "2024-01-10 00:00:00"
+    rows = [
+        (0.0, _ts("2024-01-10T00:00:00")),   # age 0d   -> w 8
+        (0.0, _ts("2024-01-09T00:00:00")),   # age 1d   -> w 4
+        (0.0, _ts("2024-01-08T00:00:00")),   # age 2d   -> w 2
+        (0.0, _ts("2024-01-06T12:00:00")),   # age 3.5d -> w 1
+        (0.0, _ts("2024-01-05T00:00:00")),   # age 4d   -> w 0
+        (0.0, _ts("2024-01-10T01:00:00")),   # future   -> w 0
+        (50.0, _ts("2024-01-09T12:00:00")),  # other cell, age 0.5d -> w 8
+    ]
+    df = spark.createDataFrame(rows, "lon double, ts timestamp") \
+        .withColumn("lat", F.lit(0.0))
+    got = {r.cell: (r.n_events, r.sum_w, r.decayed_score)
+           for r in ev.decayed_cell_counts(
+               df, res=4, now=now, half_life_s=86400, horizon=3).collect()}
+    assert len(got) == 2
+    by_n = sorted(got.values())
+    # hot cell: all 6 events counted, weights 8+4+2+1 = 15, / 2^3
+    assert by_n[1] == (6, 15, 15.0 / 8.0)
+    assert by_n[0] == (1, 8, 1.0)
