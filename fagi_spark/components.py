@@ -608,3 +608,138 @@ def k_core(edges: DataFrame, k: int = 3, iters: int = 4,
         e.select(F.col("b").alias("node")))
     return (both.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge (a < b) of the simple
+    graph ``e``: the number of triangles the edge participates in.
+    Same degree-ordered wedge pivot as triangle_count (Suri &
+    Vassilvitskii WWW'11) so the self-join fans out on O(sqrt(m))
+    out-neighborhoods, never a hub's full adjacency; each triangle
+    materializes once and explodes to its three member edges."""
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(F.col("_da") <= F.col("_db"), F.col("a"))
+                 .otherwise(F.col("b")).alias("u"),
+                 F.when(F.col("_da") <= F.col("_db"), F.col("b"))
+                 .otherwise(F.col("a")).alias("v")))
+    x = o.select(F.col("u"), F.col("v").alias("_v1"))
+    y = o.select(F.col("u"), F.col("v").alias("_v2"))
+    wedges = x.join(y, "u").filter(F.col("_v1") < F.col("_v2"))
+    tri = (wedges.join(e, (wedges["_v1"] == e["a"])
+                       & (wedges["_v2"] == e["b"]))
+           .select("u", "_v1", "_v2"))
+    member = tri.select(F.explode(F.array(
+        F.struct(F.least("u", "_v1").alias("a"),
+                 F.greatest("u", "_v1").alias("b")),
+        F.struct(F.least("u", "_v2").alias("a"),
+                 F.greatest("u", "_v2").alias("b")),
+        F.struct(F.col("_v1").alias("a"), F.col("_v2").alias("b")),
+    )).alias("p")).select("p.a", "p.b")
+    return (member.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support")))
+
+
+def k_truss(edges: DataFrame, k: int = 4, iters: int = 3,
+            src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-truss peel: repeatedly delete edges in fewer
+    than k-2 triangles (Cohen 2008) — the EDGE-granular backbone
+    where k_core is node-granular. A link ring that inflates degrees
+    without mutual corroboration survives a k-core but not a truss:
+    every kept edge is embedded in k-2 triangles of the surviving
+    subgraph, which is why trusses are the standard community-core /
+    collusion-ring detector on host graphs.
+
+    Each round is one support computation (three bounded shuffles via
+    the degree-ordered wedge pivot of ``triangle_count``) + one edge
+    filter; lineage is cut per round. The round count is FIXED so a
+    declarative oracle can unroll the identical synchronous rounds —
+    pass ``iters`` at the graph's peel depth (pytest pins a cascade).
+
+    Returns surviving edges (node_a < node_b) with ``support``
+    recomputed in the surviving subgraph.
+    """
+    e = _canon_edges(edges, src, dst)
+    thr = int(k) - 2
+    for _ in range(int(iters)):
+        sup = _edge_support(e)
+        e = (e.join(sup, ["a", "b"], "left")
+             .filter(F.coalesce(F.col("support"), F.lit(0)) >= thr)
+             .select("a", "b")
+             .localCheckpoint(eager=True))
+    sup = _edge_support(e)
+    return (e.join(sup, ["a", "b"], "left")
+            .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+                    F.coalesce(F.col("support"), F.lit(0).cast("long"))
+                    .alias("support")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected simple graph: the Pearson correlation of endpoint
+    degrees over directed edge stubs. Crawl link-graphs are famously
+    DISassortative (hubs link to leaves, r < 0); a near-0/positive r
+    over a host graph flags engineered mesh linking.
+
+    Transcendental-free: with stubs symmetrized, sum(j) == sum(k) and
+    sum(j^2) == sum(k^2), so Pearson's two sqrt denominators are equal
+    and r collapses to ONE division of exact BIGINT accumulators:
+    r = (m2*sum_jk - sum_j^2) / (m2*sum_j2 - sum_j^2), m2 = directed
+    stub count. Degrees/sums must stay inside int64 (fine through
+    ~10^5 avg degree at 10^9 edges — state checked by the caller).
+
+    Returns one row (m2, sum_j, sum_jk, sum_j2, assortativity);
+    assortativity is NULL for a degree-regular graph (0 variance).
+    """
+    e = _canon_edges(edges, src, dst)
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dj = deg.select("a", F.col("deg").alias("_j"))
+    dk = deg.select(F.col("a").alias("b"), F.col("deg").alias("_k"))
+    s = (adj.join(dj, "a").join(dk, "b")
+         .agg(F.count(F.lit(1)).cast("long").alias("m2"),
+              F.sum("_j").cast("long").alias("sum_j"),
+              F.sum(F.col("_j") * F.col("_k")).cast("long").alias("sum_jk"),
+              F.sum(F.col("_j") * F.col("_j")).cast("long").alias("sum_j2")))
+    num = F.col("m2") * F.col("sum_jk") - F.col("sum_j") * F.col("sum_j")
+    den = F.col("m2") * F.col("sum_j2") - F.col("sum_j") * F.col("sum_j")
+    return s.select(
+        "m2", "sum_j", "sum_jk", "sum_j2",
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .alias("assortativity"))
+
+
+def reciprocity(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Directed-edge reciprocity: the share of distinct directed
+    edges whose reverse edge also exists — near 0 on organic crawl
+    graphs (authority flows one way), near 1 inside link-exchange
+    rings, so it pairs with assortativity as a host-graph health
+    scalar. Self-loops drop; duplicates collapse.
+
+    One distinct + one self-equi-join on the reversed key + two
+    counts; ratio is a single IEEE division of exact BIGINTs.
+
+    Returns one row (n_edges, n_reciprocated, reciprocity) with
+    NULL reciprocity on an empty edge set.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+         .distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    hit = e.join(rev, ["a", "b"], "semi")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = hit.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocated"))
+    return (n.crossJoin(r)
+            .select("n_edges", "n_reciprocated",
+                    F.when(F.col("n_edges") > 0,
+                           F.col("n_reciprocated").cast("double")
+                           / F.col("n_edges").cast("double"))
+                    .alias("reciprocity")))

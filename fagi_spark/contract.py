@@ -6312,6 +6312,177 @@ def _o_decayed_cells() -> str:
 O_EVENTS_DECAYED_CELLS = _o_decayed_cells()
 
 
+_KTRUSS_K = 4
+_KTRUSS_ITERS = 3
+
+
+def q_doc_ktruss(spark, sf_dir):
+    """Fixed-round k-truss peel (components.k_truss, k=4, 3 rounds)
+    over a planted ring+chords+clique graph on the documents table:
+    ring (i,i+1) and chord (i,i+2) edges give every edge support 1-2,
+    so the thr=2 peel strips chords in round 1 and the bare ring in
+    round 2, leaving the 20-clique (support 18) — one edge cohort
+    peels per synchronous round. The oracle unrolls identical rounds
+    (a<b<c triangle enumeration -> member-edge support -> left-join
+    filter) over MATERIALIZED CTEs."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 2) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    edges = e1.unionByName(e2).unionByName(cl)
+    return components.k_truss(edges, k=_KTRUSS_K, iters=_KTRUSS_ITERS)
+
+
+def _o_ktruss(k: int, iters: int) -> str:
+    thr = k - 2
+    parts = ["""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) + 2) % (SELECT n FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+  FROM documents a JOIN documents b
+    ON a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst)"""]
+    step = """t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{p} e1 JOIN e{p} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e{p} e3 ON e3.a = e1.b AND e3.b = e2.b),
+s{i} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}) GROUP BY 1, 2)"""
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, p=i - 1))
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e LEFT JOIN s{i} s USING (a, b)
+  WHERE COALESCE(s.sup, 0) >= {thr})""")
+    f = iters + 1
+    parts.append(step.format(i=f, p=iters))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT e.a AS node_a, e.b AS node_b,
+       CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+FROM e{iters} e LEFT JOIN s{f} s USING (a, b)""")
+
+
+O_DOC_KTRUSS = _o_ktruss(_KTRUSS_K, _KTRUSS_ITERS)
+
+
+def q_doc_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (components.
+    degree_assortativity) of the planted out-degree-2 web graph
+    (dst = 31i+7 and 17i+3 mod n): Pearson correlation of endpoint
+    degrees over symmetrized stubs, collapsed to ONE division of
+    exact BIGINT sums (the two sqrt denominators are equal by stub
+    symmetry — no transcendentals)."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    return components.degree_assortativity(e1.unionByName(e2))
+
+
+O_DOC_ASSORTATIVITY = """WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * 31 + 7) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 17 + 3) % (SELECT n FROM nn)
+  FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dj.deg) AS BIGINT) AS sum_j,
+         CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+         CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS sum_j2
+  FROM adj JOIN deg dj ON dj.a = adj.a JOIN deg dk ON dk.a = adj.b)
+SELECT m2, sum_j, sum_jk, sum_j2,
+       CASE WHEN m2 * sum_j2 - sum_j * sum_j <> 0 THEN
+         CAST(m2 * sum_jk - sum_j * sum_j AS DOUBLE)
+           / CAST(m2 * sum_j2 - sum_j * sum_j AS DOUBLE) END
+         AS assortativity
+FROM s"""
+
+
+def q_doc_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity (components.reciprocity) over a
+    planted half-reciprocated crawl graph: every node links forward
+    (i -> i+13 mod n), every third node links back (i -> i-13 mod n),
+    plus periodic self-loops that must drop. n_edges/n_reciprocated
+    are BIGINT-exact; the ratio is one mirrored IEEE division."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 13) % n).alias("dst"))
+    e2 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") - 13 + n) % n).alias("dst")))
+    e3 = (docs.filter(F.col("doc_id") % 50 == 0)
+          .select(F.col("doc_id").alias("src"),
+                  F.col("doc_id").alias("dst")))
+    return components.reciprocity(e1.unionByName(e2).unionByName(e3))
+
+
+O_DOC_RECIPROCITY = """WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) + 13) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) - 13 + (SELECT n FROM nn))
+           % (SELECT n FROM nn)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id % 50 = 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT src AS a, dst AS b FROM raw WHERE src <> dst),
+c AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+         CAST((SELECT COUNT(*) FROM e
+               WHERE EXISTS (SELECT 1 FROM e r
+                             WHERE r.a = e.b AND r.b = e.a))
+              AS BIGINT) AS n_reciprocated)
+SELECT n_edges, n_reciprocated,
+       CASE WHEN n_edges > 0 THEN
+         CAST(n_reciprocated AS DOUBLE) / CAST(n_edges AS DOUBLE) END
+         AS reciprocity
+FROM c"""
+
+
 QUERIES = {
     "fagi_flagship_join": q_flagship_join,
     "fagi_keep_left": _q_action("keep-left"),
@@ -6358,6 +6529,9 @@ QUERIES = {
     "doc_global_rank": q_doc_global_rank,
     "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
     "doc_k_core": q_doc_kcore,
+    "doc_k_truss": q_doc_ktruss,
+    "doc_assortativity": q_doc_assortativity,
+    "doc_reciprocity": q_doc_reciprocity,
     "doc_fs_weights": q_doc_fs_weights,
     "doc_blocking_quality": q_doc_blocking_quality,
     "events_decayed_cells": q_events_decayed_cells,
@@ -6536,6 +6710,9 @@ ORACLES = {
     "doc_global_rank": O_DOC_GLOBAL_RANK,
     "doc_sorted_neighborhood": O_DOC_SORTED_NEIGHBORHOOD,
     "doc_k_core": O_DOC_KCORE,
+    "doc_k_truss": O_DOC_KTRUSS,
+    "doc_assortativity": O_DOC_ASSORTATIVITY,
+    "doc_reciprocity": O_DOC_RECIPROCITY,
     "doc_fs_weights": O_DOC_FS_WEIGHTS,
     "doc_blocking_quality": O_DOC_BLOCKING_QUALITY,
     "events_decayed_cells": O_EVENTS_DECAYED_CELLS,

@@ -525,3 +525,91 @@ def test_k_core_random_parity(spark):
         got = {r["node"]: r["degree"]
                for r in components.k_core(df, k=k, iters=5).collect()}
         assert got == _kcore_bruteforce(edges, k, 5), k
+
+
+def _ktruss_bruteforce(edges, k, iters):
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def support(es):
+        # count common neighbors per edge
+        nbr = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        return {(a, b): len(nbr[a] & nbr[b]) for a, b in es}
+
+    for _ in range(iters):
+        sup = support(e)
+        e = {ed for ed in e if sup[ed] >= k - 2}
+    return support(e) if e else {}
+
+
+def test_k_truss_cascade(spark):
+    # ring + chords + 6-clique: chords (support 1) peel in round 1,
+    # the bare ring (support 0) in round 2, the clique (support 4)
+    # survives -- one edge cohort per synchronous round.
+    n = 30
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = [(i, (i + 2) % n) for i in range(n)]
+    clique = [(a, b) for a in range(40, 46) for b in range(a + 1, 46)]
+    edges = ring + chords + clique
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {(r.node_a, r.node_b): r.support
+               for r in components.k_truss(df, k=4, iters=iters).collect()}
+        assert got == _ktruss_bruteforce(edges, 4, iters), iters
+    got = {(r.node_a, r.node_b): r.support
+           for r in components.k_truss(df, k=4, iters=3).collect()}
+    assert set(got) == {(a, b) for a, b in clique}
+    assert all(s == 4 for s in got.values())
+
+
+def test_k_truss_random_parity(spark):
+    n = 40
+    edges = [(i, (i * 7 + 3) % n) for i in range(n)] + \
+            [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 2) % n) for i in range(0, n, 2)] + \
+            [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4):
+        got = {(r.node_a, r.node_b): r.support
+               for r in components.k_truss(df, k=k, iters=4).collect()}
+        assert got == _ktruss_bruteforce(edges, k, 4), k
+
+
+def test_degree_assortativity_values(spark):
+    import numpy as np
+    # star K1,5 -> r = -1 exactly
+    star = [(0, i) for i in range(1, 6)]
+    [r] = components.degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")).collect()
+    assert r.assortativity == -1.0
+    # ring: degree-regular -> zero variance -> NULL
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    [r] = components.degree_assortativity(
+        spark.createDataFrame(ring, "src long, dst long")).collect()
+    assert r.assortativity is None
+    # irregular graph vs numpy Pearson over the symmetrized stub list
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 1)]
+    [r] = components.degree_assortativity(
+        spark.createDataFrame(edges, "src long, dst long")).collect()
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    js = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ks = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    assert r.assortativity == pytest.approx(
+        float(np.corrcoef(js, ks)[0, 1]), abs=1e-12)
+
+
+def test_reciprocity_handcase(spark):
+    # 0->1 and 1->0 reciprocated; 2->3 not; dup edge + self-loop drop
+    edges = [(0, 1), (1, 0), (2, 3), (2, 3), (4, 4)]
+    [r] = components.reciprocity(
+        spark.createDataFrame(edges, "src long, dst long")).collect()
+    assert (r.n_edges, r.n_reciprocated) == (3, 2)
+    assert r.reciprocity == 2.0 / 3.0
+    empty = spark.createDataFrame([], "src long, dst long")
+    [r] = components.reciprocity(empty).collect()
+    assert r.n_edges == 0 and r.reciprocity is None
