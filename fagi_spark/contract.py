@@ -6312,6 +6312,82 @@ def _o_decayed_cells() -> str:
 O_EVENTS_DECAYED_CELLS = _o_decayed_cells()
 
 
+def q_events_burst(spark, sf_dir):
+    """Per-(cell, period) burst z-score (events.cell_burst_scores,
+    daily periods at res 6) against the cell's own zero-completed
+    history: z = (n*x - S) / sqrt(n*Q - S^2) over exact BIGINT
+    sums — one division + one sanctioned sqrt, mirrored; NULL for
+    constant series."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
+    return ev.cell_burst_scores(pts, res=6, period_s=86400)
+
+
+def _o_events_burst(res: int = 6, period_s: int = 86400) -> str:
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
+    pus = period_s * 1_000_000
+    return f"""WITH p AS (
+  SELECT epoch_us(ts) // {pus} AS per,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+cnt AS (SELECT cell, per, COUNT(*) AS x FROM p GROUP BY cell, per),
+rng AS (SELECT MIN(per) AS pmin, MAX(per) AS pmax FROM cnt),
+series AS MATERIALIZED (
+  SELECT c.cell, g.per, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT cell FROM cnt) c
+  CROSS JOIN (SELECT UNNEST(RANGE(pmin, pmax + 1)) AS per FROM rng) g
+  LEFT JOIN cnt ON cnt.cell = c.cell AND cnt.per = g.per),
+st AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM series GROUP BY cell)
+SELECT series.cell, CAST(per AS BIGINT) AS period, x AS cnt,
+       n AS n_periods,
+       CASE WHEN n * q - s * s > 0 THEN
+         CAST(n * x - s AS DOUBLE) / SQRT(CAST(n * q - s * s AS DOUBLE))
+       END AS z_score
+FROM series JOIN st ON st.cell = series.cell"""
+
+
+O_EVENTS_BURST = _o_events_burst()
+
+_GYRATION_RES = 8
+
+
+def q_events_gyration(spark, sf_dir):
+    """Per-user radius of gyration (events.radius_of_gyration, grid
+    res 8): rg_cells = sqrt((n*Q - Sx^2 - Sy^2) / n^2) over exact
+    BIGINT grid-coordinate sums — the mean-free identity keeps both
+    engines on the identical one-division-one-sqrt tree."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "user_id")
+    return ev.radius_of_gyration(pts, res=_GYRATION_RES)
+
+
+def _o_events_gyration(res: int) -> str:
+    ix = cells.sql_ix(_EV_LON_SQL, res)
+    iy = cells.sql_iy(_EV_LAT_SQL, res)
+    return f"""WITH g AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         {ix} AS ix, {iy} AS iy
+  FROM events),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pings,
+         CAST(SUM(ix) AS BIGINT) AS sx,
+         CAST(SUM(iy) AS BIGINT) AS sy,
+         CAST(SUM(ix * ix + iy * iy) AS BIGINT) AS q
+  FROM g GROUP BY user_id)
+SELECT user_id, n_pings,
+       CAST(n_pings * q - sx * sx - sy * sy AS BIGINT) AS rg2_num,
+       SQRT(CAST(n_pings * q - sx * sx - sy * sy AS DOUBLE)
+            / CAST(n_pings * n_pings AS DOUBLE)) AS rg_cells
+FROM a"""
+
+
+O_EVENTS_GYRATION = _o_events_gyration(_GYRATION_RES)
+
+
 _KTRUSS_K = 4
 _KTRUSS_ITERS = 3
 
@@ -6535,6 +6611,8 @@ QUERIES = {
     "doc_fs_weights": q_doc_fs_weights,
     "doc_blocking_quality": q_doc_blocking_quality,
     "events_decayed_cells": q_events_decayed_cells,
+    "events_burst_scores": q_events_burst,
+    "events_gyration": q_events_gyration,
     "events_transitions": q_events_transitions,
     "events_gap_regularity": q_events_gap_regularity,
     "doc_simpson_diversity": q_doc_simpson,
@@ -6716,6 +6794,8 @@ ORACLES = {
     "doc_fs_weights": O_DOC_FS_WEIGHTS,
     "doc_blocking_quality": O_DOC_BLOCKING_QUALITY,
     "events_decayed_cells": O_EVENTS_DECAYED_CELLS,
+    "events_burst_scores": O_EVENTS_BURST,
+    "events_gyration": O_EVENTS_GYRATION,
     "events_transitions": O_EVENTS_TRANSITIONS,
     "events_gap_regularity": O_EVENTS_GAP_REGULARITY,
     "doc_simpson_diversity": O_DOC_SIMPSON,

@@ -328,6 +328,36 @@ def od_flows(events: DataFrame, res: int, user: str = "user_id",
                  F.count_distinct(user).alias("n_users")))
 
 
+def _cell_period_series(events: DataFrame, res: int, period_s: int,
+                        ts: str, lon: str, lat: str) -> DataFrame:
+    """(cell, _p, _x) per-period event counts per touched cell,
+    zero-completed over the global [pmin, pmax] period range (a
+    one-row broadcast). Shared by emerging_hotspots and
+    cell_burst_scores — the count rollup is the only pass over raw
+    events; completion runs on touched-cells x T rows."""
+    from . import cells
+
+    period_us = int(period_s) * 1_000_000
+    # floor division (not DIV's truncation) so pre-1970 timestamps
+    # bucket identically to the oracle's `//`: subtracting the
+    # non-negative pmod makes _us an exact multiple, where DIV == floor
+    base = (events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y"),
+                          F.unix_micros(F.col(ts).cast("timestamp"))
+                           .alias("_us"))
+            .withColumn("_p", F.expr(
+                f"(_us - pmod(_us, {period_us})) DIV {period_us}")))
+    base = cells.with_cell(base, res, lon="_x", lat="_y")
+    counts = base.groupBy("cell", "_p").agg(F.count(F.lit(1)).alias("_x"))
+    rng = counts.agg(F.min("_p").alias("_pmin"), F.max("_p").alias("_pmax"))
+    return (counts.select("cell").distinct()
+            .crossJoin(F.broadcast(rng))
+            .select("cell", F.explode(F.sequence("_pmin", "_pmax"))
+                    .alias("_p"))
+            .join(counts, ["cell", "_p"], "left")
+            .select("cell", "_p",
+                    F.coalesce("_x", F.lit(0)).cast("long").alias("_x")))
+
+
 def emerging_hotspots(events: DataFrame, res: int, period_s: int,
                       ts: str = "ts", lon: str = "lon",
                       lat: str = "lat") -> DataFrame:
@@ -348,27 +378,7 @@ def emerging_hotspots(events: DataFrame, res: int, period_s: int,
     hundred, switch to the O(T log T) rank formulation; at the
     analysis granularities this serves (daily/weekly periods over a
     season) the quadratic-in-T join is the cheaper plan."""
-    from . import cells
-
-    period_us = int(period_s) * 1_000_000
-    # floor division (not DIV's truncation) so pre-1970 timestamps
-    # bucket identically to the oracle's `//`: subtracting the
-    # non-negative pmod makes _us an exact multiple, where DIV == floor
-    base = (events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y"),
-                          F.unix_micros(F.col(ts).cast("timestamp"))
-                           .alias("_us"))
-            .withColumn("_p", F.expr(
-                f"(_us - pmod(_us, {period_us})) DIV {period_us}")))
-    base = cells.with_cell(base, res, lon="_x", lat="_y")
-    counts = base.groupBy("cell", "_p").agg(F.count(F.lit(1)).alias("_x"))
-    rng = counts.agg(F.min("_p").alias("_pmin"), F.max("_p").alias("_pmax"))
-    series = (counts.select("cell").distinct()
-              .crossJoin(F.broadcast(rng))
-              .select("cell", F.explode(F.sequence("_pmin", "_pmax"))
-                      .alias("_p"))
-              .join(counts, ["cell", "_p"], "left")
-              .select("cell", "_p",
-                      F.coalesce("_x", F.lit(0)).cast("long").alias("_x")))
+    series = _cell_period_series(events, res, period_s, ts, lon, lat)
     a = series.select("cell", F.col("_p").alias("_pa"),
                       F.col("_x").alias("_xa"))
     b = series.select("cell", F.col("_p").alias("_pb"),
@@ -1170,3 +1180,86 @@ SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(w) AS BIGINT) AS sum_w,
        CAST(SUM(w) AS DOUBLE) / {float(2 ** hz)!r} AS decayed_score
 FROM w GROUP BY cell"""
+
+
+def cell_burst_scores(events: DataFrame, res: int, period_s: int,
+                      ts: str = "ts", lon: str = "lon",
+                      lat: str = "lat") -> DataFrame:
+    """Per-(cell, period) burst z-score against the cell's own
+    zero-completed period history — the "this place is anomalously
+    busy THIS week" detector that complements emerging_hotspots'
+    monotone-trend reading (a one-off festival spike is a burst but
+    no trend; steady growth is a trend but never a burst).
+
+    Transcendental-free except one sqrt (sanctioned IEEE op): with
+    n periods, S = sum(x), Q = sum(x^2) as exact BIGINTs, the
+    population z-score algebra collapses to
+    z = (n*x - S) / sqrt(n*Q - S*S) — one subtraction tree inside
+    int64, one division, one sqrt, identically mirrored in SQL.
+    NULL z for a constant series (zero variance). BIGINT domain:
+    n*Q < 2^63 caps per-cell-period counts around 3M at T=1000
+    periods — beyond web-analytics granularities.
+
+    Scale shape: the shared _cell_period_series rollup (one pass over
+    raw events) + a per-cell stats rollup on touched-cells x T rows +
+    a broadcast-sized join back. Returns (cell, period, cnt, n_periods,
+    z_score) for every touched cell x period.
+    """
+    series = _cell_period_series(events, res, period_s, ts, lon, lat)
+    stats = (series.groupBy("cell")
+             .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                  F.sum("_x").cast("long").alias("_s"),
+                  F.sum(F.col("_x") * F.col("_x")).cast("long")
+                  .alias("_q")))
+    j = series.join(stats, "cell")
+    num = F.col("_n") * F.col("_x") - F.col("_s")
+    den = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    return j.select(
+        "cell", F.col("_p").alias("period"), F.col("_x").alias("cnt"),
+        F.col("_n").alias("n_periods"),
+        F.when(den > 0, num.cast("double") / F.sqrt(den.cast("double")))
+        .alias("z_score"))
+
+
+def radius_of_gyration(events: DataFrame, res: int,
+                       user: str = "user_id", lon: str = "lon",
+                       lat: str = "lat") -> DataFrame:
+    """Per-user radius of gyration over grid-cell coordinates — the
+    canonical human-mobility home-range scalar (Gonzalez, Hidalgo &
+    Barabasi 2008): RMS distance of a user's pings from their own
+    centroid. Commuters score small, travellers large, and a fleet of
+    fake accounts sharing one template trajectory scores identically —
+    which is why rg sits beside gap_regularity in a bot-score panel.
+
+    Exact-arithmetic form: pings snap to integer grid coords (ix, iy)
+    at ``res``; with n pings, Sx/Sy/Q = sum(ix), sum(iy),
+    sum(ix^2+iy^2) as exact BIGINTs, rg^2's numerator is
+    n*Q - Sx^2 - Sy^2 (the mean-free identity), and
+    rg_cells = sqrt(num / n^2) — one division + one sqrt, mirrored.
+    Units are CELLS at ``res`` (degree/metric conversion is a caller
+    multiply); int64 domain holds while n * (2^res)^2 < 2^63 — res 12
+    leaves 500G pings per user.
+
+    One map-side snap + one hash rollup on the user key; returns
+    (user_id, n_pings, rg2_num, rg_cells).
+    """
+    from . import cells
+
+    base = cells.with_cell(
+        events.select(F.col(user).alias("user_id"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    agg = (base.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pings"),
+                F.sum("ix").cast("long").alias("_sx"),
+                F.sum("iy").cast("long").alias("_sy"),
+                F.sum(F.col("ix") * F.col("ix")
+                      + F.col("iy") * F.col("iy")).cast("long")
+                .alias("_q")))
+    num = (F.col("n_pings") * F.col("_q")
+           - F.col("_sx") * F.col("_sx") - F.col("_sy") * F.col("_sy"))
+    return agg.select(
+        "user_id", "n_pings", num.alias("rg2_num"),
+        F.sqrt(num.cast("double")
+               / (F.col("n_pings") * F.col("n_pings")).cast("double"))
+        .alias("rg_cells"))

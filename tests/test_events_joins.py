@@ -656,3 +656,66 @@ def test_decayed_cell_counts_handcase(spark):
     # hot cell: all 6 events counted, weights 8+4+2+1 = 15, / 2^3
     assert by_n[1] == (6, 15, 15.0 / 8.0)
     assert by_n[0] == (1, 8, 1.0)
+
+
+def test_cell_burst_scores_handcase(spark):
+    import math
+    # one cell, daily periods: counts [3, 0, 0] (day 2 zero-completed
+    # via the global range spanned by the other cell), burst on day 0.
+    rows = [(0.0, _ts("2024-01-01T01:00:00")),
+            (0.0, _ts("2024-01-01T02:00:00")),
+            (0.0, _ts("2024-01-01T03:00:00")),
+            # second cell keeps the global range at 3 days
+            (50.0, _ts("2024-01-01T12:00:00")),
+            (50.0, _ts("2024-01-02T12:00:00")),
+            (50.0, _ts("2024-01-03T12:00:00"))]
+    df = spark.createDataFrame(rows, "lon double, ts timestamp") \
+        .withColumn("lat", F.lit(0.0))
+    out = ev.cell_burst_scores(df, res=4, period_s=86400).collect()
+    assert len(out) == 6
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, {})[r.period - min(
+            x.period for x in out)] = r
+    bursty = [c for c, d in by_cell.items()
+              if {p: r.cnt for p, r in d.items()} == {0: 3, 1: 0, 2: 0}][0]
+    d = by_cell[bursty]
+    # n=3, S=3, Q=9: z(3) = (9-3)/sqrt(27-9), z(0) = -3/sqrt(18)
+    assert d[0].z_score == 6.0 / math.sqrt(18.0)
+    assert d[1].z_score == -3.0 / math.sqrt(18.0)
+    assert d[0].n_periods == 3
+    # constant-series cell: counts [1,1,1] -> zero variance -> NULL
+    flat = [c for c in by_cell if c != bursty][0]
+    assert all(r.z_score is None for r in by_cell[flat].values())
+
+
+def test_radius_of_gyration_handcase(spark):
+    import math
+    # res 4 -> 16x16 world grid, cells 22.5 deg wide; points chosen
+    # at cell centers so ix/iy are unambiguous.
+    rows = [  # user 1: square of 4 cells -> rg = sqrt(1/2)
+        (1, -180.0 + 22.5 * 4, -90.0 + 11.25 * 4),
+        (1, -180.0 + 22.5 * 5, -90.0 + 11.25 * 4),
+        (1, -180.0 + 22.5 * 4, -90.0 + 11.25 * 6),
+        (1, -180.0 + 22.5 * 5, -90.0 + 11.25 * 6),
+        # user 2: single ping -> rg 0
+        (2, 0.0, 0.0),
+        # user 3: two pings 3 cells apart in x -> rg = 1.5
+        (3, -180.0 + 22.5 * 2, 0.0),
+        (3, -180.0 + 22.5 * 5, 0.0)]
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    got = {r.user_id: r for r in
+           ev.radius_of_gyration(df, res=4).collect()}
+    # grid: ix = floor((lon+180)/360*16), iy = floor((lat+90)/180*16)
+    # -> user 1 occupies (4,4),(5,4),(4,6),(5,6): a 1x2-cell rectangle
+    assert got[1].n_pings == 4
+    # mean-free identity cross-check in exact ints
+    pts1 = [(4, 4), (5, 4), (4, 6), (5, 6)]
+    n = 4
+    sx = sum(p[0] for p in pts1); sy = sum(p[1] for p in pts1)
+    q = sum(p[0] ** 2 + p[1] ** 2 for p in pts1)
+    assert got[1].rg2_num == n * q - sx * sx - sy * sy == 20
+    assert got[1].rg_cells == math.sqrt(20.0 / 16.0)
+    assert got[2].rg2_num == 0 and got[2].rg_cells == 0.0
+    assert got[3].rg2_num == 2 * (2 ** 2 + 5 ** 2) - 49 == 9
+    assert got[3].rg_cells == math.sqrt(9.0 / 4.0)
