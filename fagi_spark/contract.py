@@ -6171,7 +6171,11 @@ def q_doc_fs_weights(spark, sf_dir):
                            key="doc_id")
 
 
-def _o_fs_weights() -> str:
+def _fs_ctes() -> str:
+    """Shared WITH-body for the FS fixtures: a/b split, truth links,
+    per-attribute census (per) and probability frame (f) — used by
+    both the weights oracle and the pair-scoring oracle so the two
+    can never desynchronize."""
     blocks = []
     for name, expr in _FS_ATTRS:
         blocks.append(f"""SELECT '{name}' AS attr,
@@ -6189,31 +6193,95 @@ def _o_fs_weights() -> str:
            WHERE {name} IS NOT NULL GROUP BY 1) cb
         USING (v)) AS BIGINT) AS agree_all""")
     body = "\nUNION ALL\n".join(blocks)
-    return f"""WITH a AS (
+    return f"""a AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS id, lang, source,
          CAST(n_chars // 16 AS BIGINT) AS len_b
   FROM documents WHERE doc_id % 2 = 0),
-b AS (
+b AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS id, lang, source,
          CAST(n_chars // 16 AS BIGINT) AS len_b
   FROM documents WHERE doc_id % 2 = 1),
-l AS (SELECT a.id AS ia, a.id + 1 AS ib
+l AS MATERIALIZED (SELECT a.id AS ia, a.id + 1 AS ib
       FROM a JOIN b ON b.id = a.id + 1),
 per AS ({body}),
-f AS (
+f AS MATERIALIZED (
   SELECT attr, n_pairs, n_matched, agree_m, agree_all,
          CAST(agree_all - agree_m AS BIGINT) AS agree_u,
          CAST(agree_m AS DOUBLE) / CAST(n_matched AS DOUBLE) AS m_prob,
          CAST(agree_all - agree_m AS DOUBLE)
            / CAST(n_pairs - n_matched AS DOUBLE) AS u_prob
-  FROM per)
+  FROM per)"""
+
+
+O_DOC_FS_WEIGHTS = f"""WITH {_fs_ctes()}
 SELECT attr, n_pairs, n_matched, agree_m, agree_all, agree_u,
        m_prob, u_prob,
        CASE WHEN u_prob > 0 THEN m_prob / u_prob END AS w_agree
 FROM f"""
 
 
-O_DOC_FS_WEIGHTS = _o_fs_weights()
+def q_doc_fs_score(spark, sf_dir):
+    """Fellegi-Sunter pair scoring (discover.fs_score_pairs): the
+    verify-stage likelihood ratio prod(m/u | agree, (1-m)/(1-u) |
+    disagree) over (lang, source, len_b) in listed order, weights
+    from fs_weights on the even/odd split. Candidates = the truth
+    links (high scores) + a shifted decoy pairing (i, i+7) (mostly
+    disagreements). The ratio product is left-associative and the
+    oracle parenthesizes identically."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
+        F.expr("n_chars DIV 16").alias("len_b"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    bids = b.select(F.col("doc_id").alias("id_b"))
+    links = (a.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+             .join(bids, "id_b", "semi"))
+    decoys = (a.select(F.col("doc_id").alias("id_a"),
+                       (F.col("doc_id") + 7).alias("id_b"))
+              .join(bids, "id_b", "semi"))
+    cand = links.unionByName(decoys)
+    from . import discover as disc
+    w = disc.fs_weights(a, b, links, [n for n, _ in _FS_ATTRS],
+                        key="doc_id")
+    return disc.fs_score_pairs(cand, a, b, w, [n for n, _ in _FS_ATTRS],
+                               key="doc_id")
+
+
+def _o_fs_score() -> str:
+    ratios = []
+    for name, _ in _FS_ATTRS:
+        ratios.append(f"""CASE WHEN w{name}.u_prob > 0 AND w{name}.u_prob < 1 THEN
+    CASE WHEN av.{name} IS NOT NULL AND bv.{name} IS NOT NULL
+              AND av.{name} = bv.{name}
+         THEN w{name}.m_prob / w{name}.u_prob
+         ELSE (1.0e0 - w{name}.m_prob) / (1.0e0 - w{name}.u_prob) END
+  END""")
+    prod = ratios[0]
+    for r in ratios[1:]:
+        prod = f"({prod}) * ({r})"
+    agrees = " + ".join(
+        f"""CASE WHEN av.{name} IS NOT NULL AND bv.{name} IS NOT NULL
+              AND av.{name} = bv.{name} THEN 1 ELSE 0 END"""
+        for name, _ in _FS_ATTRS)
+    wjoins = "\n".join(
+        f"JOIN f w{name} ON w{name}.attr = '{name}'"
+        for name, _ in _FS_ATTRS)
+    return f"""WITH {_fs_ctes()},
+cand AS (
+  SELECT ia AS id_a, ib AS id_b FROM l
+  UNION ALL
+  SELECT a.id, a.id + 7 FROM a JOIN b ON b.id = a.id + 7)
+SELECT cand.id_a, cand.id_b,
+       CAST({agrees} AS BIGINT) AS n_agree,
+       {prod} AS fs_score
+FROM cand
+JOIN a av ON av.id = cand.id_a
+JOIN b bv ON bv.id = cand.id_b
+{wjoins}"""
+
+
+O_DOC_FS_SCORE = _o_fs_score()
 
 
 def q_doc_blocking_quality(spark, sf_dir):
@@ -6609,6 +6677,7 @@ QUERIES = {
     "doc_assortativity": q_doc_assortativity,
     "doc_reciprocity": q_doc_reciprocity,
     "doc_fs_weights": q_doc_fs_weights,
+    "doc_fs_score": q_doc_fs_score,
     "doc_blocking_quality": q_doc_blocking_quality,
     "events_decayed_cells": q_events_decayed_cells,
     "events_burst_scores": q_events_burst,
@@ -6792,6 +6861,7 @@ ORACLES = {
     "doc_assortativity": O_DOC_ASSORTATIVITY,
     "doc_reciprocity": O_DOC_RECIPROCITY,
     "doc_fs_weights": O_DOC_FS_WEIGHTS,
+    "doc_fs_score": O_DOC_FS_SCORE,
     "doc_blocking_quality": O_DOC_BLOCKING_QUALITY,
     "events_decayed_cells": O_EVENTS_DECAYED_CELLS,
     "events_burst_scores": O_EVENTS_BURST,

@@ -356,3 +356,55 @@ def blocking_quality(cand: DataFrame, truth: DataFrame, n_total: int,
                     .alias("pair_completeness"),
                     (F.lit(1.0) - F.col("n_candidates").cast("double")
                      / F.lit(float(total))).alias("reduction_ratio")))
+
+
+def fs_score_pairs(cand: DataFrame, a: DataFrame, b: DataFrame,
+                   weights: DataFrame, attrs: list, key: str = "id",
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Fellegi-Sunter candidate-pair scoring: the likelihood ratio
+    prod over attributes of (m/u if the pair AGREES on the attribute
+    else (1-m)/(1-u)), with (m, u) taken from a ``fs_weights``
+    output frame — the verify-stage scorer that turns blocking
+    candidates into ranked link decisions. Ratios multiply in the
+    LISTED attrs order, left-associatively, so the float is
+    reproducible; no logarithms (the log-odds form is a monotone
+    transform — thresholds translate).
+
+    NULL semantics: a NULL on either side is a DISAGREEMENT (the
+    conservative convention); an attribute with a degenerate u
+    (NULL, <= 0, or >= 1) poisons the score to NULL rather than
+    inventing an infinity.
+
+    Scale shape: the weights frame is len(attrs) rows — pivoted by
+    conditional aggregation and broadcast; the candidate frame joins
+    each side's attribute projection on its key (two hash joins) and
+    every ratio is a map-side expression. Returns
+    (id_a, id_b, n_agree, fs_score).
+    """
+    w = weights.agg(*[f for attr in attrs for f in (
+        F.max(F.when(F.col("attr") == attr, F.col("m_prob")))
+        .alias(f"_m_{attr}"),
+        F.max(F.when(F.col("attr") == attr, F.col("u_prob")))
+        .alias(f"_u_{attr}"))])
+    av = a.select(F.col(key).alias(id_a),
+                  *[F.col(c).alias(f"_a_{c}") for c in attrs])
+    bv = b.select(F.col(key).alias(id_b),
+                  *[F.col(c).alias(f"_b_{c}") for c in attrs])
+    j = (cand.select(id_a, id_b)
+         .join(av, id_a).join(bv, id_b)
+         .crossJoin(F.broadcast(w)))
+    score = None
+    n_agree = F.lit(0)
+    for attr in attrs:
+        m, u = F.col(f"_m_{attr}"), F.col(f"_u_{attr}")
+        agree = (F.col(f"_a_{attr}").isNotNull()
+                 & F.col(f"_b_{attr}").isNotNull()
+                 & (F.col(f"_a_{attr}") == F.col(f"_b_{attr}")))
+        ratio = F.when((u > 0) & (u < 1),
+                       F.when(agree, m / u)
+                       .otherwise((F.lit(1.0) - m) / (F.lit(1.0) - u)))
+        score = ratio if score is None else score * ratio
+        n_agree = n_agree + agree.cast("int")
+    return j.select(F.col(id_a), F.col(id_b),
+                    n_agree.cast("long").alias("n_agree"),
+                    score.alias("fs_score"))

@@ -189,3 +189,52 @@ def test_blocking_quality_handcase(spark):
     assert (r.n_candidates, r.n_truth, r.n_hit) == (2, 3, 2)
     assert r.pair_completeness == 2.0 / 3.0
     assert r.reduction_ratio == 1.0 - 2.0 / 45.0
+
+
+def test_fs_score_pairs_handcase(spark):
+    a = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, None)], "id long, lang string")
+    b = spark.createDataFrame(
+        [(10, "en"), (11, "de"), (12, None)], "id long, lang string")
+    links = spark.createDataFrame(
+        [(1, 10), (3, 11), (2, 11)], "id_a long, id_b long")
+    w = discover.fs_weights(a, b, links, ["lang"])
+    cand = spark.createDataFrame(
+        [(1, 10), (2, 11), (4, 12)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r for r in
+           discover.fs_score_pairs(cand, a, b, w, ["lang"]).collect()}
+    m, u = 2.0 / 3.0, 1.0 / 9.0
+    assert got[(1, 10)].n_agree == 1 and got[(1, 10)].fs_score == m / u
+    assert got[(2, 11)].n_agree == 0
+    assert got[(2, 11)].fs_score == (1.0 - m) / (1.0 - u)
+    # NULL attr on both sides is a DISAGREEMENT, not an agreement
+    assert got[(4, 12)].n_agree == 0
+    assert got[(4, 12)].fs_score == (1.0 - m) / (1.0 - u)
+
+
+def test_fs_score_pairs_order_and_degenerate_u(spark):
+    a = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (5, "de", "web")],
+        "id long, lang string, src string")
+    b = spark.createDataFrame(
+        [(10, "en", "web"), (11, "de", "book")],
+        "id long, lang string, src string")
+    links = spark.createDataFrame([(1, 10)], "id_a long, id_b long")
+    w = discover.fs_weights(a, b, links, ["lang", "src"])
+    cand = spark.createDataFrame([(2, 10), (5, 11)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r for r in
+           discover.fs_score_pairs(cand, a, b, w, ["lang", "src"]).collect()}
+    wrow = {r.attr: r for r in w.collect()}
+    def ratio(attr, agree):
+        m, u = wrow[attr].m_prob, wrow[attr].u_prob
+        if u is None or u <= 0 or u >= 1:
+            return None
+        return m / u if agree else (1.0 - m) / (1.0 - u)
+    r1 = ratio("lang", True)    # (2,10): en==en, web==web
+    r2 = ratio("src", True)
+    exp = None if r1 is None or r2 is None else r1 * r2
+    assert got[(2, 10)].fs_score == exp and got[(2, 10)].n_agree == 2
+    r1 = ratio("lang", True)    # (5,11): de==de agree, web!=book
+    r2 = ratio("src", False)
+    exp = None if r1 is None or r2 is None else r1 * r2
+    assert got[(5, 11)].fs_score == exp and got[(5, 11)].n_agree == 1
