@@ -6380,6 +6380,178 @@ def _o_decayed_cells() -> str:
 O_EVENTS_DECAYED_CELLS = _o_decayed_cells()
 
 
+_CROSSK_RADII = [0.01, 0.02, 0.04, 0.08]
+
+
+def q_events_cross_k(spark, sf_dir):
+    """Bivariate cross-Ripley K (events.cross_k) between the even and
+    odd event-id point classes (thinned %5): blocked A-probe x
+    B-build cell-ring counting; oracle brute-forces the A x B pair
+    predicate and mirrors the area product + one division."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    pts = _event_pts(e, "event_id").withColumn(
+        "cls", (F.col("event_id") % 2 == 0).cast("int"))
+    return ev.cross_k(pts, _CROSSK_RADII, "cls", 1, 0)
+
+
+def _o_events_cross_k() -> str:
+    import math
+    arms = []
+    for i, r in enumerate(_CROSSK_RADII):
+        arms.append(
+            f"SELECT CAST({i} AS INT) AS r_idx, {_dlit(r)} AS r_deg, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM pr "
+            f"WHERE pr.d2 <= {_dlit(r * r)}) AS n_close, "
+            f"{_dlit(math.pi * r * r)} AS k_csr")
+    radii_sql = "\nUNION ALL\n".join(arms)
+    return f"""WITH p AS (
+  SELECT event_id AS id, CAST(event_id % 2 = 0 AS INT) AS cls,
+         {_EV_LON_SQL} AS x, {_EV_LAT_SQL} AS y
+  FROM events WHERE event_id % 5 = 0),
+pr AS MATERIALIZED (
+  SELECT ((a.x - b.x) * (a.x - b.x)) + ((a.y - b.y) * (a.y - b.y)) AS d2
+  FROM p a JOIN p b ON a.cls = 1 AND b.cls = 0),
+st AS (SELECT CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+              CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nb,
+              (MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS area FROM p),
+r AS ({radii_sql})
+SELECT r.r_idx, r.r_deg, r.n_close,
+       CASE WHEN st.na > 0 AND st.nb > 0 THEN
+         (st.area * CAST(r.n_close AS DOUBLE))
+           / CAST(st.na * st.nb AS DOUBLE) END AS k_ab,
+       r.k_csr
+FROM r, st"""
+
+
+O_EVENTS_CROSS_K = _o_events_cross_k()
+
+_QUADRAT_RES = 7
+
+
+def q_events_quadrat(spark, sf_dir):
+    """Quadrat CSR test (events.quadrat_stats, res 7): chi-square and
+    variance-mean ratio over the pattern's grid bbox WITHOUT
+    materializing empty quadrats (mean-free identity); exact BIGINT
+    numerators, two mirrored divisions."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"))
+    return ev.quadrat_stats(pts, res=_QUADRAT_RES)
+
+
+def _o_events_quadrat(res: int) -> str:
+    ix = cells.sql_ix(_EV_LON_SQL, res)
+    iy = cells.sql_iy(_EV_LAT_SQL, res)
+    return f"""WITH g AS (
+  SELECT {ix} AS ix, {iy} AS iy FROM events),
+c AS (SELECT ix, iy, COUNT(*) AS c FROM g GROUP BY 1, 2),
+ss AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sum_sq FROM c),
+box AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST((MAX(ix) - MIN(ix) + 1) * (MAX(iy) - MIN(iy) + 1)
+              AS BIGINT) AS n_quadrats
+  FROM g)
+SELECT n_points, n_quadrats, sum_sq,
+       CASE WHEN n_points > 0 THEN
+         CAST(n_quadrats * sum_sq - n_points * n_points AS DOUBLE)
+           / CAST(n_points AS DOUBLE) END AS chi2,
+       CASE WHEN n_points > 0 AND n_quadrats > 1 THEN
+         (CAST(n_quadrats * sum_sq - n_points * n_points AS DOUBLE)
+            / CAST(n_points AS DOUBLE))
+           / CAST(n_quadrats - 1 AS DOUBLE) END AS vmr
+FROM box, ss"""
+
+
+O_EVENTS_QUADRAT = _o_events_quadrat(_QUADRAT_RES)
+
+_TELEPORT_RES = 14
+_TELEPORT_NUM = 1
+_TELEPORT_DEN = 3600
+
+
+def q_events_teleport(spark, sf_dir):
+    """GPS teleport detection (events.teleport_flags, res 14, max
+    speed 1 cell/hour — ~2.4 km/h at this res): per-user lag
+    transitions violating d2*den^2 > (num*dt_s)^2 — division-free
+    exact integers (flags ~15% of the fixture's transitions, so the
+    check is non-vacuous in BOTH directions); the oracle mirrors the
+    (epoch micros, event_id) total order and the same non-negative
+    `DIV`/`//` second floor."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.teleport_flags(pts, res=_TELEPORT_RES,
+                             max_speed_num=_TELEPORT_NUM,
+                             max_speed_den_s=_TELEPORT_DEN)
+
+
+def _o_events_teleport(res: int, num: int, den: int) -> str:
+    ix = cells.sql_ix(_EV_LON_SQL, res)
+    iy = cells.sql_iy(_EV_LAT_SQL, res)
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {ix} AS ix, {iy} AS iy
+  FROM events),
+t AS (
+  SELECT user_id, event_id AS to_event,
+         LAG(event_id) OVER w AS from_event,
+         (us - LAG(us) OVER w) // 1000000 AS dt_s,
+         (ix - LAG(ix) OVER w) * (ix - LAG(ix) OVER w)
+           + (iy - LAG(iy) OVER w) * (iy - LAG(iy) OVER w) AS d2
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT user_id, from_event, to_event,
+       CAST(dt_s AS BIGINT) AS dt_s, CAST(d2 AS BIGINT) AS d2_cells
+FROM t
+WHERE from_event IS NOT NULL
+  AND d2 * {den * den} > ({num} * dt_s) * ({num} * dt_s)"""
+
+
+O_EVENTS_TELEPORT = _o_events_teleport(_TELEPORT_RES, _TELEPORT_NUM,
+                                       _TELEPORT_DEN)
+
+
+def q_events_od_lift(spark, sf_dir):
+    """OD gravity lift (events.od_flow_lift, res 6): corridor flow
+    vs the independence model n*total/(out_margin*in_margin) — one
+    mirrored IEEE division over exact BIGINT products on top of the
+    od_flows rollup."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.od_flow_lift(pts, res=6)
+
+
+def _o_events_od_lift(res: int = 6) -> str:
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+m AS (SELECT user_id, cell AS to_cell,
+             LAG(cell) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS from_cell
+      FROM p),
+fl AS MATERIALIZED (
+  SELECT from_cell, to_cell, CAST(COUNT(*) AS BIGINT) AS n_moves
+  FROM m WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+  GROUP BY 1, 2),
+om AS (SELECT from_cell, CAST(SUM(n_moves) AS BIGINT) AS out_total
+       FROM fl GROUP BY 1),
+im AS (SELECT to_cell, CAST(SUM(n_moves) AS BIGINT) AS in_total
+       FROM fl GROUP BY 1),
+tt AS (SELECT CAST(SUM(n_moves) AS BIGINT) AS tot FROM fl)
+SELECT fl.from_cell, fl.to_cell, fl.n_moves, om.out_total, im.in_total,
+       CAST(fl.n_moves * tt.tot AS DOUBLE)
+         / CAST(om.out_total * im.in_total AS DOUBLE) AS lift
+FROM fl JOIN om USING (from_cell) JOIN im USING (to_cell), tt"""
+
+
+O_EVENTS_OD_LIFT = _o_events_od_lift()
+
+
 def q_events_burst(spark, sf_dir):
     """Per-(cell, period) burst z-score (events.cell_burst_scores,
     daily periods at res 6) against the cell's own zero-completed
@@ -6682,6 +6854,10 @@ QUERIES = {
     "events_decayed_cells": q_events_decayed_cells,
     "events_burst_scores": q_events_burst,
     "events_gyration": q_events_gyration,
+    "events_cross_k": q_events_cross_k,
+    "events_quadrat": q_events_quadrat,
+    "events_teleport": q_events_teleport,
+    "events_od_lift": q_events_od_lift,
     "events_transitions": q_events_transitions,
     "events_gap_regularity": q_events_gap_regularity,
     "doc_simpson_diversity": q_doc_simpson,
@@ -6866,6 +7042,10 @@ ORACLES = {
     "events_decayed_cells": O_EVENTS_DECAYED_CELLS,
     "events_burst_scores": O_EVENTS_BURST,
     "events_gyration": O_EVENTS_GYRATION,
+    "events_cross_k": O_EVENTS_CROSS_K,
+    "events_quadrat": O_EVENTS_QUADRAT,
+    "events_teleport": O_EVENTS_TELEPORT,
+    "events_od_lift": O_EVENTS_OD_LIFT,
     "events_transitions": O_EVENTS_TRANSITIONS,
     "events_gap_regularity": O_EVENTS_GAP_REGULARITY,
     "doc_simpson_diversity": O_DOC_SIMPSON,

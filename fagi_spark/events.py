@@ -1263,3 +1263,205 @@ def radius_of_gyration(events: DataFrame, res: int,
         F.sqrt(num.cast("double")
                / (F.col("n_pings") * F.col("n_pings")).cast("double"))
         .alias("rg_cells"))
+
+
+def cross_k(pts: DataFrame, radii_deg: list, cat: str,
+            cat_a, cat_b, key: str = "event_id",
+            lon: str = "lon", lat: str = "lat",
+            res: int | None = None) -> DataFrame:
+    """Bivariate (cross) Ripley's K: K_ab(r) = A/(n_a*n_b) * #{(a, b):
+    category(a)=cat_a, category(b)=cat_b, d(a,b) <= r} at a ladder of
+    radii — the classic "are cafes clustered AROUND transit stops"
+    test (K above pi*r^2: attraction between the two categories;
+    below: repulsion), completing the univariate ripley_k /
+    nn_g_function point-pattern suite.
+
+    Same blocked cell-ring skeleton as ripley_k, but the probe side
+    carries only cat_a points and the ring-exploded build side only
+    cat_b, so pair volume scales with the CROSS density, never
+    all-pairs. Counts are exact BIGINTs; d2 is the same mirrored
+    (dx*dx)+(dy*dy) form; k_ab is one multiply + one divide; the
+    window area A is the bbox of BOTH categories (one aggregate).
+
+    Returns (r_idx, r_deg, n_close, k_ab, k_csr).
+    """
+    import math
+    from . import cells
+
+    radii = sorted(float(r) for r in radii_deg)
+    if not radii or radii[0] <= 0:
+        raise ValueError("cross_k needs positive radii")
+    r_max = radii[-1]
+    res = res if res is not None else cells.res_for_radius_deg(r_max)
+    kx, ky = cells.ring_k_for_radius(r_max, res)
+    base = cells.with_cell(
+        pts.select(F.col(key).alias("_id"), F.col(cat).alias("_c"),
+                   F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    pa = base.filter(F.col("_c") == cat_a)
+    pb = base.filter(F.col("_c") == cat_b)
+    probe = pa.select(F.col("_id").alias("a_id"),
+                      F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                      F.col("cell").alias("probe_cell"))
+    build = (cells.explode_ring(pb, res, (kx, ky))
+             .select(F.col("_id").alias("b_id"),
+                     F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                     "probe_cell"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    d2 = (dx * dx) + (dy * dy)
+    pairs = (probe.join(build, "probe_cell")
+             .filter(d2 <= F.lit(r_max * r_max))
+             .select(d2.alias("d2")))
+    counts = pairs.agg(*[
+        F.sum(F.when(F.col("d2") <= F.lit(r * r), 1).otherwise(0))
+        .cast("long").alias(f"_c{i}") for i, r in enumerate(radii)])
+    stats = base.agg(
+        F.sum((F.col("_c") == cat_a).cast("long")).alias("_na"),
+        F.sum((F.col("_c") == cat_b).cast("long")).alias("_nb"),
+        ((F.max("_x") - F.min("_x")) * (F.max("_y") - F.min("_y")))
+        .alias("_area"))
+    stacked = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("r_idx"),
+                 F.lit(r).alias("r_deg"),
+                 F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long")
+                 .alias("n_close"))
+        for i, r in enumerate(radii)])).alias("s")).select("s.*")
+    out = stacked.crossJoin(F.broadcast(stats))
+    k_ab = ((F.col("_area") * F.col("n_close").cast("double"))
+            / (F.col("_na") * F.col("_nb")).cast("double"))
+    return (out.select("r_idx", "r_deg", "n_close",
+                       F.when((F.col("_na") > 0) & (F.col("_nb") > 0), k_ab)
+                       .alias("k_ab"))
+            .withColumn("k_csr", F.element_at(
+                F.array(*[F.lit(math.pi * r * r) for r in radii]),
+                F.col("r_idx") + 1)))
+
+
+def quadrat_stats(events: DataFrame, res: int, lon: str = "lon",
+                  lat: str = "lat") -> DataFrame:
+    """Quadrat analysis of a point pattern (the third classic test
+    beside ripley_k / nn_g_function): chi-square CSR statistic and
+    variance-mean ratio of per-cell counts over the pattern's grid
+    bounding box. VMR >> 1: clustered; ~1: Poisson; << 1: regular.
+
+    Empty quadrats count WITHOUT materializing: with Q total bbox
+    quadrats, S points and Σc² over touched cells only, the identity
+    Σ_all (c - S/Q)² = Σc² - S²/Q collapses chi2 to
+    (Q*Σc² - S²)/S and vmr to chi2/(Q-1) — exact BIGINT numerators,
+    two mirrored IEEE divisions. One cell rollup + one scalar
+    aggregate; int64 domain: Q*Σc² < 2^63.
+
+    Returns one row (n_points, n_quadrats, sum_sq, chi2, vmr);
+    chi2/vmr NULL for degenerate inputs (no points, one quadrat).
+    """
+    from . import cells
+
+    base = cells.with_cell(
+        events.select(F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    cnt = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_c"))
+    per = cnt.agg(F.sum(F.col("_c") * F.col("_c")).cast("long")
+                  .alias("sum_sq"))
+    box = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        ((F.max("ix") - F.min("ix") + 1)
+         * (F.max("iy") - F.min("iy") + 1)).cast("long")
+        .alias("n_quadrats"))
+    j = box.crossJoin(per)
+    chi2 = (F.col("n_quadrats") * F.col("sum_sq")
+            - F.col("n_points") * F.col("n_points")).cast("double") \
+        / F.col("n_points").cast("double")
+    return j.select(
+        "n_points", "n_quadrats", "sum_sq",
+        F.when(F.col("n_points") > 0, chi2).alias("chi2"),
+        F.when((F.col("n_points") > 0) & (F.col("n_quadrats") > 1),
+               chi2 / (F.col("n_quadrats") - 1).cast("double"))
+        .alias("vmr"))
+
+
+def teleport_flags(events: DataFrame, res: int, max_speed_num: int,
+                   max_speed_den_s: int, user: str = "user_id",
+                   key: str = "event_id", ts: str = "ts",
+                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """GPS teleport / speed-violation detection: consecutive same-user
+    pings whose implied speed exceeds ``max_speed_num`` grid cells per
+    ``max_speed_den_s`` seconds (a RATIONAL bound — realistic limits
+    are fractions of a cell per second) — the data-quality gate a
+    mobility pipeline runs before trusting trajectories (spoofed
+    locations, tower jumps and account sharing all present as
+    teleports).
+
+    Division-free exact integers: a transition with gap dt_s seconds
+    and squared cell distance d2 violates iff
+    d2 * den^2 > (num * dt_s)^2 — same-second pairs (dt_s = 0)
+    violate whenever they move at all. One user-key window (ordered
+    by exact epoch micros + event id), one map-side filter; domain:
+    d2 * den^2 and num * dt_s inside int64.
+
+    Returns flagged transitions only:
+    (user_id, from_event, to_event, dt_s, d2_cells).
+    """
+    from . import cells
+
+    base = cells.with_cell(
+        events.select(F.col(user).alias("user_id"),
+                      F.col(key).alias("event_id"),
+                      F.unix_micros(F.col(ts).cast("timestamp"))
+                      .alias("_us"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    num, den = int(max_speed_num), int(max_speed_den_s)
+    t = (base.withColumn("_pid", F.lag("event_id").over(w))
+         .withColumn("_pus", F.lag("_us").over(w))
+         .withColumn("_pix", F.lag("ix").over(w))
+         .withColumn("_piy", F.lag("iy").over(w))
+         .filter(F.col("_pid").isNotNull()))
+    # whole seconds: exact floor of a non-negative difference
+    dt = F.expr("(_us - _pus) DIV 1000000")
+    dx, dy = F.col("ix") - F.col("_pix"), F.col("iy") - F.col("_piy")
+    d2 = dx * dx + dy * dy
+    return (t.select("user_id",
+                     F.col("_pid").alias("from_event"),
+                     F.col("event_id").alias("to_event"),
+                     dt.cast("long").alias("dt_s"),
+                     d2.cast("long").alias("d2_cells"))
+            .filter(F.col("d2_cells") * F.lit(den * den)
+                    > (F.lit(num) * F.col("dt_s"))
+                    * (F.lit(num) * F.col("dt_s"))))
+
+
+def od_flow_lift(events: DataFrame, res: int, user: str = "user_id",
+                 key: str = "event_id", ts: str = "ts",
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """OD flow lift against the independence (gravity-margin) model:
+    lift(o, d) = n_moves(o,d) * total / (out_margin(o) * in_margin(d))
+    — the "is this corridor stronger than its endpoints predict"
+    normalization that turns a raw OD matrix into an anomaly surface
+    (commuter corridors light up; popular-to-popular background flows
+    flatten to ~1).
+
+    Built on od_flows' rollup (one window + one groupBy), plus two
+    margin rollups joined back on their keys — margins are
+    cell-cardinality frames, broadcast-sized at analysis resolutions.
+    Counts are exact BIGINTs; lift is one mirrored IEEE division of
+    exact products (domain: n_moves * total < 2^63).
+
+    Returns (from_cell, to_cell, n_moves, out_total, in_total, lift).
+    """
+    flows = od_flows(events, res, user=user, key=key, ts=ts,
+                     lon=lon, lat=lat).select(
+        "from_cell", "to_cell", "n_moves")
+    om = (flows.groupBy("from_cell")
+          .agg(F.sum("n_moves").cast("long").alias("out_total")))
+    im = (flows.groupBy("to_cell")
+          .agg(F.sum("n_moves").cast("long").alias("in_total")))
+    tot = flows.agg(F.sum("n_moves").cast("long").alias("_tot"))
+    return (flows.join(om, "from_cell").join(im, "to_cell")
+            .crossJoin(F.broadcast(tot))
+            .select("from_cell", "to_cell",
+                    F.col("n_moves").cast("long").alias("n_moves"),
+                    "out_total", "in_total",
+                    ((F.col("n_moves") * F.col("_tot")).cast("double")
+                     / (F.col("out_total") * F.col("in_total"))
+                     .cast("double")).alias("lift")))

@@ -719,3 +719,94 @@ def test_radius_of_gyration_handcase(spark):
     assert got[2].rg2_num == 0 and got[2].rg_cells == 0.0
     assert got[3].rg2_num == 2 * (2 ** 2 + 5 ** 2) - 49 == 9
     assert got[3].rg_cells == math.sqrt(9.0 / 4.0)
+
+
+def test_cross_k_bruteforce_parity(spark):
+    import math
+    # deterministic clustered two-class pattern on the 0.01 grid
+    pts = []
+    for i in range(60):
+        x = round((i * 7 % 40) * 0.01, 2)
+        y = round((i * 13 % 30) * 0.01, 2)
+        pts.append((i, 1 if i % 2 == 0 else 0, x, y))
+    df = spark.createDataFrame(pts, "event_id long, cls int, "
+                               "lon double, lat double")
+    radii = [0.02, 0.05, 0.11]
+    got = {r.r_idx: r for r in
+           ev.cross_k(df, radii, "cls", 1, 0, res=9).collect()}
+    pa = [(x, y) for _, c, x, y in pts if c == 1]
+    pb = [(x, y) for _, c, x, y in pts if c == 0]
+    xs = [x for _, _, x, _ in pts]; ys = [y for _, _, _, y in pts]
+    area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    for i, r in enumerate(sorted(radii)):
+        n = sum(1 for ax, ay in pa for bx, by in pb
+                if ((ax - bx) * (ax - bx)) + ((ay - by) * (ay - by))
+                <= r * r)
+        assert got[i].n_close == n, r
+        assert got[i].k_ab == (area * float(n)) / float(len(pa) * len(pb))
+        assert got[i].k_csr == math.pi * r * r
+
+
+def test_quadrat_stats_handcase(spark):
+    # res 4 grid; 6 points: 4 in one cell, 1 each in two others, bbox
+    # spans 2x2 = 4 quadrats (one empty).
+    rows = [(-180.0, -90.0)] * 4 + [(-150.0, -90.0), (-180.0, -75.0)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    [r] = ev.quadrat_stats(df, res=4).collect()
+    # cells: (0,0)x4, (1,0), (0,1): bbox 2x2 -> Q=4, S=6, ss=16+1+1=18
+    assert (r.n_points, r.n_quadrats, r.sum_sq) == (6, 4, 18)
+    chi2 = (4 * 18 - 36) / 6.0
+    assert r.chi2 == chi2
+    assert r.vmr == chi2 / 3.0
+    # brute-force chi-square over ALL quadrats incl. the empty one
+    counts = [4, 1, 1, 0]
+    mean = 6 / 4
+    brute = sum((c - mean) ** 2 for c in counts) / mean
+    assert abs(chi2 - brute) < 1e-12
+
+
+def test_teleport_flags_handcase(spark):
+    # res 4 cells are 22.5 deg: user 1 hops a full cell in 1s (flag),
+    # then stays put for an hour (no flag), then crosses one cell in
+    # 10 days at 1 cell/3600s limit (no flag: d2*den^2 = 1*3600^2 <
+    # (864000)^2), then same-second move (flag, dt=0).
+    rows = [
+        (1, 0, -180.0, 0.0, _ts("2024-01-01T00:00:00")),
+        (1, 1, -157.5, 0.0, _ts("2024-01-01T00:00:01")),   # 1 cell in 1s
+        (1, 2, -157.5, 0.0, _ts("2024-01-01T01:00:01")),   # no move
+        (1, 3, -135.0, 0.0, _ts("2024-01-11T01:00:01")),   # slow
+        (1, 4, -112.5, 0.0, _ts("2024-01-11T01:00:01")),   # dt=0 move
+        (2, 5, 0.0, 0.0, _ts("2024-01-01T00:00:00"))]      # lone ping
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lon double, lat double, "
+              "ts timestamp")
+    got = {(r.from_event, r.to_event): r for r in ev.teleport_flags(
+        df, res=4, max_speed_num=1, max_speed_den_s=3600).collect()}
+    assert set(got) == {(0, 1), (3, 4)}
+    assert got[(0, 1)].dt_s == 1 and got[(0, 1)].d2_cells == 1
+    assert got[(3, 4)].dt_s == 0 and got[(3, 4)].d2_cells == 1
+
+
+def test_od_flow_lift_handcase(spark):
+    # moves: A->B x2, A->C x1, B->C x1 (stays dropped by od_flows)
+    rows = [
+        (1, 0, -180.0, 0.0, _ts("2024-01-01T00:00:00")),  # A
+        (1, 1, -157.5, 0.0, _ts("2024-01-01T01:00:00")),  # B
+        (2, 2, -180.0, 0.0, _ts("2024-01-01T00:00:00")),  # A
+        (2, 3, -157.5, 0.0, _ts("2024-01-01T01:00:00")),  # B
+        (2, 4, -135.0, 0.0, _ts("2024-01-01T02:00:00")),  # C
+        (3, 5, -180.0, 0.0, _ts("2024-01-01T00:00:00")),  # A
+        (3, 6, -135.0, 0.0, _ts("2024-01-01T01:00:00"))]  # C
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lon double, lat double, "
+              "ts timestamp")
+    out = ev.od_flow_lift(df, res=4).collect()
+    by = {(r.from_cell, r.to_cell): r for r in out}
+    assert len(by) == 3
+    moves = sorted((r.n_moves, r.out_total, r.in_total, r.lift)
+                   for r in out)
+    # total=4; A->B: n=2 out(A)=3 in(B)=2 -> lift 8/6; A->C: 4/6;
+    # B->C: n=1 out(B)=1 in(C)=2 -> lift 2
+    assert moves == [(1, 1, 2, (1 * 4) / float(1 * 2)),
+                     (1, 3, 2, (1 * 4) / float(3 * 2)),
+                     (2, 3, 2, (2 * 4) / float(3 * 2))]
