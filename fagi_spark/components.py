@@ -743,3 +743,112 @@ def reciprocity(edges: DataFrame, src: str = "src",
                            F.col("n_reciprocated").cast("double")
                            / F.col("n_edges").cast("double"))
                     .alias("reciprocity")))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node",
+               label_col: str = "label") -> DataFrame:
+    """Newman-Girvan modularity Q of a node partition over the
+    canonical simple undirected graph — THE number that says whether
+    a community assignment (label_propagation's output, a domain
+    clustering, a spam-ring hypothesis) beats chance: Q = sum_c
+    [L_c/m - (d_c/2m)^2], positive when communities are denser inside
+    than the degree-preserving random graph predicts.
+
+    Transcendental-free and sum-order-free: the algebra collapses to
+    Q = (4m * intra - sum_c d_c^2) / (4m^2) with intra = edges whose
+    endpoints share a label and d_c = community degree sum — ALL
+    exact BIGINTs (no float accumulation over communities), then ONE
+    IEEE division. int64 domain: 4m^2 < 2^63 caps m at ~1.5e9 edges;
+    past that, compute the two integer terms distributed (they still
+    fit) and divide in arbitrary precision driver-side.
+
+    Unlabeled endpoints drop (inner joins) — pass a total labeling
+    for textbook Q. Returns one row
+    (m_edges, intra_edges, sum_dc2, modularity); NULL Q for an empty
+    edge set.
+    """
+    e = _canon_edges(edges, src, dst)
+    lab = labels.select(F.col(node_col).alias("_n"),
+                        F.col(label_col).alias("_l"))
+    la = lab.select(F.col("_n").alias("a"), F.col("_l").alias("_la"))
+    lb = lab.select(F.col("_n").alias("b"), F.col("_l").alias("_lb"))
+    ej = e.join(la, "a").join(lb, "b")
+    m = ej.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long"))
+        .cast("long").alias("intra_edges"))
+    adj = ej.select(F.col("a").alias("_n"), F.col("_la").alias("_l")) \
+        .unionAll(ej.select(F.col("b").alias("_n"), F.col("_lb").alias("_l")))
+    dc = (adj.groupBy("_l").agg(F.count(F.lit(1)).alias("_d"))
+          .agg(F.sum(F.col("_d") * F.col("_d")).cast("long")
+               .alias("sum_dc2")))
+    j = m.crossJoin(dc)
+    q = (F.lit(4) * F.col("m_edges") * F.col("intra_edges")
+         - F.col("sum_dc2")).cast("double") \
+        / (F.lit(4) * F.col("m_edges") * F.col("m_edges")).cast("double")
+    return j.select(
+        "m_edges", "intra_edges",
+        F.coalesce(F.col("sum_dc2"), F.lit(0).cast("long")).alias("sum_dc2"),
+        F.when(F.col("m_edges") > 0, q).alias("modularity"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 2, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          node_col: str = "node",
+                          deterministic: bool = False,
+                          checkpoint_every: int = 0) -> DataFrame:
+    """Personalized PageRank: teleportation returns to the SEED set
+    (uniformly) instead of the whole graph — relevance-to-the-seeds
+    centrality, the standard crawl-frontier prioritizer ("rank hosts
+    by proximity to trusted seeds" — the TrustRank shape) and
+    related-entity scorer. Same execution skeleton as ``pagerank``
+    (edge join + dst rollup per iteration, dangling mass leaks, rank
+    ordering is the consumable); r0 = 1/|S| on seeds, 0 elsewhere;
+    each step adds (1-d)/|S| on seeds only.
+
+    ``deterministic=True`` folds contributions in src-sorted order
+    (the contract's IEEE-fold rule) so ranks are SQL-mirrorable;
+    plain SUM is the scale path. Nodes never reachable from a seed
+    report rank 0. Returns (node, rank) over all graph nodes.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nd = (e.select(F.col("src").alias("node"))
+          .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+    sd = seeds.select(F.col(node_col).alias("node")).distinct()
+    ns = sd.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank needs >= 1 seed")
+    isseed = nd.join(sd.withColumn("_s", F.lit(True)), "node", "left") \
+        .select("node", F.coalesce("_s", F.lit(False)).alias("_s"))
+    base = (1.0 - damping) / float(ns)
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("_odeg"))
+    ranks = isseed.select(
+        "node", F.when(F.col("_s"), F.lit(1.0 / float(ns)))
+        .otherwise(F.lit(0.0)).alias("rank"))
+    for i in range(int(iters)):
+        contribs = (e.join(outdeg, "src")
+                    .join(ranks, F.col("src") == F.col("node"))
+                    .select("src", "dst",
+                            (F.col("rank") / F.col("_odeg")).alias("_c")))
+        if deterministic:
+            agg = (contribs.groupBy("dst")
+                   .agg(F.aggregate(
+                       F.array_sort(F.collect_list(F.struct("src", "_c"))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["_c"]).alias("_s2")))
+        else:
+            agg = contribs.groupBy("dst").agg(F.sum("_c").alias("_s2"))
+        ranks = (isseed.join(agg, F.col("node") == F.col("dst"), "left")
+                 .select("node",
+                         (F.when(F.col("_s"), F.lit(base))
+                          .otherwise(F.lit(0.0))
+                          + F.lit(damping)
+                          * F.coalesce(F.col("_s2"), F.lit(0.0)))
+                         .alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -6700,6 +6700,133 @@ FROM e{iters} e LEFT JOIN s{f} s USING (a, b)""")
 O_DOC_KTRUSS = _o_ktruss(_KTRUSS_K, _KTRUSS_ITERS)
 
 
+def q_doc_modularity(spark, sf_dir):
+    """Newman-Girvan modularity (components.modularity) of the
+    contiguous-block partition (label = node DIV 50) over the planted
+    ring+chords+clique graph: Q collapses to
+    (4m*intra - sum_c d_c^2)/(4m^2) — exact BIGINT terms, no float
+    accumulation over communities, ONE mirrored division."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 2) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    edges = e1.unionByName(e2).unionByName(cl)
+    labels = docs.select(F.col("doc_id").alias("node"),
+                         F.expr("doc_id DIV 50").alias("label"))
+    return components.modularity(edges, labels)
+
+
+O_DOC_MODULARITY = """WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) + 2) % (SELECT n FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+  FROM documents a JOIN documents b
+    ON a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+lab AS (SELECT CAST(doc_id AS BIGINT) AS node,
+               CAST(doc_id AS BIGINT) // 50 AS l
+        FROM documents),
+ej AS MATERIALIZED (
+  SELECT e.a, e.b, la.l AS la, lb.l AS lb
+  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+             CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_edges
+      FROM ej),
+adj AS (SELECT la AS l FROM ej UNION ALL SELECT lb FROM ej),
+dc AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_dc2 FROM (
+         SELECT l, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY l)),
+j AS (SELECT m_edges, intra_edges, COALESCE(sum_dc2, 0) AS sum_dc2
+      FROM m, dc)
+SELECT m_edges, intra_edges, sum_dc2,
+       CASE WHEN m_edges > 0 THEN
+         CAST(4 * m_edges * intra_edges - sum_dc2 AS DOUBLE)
+           / CAST(4 * m_edges * m_edges AS DOUBLE) END AS modularity
+FROM j"""
+
+
+_PPR_ITERS = 2
+_PPR_DAMPING = 0.85
+
+
+def q_doc_ppr(spark, sf_dir):
+    """Personalized PageRank (components.personalized_pagerank,
+    2 iterations, deterministic fold, seeds = doc_id % 97 == 0) over
+    the planted out-degree-2 web graph: teleport mass returns to the
+    seed set only — the TrustRank/crawl-frontier shape. Float ranks
+    ARE value-compared via the same src-sorted IEEE fold as
+    doc_pagerank."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    seeds = docs.filter(F.col("doc_id") % 97 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return components.personalized_pagerank(
+        e1.unionByName(e2), seeds, iters=_PPR_ITERS,
+        damping=_PPR_DAMPING, deterministic=True)
+
+
+def _o_ppr(iters: int, damping: float) -> str:
+    base = f"(CASE WHEN b.s THEN {_dlit(1.0 - damping)} " \
+           f"/ CAST(ns AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    parts = [f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT node AS src, (node * 31 + 7) % n AS dst FROM nd, nn
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % n AS dst FROM nd, nn),
+sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nd
+       WHERE node % 97 = 0),
+isd AS MATERIALIZED (
+  SELECT node, node % 97 = 0 AS s FROM nd),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT node,
+              CASE WHEN s THEN CAST(1.0 AS DOUBLE) / CAST(ns AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS rank
+       FROM isd, sn)"""]
+    for i in range(iters):
+        parts.append(f"""c{i + 1} AS (
+  SELECT e.dst, e.src, r.rank / od.odeg AS c
+  FROM e JOIN od USING (src) JOIN r{i} r ON r.node = e.src),
+s{i + 1} AS (
+  SELECT dst, LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(c ORDER BY src)), (acc, v) -> acc + v) AS s
+  FROM c{i + 1} GROUP BY dst),
+r{i + 1} AS (
+  SELECT b.node, {base} + {_dlit(damping)} * COALESCE(s{i + 1}.s,
+           CAST(0.0 AS DOUBLE)) AS rank
+  FROM (SELECT node, s, ns FROM isd, sn) b
+  LEFT JOIN s{i + 1} ON s{i + 1}.dst = b.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iters}")
+
+
+O_DOC_PPR = _o_ppr(_PPR_ITERS, _PPR_DAMPING)
+
+
 def q_doc_assortativity(spark, sf_dir):
     """Degree assortativity coefficient (components.
     degree_assortativity) of the planted out-degree-2 web graph
@@ -6846,6 +6973,8 @@ QUERIES = {
     "doc_sorted_neighborhood": q_doc_sorted_neighborhood,
     "doc_k_core": q_doc_kcore,
     "doc_k_truss": q_doc_ktruss,
+    "doc_modularity": q_doc_modularity,
+    "doc_ppr": q_doc_ppr,
     "doc_assortativity": q_doc_assortativity,
     "doc_reciprocity": q_doc_reciprocity,
     "doc_fs_weights": q_doc_fs_weights,
@@ -7034,6 +7163,8 @@ ORACLES = {
     "doc_sorted_neighborhood": O_DOC_SORTED_NEIGHBORHOOD,
     "doc_k_core": O_DOC_KCORE,
     "doc_k_truss": O_DOC_KTRUSS,
+    "doc_modularity": O_DOC_MODULARITY,
+    "doc_ppr": O_DOC_PPR,
     "doc_assortativity": O_DOC_ASSORTATIVITY,
     "doc_reciprocity": O_DOC_RECIPROCITY,
     "doc_fs_weights": O_DOC_FS_WEIGHTS,

@@ -613,3 +613,87 @@ def test_reciprocity_handcase(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     [r] = components.reciprocity(empty).collect()
     assert r.n_edges == 0 and r.reciprocity is None
+
+
+def _modularity_bruteforce(edges, lab):
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    e = {(a, b) for a, b in e if a in lab and b in lab}
+    m = len(e)
+    intra = sum(1 for a, b in e if lab[a] == lab[b])
+    dc = {}
+    for a, b in e:
+        dc[lab[a]] = dc.get(lab[a], 0) + 1
+        dc[lab[b]] = dc.get(lab[b], 0) + 1
+    sum_dc2 = sum(d * d for d in dc.values())
+    q = float(4 * m * intra - sum_dc2) / float(4 * m * m)
+    return m, intra, sum_dc2, q
+
+
+def test_modularity_handcase(spark):
+    # two 5-cliques + one bridge: the true partition scores high, the
+    # everything-in-one-community partition scores exactly 0.
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    edges += [(0, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lab2 = {v: v // 5 for v in range(10)}
+    labels = spark.createDataFrame(list(lab2.items()), "node long, label long")
+    [r] = components.modularity(df, labels).collect()
+    m, intra, dc2, q = _modularity_bruteforce(edges, lab2)
+    assert (r.m_edges, r.intra_edges, r.sum_dc2) == (m, intra, dc2)
+    assert r.modularity == q and q > 0.4
+    one = spark.createDataFrame([(v, 0) for v in range(10)],
+                                "node long, label long")
+    [r1] = components.modularity(df, one).collect()
+    assert r1.modularity == 0.0
+    # random-ish labels score worse than the true partition
+    rnd = spark.createDataFrame([(v, v % 2) for v in range(10)],
+                                "node long, label long")
+    [rr] = components.modularity(df, rnd).collect()
+    assert rr.modularity == _modularity_bruteforce(
+        edges, {v: v % 2 for v in range(10)})[3] < q
+
+
+def test_modularity_with_label_propagation(spark):
+    # end-to-end: LPA labels on the two-clique graph maximize Q vs
+    # the degenerate single community
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    edges += [(0, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(12).withColumnRenamed("id", "node_id")
+    lpa = components.label_propagation(df, iters=3, nodes=nodes,
+                                       node_col="node_id")
+    [r] = components.modularity(df, lpa).collect()
+    assert r.modularity > 0.4
+
+
+def test_personalized_pagerank(spark):
+    n = 40
+    edges = [(i, (i * 31 + 7) % n) for i in range(n)] + \
+            [(i, (i * 17 + 3) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # seeds = all nodes -> identical to plain pagerank (same base)
+    allseeds = spark.range(n).withColumnRenamed("id", "node")
+    ppr = {r.node: r.rank for r in components.personalized_pagerank(
+        df, allseeds, iters=3, deterministic=True).collect()}
+    pr = {r.node: r.rank for r in components.pagerank(
+        df, iters=3, deterministic=True).collect()}
+    assert ppr == pr
+    # single seed: seed outranks everything beyond its out-frontier;
+    # nodes unreachable within iters hops score exactly 0
+    seed = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.rank for r in components.personalized_pagerank(
+        df, seed, iters=2, deterministic=True).collect()}
+    reach = {0}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    frontier = {0}
+    for _ in range(2):
+        frontier = {d for s in frontier for d in adj.get(s, [])}
+        reach |= frontier
+    for v in range(n):
+        if v not in reach:
+            assert got[v] == 0.0, v
+    assert got[0] > 0 and sum(got.values()) <= 1.0 + 1e-9
