@@ -6552,6 +6552,139 @@ FROM fl JOIN om USING (from_cell) JOIN im USING (to_cell), tt"""
 O_EVENTS_OD_LIFT = _o_events_od_lift()
 
 
+def q_areal_interp(spark, sf_dir):
+    """Area-weighted areal interpolation (joins.areal_interpolation,
+    res 13, center-sample): transfer a per-A-zone count (the integer
+    parsed from the subject URI) onto the overlapping B zones in
+    proportion to shared raster cells — PBSM cell equi-join between
+    the two real rasterizations; est_value is one mirrored division
+    of exact BIGINT products."""
+    _, ga, gb = _fagi_inputs(spark, sf_dir)
+    pa = (fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
+          .withColumn("pop", F.regexp_extract("subject", "[0-9]+", 0)
+                      .cast("long")))
+    pb = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    return joins.areal_interpolation(pa, pb, "pop", res=13)
+
+
+def _o_areal_interp(res: int = 13) -> str:
+    w = 360.0 / (1 << res)
+    h = 180.0 / (1 << res)
+
+    def raster(src: str) -> str:
+        return f"""(
+  WITH p AS (
+    SELECT subject,
+           CAST(v AS DOUBLE)/100.0 AS x0, CAST(w AS DOUBLE)/100.0 AS y0,
+           CAST(v + 8 AS DOUBLE)/100.0 AS x1, CAST(w + 8 AS DOUBLE)/100.0 AS y1
+    FROM {src} WHERE kind = 'POLYGON'),
+  gx AS (SELECT *, UNNEST(range({cells.sql_ix('x0', res)}, {cells.sql_ix('x1', res)} + 1)) AS ix FROM p),
+  gxy AS (SELECT *, UNNEST(range({cells.sql_iy('y0', res)}, {cells.sql_iy('y1', res)} + 1)) AS iy FROM gx)
+  SELECT subject, ix, iy FROM gxy
+  WHERE -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) >= x0
+    AND -180.0 + (ix + 0.5) * CAST({w!r} AS DOUBLE) < x1
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) >= y0
+    AND -90.0 + (iy + 0.5) * CAST({h!r} AS DOUBLE) < y1)"""
+
+    return f"""WITH {GEO_A_CTE}, {GEO_B_CTE},
+ra AS MATERIALIZED {raster('geo_a')},
+rb AS MATERIALIZED {raster('geo_b')},
+na AS (SELECT subject AS src_subject, CAST(COUNT(*) AS BIGINT)
+         AS src_cells FROM ra GROUP BY 1),
+ov AS (SELECT ra.subject AS src_subject, rb.subject AS dst_subject,
+              CAST(COUNT(*) AS BIGINT) AS shared_cells
+       FROM ra JOIN rb ON ra.ix = rb.ix AND ra.iy = rb.iy
+       GROUP BY 1, 2),
+vv AS (SELECT subject AS src_subject,
+              CAST(regexp_extract(subject, '[0-9]+', 0) AS BIGINT)
+                AS src_value
+       FROM geo_a WHERE kind = 'POLYGON')
+SELECT ov.src_subject, ov.dst_subject, ov.shared_cells, na.src_cells,
+       vv.src_value,
+       CAST(vv.src_value * ov.shared_cells AS DOUBLE)
+         / CAST(na.src_cells AS DOUBLE) AS est_value
+FROM ov JOIN na USING (src_subject) JOIN vv USING (src_subject)"""
+
+
+O_AREAL_INTERP = _o_areal_interp()
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Graded contamination fraction (curation.contamination_score,
+    8-grams, same eval fixture as doc_decontaminate): every doc
+    reports its distinct-shingle count, shared count and the one-
+    division fraction — clean docs 0, short docs NULL frac."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = (docs.filter(F.col("doc_id") % 50 == 0)
+          .filter(F.size(F.split("text", " ")) >= 8)
+          .select(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+                  .alias("text")))
+    out = curation.contamination_score(docs, ev, n=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_grams", "n_shared", "contamination_frac")
+
+
+O_DOC_CONTAMINATION = """WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, t, UNNEST(RANGE(1, GREATEST(LEN(t) - 6, 1))) AS i
+      FROM toks),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+7], ' ') AS shingle
+  FROM g),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY 1),
+ev AS (SELECT DISTINCT
+         ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:8], ' ') AS shingle
+       FROM documents
+       WHERE doc_id % 50 = 0 AND LEN(STRING_SPLIT(text, ' ')) >= 8),
+hit AS (SELECT doc_id, CAST(COUNT(DISTINCT grams.shingle) AS BIGINT)
+          AS n_shared
+        FROM grams JOIN ev USING (shingle) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(tot.n_grams, 0) AS n_grams,
+       COALESCE(hit.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(tot.n_grams, 0) > 0 THEN
+         CAST(COALESCE(hit.n_shared, 0) AS DOUBLE)
+           / CAST(tot.n_grams AS DOUBLE) END AS contamination_frac
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN hit ON hit.doc_id = d.doc_id"""
+
+
+def q_doc_lexical_richness(spark, sf_dir):
+    """Lexical-richness profile (textops.lexical_richness): token /
+    type / hapax counts + TTR and hapax fraction per document —
+    exact BIGINT rollups, two mirrored single divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.lexical_richness(docs)
+            .withColumn("doc_id", F.col("doc_id").cast("long")))
+
+
+O_DOC_LEXICAL_RICHNESS = """WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+per AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM per GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_types, 0) AS n_types,
+       COALESCE(a.n_hapax, 0) AS n_hapax,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0 THEN
+         CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+         AS ttr,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0 THEN
+         CAST(a.n_hapax AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+         AS hapax_frac
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
 def q_events_burst(spark, sf_dir):
     """Per-(cell, period) burst z-score (events.cell_burst_scores,
     daily periods at res 6) against the cell's own zero-completed
@@ -6983,6 +7116,9 @@ QUERIES = {
     "events_decayed_cells": q_events_decayed_cells,
     "events_burst_scores": q_events_burst,
     "events_gyration": q_events_gyration,
+    "fagi_areal_interp": q_areal_interp,
+    "doc_contamination": q_doc_contamination,
+    "doc_lexical_richness": q_doc_lexical_richness,
     "events_cross_k": q_events_cross_k,
     "events_quadrat": q_events_quadrat,
     "events_teleport": q_events_teleport,
@@ -7173,6 +7309,9 @@ ORACLES = {
     "events_decayed_cells": O_EVENTS_DECAYED_CELLS,
     "events_burst_scores": O_EVENTS_BURST,
     "events_gyration": O_EVENTS_GYRATION,
+    "fagi_areal_interp": O_AREAL_INTERP,
+    "doc_contamination": O_DOC_CONTAMINATION,
+    "doc_lexical_richness": O_DOC_LEXICAL_RICHNESS,
     "events_cross_k": O_EVENTS_CROSS_K,
     "events_quadrat": O_EVENTS_QUADRAT,
     "events_teleport": O_EVENTS_TELEPORT,

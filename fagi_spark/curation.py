@@ -795,3 +795,47 @@ def predict_quality(model, df: DataFrame, text: str = "text",
     return (scored.withColumn("quality_prob", prob)
             .withColumn("quality_keep", prob >= F.lit(threshold))
             .drop("features", "rawPrediction", "probability", "prediction"))
+
+
+def contamination_score(df: DataFrame, eval_df: DataFrame,
+                        key: str = "doc_id", text: str = "text",
+                        eval_text: str = "text", n: int = 8) -> DataFrame:
+    """Graded contamination report — where ``decontaminate`` flags any
+    overlap, this scores it: per document, the FRACTION of its
+    distinct word n-grams that appear in the evaluation set, so a
+    policy can distinguish a quoted benchmark sentence (frac ~0.01,
+    keep) from a pasted benchmark item (frac ~1, drop) instead of
+    binary-dropping both. Every document reports (clean docs score
+    0), which is what threshold-tuning audits need.
+
+    Same scale shape as decontaminate (the eval shingle set
+    broadcasts; only matched pairs reach the shuffle) plus one
+    map-side distinct-shingle count per doc; contamination_frac is
+    one IEEE division of exact BIGINTs; docs shorter than n tokens
+    have zero n-grams -> NULL frac (no 0/0).
+
+    Returns (key, n_grams, n_shared, contamination_frac).
+    """
+    doc_sh = df.select(
+        F.col(key),
+        F.explode(F.array_distinct(word_ngrams(text, n))).alias("shingle"))
+    tot = doc_sh.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    eval_sh = (eval_df
+               .select(F.explode(F.array_distinct(
+                   word_ngrams(eval_text, n))).alias("shingle"))
+               .distinct())
+    hit = (doc_sh.join(F.broadcast(eval_sh), "shingle")
+           .groupBy(key)
+           .agg(F.count_distinct("shingle").cast("long").alias("n_shared")))
+    return (df.select(F.col(key))
+            .join(tot, key, "left").join(hit, key, "left")
+            .select(F.col(key),
+                    F.coalesce("n_grams", F.lit(0).cast("long"))
+                    .alias("n_grams"),
+                    F.coalesce("n_shared", F.lit(0).cast("long"))
+                    .alias("n_shared"))
+            .withColumn("contamination_frac",
+                        F.when(F.col("n_grams") > 0,
+                               F.col("n_shared").cast("double")
+                               / F.col("n_grams").cast("double"))))

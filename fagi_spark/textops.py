@@ -1322,3 +1322,48 @@ def sorted_neighborhood_pairs(df: DataFrame, sort_col: str,
                     & (F.col("rank_b") - F.col("rank_a") <= d))
             .select("id_a", "id_b", "rank_a", "rank_b")
             .distinct())
+
+
+def lexical_richness(df: DataFrame, key: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Per-document lexical-richness profile: whitespace token count,
+    distinct types, hapax legomena (frequency-1 tokens), type-token
+    ratio and hapax fraction — the vocabulary-diversity half of a
+    quality panel (template/spam pages repeat a tiny vocabulary:
+    low TTR; generated keyword-stuffing is all hapax: TTR ~ 1), the
+    concentration complement of ``simpson_diversity``.
+
+    One explode + one (doc, token) rollup + one doc rollup — both
+    map-side combinable; ratios are single IEEE divisions of exact
+    BIGINTs. Empty/NULL text reports 0 counts and NULL ratios.
+
+    Returns (key, n_tokens, n_types, n_hapax, ttr, hapax_frac).
+    """
+    toks = df.select(
+        F.col(key),
+        F.explode(F.filter(F.split(F.coalesce(F.col(text), F.lit("")), " "),
+                           lambda t: t != "")).alias("_t"))
+    per = (toks.groupBy(key, "_t")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    agg = (per.groupBy(key)
+           .agg(F.sum("_c").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_types"),
+                F.sum((F.col("_c") == 1).cast("long")).cast("long")
+                .alias("n_hapax")))
+    return (df.select(F.col(key))
+            .join(agg, key, "left")
+            .select(F.col(key),
+                    F.coalesce("n_tokens", F.lit(0).cast("long"))
+                    .alias("n_tokens"),
+                    F.coalesce("n_types", F.lit(0).cast("long"))
+                    .alias("n_types"),
+                    F.coalesce("n_hapax", F.lit(0).cast("long"))
+                    .alias("n_hapax"))
+            .withColumn("ttr", F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")))
+            .withColumn("hapax_frac", F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_hapax").cast("double")
+                / F.col("n_tokens").cast("double"))))

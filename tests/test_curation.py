@@ -513,3 +513,48 @@ def test_skyline_2d_matches_bruteforce(spark):
     assert curation.skyline_2d(one, "x", "y").count() == 1
     empty = spark.createDataFrame([], "id long, x long, y long")
     assert curation.skyline_2d(empty, "x", "y").count() == 0
+
+
+def test_contamination_score_fractions(spark):
+    from fagi_spark import curation
+
+    eval_df = spark.createDataFrame(
+        [("the secret benchmark answer is forty two exactly",)], "text string")
+    docs = spark.createDataFrame([
+        # doc 0: the full eval text verbatim + nothing else -> frac 1.0
+        (0, "the secret benchmark answer is forty two exactly"),
+        # doc 1: eval text embedded in 8 extra leading tokens:
+        # 16 tokens -> 9 distinct 8-grams, 1 shared
+        (1, "a b c d e f g h the secret benchmark answer is forty two exactly"),
+        # doc 2: clean, same length
+        (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        # doc 3: too short for an 8-gram -> NULL frac
+        (3, "tiny doc"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           curation.contamination_score(docs, eval_df, n=8).collect()}
+    assert (got[0].n_grams, got[0].n_shared) == (1, 1)
+    assert got[0].contamination_frac == 1.0
+    assert (got[1].n_grams, got[1].n_shared) == (9, 1)
+    assert got[1].contamination_frac == 1.0 / 9.0
+    assert (got[2].n_shared, got[2].contamination_frac) == (0, 0.0)
+    assert got[3].n_grams == 0 and got[3].contamination_frac is None
+
+
+def test_lexical_richness_handcase(spark):
+    from fagi_spark import textops
+
+    docs = spark.createDataFrame([
+        (0, "a a a b b c"),       # 6 tokens, 3 types, 1 hapax (c)
+        (1, "w x y z"),           # all hapax -> ttr 1
+        (2, ""),                  # empty
+        (3, None),                # null
+        (4, "dup  dup"),          # double space -> empty token dropped
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.lexical_richness(docs).collect()}
+    assert (got[0].n_tokens, got[0].n_types, got[0].n_hapax) == (6, 3, 1)
+    assert got[0].ttr == 3.0 / 6.0 and got[0].hapax_frac == 1.0 / 6.0
+    assert got[1].ttr == 1.0 and got[1].hapax_frac == 1.0
+    assert got[2].n_tokens == 0 and got[2].ttr is None
+    assert got[3].n_tokens == 0 and got[3].ttr is None
+    assert (got[4].n_tokens, got[4].n_types, got[4].n_hapax) == (2, 1, 0)

@@ -469,3 +469,35 @@ def test_areal_interpolation_rational_ground_truth(spark):
     # zoning, and the transferred mass matches the rational sum
     assert sum(want.values()) == Fraction(115)
     assert abs(sum(got.values()) - 115.0) <= 1e-9
+
+
+def test_areal_interpolation_handcase(spark):
+    from fagi_spark import cells, joins as J
+
+    # res 5 -> cells 11.25 x 5.625 deg. Square A spans exactly 2x2
+    # cell centers; square B overlaps the right half of A (2 cells)
+    # plus 2 cells outside A; square C is disjoint.
+    res = 5
+    w, h = cells.cell_width_deg(res), cells.cell_height_deg(res)
+
+    def sq(name, x0, y0, nx, ny):
+        x1, y1 = x0 + nx * w, y0 + ny * h
+        return (name, f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                      f"{x0} {y1}, {x0} {y0}))")
+
+    # snap square corners to cell boundaries -> center-sample count
+    # is exactly nx*ny
+    x0 = -180.0 + 4 * w
+    y0 = -90.0 + 4 * h
+    src = fuse.prepare_geoms(spark.createDataFrame(
+        [sq("A", x0, y0, 2, 2)], "subject string, geom_wkt string")) \
+        .withColumn("pop", F.lit(100).cast("long"))
+    dst = fuse.prepare_geoms(spark.createDataFrame(
+        [sq("B", x0 + w, y0, 2, 2), sq("C", x0 + 10 * w, y0, 1, 1)],
+        "subject string, geom_wkt string"))
+    got = {(r.src_subject, r.dst_subject): r for r in
+           J.areal_interpolation(src, dst, "pop", res).collect()}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert (r.shared_cells, r.src_cells, r.src_value) == (2, 4, 100)
+    assert r.est_value == (100 * 2) / 4.0 == 50.0
