@@ -1239,3 +1239,26 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(nb AS BIGINT) AS n_black,
                     * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))
             ELSE NULL END AS bb_ratio
 FROM gstats CROSS JOIN pg"""
+
+
+def dilate_cells(df: DataFrame, res: int, k: int = 1,
+                 key: str = "subject", cell: str = "cell") -> DataFrame:
+    """Morphological dilation of a raster coverage: grow each keyed
+    cell set by Chebyshev radius ``k`` — the grid-native buffer
+    operation (protection zones around a rasterized footprint,
+    candidate halos before an exact overlay, coastline-touch rules).
+    The inverse-direction twin of explode_ring's probe expansion,
+    applied to a MATERIALIZED raster instead of points.
+
+    Pure integer plan: unpack ix/iy by shifts, explode the
+    (2k+1)^2 literal offset square, clamp to the grid, repack,
+    distinct per key — one shuffle (the distinct), work proportional
+    to boundary x k, no geometry parsing.
+
+    Returns (key, cell) distinct dilated coverage.
+    """
+    base = df.select(F.col(key).alias("_k"),
+                     unpack_ix(F.col(cell), res).alias("ix"),
+                     unpack_iy(F.col(cell), res).alias("iy"))
+    out = explode_ring(base, res, int(k), out="cell")
+    return (out.select(F.col("_k").alias(key), "cell").distinct())

@@ -852,3 +852,46 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def rich_club(edges: DataFrame, ks: list,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """Rich-club coefficient ladder (Zhou & Mondragon 2004): for each
+    degree threshold k, phi(k) = 2*E_k / (N_k*(N_k-1)) with N_k the
+    nodes of degree > k and E_k the edges among them — "do the hubs
+    of this crawl graph preferentially interlink" (phi -> 1: an
+    oligarchy/link cartel; low phi: hubs are independent portals).
+
+    One degree rollup + one edge-degree join; every threshold is a
+    conditional BIGINT sum over the SAME joined frame (no per-k
+    passes), stacked to rows; phi is one mirrored IEEE division.
+    Returns (k, n_nodes, n_edges, phi) — phi NULL when N_k < 2.
+    """
+    e = _canon_edges(edges, src, dst)
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+    ej = e.join(da, "a").join(db, "b")
+    ks = sorted(int(k) for k in ks)
+    ecnt = ej.agg(*[
+        F.sum(((F.col("_da") > k) & (F.col("_db") > k)).cast("long"))
+        .cast("long").alias(f"_e{i}") for i, k in enumerate(ks)])
+    ncnt = deg.agg(*[
+        F.sum((F.col("deg") > k).cast("long")).cast("long")
+        .alias(f"_n{i}") for i, k in enumerate(ks)])
+    j = ecnt.crossJoin(ncnt)
+    stacked = j.select(F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("k"),
+                 F.coalesce(F.col(f"_n{i}"), F.lit(0)).cast("long")
+                 .alias("n_nodes"),
+                 F.coalesce(F.col(f"_e{i}"), F.lit(0)).cast("long")
+                 .alias("n_edges"))
+        for i, k in enumerate(ks)])).alias("s")).select("s.*")
+    return stacked.select(
+        "k", "n_nodes", "n_edges",
+        F.when(F.col("n_nodes") >= 2,
+               (F.lit(2) * F.col("n_edges")).cast("double")
+               / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+               .cast("double")).alias("phi"))

@@ -6609,6 +6609,132 @@ FROM ov JOIN na USING (src_subject) JOIN vv USING (src_subject)"""
 O_AREAL_INTERP = _o_areal_interp()
 
 
+def q_dilate_raster(spark, sf_dir):
+    """Grid-native buffer (cells.dilate_cells, k=1) of the B-square
+    center-sample raster at res 13: unpack-shift, 3x3 offset explode,
+    clamp, repack, per-subject distinct — pure integers; the oracle
+    reruns the raster CTE and mirrors the offset square."""
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    ras = joins.rasterize_polygons(polys, res=13, mode="center")
+    return cells.dilate_cells(ras, res=13, k=1)
+
+
+def _o_dilate_raster(res: int = 13, k: int = 1) -> str:
+    base = _o_rasterize(res)
+    n = 1 << res
+    return f"""WITH r AS MATERIALIZED ({base}),
+u AS (SELECT subject,
+             CAST((cell - {res} * {1 << 58}) // {n} AS BIGINT) AS ix,
+             CAST((cell - {res} * {1 << 58}) % {n} AS BIGINT) AS iy
+      FROM r),
+d AS (SELECT subject, ix + dx.o AS nx, iy + dy.o AS ny
+      FROM u,
+           (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dx,
+           (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dy)
+SELECT DISTINCT subject,
+       CAST({res} * {1 << 58} + nx * {n} + ny AS BIGINT) AS cell
+FROM d WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}"""
+
+
+O_DILATE_RASTER = _o_dilate_raster()
+
+_RICH_KS = [2, 3, 4, 5, 20]
+
+
+def q_doc_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder (components.rich_club) over the
+    planted ring+chords+clique graph: per threshold, N_k/E_k as
+    conditional BIGINT sums over one edge-degree join; phi one
+    mirrored division."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 2) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    return components.rich_club(e1.unionByName(e2).unionByName(cl),
+                                _RICH_KS)
+
+
+def _o_rich_club(ks: list) -> str:
+    arms = []
+    for k in sorted(ks):
+        arms.append(f"""SELECT CAST({k} AS BIGINT) AS k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > {k}) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ej
+   WHERE da > {k} AND db > {k}) AS n_edges""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) + 2) % (SELECT n FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+  FROM documents a JOIN documents b
+    ON a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+ej AS MATERIALIZED (
+  SELECT da.deg AS da, db.deg AS db
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+r AS ({body})
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2 THEN
+         CAST(2 * n_edges AS DOUBLE)
+           / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END AS phi
+FROM r"""
+
+
+O_DOC_RICH_CLUB = _o_rich_club(_RICH_KS)
+
+_KWIC_TERM = "join"
+_KWIC_WIDTH = 3
+
+
+def q_doc_kwic(spark, sf_dir):
+    """Keyword-in-context concordance (retrieval.kwic, term 'join',
+    width 3): map-only posexplode + two slices of the same token
+    array; the oracle mirrors the 1-based slice arithmetic with
+    DuckDB list slicing (both clamp at document edges)."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval.kwic(docs, _KWIC_TERM, width=_KWIC_WIDTH)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _o_kwic(term: str, w: int) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS t
+  FROM documents),
+g AS (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) + 1)) AS i FROM toks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       COALESCE(ARRAY_TO_STRING(t[GREATEST(1, i - {w}):i - 1], ' '), '')
+         AS left_ctx,
+       COALESCE(ARRAY_TO_STRING(t[i + 1:i + {w}], ' '), '') AS right_ctx
+FROM g WHERE t[i] = '{term}'"""
+
+
+O_DOC_KWIC = _o_kwic(_KWIC_TERM, _KWIC_WIDTH)
+
+
 def q_doc_contamination(spark, sf_dir):
     """Graded contamination fraction (curation.contamination_score,
     8-grams, same eval fixture as doc_decontaminate): every doc
@@ -7117,6 +7243,9 @@ QUERIES = {
     "events_burst_scores": q_events_burst,
     "events_gyration": q_events_gyration,
     "fagi_areal_interp": q_areal_interp,
+    "fagi_dilate_raster": q_dilate_raster,
+    "doc_rich_club": q_doc_rich_club,
+    "doc_kwic": q_doc_kwic,
     "doc_contamination": q_doc_contamination,
     "doc_lexical_richness": q_doc_lexical_richness,
     "events_cross_k": q_events_cross_k,
@@ -7310,6 +7439,9 @@ ORACLES = {
     "events_burst_scores": O_EVENTS_BURST,
     "events_gyration": O_EVENTS_GYRATION,
     "fagi_areal_interp": O_AREAL_INTERP,
+    "fagi_dilate_raster": O_DILATE_RASTER,
+    "doc_rich_club": O_DOC_RICH_CLUB,
+    "doc_kwic": O_DOC_KWIC,
     "doc_contamination": O_DOC_CONTAMINATION,
     "doc_lexical_richness": O_DOC_LEXICAL_RICHNESS,
     "events_cross_k": O_EVENTS_CROSS_K,

@@ -336,3 +336,38 @@ def phrase_search(docs: DataFrame, phrase: str, key: str = "doc_id",
             .select(F.col("_doc").alias(key),
                     F.col("n_matches").cast("long").alias("n_matches"),
                     F.col("first_pos").cast("long").alias("first_pos")))
+
+
+def kwic(df: DataFrame, term: str, width: int = 3,
+         key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``term``
+    (exact whitespace-token match) with up to ``width`` tokens of
+    context on each side — the corpus-linguistics view behind "show
+    me how the corpus uses this word" audits (sense checking before
+    building filters, slur-context review, quote verification).
+
+    Map-only: posexplode tokens -> filter on the term -> slice the
+    SAME token array for both context windows; no shuffle at all, so
+    it streams over a 100 TB corpus at scan speed. Token positions
+    are 0-based; context windows clip at document edges.
+
+    Returns (key, pos, left_ctx, right_ctx) per occurrence.
+    """
+    w = int(width)
+    toks = df.select(
+        F.col(key),
+        F.split(F.coalesce(F.col(text), F.lit("")), " ").alias("_t"))
+    hits = (toks.select(
+        F.col(key), F.col("_t"),
+        F.posexplode(F.col("_t")).alias("pos", "_tok"))
+        .filter(F.col("_tok") == term))
+    # slice() is 1-based; left window [max(1, pos+1-w), pos], right
+    # window [pos+2, pos+1+w] in 1-based terms
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - w)
+    left_len = F.col("pos") + 1 - left_start
+    return hits.select(
+        F.col(key), F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("_t", left_start, left_len), " ")
+        .alias("left_ctx"),
+        F.array_join(F.slice("_t", F.col("pos") + 2, F.lit(w)), " ")
+        .alias("right_ctx"))

@@ -676,3 +676,30 @@ def test_join_counts_bruteforce_and_guards(spark):
     allw = cells.join_counts(field({(0, 0): 1, (0, 1): 1}), res,
                              threshold=2).first()
     assert allw["n_black"] == 0 and allw["bb_ratio"] is None
+
+
+def test_dilate_cells_handcase(spark):
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+
+    res = 4
+    # one cell in the interior, one at the grid corner (clamping)
+    base = spark.createDataFrame(
+        [("A", 5, 5), ("B", 0, 0)], "subject string, ix long, iy long") \
+        .select("subject", cells.pack_cell(
+            F.col("ix"), F.col("iy"), res).alias("cell"))
+    got = {}
+    for r in cells.dilate_cells(base, res, k=1).collect():
+        got.setdefault(r.subject, set()).add(r.cell)
+    a_want = {cells.pack_cell_value(5 + dx, 5 + dy, res)
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    b_want = {cells.pack_cell_value(dx, dy, res)
+              for dx in (0, 1) for dy in (0, 1)}
+    assert got["A"] == a_want and len(got["A"]) == 9
+    assert got["B"] == b_want  # corner clamps to 4 cells
+    # k=0 is identity
+    ident = {r.cell for r in cells.dilate_cells(base, res, k=0)
+             .filter(F.col("subject") == "A").collect()}
+    assert ident == {cells.pack_cell_value(5, 5, res)}
+    # dilation is monotone: k=1 result contains the base
+    assert cells.pack_cell_value(5, 5, res) in got["A"]

@@ -697,3 +697,21 @@ def test_personalized_pagerank(spark):
         if v not in reach:
             assert got[v] == 0.0, v
     assert got[0] > 0 and sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_rich_club_handcase(spark):
+    # 4-clique hub club + pendant leaves on each hub
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, 10 + a) for a in range(4)]  # leaves: degree 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.k: r for r in components.rich_club(df, [0, 1, 3]).collect()}
+    # k=0: all 8 nodes, all 10 edges: phi = 20/56
+    assert (got[0].n_nodes, got[0].n_edges) == (8, 10)
+    assert got[0].phi == 20.0 / 56.0
+    # k=1: the 4 hubs (degree 4), 6 clique edges: phi = 1
+    assert (got[1].n_nodes, got[1].n_edges) == (4, 6)
+    assert got[1].phi == 1.0
+    # k=3: degree > 3 = the hubs (degree 4) -> still 4 nodes
+    assert got[3].n_nodes == 4 and got[3].phi == 1.0
+    got5 = {r.k: r for r in components.rich_club(df, [5]).collect()}
+    assert got5[5].n_nodes == 0 and got5[5].phi is None

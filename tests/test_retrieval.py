@@ -126,3 +126,24 @@ def test_rrf_fuse_out_k_truncates_and_ties_break_by_key(spark):
     assert len(got) == 3
     # (1,3) tie at 1/61 -> key asc; (2,4) tie at 1/62 -> 2 wins slot 3
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 3, 2]
+
+
+def test_kwic_handcase(spark):
+    from fagi_spark import retrieval
+    docs = spark.createDataFrame([
+        (0, "a b term c d"),        # interior occurrence
+        (1, "term x y"),            # at start -> empty left
+        (2, "x y term"),            # at end -> empty right
+        (3, "term term"),           # adjacent occurrences
+        (4, "no match here"),
+        (5, None),
+    ], "doc_id long, text string")
+    got = sorted((r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+                 for r in retrieval.kwic(docs, "term", width=2).collect())
+    assert got == [
+        (0, 2, "a b", "c d"),
+        (1, 0, "", "x y"),
+        (2, 2, "x y", ""),
+        (3, 0, "", "term"),
+        (3, 1, "term", ""),
+    ]
