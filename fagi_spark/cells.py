@@ -1262,3 +1262,38 @@ def dilate_cells(df: DataFrame, res: int, k: int = 1,
                      unpack_iy(F.col(cell), res).alias("iy"))
     out = explode_ring(base, res, int(k), out="cell")
     return (out.select(F.col("_k").alias(key), "cell").distinct())
+
+
+def distance_transform(seeds: DataFrame, res: int, max_d: int,
+                       cell: str = "cell") -> DataFrame:
+    """Bounded Chebyshev distance transform of a seed cell set: for
+    every cell within grid distance ``max_d`` of ANY seed, the
+    distance to the nearest seed — the raster "distance to nearest
+    road/coast/POI" layer that turns a feature raster into a cost
+    surface (site suitability, proximity scoring for geocoded
+    documents). Cells farther than ``max_d`` are absent (unbounded
+    transforms don't exist on an infinite grid; the bound IS the
+    operator, exactly like dwithin's radius).
+
+    One-shot, not iterative: each seed explodes its (2*max_d+1)^2
+    offset square with the literal Chebyshev radius
+    max(|dx|, |dy|) attached, then one MIN-per-cell rollup (map-side
+    combinable). Work ∝ seeds x (2*max_d+1)^2 — choose res so max_d
+    stays small, the explode_ring sizing rule. Pure integers.
+
+    Returns (cell, dist) with dist in [0, max_d]; seed cells get 0.
+    """
+    k = int(max_d)
+    base = seeds.select(unpack_ix(F.col(cell), res).alias("ix"),
+                        unpack_iy(F.col(cell), res).alias("iy"))
+    n = 1 << res
+    df = (base.withColumn("_dx", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+          .withColumn("_dy", F.explode(F.sequence(F.lit(-k), F.lit(k)))))
+    nix = F.col("ix") + F.col("_dx")
+    niy = F.col("iy") + F.col("_dy")
+    df = df.filter((nix >= 0) & (nix < n) & (niy >= 0) & (niy < n))
+    d = F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy")))
+    return (df.select(pack_cell(nix, niy, res).alias("cell"),
+                      d.cast("long").alias("_d"))
+            .groupBy("cell")
+            .agg(F.min("_d").cast("long").alias("dist")))

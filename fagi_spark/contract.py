@@ -6639,6 +6639,89 @@ FROM d WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}"""
 
 O_DILATE_RASTER = _o_dilate_raster()
 
+_DT_RES = 10
+_DT_MAXD = 3
+
+
+def q_distance_transform(spark, sf_dir):
+    """Bounded Chebyshev distance transform (cells.distance_transform,
+    max_d 3) seeded by the B point cells at res 10: one offset-square
+    explode with the literal Chebyshev radius + one MIN-per-cell
+    rollup — pure integers end to end."""
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    b = cells.with_cell(_points_side(fuse.prepare_geoms(gb)).select(
+        "subject", "cx", "cy"), _DT_RES, lon="cx", lat="cy")
+    seeds = b.select("cell").distinct()
+    return cells.distance_transform(seeds, _DT_RES, _DT_MAXD)
+
+
+def _o_distance_transform(res: int, k: int) -> str:
+    n = 1 << res
+    cx = cells.sql_ix("CAST(v AS DOUBLE)/100.0", res)
+    cy = cells.sql_iy("CAST(w AS DOUBLE)/100.0", res)
+    return f"""WITH {GEO_B_CTE},
+s AS MATERIALIZED (
+  SELECT DISTINCT {cx} AS ix, {cy} AS iy
+  FROM geo_b WHERE kind = 'POINT'),
+d AS (SELECT ix + dx.o AS nx, iy + dy.o AS ny,
+             GREATEST(ABS(dx.o), ABS(dy.o)) AS dist
+      FROM s,
+           (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dx,
+           (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dy)
+SELECT CAST({res} * {1 << 58} + nx * {n} + ny AS BIGINT) AS cell,
+       CAST(MIN(dist) AS BIGINT) AS dist
+FROM d WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}
+GROUP BY 1"""
+
+
+O_DISTANCE_TRANSFORM = _o_distance_transform(_DT_RES, _DT_MAXD)
+
+_VOCAB_TOPS = [10, 100, 1000]
+
+
+def q_doc_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage ladder (textops.vocab_coverage, N = 10/
+    100/1000): token mass covered by the N most frequent types, tie
+    order (freq DESC, token ASC) mirrored; one TakeOrderedAndProject
+    of max(N) rows, never a full-vocab sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.vocab_coverage(docs, _VOCAB_TOPS)
+
+
+def _o_vocab_coverage(tops: list) -> str:
+    tops = sorted(tops)
+    arms = []
+    for t in tops:
+        arms.append(f"""SELECT CAST({t} AS BIGINT) AS top_n,
+  (SELECT n_types_total FROM st) AS n_types_total,
+  (SELECT total_tokens FROM st) AS total_tokens,
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM head
+   WHERE r <= {t}) AS covered_tokens""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""WITH toks AS (
+  SELECT t FROM (
+    SELECT UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+freq AS MATERIALIZED (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total,
+              CAST(SUM(c) AS BIGINT) AS total_tokens FROM freq),
+head AS MATERIALIZED (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS BIGINT)
+    AS r
+  FROM freq ORDER BY c DESC, t ASC LIMIT {tops[-1]}),
+arms AS ({body})
+SELECT top_n, n_types_total, total_tokens, covered_tokens,
+       CASE WHEN total_tokens > 0 THEN
+         CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       END AS covered_frac
+FROM arms"""
+
+
+O_DOC_VOCAB_COVERAGE = _o_vocab_coverage(_VOCAB_TOPS)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7244,6 +7327,8 @@ QUERIES = {
     "events_gyration": q_events_gyration,
     "fagi_areal_interp": q_areal_interp,
     "fagi_dilate_raster": q_dilate_raster,
+    "fagi_distance_transform": q_distance_transform,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
     "doc_contamination": q_doc_contamination,
@@ -7440,6 +7525,8 @@ ORACLES = {
     "events_gyration": O_EVENTS_GYRATION,
     "fagi_areal_interp": O_AREAL_INTERP,
     "fagi_dilate_raster": O_DILATE_RASTER,
+    "fagi_distance_transform": O_DISTANCE_TRANSFORM,
+    "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,
     "doc_contamination": O_DOC_CONTAMINATION,

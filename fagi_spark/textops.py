@@ -1367,3 +1367,50 @@ def lexical_richness(df: DataFrame, key: str = "doc_id",
                 F.col("n_tokens") > 0,
                 F.col("n_hapax").cast("double")
                 / F.col("n_tokens").cast("double"))))
+
+
+def vocab_coverage(df: DataFrame, tops: list, text: str = "text") -> DataFrame:
+    """Vocabulary-coverage ladder: for each candidate vocabulary size
+    N, the fraction of total token MASS covered by the N most
+    frequent types — the Zipf-head report that sizes a tokenizer
+    vocab or a stop list ("the top 50k types cover 98.2% of tokens").
+
+    One corpus token-frequency rollup (map-side combinable), then ONE
+    TakeOrderedAndProject of max(tops) (type, freq) rows — never a
+    global sort of the full vocabulary — broadcast back as a literal
+    aggregate. Ties at the boundary break by (freq DESC, token ASC),
+    stated so the oracle can mirror the exact cutoff. Counts are
+    exact BIGINTs; covered_frac is one division per row.
+
+    Returns (top_n, n_types_total, total_tokens, covered_tokens,
+    covered_frac) — one row per requested N.
+    """
+    tops = sorted(int(t) for t in tops)
+    if not tops or tops[0] <= 0:
+        raise ValueError("vocab_coverage needs positive top-N sizes")
+    toks = df.select(
+        F.explode(F.filter(F.split(F.coalesce(F.col(text), F.lit("")), " "),
+                           lambda t: t != "")).alias("_t"))
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    stats = freq.agg(F.count(F.lit(1)).cast("long").alias("n_types_total"),
+                     F.sum("_c").cast("long").alias("total_tokens"))
+    head = (freq.orderBy(F.col("_c").desc(), F.col("_t").asc())
+            .limit(tops[-1])
+            .withColumn("_r", F.row_number().over(
+                Window.orderBy(F.col("_c").desc(), F.col("_t").asc()))))
+    cov = head.agg(*[
+        F.sum(F.when(F.col("_r") <= t, F.col("_c")).otherwise(0))
+        .cast("long").alias(f"_cov{i}") for i, t in enumerate(tops)])
+    j = cov.crossJoin(F.broadcast(stats))
+    stacked = j.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(t).cast("long").alias("top_n"),
+                     F.col("n_types_total"), F.col("total_tokens"),
+                     F.coalesce(F.col(f"_cov{i}"), F.lit(0)).cast("long")
+                     .alias("covered_tokens"))
+            for i, t in enumerate(tops)])).alias("s")).select("s.*")
+    return stacked.withColumn(
+        "covered_frac",
+        F.when(F.col("total_tokens") > 0,
+               F.col("covered_tokens").cast("double")
+               / F.col("total_tokens").cast("double")))

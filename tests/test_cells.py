@@ -703,3 +703,34 @@ def test_dilate_cells_handcase(spark):
     assert ident == {cells.pack_cell_value(5, 5, res)}
     # dilation is monotone: k=1 result contains the base
     assert cells.pack_cell_value(5, 5, res) in got["A"]
+
+
+def test_distance_transform_handcase(spark):
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+
+    res = 5
+    seeds = spark.createDataFrame(
+        [(10, 10), (14, 10), (0, 0)], "ix long, iy long") \
+        .select(cells.pack_cell(F.col("ix"), F.col("iy"), res)
+                .alias("cell"))
+    got = {r.cell: r.dist for r in
+           cells.distance_transform(seeds, res, max_d=2).collect()}
+    # seed cells are 0
+    assert got[cells.pack_cell_value(10, 10, res)] == 0
+    assert got[cells.pack_cell_value(0, 0, res)] == 0
+    # midpoint between the two seeds (12,10): chebyshev 2 from both
+    assert got[cells.pack_cell_value(12, 10, res)] == 2
+    # (11,11): 1 from (10,10)
+    assert got[cells.pack_cell_value(11, 11, res)] == 1
+    # beyond max_d from everything: absent
+    assert cells.pack_cell_value(20, 20, res) not in got
+    # corner seed clamps: (-1,-1) never appears
+    assert all(c >= 0 for c in got)
+    # brute-force parity over the whole reachable set
+    seed_pts = [(10, 10), (14, 10), (0, 0)]
+    for c, d in got.items():
+        ix = (c - res * (1 << 58)) >> res
+        iy = (c - res * (1 << 58)) % (1 << res)
+        want = min(max(abs(ix - sx), abs(iy - sy)) for sx, sy in seed_pts)
+        assert d == want, (ix, iy)

@@ -922,3 +922,23 @@ def test_source_jaccard_matrix_handcase(spark):
     assert r12["jaccard"] == 2 / 4
     assert ("s1", "s3") not in out  # disjoint vocab: no row
     assert ("s2", "s3") not in out
+
+
+def test_vocab_coverage_handcase(spark):
+    from fagi_spark import textops
+
+    docs = spark.createDataFrame([
+        (0, "a a a a b b b c c d"),
+        (1, "a b c e"),
+    ], "doc_id long, text string")
+    # freqs: a5 b4 c3 d1 e1 -> order a,b,c,d,e (d before e: tie by token)
+    got = {r.top_n: r for r in
+           textops.vocab_coverage(docs, [1, 2, 4]).collect()}
+    assert all(r.n_types_total == 5 and r.total_tokens == 14
+               for r in got.values())
+    assert got[1].covered_tokens == 5 and got[1].covered_frac == 5.0 / 14.0
+    assert got[2].covered_tokens == 9
+    assert got[4].covered_tokens == 13  # a+b+c+d (tie d<e)
+    import pytest as _p
+    with _p.raises(ValueError):
+        textops.vocab_coverage(docs, [])
