@@ -1465,3 +1465,49 @@ def od_flow_lift(events: DataFrame, res: int, user: str = "user_id",
                     ((F.col("n_moves") * F.col("_tot")).cast("double")
                      / (F.col("out_total") * F.col("in_total"))
                      .cast("double")).alias("lift")))
+
+
+def decayed_from_periods(periods: DataFrame, now: str, half_life_s: int,
+                         horizon: int = 40,
+                         period_start: str = "period_start",
+                         n_events: str = "n_events") -> DataFrame:
+    """Read-time decay finalize over a (period_start, cell, n_events)
+    frame — the batch half of streaming.activity_periods_stream's
+    lambda pair: period-ALIGNED exponential decay (each period's
+    bucket index is floor(now/hl) - floor(period/hl); coarser than
+    decayed_cell_counts' per-event ages, identical when events are
+    period-aligned) with the same transcendental-free weights: BIGINT
+    1 << (horizon - b), one division by exact 2^horizon.
+
+    Stateless and tiny (touched-cells x periods rows), so one stored
+    period frame answers any (now, half_life, horizon) query.
+    Returns (cell, n_events, sum_w, decayed_score).
+    """
+    h_us = int(half_life_s) * 1_000_000
+    hz = int(horizon)
+    # integer floor division on exact micros (never a double divide:
+    # boundary periods would mis-bucket on a one-ulp rounding)
+    now_p = F.expr(
+        f"(unix_micros(CAST('{now}' AS TIMESTAMP))"
+        f" - pmod(unix_micros(CAST('{now}' AS TIMESTAMP)), {h_us}))"
+        f" DIV {h_us}")
+    pb = F.expr(f"(unix_micros(CAST({period_start} AS TIMESTAMP))"
+                f" - pmod(unix_micros(CAST({period_start} AS TIMESTAMP)),"
+                f" {h_us})) DIV {h_us}")
+    b = (now_p - pb).cast("long")
+    denom = float(2 ** hz)
+    staged = periods.select("cell",
+                            F.col(n_events).cast("long").alias("_n"),
+                            b.alias("_b"))
+    w = (F.when((F.col("_b") >= 0) & (F.col("_b") <= hz),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST({hz} - _b AS INT))"))
+         .otherwise(F.lit(0)).cast("long"))
+    return (staged
+            .select("cell", F.col("_n"), (w * F.col("_n")).alias("_w"))
+            .groupBy("cell")
+            .agg(F.sum("_n").cast("long").alias("n_events"),
+                 F.sum("_w").cast("long").alias("sum_w"))
+            .select("cell", "n_events", "sum_w",
+                    (F.col("sum_w").cast("double") / F.lit(denom))
+                    .alias("decayed_score")))

@@ -779,3 +779,28 @@ def heading_octants_stream(pts: DataFrame, user: str = "user_id",
     return (ev.groupBy("user_id").applyInPandasWithState(
         fn, OCT_OUT_SCHEMA, OCT_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout))
+
+
+def activity_periods_stream(events: DataFrame, res: int, period_s: int,
+                            watermark: str = "2 hours", ts: str = "ts",
+                            lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Streaming half of the decayed-activity surface (the lambda
+    shape): maintain watermarked (period window, cell, n_events)
+    counts — state is touched-cells x recent-periods, tiny and
+    bounded — and leave the exponential decay to the stateless
+    read-time finalize ``events.decayed_from_periods``, so ONE
+    running stream serves every (now, half-life, horizon) a dashboard
+    asks for instead of baking one decay constant into stream state.
+    Late events beyond the watermark drop; the batch compaction
+    recomputes exact surfaces from the event sink."""
+    base = cells.with_cell(
+        events.select(F.col(ts).alias("_ts"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    return (base
+            .withWatermark("_ts", watermark)
+            .groupBy(F.window("_ts", f"{int(period_s)} seconds").alias("win"),
+                     "cell")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("period_start"),
+                    "cell", "n_events"))

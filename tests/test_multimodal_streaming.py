@@ -802,3 +802,49 @@ def test_heading_octants_stream_union_equals_batch(spark, tmp_path):
                 batch, order=("us", "event_id")).collect()}
     assert got == want
     assert len({u for u, _ in got}) == 2
+
+
+def test_streaming_activity_periods_matches_batch(spark, tmp_path):
+    """Stream (period, cell, n) == batch rollup over the same events,
+    and the read-time decay finalize produces the documented
+    period-aligned weights for a hand 'now'."""
+    import datetime as dt
+
+    from fagi_spark import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append((i, t0 + dt.timedelta(hours=i % 72),
+                     (i % 40) * 0.01, (i % 20) * 0.01))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, lon double, lat double")
+    src = str(tmp_path / "act_src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = streaming.activity_periods_stream(stream, res=6,
+                                            period_s=86400)
+    q = (agg.writeStream.format("memory").queryName("act_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.period_start, r.cell): r.n_events
+           for r in spark.sql("SELECT * FROM act_mem").collect()}
+    from fagi_spark import cells
+    batch = (cells.with_cell(df, 6)
+             .groupBy(F.window("ts", "86400 seconds").alias("win"), "cell")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("win.start").alias("ps"), "cell", "n"))
+    want = {(r.ps, r.cell): r.n for r in batch.collect()}
+    assert got == want
+    # finalize: day-aligned decay with now = day 3 boundary
+    per = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 3), 100, 5),   # age bucket 1 -> w 4
+         (dt.datetime(2024, 1, 4), 100, 2),   # bucket 0 -> w 8
+         (dt.datetime(2024, 1, 1), 100, 1),   # bucket 3 > hz -> 0
+         (dt.datetime(2024, 1, 5), 100, 9)],  # future -> 0
+        "period_start timestamp, cell long, n_events long")
+    [r] = ev.decayed_from_periods(per, "2024-01-04 12:00:00",
+                                  half_life_s=86400, horizon=2).collect()
+    assert (r.n_events, r.sum_w) == (17, 5 * 2 + 2 * 4)
+    assert r.decayed_score == (5 * 2 + 2 * 4) / 4.0
