@@ -6722,6 +6722,85 @@ FROM arms"""
 O_DOC_VOCAB_COVERAGE = _o_vocab_coverage(_VOCAB_TOPS)
 
 
+_MAPC_RES = 6
+
+
+def q_map_clusters(spark, sf_dir):
+    """Map-viewport marker clustering (cells.map_clusters, res 6):
+    per-cell count + exact integer-grid centroid (sum/n/scale fixed
+    float tree) over the shared event point fixture."""
+    pts = _event_pts(_t(spark, sf_dir, "events"))
+    return cells.map_clusters(pts, _MAPC_RES)
+
+
+def _o_map_clusters(res: int, scale: int = 100) -> str:
+    return f"""WITH p AS (
+  SELECT {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS cell,
+         CAST(ROUND(({_EV_LON_SQL}) * {scale}) AS BIGINT) AS gx,
+         CAST(ROUND(({_EV_LAT_SQL}) * {scale}) AS BIGINT) AS gy
+  FROM events),
+a AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(gx) AS BIGINT) AS sum_gx,
+             CAST(SUM(gy) AS BIGINT) AS sum_gy
+      FROM p GROUP BY cell)
+SELECT cell, n_points, sum_gx, sum_gy,
+       CAST(sum_gx AS DOUBLE) / CAST(n_points AS DOUBLE)
+         / CAST({float(scale)!r} AS DOUBLE) AS clon,
+       CAST(sum_gy AS DOUBLE) / CAST(n_points AS DOUBLE)
+         / CAST({float(scale)!r} AS DOUBLE) AS clat
+FROM a"""
+
+
+O_MAP_CLUSTERS = _o_map_clusters(_MAPC_RES)
+
+_TREND_PERIODS = 8
+_TREND_MIN = 50
+
+
+def q_doc_trending(spark, sf_dir):
+    """Term-burst detection across synthetic crawl snapshots
+    (textops.trending_terms, period = doc_id % 8, min_count 50):
+    per-(token, period) z-score against the token's zero-completed
+    history — exact BIGINTs inside, one division + one sqrt."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snap", F.col("doc_id") % _TREND_PERIODS)
+    return textops.trending_terms(docs, "snap", min_count=_TREND_MIN)
+
+
+def _o_doc_trending(nper: int, min_count: int) -> str:
+    return f"""WITH toks AS (
+  SELECT p, t FROM (
+    SELECT CAST(doc_id % {nper} AS BIGINT) AS p,
+           UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+keep AS MATERIALIZED (
+  SELECT t FROM toks GROUP BY t HAVING COUNT(*) >= {min_count}),
+cnt AS MATERIALIZED (
+  SELECT toks.t, p, CAST(COUNT(*) AS BIGINT) AS x
+  FROM toks JOIN keep USING (t) GROUP BY toks.t, p),
+rng AS (SELECT MIN(p) AS pmin, MAX(p) AS pmax FROM cnt),
+series AS MATERIALIZED (
+  SELECT c.t, g.p, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT t FROM cnt) c
+  CROSS JOIN (SELECT UNNEST(RANGE(pmin, pmax + 1)) AS p FROM rng) g
+  LEFT JOIN cnt ON cnt.t = c.t AND cnt.p = g.p),
+st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS s,
+              CAST(SUM(x * x) AS BIGINT) AS q
+       FROM series GROUP BY t)
+SELECT series.t AS token, CAST(series.p AS BIGINT) AS period,
+       series.x AS cnt, st.n AS n_periods,
+       CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+         CAST(st.n * series.x - st.s AS DOUBLE)
+           / SQRT(CAST(st.n * st.q - st.s * st.s AS DOUBLE)) END
+         AS z_score
+FROM series JOIN st ON st.t = series.t"""
+
+
+O_DOC_TRENDING = _o_doc_trending(_TREND_PERIODS, _TREND_MIN)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7328,6 +7407,8 @@ QUERIES = {
     "fagi_areal_interp": q_areal_interp,
     "fagi_dilate_raster": q_dilate_raster,
     "fagi_distance_transform": q_distance_transform,
+    "fagi_map_clusters": q_map_clusters,
+    "doc_trending_terms": q_doc_trending,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7526,6 +7607,8 @@ ORACLES = {
     "fagi_areal_interp": O_AREAL_INTERP,
     "fagi_dilate_raster": O_DILATE_RASTER,
     "fagi_distance_transform": O_DISTANCE_TRANSFORM,
+    "fagi_map_clusters": O_MAP_CLUSTERS,
+    "doc_trending_terms": O_DOC_TRENDING,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

@@ -1414,3 +1414,51 @@ def vocab_coverage(df: DataFrame, tops: list, text: str = "text") -> DataFrame:
         F.when(F.col("total_tokens") > 0,
                F.col("covered_tokens").cast("double")
                / F.col("total_tokens").cast("double")))
+
+
+def trending_terms(df: DataFrame, period_col: str, min_count: int = 10,
+                   text: str = "text") -> DataFrame:
+    """Term-burst detection across corpus snapshots: per (token,
+    period) z-score of the token's count against its own zero-
+    completed period history — "which words spiked in THIS crawl"
+    (breaking-news vocabulary, spam campaign onsets, dataset drift
+    between dumps). The token-axis twin of events.cell_burst_scores.
+
+    Scale guard: only tokens with total count >= ``min_count`` enter
+    the zero-completion (vocab x T explodes otherwise) — a broadcast
+    semi-join of the frequency rollup; completion then runs on
+    qualifying-tokens x T rows over the global [pmin, pmax] period
+    range. z = (n*x - S)/sqrt(n*Q - S^2): exact BIGINTs inside, one
+    division + one sanctioned sqrt; NULL for constant series.
+
+    Returns (token, period, cnt, n_periods, z_score).
+    """
+    toks = df.select(
+        F.col(period_col).cast("long").alias("_p"),
+        F.explode(F.filter(F.split(F.coalesce(F.col(text), F.lit("")), " "),
+                           lambda t: t != "")).alias("_t"))
+    keep = (toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_tot"))
+            .filter(F.col("_tot") >= int(min_count)).select("_t"))
+    toks = toks.join(F.broadcast(keep), "_t")
+    cnt = toks.groupBy("_t", "_p").agg(F.count(F.lit(1)).alias("_x"))
+    rng = cnt.agg(F.min("_p").alias("_pmin"), F.max("_p").alias("_pmax"))
+    series = (cnt.select("_t").distinct()
+              .crossJoin(F.broadcast(rng))
+              .select("_t", F.explode(F.sequence("_pmin", "_pmax"))
+                      .alias("_p"))
+              .join(cnt, ["_t", "_p"], "left")
+              .select("_t", "_p",
+                      F.coalesce("_x", F.lit(0)).cast("long").alias("_x")))
+    stats = (series.groupBy("_t")
+             .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                  F.sum("_x").cast("long").alias("_s"),
+                  F.sum(F.col("_x") * F.col("_x")).cast("long")
+                  .alias("_q")))
+    j = series.join(stats, "_t")
+    num = F.col("_n") * F.col("_x") - F.col("_s")
+    den = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    return j.select(
+        F.col("_t").alias("token"), F.col("_p").alias("period"),
+        F.col("_x").alias("cnt"), F.col("_n").alias("n_periods"),
+        F.when(den > 0, num.cast("double") / F.sqrt(den.cast("double")))
+        .alias("z_score"))

@@ -734,3 +734,21 @@ def test_distance_transform_handcase(spark):
         iy = (c - res * (1 << 58)) % (1 << res)
         want = min(max(abs(ix - sx), abs(iy - sy)) for sx, sy in seed_pts)
         assert d == want, (ix, iy)
+
+
+def test_map_clusters_handcase(spark):
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+
+    # three points in one res-4 cell on the 0.01 grid + one elsewhere
+    rows = [(-179.99, 0.01), (-179.97, 0.03), (-179.95, 0.05),
+            (50.01, 10.01)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    got = {r.cell: r for r in cells.map_clusters(df, 4).collect()}
+    assert len(got) == 2
+    big = [r for r in got.values() if r.n_points == 3][0]
+    assert (big.sum_gx, big.sum_gy) == (-17999 - 17997 - 17995, 1 + 3 + 5)
+    assert big.clon == big.sum_gx / 3.0 / 100.0
+    assert big.clat == big.sum_gy / 3.0 / 100.0
+    one = [r for r in got.values() if r.n_points == 1][0]
+    assert one.clon == 5001 / 1.0 / 100.0 and one.clat == 10.01

@@ -942,3 +942,25 @@ def test_vocab_coverage_handcase(spark):
     import pytest as _p
     with _p.raises(ValueError):
         textops.vocab_coverage(docs, [])
+
+
+def test_trending_terms_handcase(spark):
+    import math
+    from fagi_spark import textops
+
+    # token "spike": counts [1,1,4] across periods 0-2; "flat": [2,2,2];
+    # "rare" appears twice total -> filtered by min_count=3
+    rows = []
+    for p in range(3):
+        rows.append((p, "flat flat " + ("spike " * (4 if p == 2 else 1)).strip()))
+    rows.append((0, "rare"))
+    rows.append((1, "rare"))
+    df = spark.createDataFrame(rows, "snap long, text string")
+    got = {(r.token, r.period): r for r in
+           textops.trending_terms(df, "snap", min_count=3).collect()}
+    assert set(t for t, _ in got) == {"flat", "spike"}
+    # spike: n=3, S=6, Q=18: z(4) = (12-6)/sqrt(54-36) = 6/sqrt(18)
+    assert got[("spike", 2)].z_score == 6.0 / math.sqrt(18.0)
+    assert got[("spike", 0)].z_score == -3.0 / math.sqrt(18.0)
+    assert all(got[("flat", p)].z_score is None for p in range(3))
+    assert got[("spike", 2)].cnt == 4 and got[("spike", 2)].n_periods == 3
