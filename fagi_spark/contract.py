@@ -1999,7 +1999,7 @@ def q_simhash(spark, sf_dir):
                     F.col("simhash").cast("long").alias("simhash")))
 
 
-def _o_simhash(bits: int = 56) -> str:
+def _o_simhash(bits: int = 56, src: str = "documents") -> str:
     m = textops.POLY_MOD
     osums = ", ".join(f"SUM((hv >> {b}) & 1) AS o{b}" for b in range(bits))
     packed = " + ".join(
@@ -2008,13 +2008,13 @@ def _o_simhash(bits: int = 56) -> str:
     return f"""WITH tok AS (
   SELECT DISTINCT doc_id,
          UNNEST(STRING_SPLIT(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g')), ' ')) AS w
-  FROM documents),
+  FROM {src}),
 h AS (SELECT doc_id, {textops.sql_poly_base('w', m)} AS hv FROM tok),
 agg AS (SELECT doc_id, COUNT(*) AS n, {osums} FROM h GROUP BY doc_id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN d.text IS NULL THEN {(1 << bits) - 1}
             ELSE ({packed}) END AS BIGINT) AS simhash
-FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+FROM {src} d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
 
 
 O_SIMHASH = _o_simhash()
@@ -6801,6 +6801,78 @@ FROM series JOIN st ON st.t = series.t"""
 O_DOC_TRENDING = _o_doc_trending(_TREND_PERIODS, _TREND_MIN)
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup join (textops.simhash_pairs, poly
+    family 56 bits, 4 x 14-bit bands, hamming <= 3) over the corpus
+    plus planted copies (doc_id % 9 -> +100000 twins, hamming 0).
+    The oracle BRUTE-FORCES every pair's bit_count(xor) — a
+    different algorithm whose agreement proves the pigeonhole
+    banding is lossless at max_hamming < n_bands."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    plant = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    aug = docs.unionByName(plant)
+    return textops.simhash_pairs(aug, max_hamming=3, bits=56,
+                                 n_bands=4, hash_family="poly")
+
+
+def _o_simhash_pairs(bits: int = 56, max_h: int = 3) -> str:
+    sig = _o_simhash(bits, src="aug")
+    return f"""WITH aug AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents
+  WHERE doc_id % 9 = 0),
+sig AS MATERIALIZED ({sig})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}"""
+
+
+O_DOC_SIMHASH_PAIRS = _o_simhash_pairs()
+
+
+def q_doc_source_rollup(spark, sf_dir):
+    """Per-source corpus-health mart (textops.source_rollup): counts,
+    volume, language spread and exact-duplicate fraction (planted
+    +100000 md5 twins on doc_id % 9 make dup_frac non-zero); ratios
+    are single mirrored divisions."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang",
+        "source")
+    plant = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                     "lang", "source"))
+    return textops.source_rollup(docs.unionByName(plant))
+
+
+O_DOC_SOURCE_ROLLUP = """WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT), text, lang, source
+  FROM documents WHERE doc_id % 9 = 0),
+base AS (
+  SELECT source AS g, doc_id, lang,
+         CAST(LEN(COALESCE(text, '')) AS BIGINT) AS l,
+         MD5(COALESCE(text, '')) AS h
+  FROM aug),
+ph AS (SELECT g, h, COUNT(*) AS c FROM base GROUP BY 1, 2),
+dups AS (SELECT g, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_docs FROM ph GROUP BY 1),
+agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY 1)
+SELECT agg.g AS source, n_docs, total_chars,
+       CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+       n_langs, n_dup_docs,
+       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+FROM agg JOIN dups ON dups.g = agg.g"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7409,6 +7481,8 @@ QUERIES = {
     "fagi_distance_transform": q_distance_transform,
     "fagi_map_clusters": q_map_clusters,
     "doc_trending_terms": q_doc_trending,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_source_rollup": q_doc_source_rollup,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7609,6 +7683,8 @@ ORACLES = {
     "fagi_distance_transform": O_DISTANCE_TRANSFORM,
     "fagi_map_clusters": O_MAP_CLUSTERS,
     "doc_trending_terms": O_DOC_TRENDING,
+    "doc_simhash_pairs": O_DOC_SIMHASH_PAIRS,
+    "doc_source_rollup": O_DOC_SOURCE_ROLLUP,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

@@ -1462,3 +1462,92 @@ def trending_terms(df: DataFrame, period_col: str, min_count: int = 10,
         F.col("_x").alias("cnt"), F.col("_n").alias("n_periods"),
         F.when(den > 0, num.cast("double") / F.sqrt(den.cast("double")))
         .alias("z_score"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
+                  n_bands: int = 4, key: str = "doc_id",
+                  text: str = "text",
+                  hash_family: str = "xxhash") -> DataFrame:
+    """SimHash near-duplicate candidate JOIN — the banded companion
+    to ``with_simhash``'s fingerprints: pairs whose signatures agree
+    on at least one of ``n_bands`` equal bit-slices, verified by
+    exact Hamming distance <= ``max_hamming``. By pigeonhole the
+    blocking is LOSSLESS whenever max_hamming < n_bands (a pair with
+    h < n_bands differing bits cannot differ in every band), so this
+    is exact near-dup at corpus scale with NO all-pairs stage: one
+    band posexplode + one equi-join on (band index, band value) + a
+    bit_count filter — the Manku/Jain/Sarma WWW'07 deployment shape.
+
+    Hot-band caveat: a degenerate band value (e.g. all-zero slices
+    from empty docs) concentrates a bucket; upstream length filters
+    are the guard, same as minhash's max_bucket note.
+
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not (0 <= int(max_hamming) < int(n_bands)):
+        raise ValueError("lossless banding needs max_hamming < n_bands")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = with_simhash(df, text=text, bits=bits, key=key,
+                       hash_family=hash_family).select(
+        F.col(key).alias("_id"), "simhash")
+    bands = sig.select(
+        "_id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", b * width)
+             .bitwiseAND(F.lit(mask))).cast("long")
+            for b in range(n_bands)])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("_id").alias("id_a"),
+                     F.col("simhash").alias("_sa"),
+                     "band_idx", "band_val")
+    b = bands.select(F.col("_id").alias("id_b"),
+                     F.col("simhash").alias("_sb"),
+                     "band_idx", "band_val")
+    h = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(h <= int(max_hamming))
+            .select("id_a", "id_b", h.cast("long").alias("hamming"))
+            .distinct())
+
+
+def source_rollup(df: DataFrame, group: str = "source",
+                  key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-source corpus-health mart: document count, byte volume,
+    mean length, language spread, and the exact-duplicate fraction —
+    the one-screen rollup a crawl operator reads to decide which
+    feeds to throttle or re-fetch (a source whose dup_frac jumps is
+    re-serving cached pages; one whose lang spread explodes changed
+    its boilerplate).
+
+    Duplicate fraction: md5-per-doc -> per-(source, md5) counts ->
+    docs in groups of size > 1, all one rollup chain with map-side
+    combine; ratios are single IEEE divisions of exact BIGINTs.
+
+    Returns (source, n_docs, total_chars, mean_chars, n_langs,
+    n_dup_docs, dup_frac).
+    """
+    base = df.select(
+        F.col(group).alias("_g"), F.col(key),
+        F.col("lang"),
+        F.length(F.coalesce(F.col(text), F.lit(""))).cast("long")
+        .alias("_len"),
+        F.md5(F.coalesce(F.col(text), F.lit(""))).alias("_h"))
+    per_hash = (base.groupBy("_g", "_h")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    dups = (per_hash.groupBy("_g")
+            .agg(F.sum(F.when(F.col("_c") > 1, F.col("_c"))
+                       .otherwise(0)).cast("long").alias("n_dup_docs")))
+    agg = (base.groupBy("_g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_len").cast("long").alias("total_chars"),
+                F.count_distinct("lang").cast("long").alias("n_langs")))
+    return (agg.join(dups, "_g")
+            .select(F.col("_g").alias("source"), "n_docs", "total_chars",
+                    (F.col("total_chars").cast("double")
+                     / F.col("n_docs").cast("double")).alias("mean_chars"),
+                    "n_langs", "n_dup_docs",
+                    (F.col("n_dup_docs").cast("double")
+                     / F.col("n_docs").cast("double")).alias("dup_frac")))

@@ -964,3 +964,47 @@ def test_trending_terms_handcase(spark):
     assert got[("spike", 0)].z_score == -3.0 / math.sqrt(18.0)
     assert all(got[("flat", p)].z_score is None for p in range(3))
     assert got[("spike", 2)].cnt == 4 and got[("spike", 2)].n_periods == 3
+
+
+def test_simhash_pairs_lossless_vs_bruteforce(spark):
+    from fagi_spark import textops
+
+    rows = [(i, f"unique doc {i} about topic{i} " +
+             " ".join(f"w{i}x{j}" for j in range(12))) for i in range(30)]
+    rows += [(100, rows[0][1]), (101, rows[5][1] + " tail")]  # planted
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           textops.simhash_pairs(docs, max_hamming=3, bits=56,
+                                 n_bands=4, hash_family="poly").collect()}
+    sigs = {r.doc_id: r.simhash for r in
+            textops.with_simhash(docs, bits=56,
+                                 hash_family="poly").collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want          # banding is lossless at h<4
+    assert got[(0, 100)] == 0   # exact twin
+    import pytest as _p
+    with _p.raises(ValueError):
+        textops.simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_source_rollup_handcase(spark):
+    from fagi_spark import textops
+
+    docs = spark.createDataFrame([
+        (0, "aaaa", "en", "web"),
+        (1, "aaaa", "en", "web"),      # dup of 0
+        (2, "bbbbbbbb", "de", "web"),
+        (3, "cc", "en", "books"),
+    ], "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in textops.source_rollup(docs).collect()}
+    w = got["web"]
+    assert (w.n_docs, w.total_chars, w.n_langs, w.n_dup_docs) == (3, 16, 2, 2)
+    assert w.mean_chars == 16.0 / 3.0 and w.dup_frac == 2.0 / 3.0
+    b = got["books"]
+    assert (b.n_docs, b.n_dup_docs, b.dup_frac) == (1, 0, 0.0)
