@@ -6873,6 +6873,35 @@ SELECT agg.g AS source, n_docs, total_chars,
 FROM agg JOIN dups ON dups.g = agg.g"""
 
 
+_NORM_LO, _NORM_HI = 0.9, 1.1
+
+
+def q_embed_norm_report(spark, sf_dir):
+    """Embedding-table QA (vector.norm_report): per-vector dim count,
+    L2 norm (index-order left fold + sqrt — deterministic, mirrored
+    by LIST_REDUCE(LIST_PREPEND(0.0, ...))), and an in-[0.9, 1.1]
+    normalization flag."""
+    from . import vector
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.norm_report(emb, _NORM_LO, _NORM_HI)
+
+
+def _o_norm_report(lo: float, hi: float) -> str:
+    fold = ("LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+            "LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE))), (acc, v) -> acc + v)")
+    return f"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(LEN(embedding), 0) AS BIGINT) AS n_dims,
+       CASE WHEN embedding IS NOT NULL THEN SQRT({fold}) END AS norm,
+       CASE WHEN embedding IS NOT NULL THEN
+         SQRT({fold}) >= {_dlit(lo)} AND SQRT({fold}) <= {_dlit(hi)}
+       END AS in_range
+FROM embeddings"""
+
+
+O_EMBED_NORM_REPORT = _o_norm_report(_NORM_LO, _NORM_HI)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7483,6 +7512,7 @@ QUERIES = {
     "doc_trending_terms": q_doc_trending,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_source_rollup": q_doc_source_rollup,
+    "embed_norm_report": q_embed_norm_report,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7685,6 +7715,7 @@ ORACLES = {
     "doc_trending_terms": O_DOC_TRENDING,
     "doc_simhash_pairs": O_DOC_SIMHASH_PAIRS,
     "doc_source_rollup": O_DOC_SOURCE_ROLLUP,
+    "embed_norm_report": O_EMBED_NORM_REPORT,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

@@ -577,3 +577,26 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("long").alias("rank"), "score"))
+
+
+def norm_report(emb: DataFrame, lo: float = 0.9, hi: float = 1.1,
+                key: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """Embedding-table QA report: per vector its dimensionality, L2
+    norm, and whether the norm falls in [lo, hi] — the sanity gate an
+    ANN index build runs first (zero vectors poison cosine scores,
+    mixed-norm tables mean someone skipped normalization, a stray
+    dim breaks GEMM batching). Map-only; the norm is the per-row
+    INDEX-ORDER left fold (norm_double), so the float is
+    deterministic and SQL-mirrorable; NULL embeddings report 0 dims
+    and NULL norm.
+
+    Returns (key, n_dims, norm, in_range).
+    """
+    n = F.coalesce(F.size(F.col(vec)), F.lit(0))
+    nn = F.when(F.col(vec).isNotNull(), norm_double(F.col(vec)))
+    return emb.select(
+        F.col(key),
+        n.cast("long").alias("n_dims"),
+        nn.alias("norm"),
+        F.when(F.col(vec).isNotNull(),
+               (nn >= float(lo)) & (nn <= float(hi))).alias("in_range"))

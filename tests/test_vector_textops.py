@@ -1008,3 +1008,25 @@ def test_source_rollup_handcase(spark):
     assert w.mean_chars == 16.0 / 3.0 and w.dup_frac == 2.0 / 3.0
     b = got["books"]
     assert (b.n_docs, b.n_dup_docs, b.dup_frac) == (1, 0, 0.0)
+
+
+def test_norm_report_handcase(spark):
+    import math
+    from fagi_spark import vector
+
+    rows = [(0, [3.0, 4.0]),          # norm 5
+            (1, [0.6, 0.8]),          # norm 1 -> in range
+            (2, [0.0, 0.0]),          # zero vector
+            (3, None)]                # null embedding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in vector.norm_report(df).collect()}
+    assert got[0].n_dims == 2 and got[0].norm == 5.0
+    assert got[0].in_range is False
+    # expected through the float32 storage round-trip
+    import numpy as np
+    a, b = float(np.float32(0.6)), float(np.float32(0.8))
+    assert got[1].norm == math.sqrt(a * a + b * b)
+    assert got[1].in_range is True
+    assert got[2].norm == 0.0 and got[2].in_range is False
+    assert got[3].n_dims == 0 and got[3].norm is None
+    assert got[3].in_range is None
