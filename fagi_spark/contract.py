@@ -6553,12 +6553,13 @@ O_EVENTS_OD_LIFT = _o_events_od_lift()
 
 
 def q_areal_interp(spark, sf_dir):
-    """Area-weighted areal interpolation (joins.areal_interpolation,
-    res 13, center-sample): transfer a per-A-zone count (the integer
-    parsed from the subject URI) onto the overlapping B zones in
-    proportion to shared raster cells — PBSM cell equi-join between
-    the two real rasterizations; est_value is one mirrored division
-    of exact BIGINT products."""
+    """Pair-level areal value transfer (joins.areal_interpolation —
+    a thin composition over the existing areal_weights matrix, res
+    13, center-sample): each A zone's count (the integer parsed from
+    the subject URI) lands on overlapping B zones as src_value * w,
+    one mirrored multiply on the weight's single division — the
+    transfer made oracle-comparable at pair granularity where
+    areal_interpolate's rolled-up float SUM stays pytest-only."""
     _, ga, gb = _fagi_inputs(spark, sf_dir)
     pa = (fuse.prepare_geoms(ga).filter(F.col("geom_kind") == "POLYGON")
           .withColumn("pop", F.regexp_extract("subject", "[0-9]+", 0)
@@ -6601,8 +6602,9 @@ vv AS (SELECT subject AS src_subject,
        FROM geo_a WHERE kind = 'POLYGON')
 SELECT ov.src_subject, ov.dst_subject, ov.shared_cells, na.src_cells,
        vv.src_value,
-       CAST(vv.src_value * ov.shared_cells AS DOUBLE)
-         / CAST(na.src_cells AS DOUBLE) AS est_value
+       CAST(vv.src_value AS DOUBLE)
+         * (CAST(ov.shared_cells AS DOUBLE)
+            / CAST(na.src_cells AS DOUBLE)) AS est_value
 FROM ov JOIN na USING (src_subject) JOIN vv USING (src_subject)"""
 
 

@@ -711,42 +711,31 @@ def polygon_adjacency(polygons: DataFrame, res: int, ring: int = 1,
 def areal_interpolation(src_polys: DataFrame, dst_polys: DataFrame,
                         value_col: str, res: int,
                         mode: str = "center") -> DataFrame:
-    """Area-weighted areal interpolation (the classic GIS zone-
-    transfer / dasymetric-lite operation): redistribute a count
-    attribute from source zones to an incompatible target zone system
-    in proportion to shared area — census tracts -> grid tiles,
-    admin districts -> catchments. Area ratios are approximated by
-    center-sample raster cell counts at ``res`` (exactly the
-    rasterize_polygons kernel), which keeps every ratio a BIGINT
-    pair and the estimate ONE IEEE division — and converges to true
-    area as res grows.
+    """PAIR-level areal value transfer: ``areal_weights``'s
+    Goodchild-Lam weight matrix with the source quantity attached —
+    est_value = src_value * w per (src, dst) pair, each a single
+    IEEE multiply on top of the weight's one division, so the
+    TRANSFER itself is oracle-comparable where ``areal_interpolate``'s
+    per-target SUM (engine-ordered float addition) cannot be. Use
+    this when the audit wants to see where each source's mass went;
+    use areal_interpolate for the rolled-up target estimate.
 
-    Plan shape: two rasterizations (bbox explode + ray-cast refine,
-    no shuffle), one cell equi-join between them (the PBSM shape —
-    pair volume scales with actual overlap, never zones x zones), a
-    per-source cell rollup, and broadcast-sized dimension joins.
-
-    Returns PAIR-level rows (src_subject, dst_subject, shared_cells,
-    src_cells, src_value, est_value) with est_value = src_value *
-    shared / src_cells; summing est_value per dst zone is the
-    caller's fold (data-dependent float addition — order it, or keep
-    pair granularity, which most QA audits want anyway).
+    Thin composition over areal_weights (same two rasterizations +
+    PBSM cell equi-join; nothing new shuffles). Returns
+    (src_subject, dst_subject, shared_cells, src_cells, src_value,
+    est_value).
     """
-    ra = rasterize_polygons(src_polys, res, mode=mode).select(
-        F.col("subject").alias("src_subject"), "cell")
-    rb = rasterize_polygons(dst_polys, res, mode=mode).select(
-        F.col("subject").alias("dst_subject"), "cell")
-    na = ra.groupBy("src_subject").agg(
-        F.count(F.lit(1)).cast("long").alias("src_cells"))
-    ov = (ra.join(rb, "cell")
-          .groupBy("src_subject", "dst_subject")
-          .agg(F.count(F.lit(1)).cast("long").alias("shared_cells")))
+    wts = areal_weights(
+        src_polys.select("subject", "geom_wkt",
+                         "xmin", "ymin", "xmax", "ymax"),
+        dst_polys, res, mode=mode)
     vals = src_polys.select(F.col("subject").alias("src_subject"),
                             F.col(value_col).cast("long")
                             .alias("src_value"))
-    return (ov.join(na, "src_subject").join(vals, "src_subject")
-            .select("src_subject", "dst_subject", "shared_cells",
-                    "src_cells", "src_value",
-                    ((F.col("src_value") * F.col("shared_cells"))
-                     .cast("double") / F.col("src_cells").cast("double"))
+    return (wts.join(vals, "src_subject")
+            .select("src_subject", "dst_subject",
+                    F.col("n_overlap").cast("long").alias("shared_cells"),
+                    F.col("n_src").cast("long").alias("src_cells"),
+                    "src_value",
+                    (F.col("src_value").cast("double") * F.col("w"))
                     .alias("est_value")))

@@ -500,4 +500,8 @@ def test_areal_interpolation_handcase(spark):
     assert set(got) == {("A", "B")}
     r = got[("A", "B")]
     assert (r.shared_cells, r.src_cells, r.src_value) == (2, 4, 100)
-    assert r.est_value == (100 * 2) / 4.0 == 50.0
+    assert r.est_value == 100.0 * (2.0 / 4.0) == 50.0
+    # pair-level transfer agrees with the existing weight matrix
+    wts = {(w.src_subject, w.dst_subject): w.w
+           for w in J.areal_weights(src, dst, res).collect()}
+    assert r.est_value == 100.0 * wts[("A", "B")]
