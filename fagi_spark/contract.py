@@ -6904,6 +6904,91 @@ FROM embeddings"""
 O_EMBED_NORM_REPORT = _o_norm_report(_NORM_LO, _NORM_HI)
 
 
+_COVISIT_RES = 6
+_COVISIT_MIN = 2
+_COVISIT_CAP = 50
+
+
+def q_events_covisit(spark, sf_dir):
+    """Place co-visitation graph (components.bipartite_project over
+    (user, cell-at-res-6) incidence): cells linked by >= 2 distinct
+    shared visitors, power-visitors above degree 50 dropped by the
+    hot-left guard — the projection blow-up control. All counts
+    BIGINT-exact."""
+    from . import components
+    pts = _event_pts(_t(spark, sf_dir, "events"), "user_id")
+    visits = cells.with_cell(pts, _COVISIT_RES).select("user_id", "cell")
+    return components.bipartite_project(
+        visits, left="user_id", right="cell",
+        min_shared=_COVISIT_MIN, max_left_degree=_COVISIT_CAP)
+
+
+def _o_covisit(res: int, min_shared: int, cap: int) -> str:
+    return f"""WITH v AS MATERIALIZED (
+  SELECT DISTINCT user_id AS l,
+         {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS r
+  FROM events),
+keep AS (SELECT l FROM v GROUP BY l HAVING COUNT(*) <= {cap}),
+e AS MATERIALIZED (SELECT v.l, v.r FROM v JOIN keep USING (l))
+SELECT a.r AS item_a, b.r AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+
+
+O_EVENTS_COVISIT = _o_covisit(_COVISIT_RES, _COVISIT_MIN, _COVISIT_CAP)
+
+_CLQ_RMAX = 0.08
+
+
+def q_events_clq(spark, sf_dir):
+    """Co-location quotient CLQ(even -> odd) (events.
+    colocation_quotient, bounded at 0.08 deg) over the thinned (%5)
+    two-class event points: per-A nearest neighbor by the
+    deterministic (d2, id) order, quotient = two mirrored divisions.
+    The oracle brute-forces every candidate pair and replays the
+    same ROW_NUMBER argmin."""
+    from . import events as ev
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    pts = _event_pts(e, "event_id").withColumn(
+        "cls", (F.col("event_id") % 2 == 0).cast("int"))
+    return ev.colocation_quotient(pts, "cls", 1, 0, _CLQ_RMAX)
+
+
+def _o_events_clq(r_max: float) -> str:
+    return f"""WITH p AS MATERIALIZED (
+  SELECT event_id AS id, CAST(event_id % 2 = 0 AS INT) AS cls,
+         {_EV_LON_SQL} AS x, {_EV_LAT_SQL} AS y
+  FROM events WHERE event_id % 5 = 0),
+cand AS MATERIALIZED (
+  SELECT a.id AS a_id, b.id AS b_id, b.cls AS b_c,
+         ((a.x - b.x) * (a.x - b.x)) + ((a.y - b.y) * (a.y - b.y)) AS d2
+  FROM p a JOIN p b ON a.cls = 1 AND a.id <> b.id),
+nn AS (
+  SELECT * FROM (
+    SELECT a_id, b_c,
+           ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rk
+    FROM cand WHERE d2 <= {_dlit(r_max * r_max)})
+  WHERE rk = 1),
+num AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_with_nn,
+               CAST(SUM(CASE WHEN b_c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_ab
+        FROM nn),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM p)
+SELECT n_total, n_a_with_nn, n_b, c_ab,
+       CASE WHEN n_a_with_nn > 0 AND n_b > 0 AND n_total > 1 THEN
+         (CAST(c_ab AS DOUBLE) / CAST(n_a_with_nn AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) / CAST(n_total - 1 AS DOUBLE)) END
+         AS clq
+FROM num, tot"""
+
+
+O_EVENTS_CLQ = _o_events_clq(_CLQ_RMAX)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7515,6 +7600,8 @@ QUERIES = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_source_rollup": q_doc_source_rollup,
     "embed_norm_report": q_embed_norm_report,
+    "events_covisit": q_events_covisit,
+    "events_clq": q_events_clq,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7718,6 +7805,8 @@ ORACLES = {
     "doc_simhash_pairs": O_DOC_SIMHASH_PAIRS,
     "doc_source_rollup": O_DOC_SOURCE_ROLLUP,
     "embed_norm_report": O_EMBED_NORM_REPORT,
+    "events_covisit": O_EVENTS_COVISIT,
+    "events_clq": O_EVENTS_CLQ,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

@@ -1511,3 +1511,70 @@ def decayed_from_periods(periods: DataFrame, now: str, half_life_s: int,
             .select("cell", "n_events", "sum_w",
                     (F.col("sum_w").cast("double") / F.lit(denom))
                     .alias("decayed_score")))
+
+
+def colocation_quotient(pts: DataFrame, cat: str, cat_a, cat_b,
+                        max_r_deg: float, key: str = "event_id",
+                        lon: str = "lon", lat: str = "lat",
+                        res: int | None = None) -> DataFrame:
+    """Co-location quotient CLQ_A->B (Leslie & Kronenfeld 2011):
+    among category-A points, how over-represented is category B as
+    the NEAREST neighbor, versus B's global share —
+    CLQ = (C_A->B / N_A') / (N_B / (N-1)). CLQ > 1: B attracts A
+    (cafes cluster at transit); < 1: avoidance. The directional,
+    category-aware sibling of nn_g_function (and asymmetric:
+    A->B != B->A).
+
+    Bounded variant: nearest neighbors are found within
+    ``max_r_deg`` (the same cell-ring skeleton as nn_g_function);
+    A points with NO neighbor in range drop from both numerator and
+    N_A' (stated in the output columns). The per-A argmin is
+    deterministic — ordered by (d2, neighbor id) — so the oracle
+    mirrors it exactly; the quotient is two mirrored IEEE divisions
+    of exact BIGINTs.
+
+    Returns one row (n_total, n_a_with_nn, n_b, c_ab, clq).
+    """
+    from . import cells
+
+    r_max = float(max_r_deg)
+    res = res if res is not None else cells.res_for_radius_deg(r_max)
+    kx, ky = cells.ring_k_for_radius(r_max, res)
+    base = cells.with_cell(
+        pts.select(F.col(key).alias("_id"), F.col(cat).alias("_c"),
+                   F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    probe = (base.filter(F.col("_c") == cat_a)
+             .select(F.col("_id").alias("a_id"),
+                     F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                     F.col("cell").alias("probe_cell")))
+    build = (cells.explode_ring(base, res, (kx, ky))
+             .select(F.col("_id").alias("b_id"), F.col("_c").alias("b_c"),
+                     F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                     "probe_cell"))
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    d2 = (dx * dx) + (dy * dy)
+    cand = (probe.join(build, "probe_cell")
+            .filter((F.col("a_id") != F.col("b_id"))
+                    & (d2 <= F.lit(r_max * r_max)))
+            .select("a_id", "b_id", "b_c", d2.alias("_d2")))
+    w = Window.partitionBy("a_id").orderBy("_d2", "b_id")
+    nn = (cand.withColumn("_rk", F.row_number().over(w))
+          .filter(F.col("_rk") == 1))
+    num = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_a_with_nn"),
+        F.sum((F.col("b_c") == cat_b).cast("long")).cast("long")
+        .alias("c_ab"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("_c") == cat_b).cast("long")).cast("long")
+        .alias("n_b"))
+    j = num.crossJoin(F.broadcast(tot))
+    clq = ((F.col("c_ab").cast("double")
+            / F.col("n_a_with_nn").cast("double"))
+           / (F.col("n_b").cast("double")
+              / (F.col("n_total") - 1).cast("double")))
+    return j.select(
+        "n_total", "n_a_with_nn", "n_b", "c_ab",
+        F.when((F.col("n_a_with_nn") > 0) & (F.col("n_b") > 0)
+               & (F.col("n_total") > 1), clq).alias("clq"))

@@ -715,3 +715,28 @@ def test_rich_club_handcase(spark):
     assert got[3].n_nodes == 4 and got[3].phi == 1.0
     got5 = {r.k: r for r in components.rich_club(df, [5]).collect()}
     assert got5[5].n_nodes == 0 and got5[5].phi is None
+
+
+def test_bipartite_project_handcase(spark):
+    edges = [  # users u1,u2 share places A,B; u3 only C; hub visits all
+        ("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"),
+        ("u2", "B"),                       # dup incidence collapses
+        ("u3", "C"),
+        ("hub", "A"), ("hub", "B"), ("hub", "C"), ("hub", "D")]
+    df = spark.createDataFrame(edges, "user string, item string")
+    got = {(r.item_a, r.item_b): r.n_shared for r in
+           components.bipartite_project(
+               df, left="user", right="item", min_shared=1).collect()}
+    assert got[("A", "B")] == 3  # u1, u2, hub
+    assert got[("C", "D")] == 1  # hub only
+    # hot-left guard: dropping the hub removes its everything-pairs
+    capped = {(r.item_a, r.item_b): r.n_shared for r in
+              components.bipartite_project(
+                  df, left="user", right="item", min_shared=1,
+                  max_left_degree=3).collect()}
+    assert capped == {("A", "B"): 2}
+    # min_shared prunes
+    strong = {(r.item_a, r.item_b): r.n_shared for r in
+              components.bipartite_project(
+                  df, left="user", right="item", min_shared=2).collect()}
+    assert set(strong) == {("A", "B")}

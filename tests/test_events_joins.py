@@ -810,3 +810,28 @@ def test_od_flow_lift_handcase(spark):
     assert moves == [(1, 1, 2, (1 * 4) / float(1 * 2)),
                      (1, 3, 2, (1 * 4) / float(3 * 2)),
                      (2, 3, 2, (2 * 4) / float(3 * 2))]
+
+
+def test_colocation_quotient_handcase(spark):
+    # every A point's nearest neighbor is a B point (planted pairs far
+    # apart); B's global share is 4/7 -> CLQ = (4/4)/(4/6) = 1.5
+    rows = []
+    for i in range(4):
+        x = i * 2.0
+        rows.append((10 + i, 1, x, 0.0))        # A
+        rows.append((20 + i, 0, x + 0.01, 0.0))  # its B partner
+    rows = rows[:-1]  # drop last B -> 4 A, 3 B... recompute below
+    df = spark.createDataFrame(
+        rows, "event_id long, cls int, lon double, lat double")
+    [r] = ev.colocation_quotient(df, "cls", 1, 0, 0.05, res=9).collect()
+    n_total = len(rows)
+    n_b = sum(1 for _, c, _, _ in rows if c == 0)
+    # A #3 has no neighbor within 0.05 (its partner was dropped;
+    # nearest other point is 2 deg away) -> drops from N_A'
+    assert (r.n_total, r.n_b) == (n_total, n_b)
+    assert (r.n_a_with_nn, r.c_ab) == (3, 3)
+    assert r.clq == (3.0 / 3.0) / (n_b / float(n_total - 1))
+    # reverse direction is a different quotient (asymmetry)
+    [rv] = ev.colocation_quotient(df, "cls", 0, 1, 0.05, res=9).collect()
+    assert rv.c_ab == rv.n_a_with_nn == 3
+    assert rv.clq == (3.0 / 3.0) / (4.0 / float(n_total - 1))
