@@ -6989,6 +6989,73 @@ FROM num, tot"""
 O_EVENTS_CLQ = _o_events_clq(_CLQ_RMAX)
 
 
+_DWELL_RES = 6
+
+
+def q_events_dwell(spark, sf_dir):
+    """Per-(user, cell) dwell-time rollup (events.dwell_times, res 6):
+    consecutive same-cell ping gaps summed as exact whole seconds
+    (non-negative DIV floor mirrored); transit gaps contribute
+    nowhere."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.dwell_times(pts, res=_DWELL_RES)
+
+
+def _o_events_dwell(res: int) -> str:
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS cell
+  FROM events),
+t AS (
+  SELECT user_id, cell,
+         LAG(cell) OVER w AS pcell,
+         us - LAG(us) OVER w AS gap
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_stays,
+       CAST(SUM(gap // 1000000) AS BIGINT) AS dwell_s
+FROM t WHERE pcell IS NOT NULL AND pcell = cell
+GROUP BY 1, 2"""
+
+
+O_EVENTS_DWELL = _o_events_dwell(_DWELL_RES)
+
+
+def q_doc_mirror_sources(spark, sf_dir):
+    """Mirror-site detection as a pure COMPOSITION of existing
+    operators: sources linked by the exact-duplicate documents they
+    share = components.bipartite_project over (md5(text), source)
+    incidence on the planted-duplicates corpus — the doc_source_rollup
+    dup signal turned into a who-mirrors-whom graph, no new engine
+    code."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    plant = (docs.filter(F.col("doc_id") % 9 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                     F.concat(F.lit("mirror-of-"), F.col("source"))
+                     .alias("source")))
+    aug = docs.unionByName(plant)
+    inc = aug.select(F.md5(F.coalesce("text", F.lit(""))).alias("h"),
+                     "source")
+    return components.bipartite_project(inc, left="h", right="source",
+                                        min_shared=1)
+
+
+O_DOC_MIRROR_SOURCES = """WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror-of-' || source FROM documents WHERE doc_id % 9 = 0),
+v AS MATERIALIZED (
+  SELECT DISTINCT MD5(COALESCE(text, '')) AS l, source AS r FROM aug)
+SELECT a.r AS item_a, b.r AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM v a JOIN v b ON a.l = b.l AND a.r < b.r
+GROUP BY 1, 2 HAVING COUNT(*) >= 1"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7602,6 +7669,8 @@ QUERIES = {
     "embed_norm_report": q_embed_norm_report,
     "events_covisit": q_events_covisit,
     "events_clq": q_events_clq,
+    "events_dwell": q_events_dwell,
+    "doc_mirror_sources": q_doc_mirror_sources,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7807,6 +7876,8 @@ ORACLES = {
     "embed_norm_report": O_EMBED_NORM_REPORT,
     "events_covisit": O_EVENTS_COVISIT,
     "events_clq": O_EVENTS_CLQ,
+    "events_dwell": O_EVENTS_DWELL,
+    "doc_mirror_sources": O_DOC_MIRROR_SOURCES,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

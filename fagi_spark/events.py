@@ -1578,3 +1578,42 @@ def colocation_quotient(pts: DataFrame, cat: str, cat_a, cat_b,
         "n_total", "n_a_with_nn", "n_b", "c_ab",
         F.when((F.col("n_a_with_nn") > 0) & (F.col("n_b") > 0)
                & (F.col("n_total") > 1), clq).alias("clq"))
+
+
+def dwell_times(events: DataFrame, res: int, user: str = "user_id",
+                key: str = "event_id", ts: str = "ts",
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Total dwell time per (user, cell): each consecutive same-user
+    ping pair whose BOTH ends lie in the same cell contributes its
+    gap to that cell — the "minutes spent at place" feature behind
+    home/work inference, store-visit attribution and POI ranking
+    (stay_points emits the run GEOMETRY; this is the time-budget
+    rollup).
+
+    One user-key lag window (the od_flows total order: epoch micros
+    + event id) + one (user, cell) rollup; gaps are exact integer
+    microseconds, reported as whole seconds via the non-negative
+    floor `DIV` both engines share. A gap spanning two cells is
+    transit, not dwell — it contributes nowhere (stated; the
+    alternative of splitting it needs a path model).
+
+    Returns (user_id, cell, n_stays, dwell_s).
+    """
+    from . import cells
+
+    base = cells.with_cell(
+        events.select(F.col(user).alias("user_id"),
+                      F.col(key).alias("event_id"),
+                      F.unix_micros(F.col(ts).cast("timestamp"))
+                      .alias("_us"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    t = (base.withColumn("_pcell", F.lag("cell").over(w))
+         .withColumn("_pus", F.lag("_us").over(w))
+         .filter(F.col("_pcell").isNotNull()
+                 & (F.col("_pcell") == F.col("cell"))))
+    return (t.groupBy("user_id", "cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_stays"),
+                 F.sum(F.expr("(_us - _pus) DIV 1000000")).cast("long")
+                 .alias("dwell_s")))

@@ -835,3 +835,28 @@ def test_colocation_quotient_handcase(spark):
     [rv] = ev.colocation_quotient(df, "cls", 0, 1, 0.05, res=9).collect()
     assert rv.c_ab == rv.n_a_with_nn == 3
     assert rv.clq == (3.0 / 3.0) / (4.0 / float(n_total - 1))
+
+
+def test_dwell_times_handcase(spark):
+    # user 1: two pings in A (gap 300s), hop to B (transit 600s,
+    # contributes nowhere), two pings in B (gap 60s), return to A
+    # (gap 900s transit) + one more A ping (gap 30s)
+    rows = [
+        (1, 0, -179.0, 0.0, _ts("2024-01-01T00:00:00")),   # A
+        (1, 1, -179.0, 0.0, _ts("2024-01-01T00:05:00")),   # A +300
+        (1, 2, -150.0, 0.0, _ts("2024-01-01T00:15:00")),   # B (transit)
+        (1, 3, -150.0, 0.0, _ts("2024-01-01T00:16:00")),   # B +60
+        (1, 4, -179.0, 0.0, _ts("2024-01-01T00:31:00")),   # A (transit)
+        (1, 5, -179.0, 0.0, _ts("2024-01-01T00:31:30")),   # A +30
+        (2, 6, 0.0, 0.0, _ts("2024-01-01T00:00:00"))]      # lone ping
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lon double, lat double, "
+              "ts timestamp")
+    got = {(r.user_id, r.cell): (r.n_stays, r.dwell_s)
+           for r in ev.dwell_times(df, res=4).collect()}
+    from fagi_spark import cells
+    ca = cells.pack_cell_value(int((-179.0 + 180) / 360 * 16),
+                               int(90 / 180 * 16), 4)
+    cb = cells.pack_cell_value(int((-150.0 + 180) / 360 * 16),
+                               int(90 / 180 * 16), 4)
+    assert got == {(1, ca): (2, 330), (1, cb): (1, 60)}
