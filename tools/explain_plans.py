@@ -733,6 +733,66 @@ def main():
         "cross the shuffle, so a group covering millions of cells "
         "fans out by cell before the final count.")
 
+    # 24. banded simhash near-dup join: the band equi-join IS the
+    # blocking — a cartesian would mean the bands fell out of the keys
+    sp_pairs = textops.simhash_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        max_hamming=3, bits=56, n_bands=4, hash_family="poly")
+    spt = plan_text(sp_pairs)
+    if "CartesianProduct" in spt:
+        raise SystemExit("simhash_pairs structural check failed: "
+                         "CartesianProduct in plan")
+    add("textops simhash_pairs (banded near-dup join)", sp_pairs,
+        ["partial_agg"],
+        "signatures band-posexplode into (band idx, value) keys and "
+        "meet in an equi-join — pigeonhole-lossless blocking at "
+        "max_hamming < n_bands; the bit_count(xor) verify and the "
+        "pair distinct ride the join output. Structurally enforced: "
+        "zero CartesianProduct nodes (the bands ARE the join keys).")
+
+    # 25. bipartite projection: the hot-left guard must appear as a
+    # semi-join BELOW the pair self-join
+    from fagi_spark import components as _comp
+    ev_pts = contract._event_pts(
+        spark.read.parquet(f"{SF}/events.parquet"), "user_id")
+    from fagi_spark import cells as _cells
+    visits = _cells.with_cell(ev_pts, 6).select("user_id", "cell")
+    bp_plan = _comp.bipartite_project(visits, left="user_id",
+                                      right="cell", min_shared=2,
+                                      max_left_degree=50)
+    bpt = plan_text(bp_plan)
+    if "CartesianProduct" in bpt:
+        raise SystemExit("bipartite_project structural check failed: "
+                         "CartesianProduct in plan")
+    if "LeftSemi" not in bpt:
+        raise SystemExit("bipartite_project structural check failed: "
+                         "hot-left degree guard (LeftSemi) missing")
+    add("components bipartite_project (co-visitation projection)",
+        bp_plan, ["partial_agg"],
+        "distinct incidence -> LeftSemi degree-cap guard (the deg^2 "
+        "blow-up control, enforced structurally) -> self equi-join on "
+        "the left key -> pair count rollup with partial aggregation; "
+        "only (left, item) pairs cross shuffles.")
+
+    # 26. one k-truss support round: wedges fan out on the degree-
+    # oriented source only; closure is an equi-join on both wedge ends
+    kt_edges = spark.range(2000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 2000).alias("dst"))
+    kt_plan = _comp._edge_support(
+        _comp._canon_edges(kt_edges, "src", "dst"))
+    ktt = plan_text(kt_plan)
+    if "CartesianProduct" in ktt:
+        raise SystemExit("k_truss support structural check failed: "
+                         "CartesianProduct in plan")
+    add("components k_truss support round (degree-ordered wedges)",
+        kt_plan, ["partial_agg"],
+        "the per-round edge-support computation behind k_truss: edges "
+        "orient low-(degree, id) -> high, the wedge self-join fans out "
+        "only on O(sqrt(m)) out-neighborhoods, closure is an equi-join "
+        "against the canonical edge set, and member-edge support "
+        "explodes each triangle exactly three times into a partial-"
+        "aggregated rollup. Zero CartesianProduct nodes.")
+
     out = [
         "# Physical plans of the headline operators\n",
         "Generated by `python tools/explain_plans.py` (pyspark "
