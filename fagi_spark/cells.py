@@ -1333,3 +1333,45 @@ def map_clusters(df: DataFrame, res: int, lon: str = "lon",
          / F.lit(float(sc))).alias("clon"),
         (F.col("sum_gy").cast("double") / F.col("n_points").cast("double")
          / F.lit(float(sc))).alias("clat"))
+
+
+def erode_cells(df: DataFrame, res: int, k: int = 1,
+                key: str = "subject", cell: str = "cell") -> DataFrame:
+    """Morphological erosion — the inverse pair of ``dilate_cells``:
+    keep a cell only if its ENTIRE Chebyshev-``k`` neighborhood
+    (clipped to the grid) is present in the same keyed coverage.
+    Erode-then-dilate (opening) strips salt-noise cells off a raster
+    footprint; dilate-then-erode (closing) fills pinholes — the
+    standard cleanup pass between center-sample rasterization and
+    area statistics.
+
+    Plan: one dilation-shaped explode scatters each present cell
+    into its neighborhood, a count rollup tallies how many of each
+    cell's neighbors exist, and a join back against the input keeps
+    cells whose tally equals their own in-grid window size (computed
+    per cell from the clamp arithmetic, so grid-border cells erode
+    correctly rather than vanishing by fiat). Work ∝ coverage x
+    (2k+1)^2, pure integers, two shuffles.
+
+    Returns (key, cell) eroded coverage.
+    """
+    kk = int(k)
+    n = 1 << res
+    base = df.select(F.col(key).alias("_k"),
+                     unpack_ix(F.col(cell), res).alias("ix"),
+                     unpack_iy(F.col(cell), res).alias("iy")).distinct()
+    # scatter: each present cell votes into every neighbor position
+    scat = explode_ring(base, res, kk, out="cell")
+    votes = (scat.groupBy("_k", "cell")
+             .agg(F.count(F.lit(1)).alias("_got")))
+    # a cell's in-grid window size from the clamp arithmetic
+    wx = (F.least(F.col("ix") + kk, F.lit(n - 1))
+          - F.greatest(F.col("ix") - kk, F.lit(0)) + 1)
+    wy = (F.least(F.col("iy") + kk, F.lit(n - 1))
+          - F.greatest(F.col("iy") - kk, F.lit(0)) + 1)
+    need = base.select(
+        "_k", pack_cell(F.col("ix"), F.col("iy"), res).alias("cell"),
+        (wx * wy).cast("long").alias("_need"))
+    return (need.join(votes, ["_k", "cell"])
+            .filter(F.col("_got") == F.col("_need"))
+            .select(F.col("_k").alias(key), "cell"))

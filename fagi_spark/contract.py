@@ -6641,6 +6641,48 @@ FROM d WHERE nx >= 0 AND nx < {n} AND ny >= 0 AND ny < {n}"""
 
 O_DILATE_RASTER = _o_dilate_raster()
 
+
+def q_erode_raster(spark, sf_dir):
+    """Morphological erosion (cells.erode_cells, k=1) of the B-square
+    raster: keep cells whose full in-grid 3x3 neighborhood is covered
+    — scatter votes + tally vs the clamp-derived window size; with
+    dilation this completes the opening/closing morphology pair."""
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
+    ras = joins.rasterize_polygons(polys, res=13, mode="center")
+    return cells.erode_cells(ras, res=13, k=1)
+
+
+def _o_erode_raster(res: int = 13, k: int = 1) -> str:
+    base = _o_rasterize(res)
+    n = 1 << res
+    return f"""WITH r AS MATERIALIZED ({base}),
+u AS (SELECT DISTINCT subject,
+             CAST((cell - {res} * {1 << 58}) // {n} AS BIGINT) AS ix,
+             CAST((cell - {res} * {1 << 58}) % {n} AS BIGINT) AS iy
+      FROM r),
+scat AS (SELECT subject, ix + dx.o AS nx, iy + dy.o AS ny
+         FROM u,
+              (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dx,
+              (SELECT UNNEST(RANGE(-{k}, {k} + 1)) AS o) dy
+         WHERE ix + dx.o >= 0 AND ix + dx.o < {n}
+           AND iy + dy.o >= 0 AND iy + dy.o < {n}),
+votes AS (SELECT subject, nx, ny, COUNT(*) AS got
+          FROM scat GROUP BY 1, 2, 3),
+need AS (SELECT subject, ix, iy,
+                (LEAST(ix + {k}, {n - 1}) - GREATEST(ix - {k}, 0) + 1)
+                * (LEAST(iy + {k}, {n - 1}) - GREATEST(iy - {k}, 0) + 1)
+                  AS need
+         FROM u)
+SELECT need.subject,
+       CAST({res} * {1 << 58} + ix * {n} + iy AS BIGINT) AS cell
+FROM need JOIN votes ON votes.subject = need.subject
+                    AND votes.nx = need.ix AND votes.ny = need.iy
+WHERE votes.got = need.need"""
+
+
+O_ERODE_RASTER = _o_erode_raster()
+
 _DT_RES = 10
 _DT_MAXD = 3
 
@@ -7661,6 +7703,7 @@ QUERIES = {
     "events_gyration": q_events_gyration,
     "fagi_areal_interp": q_areal_interp,
     "fagi_dilate_raster": q_dilate_raster,
+    "fagi_erode_raster": q_erode_raster,
     "fagi_distance_transform": q_distance_transform,
     "fagi_map_clusters": q_map_clusters,
     "doc_trending_terms": q_doc_trending,
@@ -7868,6 +7911,7 @@ ORACLES = {
     "events_gyration": O_EVENTS_GYRATION,
     "fagi_areal_interp": O_AREAL_INTERP,
     "fagi_dilate_raster": O_DILATE_RASTER,
+    "fagi_erode_raster": O_ERODE_RASTER,
     "fagi_distance_transform": O_DISTANCE_TRANSFORM,
     "fagi_map_clusters": O_MAP_CLUSTERS,
     "doc_trending_terms": O_DOC_TRENDING,

@@ -752,3 +752,37 @@ def test_map_clusters_handcase(spark):
     assert big.clat == big.sum_gy / 3.0 / 100.0
     one = [r for r in got.values() if r.n_points == 1][0]
     assert one.clon == 5001 / 1.0 / 100.0 and one.clat == 10.01
+
+
+def test_erode_dilate_morphology(spark):
+    from fagi_spark import cells
+    from pyspark.sql import functions as F
+
+    res = 5
+
+    def cov(pts):
+        return spark.createDataFrame(
+            [("A", x, y) for x, y in pts], "subject string, ix long, iy long") \
+            .select("subject", cells.pack_cell(
+                F.col("ix"), F.col("iy"), res).alias("cell"))
+
+    # 4x4 solid block: erosion(k=1) keeps the inner 2x2
+    block = [(x, y) for x in range(8, 12) for y in range(8, 12)]
+    got = {r.cell for r in cells.erode_cells(cov(block), res, k=1).collect()}
+    want = {cells.pack_cell_value(x, y, res)
+            for x in (9, 10) for y in (9, 10)}
+    assert got == want
+    # salt noise: an isolated cell erodes away entirely
+    noisy = block + [(20, 20)]
+    got = {r.cell for r in cells.erode_cells(cov(noisy), res, k=1).collect()}
+    assert got == want
+    # opening (erode-then-dilate) removes the noise but keeps the block
+    opened = cells.dilate_cells(
+        cells.erode_cells(cov(noisy), res, k=1), res, k=1)
+    got = {r.cell for r in opened.collect()}
+    assert got == {cells.pack_cell_value(x, y, res) for x, y in block}
+    # grid corner: only (0,0)'s clipped window (2x2) is fully covered
+    # by a corner 2x2 block; (0,1)'s window is 2x3 and misses row 2
+    corner = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    got = {r.cell for r in cells.erode_cells(cov(corner), res, k=1).collect()}
+    assert got == {cells.pack_cell_value(0, 0, res)}
