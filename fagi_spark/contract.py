@@ -7098,6 +7098,32 @@ FROM v a JOIN v b ON a.l = b.l AND a.r < b.r
 GROUP BY 1, 2 HAVING COUNT(*) >= 1"""
 
 
+def q_doc_kmv_overlap(spark, sf_dir):
+    """KMV set-operation estimates (sketch.kmv_set_ops, Beyer 2007):
+    union / Jaccard / intersection of two overlapping corpus slices
+    estimated from the two bottom-64 sketches ALONE — the mergeable
+    crawl-overlap report; every number a deterministic function of
+    the hash sets, mirrored."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    a = sketch.kmv_bottom_k(docs.filter(F.col("doc_id") % 3 != 0),
+                            "text", k=64)
+    b = sketch.kmv_bottom_k(docs.filter(F.col("doc_id") % 2 != 0),
+                            "text", k=64)
+    return sketch.kmv_set_ops(a, b, k=64)
+
+
+def _o_kmv_overlap() -> str:
+    from . import sketch
+    return sketch.sql_kmv_set_ops(
+        "(SELECT text FROM documents WHERE doc_id % 3 <> 0)", "text",
+        "(SELECT text FROM documents WHERE doc_id % 2 <> 0)", "text",
+        k=64)
+
+
+O_DOC_KMV_OVERLAP = _o_kmv_overlap()
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7714,6 +7740,7 @@ QUERIES = {
     "events_clq": q_events_clq,
     "events_dwell": q_events_dwell,
     "doc_mirror_sources": q_doc_mirror_sources,
+    "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7922,6 +7949,7 @@ ORACLES = {
     "events_clq": O_EVENTS_CLQ,
     "events_dwell": O_EVENTS_DWELL,
     "doc_mirror_sources": O_DOC_MIRROR_SOURCES,
+    "doc_kmv_overlap": O_DOC_KMV_OVERLAP,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

@@ -342,3 +342,74 @@ SELECT n_seen, CAST(h_k AS BIGINT) AS h_k,
             ELSE {float(k - 1)!r} * {_M_FLOAT!r} / CAST(h_k AS DOUBLE)
        END AS est
 FROM a"""
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """KMV set-operation estimates (Beyer et al., SIGMOD 2007): from
+    two bottom-k sketches alone — no rescan of either dataset —
+    estimate the union size, the Jaccard similarity and the
+    intersection size. The mergeable-sketch answer to "how much do
+    these two crawls overlap" when each side is 10^12 urls and only
+    the k-hash sketches travel.
+
+    rho = |merged-bottom-k present in BOTH sketches| / |merged|, a
+    deterministic function of the two hash sets; union_est from the
+    merged sketch's k-th min (exact when the union is exhaustive);
+    jaccard_est = rho; inter_est = rho * union_est (one multiply on
+    the division — fixed tree, SQL-mirrorable).
+
+    Inputs are kmv_bottom_k frames (column h). Returns one row
+    (n_merged, n_shared, union_est, jaccard_est, inter_est).
+    """
+    merged = kmv_merge(a, b, k)
+    both = (merged.join(a, "h", "semi").join(b, "h", "semi"))
+    est = kmv_estimate(merged, k).select(
+        F.col("n_seen").alias("n_merged"), F.col("est").alias("union_est"))
+    sh = both.agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    j = est.crossJoin(sh)
+    rho = F.col("n_shared").cast("double") / F.col("n_merged").cast("double")
+    return j.select(
+        F.col("n_merged").cast("long").alias("n_merged"), "n_shared",
+        "union_est",
+        F.when(F.col("n_merged") > 0, rho).alias("jaccard_est"),
+        F.when(F.col("n_merged") > 0,
+               rho * F.col("union_est")).alias("inter_est"))
+
+
+def sql_kmv_set_ops(table_a: str, col_a: str, table_b: str, col_b: str,
+                    k: int = 64) -> str:
+    """DuckDB mirror of kmv_set_ops over two raw tables (builds both
+    bottom-k sketches the same way sql_kmv_distinct does)."""
+    from .textops import sql_poly_base
+    ha = sql_poly_base(f"MD5(CAST({col_a} AS VARCHAR))")
+    hb = sql_poly_base(f"MD5(CAST({col_b} AS VARCHAR))")
+    return f"""WITH sa AS MATERIALIZED (
+  SELECT h FROM (SELECT DISTINCT {ha} AS h FROM {table_a})
+  ORDER BY h LIMIT {k}),
+sb AS MATERIALIZED (
+  SELECT h FROM (SELECT DISTINCT {hb} AS h FROM {table_b})
+  ORDER BY h LIMIT {k}),
+merged AS MATERIALIZED (
+  SELECT h FROM (SELECT DISTINCT h FROM
+    (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+  ORDER BY h LIMIT {k}),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_merged, MAX(h) AS h_k
+      FROM merged),
+u AS (SELECT n_merged,
+             CASE WHEN n_merged < {k} THEN CAST(n_merged AS DOUBLE)
+                  ELSE {float(k - 1)!r} * {_M_FLOAT!r}
+                       / CAST(h_k AS DOUBLE) END AS union_est
+      FROM e),
+sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM merged
+       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+SELECT n_merged, n_shared, union_est,
+       CASE WHEN n_merged > 0 THEN
+         CAST(n_shared AS DOUBLE) / CAST(n_merged AS DOUBLE) END
+         AS jaccard_est,
+       CASE WHEN n_merged > 0 THEN
+         (CAST(n_shared AS DOUBLE) / CAST(n_merged AS DOUBLE))
+           * (CASE WHEN n_merged < {k} THEN CAST(n_merged AS DOUBLE)
+                   ELSE {float(k - 1)!r} * {_M_FLOAT!r}
+                        / CAST((SELECT h_k FROM e) AS DOUBLE) END) END
+         AS inter_est
+FROM u, sh"""

@@ -112,3 +112,35 @@ def test_bloom_partition_invariance(bloom_urls):
     f2 = sketch.bloom_build(bloom_urls.repartition(1), "url", m_bits=2048)
     assert ({tuple(r) for r in f1.collect()}
             == {tuple(r) for r in f2.collect()})
+
+
+def test_kmv_set_ops_accuracy_and_exhaustive(spark):
+    from pyspark.sql import functions as F
+
+    from fagi_spark import sketch
+
+    # exhaustive regime (fewer than k distinct on both sides): every
+    # estimate is EXACT
+    a = spark.range(30).select(F.concat(F.lit("u"), F.col("id"))
+                               .alias("v"))
+    b = spark.range(20, 50).select(F.concat(F.lit("u"), F.col("id"))
+                                   .alias("v"))
+    sa = sketch.kmv_bottom_k(a, "v", k=64)
+    sb = sketch.kmv_bottom_k(b, "v", k=64)
+    [r] = sketch.kmv_set_ops(sa, sb, k=64).collect()
+    assert r.n_merged == 50 and r.union_est == 50.0
+    assert r.n_shared == 10
+    assert r.jaccard_est == 10.0 / 50.0
+    assert r.inter_est == (10.0 / 50.0) * 50.0
+    # sketch regime: 2000/3000 with 1000 shared -> estimates within
+    # a reasonable band of truth (union 4000, jaccard 0.25)
+    a = spark.range(2000).select(F.concat(F.lit("x"), F.col("id"))
+                                 .alias("v"))
+    b = spark.range(1000, 4000).select(F.concat(F.lit("x"), F.col("id"))
+                                       .alias("v"))
+    [r] = sketch.kmv_set_ops(sketch.kmv_bottom_k(a, "v", 64),
+                             sketch.kmv_bottom_k(b, "v", 64),
+                             k=64).collect()
+    assert 2500 < r.union_est < 6000
+    assert 0.1 < r.jaccard_est < 0.45
+    assert 400 < r.inter_est < 2200
