@@ -7124,6 +7124,76 @@ def _o_kmv_overlap() -> str:
 O_DOC_KMV_OVERLAP = _o_kmv_overlap()
 
 
+_GINI_RES = 6
+
+
+def q_events_gini(spark, sf_dir):
+    """Gini coefficient of per-cell event concentration
+    (textops.gini_concentration over the res-6 cell counts): exact
+    two-pass global rank + the (2*S_r - (n+1)*S)/(n*S) identity,
+    one mirrored division."""
+    pts = _event_pts(_t(spark, sf_dir, "events"))
+    counts = (cells.with_cell(pts, _GINI_RES)
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    return textops.gini_concentration(counts, "n", "cell")
+
+
+def _o_events_gini(res: int) -> str:
+    return f"""WITH c AS (
+  SELECT {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS k,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1),
+r AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT)
+        AS rk FROM c),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(v) AS BIGINT) AS sum_values,
+             CAST(SUM(rk * v) AS BIGINT) AS sum_rank_value
+      FROM r)
+SELECT n_keys, sum_values, sum_rank_value,
+       CASE WHEN sum_values > 0 AND n_keys >= 2 THEN
+         CAST(2 * sum_rank_value - (n_keys + 1) * sum_values AS DOUBLE)
+           / CAST(n_keys * sum_values AS DOUBLE) END AS gini
+FROM a"""
+
+
+O_EVENTS_GINI = _o_events_gini(_GINI_RES)
+
+
+def q_doc_kappa(spark, sf_dir):
+    """Cohen's kappa (textops.cohens_kappa) between the corpus lang
+    label and a synthetic 80%-agreement second annotator (doc_id % 5
+    relabeled 'xx'): confusion rollup + margins, the single-division
+    identity (n*diag - Σ ma*mb)/(n² - Σ ma*mb)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("lang2"))
+    return textops.cohens_kappa(docs, "lang", "lang2")
+
+
+O_DOC_KAPPA = """WITH base AS (
+  SELECT lang AS a,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS b
+  FROM documents
+  WHERE lang IS NOT NULL),
+conf AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a, SUM(c) AS m FROM conf GROUP BY 1),
+mb AS (SELECT b AS a, SUM(c) AS m FROM conf GROUP BY 1),
+ch AS (SELECT CAST(COALESCE(SUM(ma.m * mb.m), 0) AS BIGINT)
+         AS chance_pairs
+       FROM ma JOIN mb USING (a)),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM conf)
+SELECT n_rows, n_agree, chance_pairs,
+       CASE WHEN n_rows * n_rows - chance_pairs <> 0 THEN
+         CAST(n_rows * n_agree - chance_pairs AS DOUBLE)
+           / CAST(n_rows * n_rows - chance_pairs AS DOUBLE) END AS kappa
+FROM t, ch"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7741,6 +7811,8 @@ QUERIES = {
     "events_dwell": q_events_dwell,
     "doc_mirror_sources": q_doc_mirror_sources,
     "doc_kmv_overlap": q_doc_kmv_overlap,
+    "events_gini": q_events_gini,
+    "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
     "doc_kwic": q_doc_kwic,
@@ -7950,6 +8022,8 @@ ORACLES = {
     "events_dwell": O_EVENTS_DWELL,
     "doc_mirror_sources": O_DOC_MIRROR_SOURCES,
     "doc_kmv_overlap": O_DOC_KMV_OVERLAP,
+    "events_gini": O_EVENTS_GINI,
+    "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,
     "doc_kwic": O_DOC_KWIC,

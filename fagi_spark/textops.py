@@ -1551,3 +1551,76 @@ def source_rollup(df: DataFrame, group: str = "source",
                     "n_langs", "n_dup_docs",
                     (F.col("n_dup_docs").cast("double")
                      / F.col("n_docs").cast("double")).alias("dup_frac")))
+
+
+def gini_concentration(df: DataFrame, value: str, key: str,
+                       n_buckets: int = 64) -> DataFrame:
+    """Gini coefficient of an integer value distribution (traffic per
+    cell, documents per host, tokens per author): 0 = perfectly even,
+    -> 1 = one key hogs everything — THE inequality scalar a capacity
+    planner reads next to heavy-hitter lists (a Gini jump says the
+    corpus is concentrating even when the top-k names look stable).
+
+    Exact and distributed: values rank by the two-pass global_rank
+    (no one-partition window), then the textbook identity
+    G = (2*S_r - (n+1)*S) / (n*S) with S_r = sum(rank_i * x_i) and
+    S = sum(x_i) over exact BIGINTs — one mirrored division. Ties
+    rank deterministically by (value, key), under which the identity
+    still holds because tied values are interchangeable in S_r's sum.
+    Domain: rank * value sums must stay inside int64.
+
+    Returns one row (n_keys, sum_values, sum_rank_value, gini);
+    gini NULL when S = 0 or n < 2.
+    """
+    ranked = global_rank(df.select(F.col(key).alias("_k"),
+                                   F.col(value).cast("long").alias("_v")),
+                         "_v", key="_k", n_buckets=n_buckets)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_v").cast("long").alias("sum_values"),
+        F.sum(F.col("rank") * F.col("_v")).cast("long")
+        .alias("sum_rank_value"))
+    g = (F.lit(2) * F.col("sum_rank_value")
+         - (F.col("n_keys") + 1) * F.col("sum_values")).cast("double") \
+        / (F.col("n_keys") * F.col("sum_values")).cast("double")
+    return agg.select(
+        "n_keys", "sum_values", "sum_rank_value",
+        F.when((F.col("sum_values") > 0) & (F.col("n_keys") >= 2), g)
+        .alias("gini"))
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two label
+    columns — the number that separates "our two quality classifiers
+    agree 90%" from "they agree no better than chance" (po vs pe),
+    the standard gate before trusting auto-labels as training signal.
+    Rows where either label is NULL drop (stated).
+
+    One (a, b) confusion rollup; po from the diagonal, pe from the
+    margin products via the counts identity
+    kappa = (n*sum_diag - sum_c ma_c*mb_c) / (n^2 - sum_c ma_c*mb_c)
+    — exact BIGINTs, ONE mirrored division (the po/pe form divides
+    twice; this algebraic form divides once).
+
+    Returns one row (n_rows, n_agree, chance_pairs, kappa); kappa
+    NULL when the denominator is 0 (degenerate single-label data).
+    """
+    base = (df.select(F.col(rater_a).alias("_a"),
+                      F.col(rater_b).alias("_b"))
+            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()))
+    conf = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = conf.groupBy("_a").agg(F.sum("_c").alias("_ma"))
+    mb = conf.groupBy(F.col("_b").alias("_a")).agg(F.sum("_c").alias("_mb"))
+    chance = (ma.join(mb, "_a")
+              .agg(F.coalesce(F.sum(F.col("_ma") * F.col("_mb")),
+                              F.lit(0)).cast("long").alias("chance_pairs")))
+    tot = conf.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))
+              .otherwise(0)).cast("long").alias("n_agree"))
+    j = tot.crossJoin(chance)
+    den = F.col("n_rows") * F.col("n_rows") - F.col("chance_pairs")
+    kappa = (F.col("n_rows") * F.col("n_agree")
+             - F.col("chance_pairs")).cast("double") / den.cast("double")
+    return j.select("n_rows", "n_agree", "chance_pairs",
+                    F.when(den != 0, kappa).alias("kappa"))

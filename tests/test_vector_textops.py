@@ -1030,3 +1030,58 @@ def test_norm_report_handcase(spark):
     assert got[2].norm == 0.0 and got[2].in_range is False
     assert got[3].n_dims == 0 and got[3].norm is None
     assert got[3].in_range is None
+
+
+def test_gini_concentration_handcase(spark):
+    from fagi_spark import textops
+
+    # perfectly even: gini 0
+    even = spark.createDataFrame([(f"k{i}", 5) for i in range(4)],
+                                 "k string, v long")
+    [r] = textops.gini_concentration(even, "v", "k").collect()
+    assert r.gini == 0.0
+    # one key hogs everything among n=4: gini = (n-1)/n = 0.75
+    hog = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 100)], "k string, v long")
+    [r] = textops.gini_concentration(hog, "v", "k").collect()
+    assert r.gini == 0.75
+    # textbook mixed case vs brute force
+    vals = [1, 2, 3, 4, 10]
+    df = spark.createDataFrame([(f"k{i}", v) for i, v in enumerate(vals)],
+                               "k string, v long")
+    [r] = textops.gini_concentration(df, "v", "k").collect()
+    n, s = len(vals), sum(vals)
+    sr = sum((i + 1) * v for i, v in enumerate(sorted(vals)))
+    assert (r.n_keys, r.sum_values, r.sum_rank_value) == (n, s, sr)
+    assert r.gini == float(2 * sr - (n + 1) * s) / float(n * s)
+    # degenerate: single key -> NULL
+    [r] = textops.gini_concentration(
+        spark.createDataFrame([("a", 7)], "k string, v long"),
+        "v", "k").collect()
+    assert r.gini is None
+
+
+def test_cohens_kappa_handcase(spark):
+    from fagi_spark import textops
+
+    # classic 2x2: diag 20+15, off 5+10, n=50
+    rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = textops.cohens_kappa(df, "a", "b").collect()
+    n, diag = 50, 35
+    ch = 25 * 30 + 25 * 20  # ma(y)*mb(y) + ma(n)*mb(n)
+    assert (r.n_rows, r.n_agree, r.chance_pairs) == (n, diag, ch)
+    assert r.kappa == float(n * diag - ch) / float(n * n - ch)
+    # po/pe cross-check
+    po, pe = diag / n, ch / (n * n)
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
+    # perfect agreement -> 1; NULLs drop
+    perf = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), (None, "x")], "a string, b string")
+    [r] = textops.cohens_kappa(perf, "a", "b").collect()
+    assert r.n_rows == 2 and r.kappa == 1.0
+    # single-label degenerate -> NULL
+    one = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    [r] = textops.cohens_kappa(one, "a", "b").collect()
+    assert r.kappa is None
