@@ -7194,6 +7194,72 @@ SELECT n_rows, n_agree, chance_pairs,
 FROM t, ch"""
 
 
+_STAT_ITERS = 3
+_STAT_RES = 6
+
+
+def q_events_stationary(spark, sf_dir):
+    """Long-run cell-occupancy (events.od_stationary, 3 power-
+    iteration steps of the row-normalized OD matrix at res 6,
+    deterministic fold): masses ARE value-compared via the same
+    from_cell-sorted LIST_REDUCE fold as doc_pagerank; dangling
+    cells leak, uniform start over cells with outgoing moves."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.od_stationary(pts, res=_STAT_RES, iters=_STAT_ITERS,
+                            deterministic=True)
+
+
+def _o_events_stationary(res: int, iters: int) -> str:
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
+    parts = [f"""p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+mv AS (SELECT user_id, cell AS to_cell,
+              LAG(cell) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS from_cell
+       FROM p),
+fl AS MATERIALIZED (
+  SELECT from_cell, to_cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM mv WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+  GROUP BY 1, 2),
+o AS (SELECT from_cell, CAST(SUM(n) AS DOUBLE) AS outm
+      FROM fl GROUP BY 1),
+e AS MATERIALIZED (
+  SELECT fl.from_cell, fl.to_cell,
+         CAST(fl.n AS DOUBLE) / o.outm AS p
+  FROM fl JOIN o USING (from_cell)),
+nd AS MATERIALIZED (
+  SELECT DISTINCT cell FROM (
+    SELECT from_cell AS cell FROM fl
+    UNION ALL SELECT to_cell FROM fl)),
+st AS (SELECT DISTINCT from_cell AS cell FROM fl),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM st),
+m0 AS (SELECT nd.cell,
+              CASE WHEN st.cell IS NOT NULL
+                   THEN CAST(1.0 AS DOUBLE) / CAST(ns.n0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS mass
+       FROM nd LEFT JOIN st ON st.cell = nd.cell, ns)"""]
+    for i in range(iters):
+        parts.append(f"""c{i + 1} AS (
+  SELECT e.from_cell, e.to_cell, m.mass * e.p AS c
+  FROM e JOIN m{i} m ON m.cell = e.from_cell),
+s{i + 1} AS (
+  SELECT to_cell, LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(c ORDER BY from_cell)), (acc, v) -> acc + v) AS s
+  FROM c{i + 1} GROUP BY to_cell),
+m{i + 1} AS (
+  SELECT nd.cell, COALESCE(s{i + 1}.s, CAST(0.0 AS DOUBLE)) AS mass
+  FROM nd LEFT JOIN s{i + 1} ON s{i + 1}.to_cell = nd.cell)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, mass FROM m{iters}")
+
+
+O_EVENTS_STATIONARY = _o_events_stationary(_STAT_RES, _STAT_ITERS)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7812,6 +7878,7 @@ QUERIES = {
     "doc_mirror_sources": q_doc_mirror_sources,
     "doc_kmv_overlap": q_doc_kmv_overlap,
     "events_gini": q_events_gini,
+    "events_stationary": q_events_stationary,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
@@ -8023,6 +8090,7 @@ ORACLES = {
     "doc_mirror_sources": O_DOC_MIRROR_SOURCES,
     "doc_kmv_overlap": O_DOC_KMV_OVERLAP,
     "events_gini": O_EVENTS_GINI,
+    "events_stationary": O_EVENTS_STATIONARY,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,

@@ -1617,3 +1617,61 @@ def dwell_times(events: DataFrame, res: int, user: str = "user_id",
             .agg(F.count(F.lit(1)).cast("long").alias("n_stays"),
                  F.sum(F.expr("(_us - _pus) DIV 1000000")).cast("long")
                  .alias("dwell_s")))
+
+
+def od_stationary(events: DataFrame, res: int, iters: int = 3,
+                  user: str = "user_id", key: str = "event_id",
+                  ts: str = "ts", lon: str = "lon",
+                  lat: str = "lat",
+                  deterministic: bool = False) -> DataFrame:
+    """Long-run cell-occupancy prediction: ``iters`` synchronous
+    power-iteration steps of the row-normalized OD transition matrix,
+    started from the uniform distribution over cells that have
+    outgoing moves — "if people keep moving the way the OD matrix
+    says, where does mass settle" (site-selection / coverage-planning
+    reading of the flows; the mobility analog of pagerank without
+    teleport). Cells with no outgoing moves leak their mass, exactly
+    like pagerank's dangling convention — the RANKING is the
+    consumable.
+
+    Each step is one edge join + one destination rollup (the
+    pagerank skeleton over od_flows' matrix). ``deterministic=True``
+    folds each destination's inflow in from_cell-sorted order so the
+    float masses are bit-reproducible and SQL-mirrorable; plain SUM
+    is the scale path. Returns (cell, mass) after ``iters`` steps.
+    """
+    flows = od_flows(events, res, user=user, key=key, ts=ts,
+                     lon=lon, lat=lat).select(
+        "from_cell", "to_cell", "n_moves")
+    out = flows.groupBy("from_cell").agg(
+        F.sum("n_moves").cast("double").alias("_out"))
+    e = (flows.join(out, "from_cell")
+         .select("from_cell", "to_cell",
+                 (F.col("n_moves").cast("double") / F.col("_out"))
+                 .alias("_p")))
+    nodes = flows.select(F.col("from_cell").alias("cell")).distinct() \
+        .unionByName(flows.select(F.col("to_cell").alias("cell"))) \
+        .distinct()
+    starts = flows.select(F.col("from_cell").alias("cell")).distinct()
+    n0 = starts.count()
+    mass = nodes.join(starts.withColumn("_s", F.lit(True)), "cell", "left") \
+        .select("cell",
+                F.when(F.col("_s"), F.lit(1.0 / float(n0)))
+                .otherwise(F.lit(0.0)).alias("mass"))
+    for _ in range(int(iters)):
+        contrib = (e.join(mass, F.col("from_cell") == F.col("cell"))
+                   .select("from_cell", "to_cell",
+                           (F.col("mass") * F.col("_p")).alias("_c")))
+        if deterministic:
+            agg = (contrib.groupBy("to_cell")
+                   .agg(F.aggregate(
+                       F.array_sort(F.collect_list(
+                           F.struct("from_cell", "_c"))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["_c"]).alias("_m")))
+        else:
+            agg = contrib.groupBy("to_cell").agg(F.sum("_c").alias("_m"))
+        mass = (nodes.join(agg, F.col("cell") == F.col("to_cell"), "left")
+                .select("cell",
+                        F.coalesce(F.col("_m"), F.lit(0.0)).alias("mass")))
+    return mass

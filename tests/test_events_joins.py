@@ -860,3 +860,39 @@ def test_dwell_times_handcase(spark):
     cb = cells.pack_cell_value(int((-150.0 + 180) / 360 * 16),
                                int(90 / 180 * 16), 4)
     assert got == {(1, ca): (2, 330), (1, cb): (1, 60)}
+
+
+def test_od_stationary_handcase(spark):
+    # 3-cell cycle A->B->C->A with one user looping: transition matrix
+    # is a pure rotation, so mass stays uniform at every step
+    rows = []
+    lons = [-179.0, -150.0, -120.0]
+    t = 0
+    for lap in range(3):
+        for lon in lons:
+            rows.append((1, t, lon, 0.0, _ts("2024-01-01T00:00:00")))
+            t += 1
+    rows = [(u, i, lon, lat,
+             _ts("2024-01-01T00:00:00").replace(minute=i))
+            for (u, i, lon, lat, _) in rows]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lon double, lat double, "
+              "ts timestamp")
+    out = {r.cell: r.mass for r in
+           ev.od_stationary(df, res=4, iters=4,
+                            deterministic=True).collect()}
+    assert len(out) == 3
+    assert all(abs(m - 1.0 / 3.0) < 1e-15 for m in out.values())
+    # absorbing sink: A->B only; all mass reaches B then leaks
+    # (B has no out-moves), mirroring pagerank's dangling convention
+    rows2 = [(1, 0, -179.0, 0.0, _ts("2024-01-01T00:00:00")),
+             (1, 1, -150.0, 0.0, _ts("2024-01-01T00:01:00"))]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id long, lon double, lat double, "
+               "ts timestamp")
+    m1 = {r.cell: r.mass for r in
+          ev.od_stationary(df2, res=4, iters=1).collect()}
+    m2 = {r.cell: r.mass for r in
+          ev.od_stationary(df2, res=4, iters=2).collect()}
+    assert sorted(m1.values()) == [0.0, 1.0]   # all mass at B
+    assert sorted(m2.values()) == [0.0, 0.0]   # leaked (dangling)
