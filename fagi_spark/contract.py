@@ -7260,6 +7260,67 @@ m{i + 1} AS (
 O_EVENTS_STATIONARY = _o_events_stationary(_STAT_RES, _STAT_ITERS)
 
 
+def q_events_routine(spark, sf_dir):
+    """Temporal-routine score (events.routine_index): busiest
+    (weekday, hour) bucket share per user, with timezone-free
+    integer bucketing ((epoch_days + 4) % 7 / epoch_hours % 24) and
+    a deterministic argmax — one division."""
+    from . import events as ev
+    return ev.routine_index(_t(spark, sf_dir, "events"))
+
+
+O_EVENTS_ROUTINE = """WITH b AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS wd,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hh
+  FROM events),
+c AS MATERIALIZED (
+  SELECT user_id, wd, hh, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY 1, 2, 3),
+top AS (
+  SELECT user_id, wd AS top_weekday, hh AS top_hour, c AS top_count
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY c DESC, wd ASC, hh ASC) AS rk FROM c)
+  WHERE rk = 1),
+tot AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1)
+SELECT tot.user_id, n_events, top_weekday, top_hour, top_count,
+       CAST(top_count AS DOUBLE) / CAST(n_events AS DOUBLE)
+         AS routine_frac
+FROM tot JOIN top ON top.user_id = tot.user_id"""
+
+
+_BOOL_TERMS = ["join", "hash", "window"]
+
+
+def q_doc_bool_search(spark, sf_dir):
+    """Conjunctive boolean retrieval (retrieval.boolean_search,
+    mode='and'): documents containing ALL of {join, hash, window} —
+    postings filtered to the query terms before any shuffle, then
+    the count==|terms| intersection."""
+    from . import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval.boolean_search(docs, _BOOL_TERMS, mode="and")
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _o_bool_search(terms: list) -> str:
+    lits = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS t
+    FROM documents)
+  WHERE t IN ({lits}))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM toks GROUP BY doc_id
+HAVING COUNT(*) = {len(set(terms))}"""
+
+
+O_DOC_BOOL_SEARCH = _o_bool_search(_BOOL_TERMS)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7879,6 +7940,8 @@ QUERIES = {
     "doc_kmv_overlap": q_doc_kmv_overlap,
     "events_gini": q_events_gini,
     "events_stationary": q_events_stationary,
+    "events_routine": q_events_routine,
+    "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "doc_rich_club": q_doc_rich_club,
@@ -8091,6 +8154,8 @@ ORACLES = {
     "doc_kmv_overlap": O_DOC_KMV_OVERLAP,
     "events_gini": O_EVENTS_GINI,
     "events_stationary": O_EVENTS_STATIONARY,
+    "events_routine": O_EVENTS_ROUTINE,
+    "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,
     "doc_rich_club": O_DOC_RICH_CLUB,

@@ -1675,3 +1675,48 @@ def od_stationary(events: DataFrame, res: int, iters: int = 3,
                 .select("cell",
                         F.coalesce(F.col("_m"), F.lit(0.0)).alias("mass")))
     return mass
+
+
+def routine_index(events: DataFrame, ts: str = "ts",
+                  user: str = "user_id") -> DataFrame:
+    """Temporal-routine score per user: the fraction of a user's
+    events falling in their single busiest (weekday, hour-of-day)
+    bucket — commuters score high on one bucket, tourists spread
+    flat, and schedulers/bots hit 1.0 exactly (pairs with
+    gap_regularity's metronome cv2 in a bot panel).
+
+    Timezone-free integer bucketing both engines share: with
+    d = epoch days and h = epoch hours, weekday = (d + 4) % 7
+    (1970-01-01 was a Thursday; 0 = Sunday) and hour = h % 24 — no
+    date() / dayofweek() semantics to reconcile. Argmax bucket is
+    deterministic (count DESC, then smallest weekday, hour). One
+    (user, bucket) rollup + a WindowGroupLimit top-1 per user + one
+    division.
+
+    Returns (user_id, n_events, top_weekday, top_hour, top_count,
+    routine_frac).
+    """
+    # integer floor-div on non-negative micros: DIV == // both engines
+    d = F.expr("unix_micros(CAST(" + ts + " AS TIMESTAMP)) DIV 86400000000")
+    h = F.expr("unix_micros(CAST(" + ts + " AS TIMESTAMP)) DIV 3600000000")
+    base = events.select(
+        F.col(user).alias("user_id"),
+        ((d + 4) % 7).cast("long").alias("wd"),
+        (h % 24).cast("long").alias("hh"))
+    cnt = (base.groupBy("user_id", "wd", "hh")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_c").desc(), F.col("wd").asc(), F.col("hh").asc())
+    top = (cnt.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1)
+           .select("user_id", F.col("wd").alias("top_weekday"),
+                   F.col("hh").alias("top_hour"),
+                   F.col("_c").cast("long").alias("top_count")))
+    tot = (base.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    return (tot.join(top, "user_id")
+            .select("user_id", "n_events", "top_weekday", "top_hour",
+                    "top_count",
+                    (F.col("top_count").cast("double")
+                     / F.col("n_events").cast("double"))
+                    .alias("routine_frac")))

@@ -371,3 +371,38 @@ def kwic(df: DataFrame, term: str, width: int = 3,
         .alias("left_ctx"),
         F.array_join(F.slice("_t", F.col("pos") + 2, F.lit(w)), " ")
         .alias("right_ctx"))
+
+
+def boolean_search(df: DataFrame, terms: list, mode: str = "and",
+                   key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Conjunctive / disjunctive boolean retrieval over whitespace
+    tokens: documents containing ALL query terms (mode="and") or ANY
+    (mode="or"), with the matched-term count as the coordinate rank —
+    the exact-filter complement to bm25_topk's scoring (candidate
+    narrowing for contamination review, cohort selection by required
+    vocabulary).
+
+    The postings side stays distinct (doc, term) pairs filtered to
+    the query terms BEFORE any shuffle (an isin literal pushed to the
+    scan), then one doc rollup; AND is the classic intersection-by-
+    count == |terms|. Work scales with matching postings only.
+
+    Returns (key, n_matched) — AND rows all have n_matched ==
+    len(terms).
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("boolean_search needs at least one term")
+    if mode not in ("and", "or"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    toks = (df.select(
+        F.col(key),
+        F.explode(F.array_distinct(
+            F.split(F.coalesce(F.col(text), F.lit("")), " ")))
+        .alias("_t"))
+        .filter(F.col("_t").isin(terms)))
+    hits = (toks.groupBy(key)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched")))
+    if mode == "and":
+        hits = hits.filter(F.col("n_matched") == len(terms))
+    return hits

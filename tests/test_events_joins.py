@@ -896,3 +896,25 @@ def test_od_stationary_handcase(spark):
           ev.od_stationary(df2, res=4, iters=2).collect()}
     assert sorted(m1.values()) == [0.0, 1.0]   # all mass at B
     assert sorted(m2.values()) == [0.0, 0.0]   # leaked (dangling)
+
+
+def test_routine_index_handcase(spark):
+    # user 1: 3 of 4 events Monday 9h (1970-01-05 was a Monday ->
+    # wd=(d+4)%7 with 0=Sunday gives 1); user 2: flat across buckets
+    rows = [
+        (1, _ts("2024-01-01T09:10:00")),  # Mon 9h (2024-01-01 is Monday)
+        (1, _ts("2024-01-08T09:50:00")),  # Mon 9h
+        (1, _ts("2024-01-15T09:05:00")),  # Mon 9h
+        (1, _ts("2024-01-02T14:00:00")),  # Tue 14h
+        (2, _ts("2024-01-01T08:00:00")),
+        (2, _ts("2024-01-02T09:00:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in ev.routine_index(df).collect()}
+    r1 = got[1]
+    assert (r1.n_events, r1.top_count) == (4, 3)
+    assert (r1.top_weekday, r1.top_hour) == (1, 9)  # Monday=1, 9h UTC
+    assert r1.routine_frac == 3.0 / 4.0
+    # flat user: tie -> smallest (weekday, hour) bucket wins
+    r2 = got[2]
+    assert r2.top_count == 1 and r2.routine_frac == 0.5
+    assert (r2.top_weekday, r2.top_hour) == (1, 8)

@@ -147,3 +147,25 @@ def test_kwic_handcase(spark):
         (3, 0, "", "term"),
         (3, 1, "term", ""),
     ]
+
+
+def test_boolean_search_modes(spark):
+    from fagi_spark import retrieval
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha alpha alpha"),   # repeats count once
+        (3, "delta"),
+        (4, None),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.n_matched for r in retrieval.boolean_search(
+        docs, ["alpha", "beta"], mode="and").collect()}
+    assert got == {0: 2, 1: 2}
+    any_ = {r.doc_id: r.n_matched for r in retrieval.boolean_search(
+        docs, ["alpha", "beta"], mode="or").collect()}
+    assert any_ == {0: 2, 1: 2, 2: 1}
+    import pytest as _p
+    with _p.raises(ValueError):
+        retrieval.boolean_search(docs, [])
+    with _p.raises(ValueError):
+        retrieval.boolean_search(docs, ["x"], mode="xor")
