@@ -935,3 +935,47 @@ def bipartite_project(edges: DataFrame, left: str = "user",
             .groupBy("item_a", "item_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared)))
+
+
+def negative_edges(edges: DataFrame, n_nodes: int, per_node: int = 2,
+                   probes: int = 8, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Deterministic negative sampling for link-prediction training
+    data: for every node id in [0, n_nodes), up to ``per_node``
+    verified NON-edges — the other half of the (positive, negative)
+    pair set a graph-ML pipeline feeds its ranking loss, made
+    reproducible (no RNG) so the dataset regenerates bit-identically
+    on every run. Node ids must be dense [0, n_nodes) (the corpus
+    convention); partner candidates come from the affine probe family
+    (u * (2i+3) + 7i + 1) % n, i < ``probes``.
+
+    Plan: generate node x probe candidates map-side (explode of a
+    literal sequence), canonicalize, ONE anti-join against the
+    canonical edge set (the verification — no false negatives), then
+    WindowGroupLimit keeps the first ``per_node`` by probe index.
+    Nodes whose probes all collide with real edges or self-loops
+    yield fewer rows (raise ``probes``).
+
+    Returns (src, dst, probe) with (src, dst) canonical (src < dst).
+    """
+    from pyspark.sql.window import Window
+
+    e = _canon_edges(edges, src, dst)
+    n = int(n_nodes)
+    nodes = e.sparkSession.range(n).select(F.col("id").alias("_u"))
+    cand = (nodes
+            .withColumn("_i", F.explode(F.sequence(
+                F.lit(0), F.lit(int(probes) - 1))))
+            .withColumn("_v", (F.col("_u") * (F.lit(2) * F.col("_i") + 3)
+                               + F.lit(7) * F.col("_i") + 1) % n)
+            .filter(F.col("_u") != F.col("_v"))
+            .select("_i", F.least("_u", "_v").alias("a"),
+                    F.greatest("_u", "_v").alias("b"),
+                    F.col("_u").alias("_owner"))
+            .distinct())
+    neg = cand.join(e, ["a", "b"], "anti")
+    w = Window.partitionBy("_owner").orderBy("_i")
+    return (neg.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(per_node))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    F.col("_i").cast("long").alias("probe")))

@@ -7321,6 +7321,121 @@ HAVING COUNT(*) = {len(set(terms))}"""
 O_DOC_BOOL_SEARCH = _o_bool_search(_BOOL_TERMS)
 
 
+_HUFF_RES = 8
+
+
+def q_huff_catchment(spark, sf_dir):
+    """Huff gravity catchment (joins.huff_probabilities, beta=2):
+    demand = distinct event cells at res 8 with their INTEGER grid
+    coordinates as coordinates (d2 stays integer-valued — exact),
+    sites = the B gazetteer points with the subject-URI integer as
+    attractiveness; per-demand denominator folds the site-sorted
+    weight list (the lang_mixture IEEE-fold rule)."""
+    pts = _event_pts(_t(spark, sf_dir, "events"))
+    demand = (cells.with_cell(pts, _HUFF_RES)
+              .select("cell", F.col("ix").cast("double").alias("x"),
+                      F.col("iy").cast("double").alias("y"))
+              .distinct())
+    _, _, gb = _fagi_inputs(spark, sf_dir)
+    sites = (cells.with_cell(
+        _points_side(fuse.prepare_geoms(gb)).select("subject", "cx", "cy"),
+        _HUFF_RES, lon="cx", lat="cy")
+        .select(F.col("subject").alias("site_id"),
+                F.regexp_extract("subject", "[0-9]+", 0).cast("long")
+                .alias("attract"),
+                F.col("ix").cast("double").alias("x"),
+                F.col("iy").cast("double").alias("y")))
+    return joins.huff_probabilities(demand, sites)
+
+
+def _o_huff(res: int) -> str:
+    dix = cells.sql_ix(_EV_LON_SQL, res)
+    diy = cells.sql_iy(_EV_LAT_SQL, res)
+    six = cells.sql_ix("CAST(v AS DOUBLE)/100.0", res)
+    siy = cells.sql_iy("CAST(w AS DOUBLE)/100.0", res)
+    return f"""WITH {GEO_B_CTE},
+dm AS MATERIALIZED (
+  SELECT DISTINCT {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS cell,
+         CAST({dix} AS DOUBLE) AS x, CAST({diy} AS DOUBLE) AS y
+  FROM events),
+st AS MATERIALIZED (
+  SELECT subject AS site_id,
+         CAST(regexp_extract(subject, '[0-9]+', 0) AS BIGINT) AS a,
+         CAST({six} AS DOUBLE) AS x, CAST({siy} AS DOUBLE) AS y
+  FROM geo_b WHERE kind = 'POINT'),
+pr AS MATERIALIZED (
+  SELECT dm.cell, st.site_id,
+         ((dm.x - st.x) * (dm.x - st.x))
+           + ((dm.y - st.y) * (dm.y - st.y)) AS d2,
+         CAST(st.a AS DOUBLE)
+           / (((dm.x - st.x) * (dm.x - st.x))
+              + ((dm.y - st.y) * (dm.y - st.y))) AS w
+  FROM dm, st
+  WHERE ((dm.x - st.x) * (dm.x - st.x))
+          + ((dm.y - st.y) * (dm.y - st.y)) > 0),
+dn AS (
+  SELECT cell, LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(w ORDER BY site_id)), (acc, v) -> acc + v) AS den
+  FROM pr GROUP BY cell)
+SELECT pr.cell, pr.site_id, pr.d2, pr.w, pr.w / dn.den AS p
+FROM pr JOIN dn ON dn.cell = pr.cell"""
+
+
+O_HUFF_CATCHMENT = _o_huff(_HUFF_RES)
+
+_NEG_PER_NODE = 2
+_NEG_PROBES = 6
+
+
+def q_doc_negative_edges(spark, sf_dir):
+    """Deterministic link-prediction negative sampling
+    (components.negative_edges) on the planted out-degree-2 web
+    graph: affine probe candidates, ONE anti-join verification
+    against the canonical edge set, first per_node=2 by probe
+    index — bit-identical on every run, no RNG."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    return components.negative_edges(e1.unionByName(e2), n,
+                                     per_node=_NEG_PER_NODE,
+                                     probes=_NEG_PROBES)
+
+
+def _o_negative_edges(per_node: int, probes: int) -> str:
+    return f"""WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+raw AS (
+  SELECT node AS src, (node * 31 + 7) % n AS dst FROM nd, nn
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % n AS dst FROM nd, nn),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+cand AS MATERIALIZED (
+  SELECT DISTINCT i, LEAST(u, v) AS a, GREATEST(u, v) AS b, u AS owner
+  FROM (
+    SELECT uu.u, ii.i, (uu.u * (2 * ii.i + 3) + 7 * ii.i + 1) % nn.n AS v
+    FROM (SELECT UNNEST(RANGE(0, (SELECT n FROM nn))) AS u) uu,
+         (SELECT UNNEST(RANGE(0, {probes})) AS i) ii, nn) q
+  WHERE u <> v),
+neg AS (SELECT cand.* FROM cand
+        LEFT JOIN e ON e.a = cand.a AND e.b = cand.b
+        WHERE e.a IS NULL)
+SELECT a AS src, b AS dst, CAST(i AS BIGINT) AS probe
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY owner ORDER BY i) AS rk
+      FROM neg)
+WHERE rk <= {per_node}"""
+
+
+O_DOC_NEGATIVE_EDGES = _o_negative_edges(_NEG_PER_NODE, _NEG_PROBES)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -7941,6 +8056,8 @@ QUERIES = {
     "events_gini": q_events_gini,
     "events_stationary": q_events_stationary,
     "events_routine": q_events_routine,
+    "fagi_huff_catchment": q_huff_catchment,
+    "doc_negative_edges": q_doc_negative_edges,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8155,6 +8272,8 @@ ORACLES = {
     "events_gini": O_EVENTS_GINI,
     "events_stationary": O_EVENTS_STATIONARY,
     "events_routine": O_EVENTS_ROUTINE,
+    "fagi_huff_catchment": O_HUFF_CATCHMENT,
+    "doc_negative_edges": O_DOC_NEGATIVE_EDGES,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

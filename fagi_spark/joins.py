@@ -739,3 +739,47 @@ def areal_interpolation(src_polys: DataFrame, dst_polys: DataFrame,
                     "src_value",
                     (F.col("src_value").cast("double") * F.col("w"))
                     .alias("est_value")))
+
+
+def huff_probabilities(demand: DataFrame, sites: DataFrame,
+                       site_key: str = "site_id",
+                       attract: str = "attract",
+                       demand_key: str = "cell",
+                       dx: str = "x", dy: str = "y",
+                       sx: str = "x", sy: str = "y") -> DataFrame:
+    """Huff gravity catchment model (Huff 1964) at distance-decay
+    beta = 2: the probability a demand point patronizes each site,
+    p(i, j) = (A_j / d2_ij) / sum_k (A_k / d2_ik) — THE retail /
+    facility catchment model, rational at beta=2 (1/d^2 needs no
+    pow), so every probability is oracle-exact.
+
+    The site table is a bounded gazetteer (stores, hospitals, POIs):
+    it broadcasts, each demand row fans out by |sites| map-side, and
+    the per-demand denominator folds the SITE-SORTED weight list with
+    F.aggregate (the lang_mixture fold rule — order is part of the
+    contract, mirrored by LIST_REDUCE(... ORDER BY site)). Demand
+    points coincident with a site (d2 == 0) are excluded — they
+    belong to that site trivially and 1/0 is not a weight (stated).
+
+    Returns (demand_key, site_key, d2, w, p).
+    """
+    s = sites.select(F.col(site_key).alias("_s"),
+                     F.col(attract).cast("long").alias("_a"),
+                     F.col(sx).alias("_sx"), F.col(sy).alias("_sy"))
+    d = demand.select(F.col(demand_key).alias("_d"),
+                      F.col(dx).alias("_dx"), F.col(dy).alias("_dy"))
+    ddx, ddy = F.col("_dx") - F.col("_sx"), F.col("_dy") - F.col("_sy")
+    d2 = (ddx * ddx) + (ddy * ddy)
+    pairs = (d.crossJoin(F.broadcast(s))
+             .withColumn("_d2", d2)
+             .filter(F.col("_d2") > 0)
+             .withColumn("_w", F.col("_a").cast("double") / F.col("_d2")))
+    denom = (pairs.groupBy("_d")
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("_s", "_w"))),
+                 F.lit(0.0), lambda acc, x: acc + x["_w"]).alias("_den")))
+    return (pairs.join(denom, "_d")
+            .select(F.col("_d").alias(demand_key),
+                    F.col("_s").alias(site_key),
+                    F.col("_d2").alias("d2"), F.col("_w").alias("w"),
+                    (F.col("_w") / F.col("_den")).alias("p")))

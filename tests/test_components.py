@@ -740,3 +740,24 @@ def test_bipartite_project_handcase(spark):
               components.bipartite_project(
                   df, left="user", right="item", min_shared=2).collect()}
     assert set(strong) == {("A", "B")}
+
+
+def test_negative_edges_properties(spark):
+    n = 40
+    edges = [(i, (i * 31 + 7) % n) for i in range(n)] + \
+            [(i, (i * 17 + 3) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = components.negative_edges(df, n, per_node=2, probes=8).collect()
+    pos = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    seen_pairs = [(r.src, r.dst) for r in got]
+    # every sample is a verified non-edge, canonical, no self-loops
+    for r in got:
+        assert r.src < r.dst
+        assert (r.src, r.dst) not in pos
+    # determinism: re-running yields the identical multiset
+    again = components.negative_edges(df, n, per_node=2, probes=8).collect()
+    assert sorted((r.src, r.dst, r.probe) for r in got) == \
+        sorted((r.src, r.dst, r.probe) for r in again)
+    # per-owner cap holds (owners are probe sources; a pair can recur
+    # for two owners but each owner contributes <= per_node rows)
+    assert len(got) <= 2 * n and len(got) > n // 2

@@ -505,3 +505,28 @@ def test_areal_interpolation_handcase(spark):
     wts = {(w.src_subject, w.dst_subject): w.w
            for w in J.areal_weights(src, dst, res).collect()}
     assert r.est_value == 100.0 * wts[("A", "B")]
+
+
+def test_huff_probabilities_handcase(spark):
+    from fagi_spark import joins as J
+
+    demand = spark.createDataFrame(
+        [("d1", 0.0, 0.0), ("d2", 10.0, 0.0)], "cell string, x double, y double")
+    sites = spark.createDataFrame(
+        [("s1", 100, 1.0, 0.0),    # d2 from d1: 1
+         ("s2", 100, 2.0, 0.0),    # d2 from d1: 4
+         ("s3", 400, 10.0, 0.0)],  # coincident with d2 -> excluded there
+        "site_id string, attract long, x double, y double")
+    got = {(r.cell, r.site_id): r for r in
+           J.huff_probabilities(demand, sites).collect()}
+    w1, w2 = 100 / 1.0, 100 / 4.0
+    w3 = 400 / 100.0
+    den = w1 + w2 + w3  # site-sorted fold s1, s2, s3
+    assert got[("d1", "s1")].p == w1 / den
+    assert got[("d1", "s2")].p == w2 / den
+    # stronger pull wins; probabilities sum to 1 per demand point
+    assert got[("d1", "s1")].p > got[("d1", "s2")].p
+    assert abs(sum(r.p for (c, _), r in got.items() if c == "d1") - 1.0) < 1e-15
+    # coincident site excluded for d2, others still score
+    assert ("d2", "s3") not in got
+    assert ("d2", "s1") in got and ("d2", "s2") in got
