@@ -7436,6 +7436,94 @@ WHERE rk <= {per_node}"""
 O_DOC_NEGATIVE_EDGES = _o_negative_edges(_NEG_PER_NODE, _NEG_PROBES)
 
 
+def q_events_autocorr(spark, sf_dir):
+    """Lag-1 temporal autocorrelation per cell
+    (events.cell_temporal_autocorr, daily periods at res 6): Pearson
+    over consecutive-period pairs of the zero-completed series —
+    exact BIGINT sums, two sanctioned sqrts, explicit (sa*sb)
+    parenthesization mirrored."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
+    return ev.cell_temporal_autocorr(pts, res=6, period_s=86400)
+
+
+def _o_events_autocorr(res: int = 6, period_s: int = 86400) -> str:
+    lon, lat = _EV_LON_SQL, _EV_LAT_SQL
+    pus = period_s * 1_000_000
+    return f"""WITH p AS (
+  SELECT epoch_us(ts) // {pus} AS per,
+         {cells.sql_cell(lon, lat, res)} AS cell
+  FROM events),
+cnt AS (SELECT cell, per, COUNT(*) AS x FROM p GROUP BY cell, per),
+rng AS (SELECT MIN(per) AS pmin, MAX(per) AS pmax FROM cnt),
+series AS MATERIALIZED (
+  SELECT c.cell, g.per, CAST(COALESCE(cnt.x, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT cell FROM cnt) c
+  CROSS JOIN (SELECT UNNEST(RANGE(pmin, pmax + 1)) AS per FROM rng) g
+  LEFT JOIN cnt ON cnt.cell = c.cell AND cnt.per = g.per),
+pr AS (
+  SELECT cell, x,
+         LEAD(x) OVER (PARTITION BY cell ORDER BY per) AS y
+  FROM series),
+a AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pr WHERE y IS NOT NULL GROUP BY cell)
+SELECT cell, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0 THEN
+         CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+           / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS r1
+FROM a"""
+
+
+O_EVENTS_AUTOCORR = _o_events_autocorr()
+
+_COTRAV_RES = 8
+_COTRAV_WIN = 6 * 3600
+_COTRAV_MIN = 2
+_COTRAV_CAP = 20
+
+
+def q_events_cotravelers(spark, sf_dir):
+    """Co-traveler pairs (events.cotravelers, res 8, 6h buckets,
+    >= 2 distinct meets, crowd cap 20): distinct presences ->
+    (cell, bucket) self-join -> pair meet counts; the bucket cap is
+    the projection blow-up guard."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.cotravelers(pts, res=_COTRAV_RES, window_s=_COTRAV_WIN,
+                          min_meets=_COTRAV_MIN,
+                          max_bucket_users=_COTRAV_CAP)
+
+
+def _o_cotravelers(res: int, window_s: int, min_meets: int,
+                   cap: int) -> str:
+    wus = window_s * 1_000_000
+    return f"""WITH pres AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS cell,
+         epoch_us(ts) // {wus} AS b
+  FROM events),
+ok AS (SELECT cell, b FROM pres GROUP BY cell, b
+       HAVING COUNT(*) <= {cap}),
+pk AS MATERIALIZED (
+  SELECT pres.u, pres.cell, pres.b FROM pres JOIN ok USING (cell, b))
+SELECT a.u AS user_a, b.u AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_meets
+FROM pk a JOIN pk b ON a.cell = b.cell AND a.b = b.b AND a.u < b.u
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_meets}"""
+
+
+O_EVENTS_COTRAVELERS = _o_cotravelers(_COTRAV_RES, _COTRAV_WIN,
+                                      _COTRAV_MIN, _COTRAV_CAP)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8058,6 +8146,8 @@ QUERIES = {
     "events_routine": q_events_routine,
     "fagi_huff_catchment": q_huff_catchment,
     "doc_negative_edges": q_doc_negative_edges,
+    "events_autocorr": q_events_autocorr,
+    "events_cotravelers": q_events_cotravelers,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8274,6 +8364,8 @@ ORACLES = {
     "events_routine": O_EVENTS_ROUTINE,
     "fagi_huff_catchment": O_HUFF_CATCHMENT,
     "doc_negative_edges": O_DOC_NEGATIVE_EDGES,
+    "events_autocorr": O_EVENTS_AUTOCORR,
+    "events_cotravelers": O_EVENTS_COTRAVELERS,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

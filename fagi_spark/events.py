@@ -1720,3 +1720,91 @@ def routine_index(events: DataFrame, ts: str = "ts",
                     (F.col("top_count").cast("double")
                      / F.col("n_events").cast("double"))
                     .alias("routine_frac")))
+
+
+def cell_temporal_autocorr(events: DataFrame, res: int, period_s: int,
+                           ts: str = "ts", lon: str = "lon",
+                           lat: str = "lat") -> DataFrame:
+    """Lag-1 temporal autocorrelation per cell — the TIME axis of the
+    ESDA matrix (Moran's I is correlation across NEIGHBORING CELLS;
+    this is correlation across CONSECUTIVE PERIODS of one cell):
+    persistent places score near 1, flickering event-driven places
+    near 0/negative, separating "always busy" from "bursty" beyond
+    what cell_burst_scores' per-period z says.
+
+    Built on the shared zero-completed _cell_period_series; the lag
+    pairs come from a per-cell window over the AGGREGATE (touched-
+    cells x T rows, never raw events). Pearson over the m = T-1
+    (x_t, x_{t+1}) pairs via exact BIGINT sums and the standard
+    identity — two sqrts (sanctioned) and one division, mirrored
+    with explicit (sa * sb) parenthesization. NULL when either
+    series side is constant.
+
+    Returns (cell, n_pairs, r1).
+    """
+    series = _cell_period_series(events, res, period_s, ts, lon, lat)
+    w = Window.partitionBy("cell").orderBy("_p")
+    pairs = (series.withColumn("_y", F.lead("_x").over(w))
+             .filter(F.col("_y").isNotNull()))
+    agg = (pairs.groupBy("cell")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("_x").cast("long").alias("_sx"),
+                F.sum("_y").cast("long").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+                F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy")))
+    m = F.col("n_pairs")
+    num = (m * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    va = (m * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    vb = (m * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    return agg.select(
+        "cell", "n_pairs",
+        F.when((va > 0) & (vb > 0),
+               num / (F.sqrt(va.cast("double"))
+                      * F.sqrt(vb.cast("double")))).alias("r1"))
+
+
+def cotravelers(events: DataFrame, res: int, window_s: int,
+                min_meets: int = 2, user: str = "user_id",
+                ts: str = "ts", lon: str = "lon",
+                lat: str = "lat",
+                max_bucket_users: int | None = None) -> DataFrame:
+    """Co-traveler detection: user pairs repeatedly co-located in the
+    same (cell, time-bucket) — the contact/convoy graph behind
+    account-farm detection (devices that always move together) and
+    companion inference. A pair must meet in >= ``min_meets``
+    DISTINCT buckets, which kills the one-off-crowd false positive.
+
+    Plan: distinct (user, cell, bucket) presences -> self equi-join
+    on (cell, bucket) -> distinct-bucket count per pair. A stadium
+    bucket with B users emits B^2 pairs — the projection blow-up —
+    so ``max_bucket_users`` drops buckets above the cap via one
+    count rollup + semi-join (crowds carry no pairing signal; the
+    bipartite_project guard's shape). Pure integers.
+
+    Returns (user_a, user_b, n_meets) with user_a < user_b.
+    """
+    from . import cells
+
+    w_us = int(window_s) * 1_000_000
+    base = cells.with_cell(
+        events.select(F.col(user).alias("_u"),
+                      F.expr(f"(unix_micros(CAST({ts} AS TIMESTAMP)) - "
+                             f"pmod(unix_micros(CAST({ts} AS TIMESTAMP)),"
+                             f" {w_us})) DIV {w_us}").alias("_b"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    pres = base.select("_u", "cell", "_b").distinct()
+    if max_bucket_users is not None:
+        ok = (pres.groupBy("cell", "_b")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= int(max_bucket_users))
+              .select("cell", "_b"))
+        pres = pres.join(ok, ["cell", "_b"], "semi")
+    a = pres.select(F.col("_u").alias("user_a"), "cell", "_b")
+    b = pres.select(F.col("_u").alias("user_b"), "cell", "_b")
+    return (a.join(b, ["cell", "_b"])
+            .filter(F.col("user_a") < F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_meets"))
+            .filter(F.col("n_meets") >= int(min_meets)))

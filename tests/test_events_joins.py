@@ -918,3 +918,71 @@ def test_routine_index_handcase(spark):
     r2 = got[2]
     assert r2.top_count == 1 and r2.routine_frac == 0.5
     assert (r2.top_weekday, r2.top_hour) == (1, 8)
+
+
+def test_cell_temporal_autocorr_handcase(spark):
+    import math
+    # one cell alternating 3,1,3,1 across 4 days (plus a second cell
+    # to widen the global range is unnecessary here): pairs
+    # (3,1),(1,3),(3,1) -> perfect negative-ish correlation r=-1
+    rows = []
+    for d, n in enumerate([3, 1, 3, 1]):
+        for _ in range(n):
+            rows.append((0.0, _ts(f"2024-01-0{d + 1}T12:00:00")))
+    # rising cell 0,?: use second cell with strictly rising 1,2,3,4
+    for d, n in enumerate([1, 2, 3, 4]):
+        for _ in range(n):
+            rows.append((50.0, _ts(f"2024-01-0{d + 1}T12:00:00")))
+    df = spark.createDataFrame(rows, "lon double, ts timestamp") \
+        .withColumn("lat", F.lit(0.0))
+    got = {r.cell: r for r in ev.cell_temporal_autocorr(
+        df, res=4, period_s=86400).collect()}
+    assert len(got) == 2
+    vals = sorted((r.n_pairs, r.r1) for r in got.values())
+
+    def tree(xs, ys):
+        m = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        return float(m * sxy - sx * sy) / (
+            math.sqrt(float(m * sxx - sx * sx))
+            * math.sqrt(float(m * syy - sy * sy)))
+
+    # alternating (3,1,3)/(1,3,1): r ~ -1 through the same IEEE tree
+    want_neg = tree([3, 1, 3], [1, 3, 1])
+    want_pos = tree([1, 2, 3], [2, 3, 4])
+    assert any(r1 == want_neg for _, r1 in vals)
+    assert any(r1 == want_pos for _, r1 in vals)
+    assert abs(want_neg + 1.0) < 1e-12 and abs(want_pos - 1.0) < 1e-12
+    assert all(n == 3 for n, _ in vals)
+    # constant series -> NULL
+    const = spark.createDataFrame(
+        [(90.0, _ts(f"2024-01-0{d}T00:00:00")) for d in (1, 2, 3)],
+        "lon double, ts timestamp").withColumn("lat", F.lit(0.0))
+    [r] = ev.cell_temporal_autocorr(const, res=4, period_s=86400).collect()
+    assert r.r1 is None
+
+
+def test_cotravelers_handcase(spark):
+    # users 1,2 meet in 2 distinct buckets; 1,3 once; crowd bucket
+    # (users 10..19 all present) capped away
+    rows = [
+        (1, -179.0, _ts("2024-01-01T01:00:00")),
+        (2, -179.0, _ts("2024-01-01T02:00:00")),   # bucket 0 meet
+        (1, -150.0, _ts("2024-01-02T01:00:00")),
+        (2, -150.0, _ts("2024-01-02T01:30:00")),   # second meet
+        (3, -179.0, _ts("2024-01-01T03:00:00")),   # meets 1 once
+    ]
+    rows += [(10 + i, 0.0, _ts("2024-01-05T00:30:00")) for i in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, lon double, "
+                               "ts timestamp").withColumn("lat", F.lit(0.0))
+    got = {(r.user_a, r.user_b): r.n_meets for r in ev.cotravelers(
+        df, res=4, window_s=6 * 3600, min_meets=2,
+        max_bucket_users=5).collect()}
+    assert got == {(1, 2): 2}
+    # without the cap the crowd pairs flood in at min_meets=1
+    uncapped = ev.cotravelers(df, res=4, window_s=6 * 3600,
+                              min_meets=1).collect()
+    assert len(uncapped) >= 45  # C(10,2) crowd pairs + the real ones
