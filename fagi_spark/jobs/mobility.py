@@ -7,7 +7,10 @@ analyzes MOVEMENT): the daily trajectory mart a fleet/mobility
 dashboard reads, as snapshot-committed stages —
 
     pings -> traversals (events.map_match vs a deterministic road grid)
-          -> stay points  -> OD flows -> per-user mobility summary
+          -> stay points -> OD flows
+          -> per-user behavioral profiles (gyration + routine + dwell
+             + teleport QA)
+          -> per-user mobility summary
 
 Run as
 
@@ -40,7 +43,7 @@ from fagi_spark import events, fuse
 from fagi_spark.checkpoint import CheckpointStore
 from fagi_spark.session import get_spark
 
-STAGES = ("pings", "traversals", "stays", "od", "summary")
+STAGES = ("pings", "traversals", "stays", "od", "profiles", "summary")
 T0_S = 1_704_067_200  # 2024-01-01T00:00:00Z
 
 
@@ -124,6 +127,34 @@ def run(spark, out: str, n_users: int, pings_per_user: int = 50,
                  "n_moves": F.sum("n_moves")})
     maybe_fail("od")
 
+    def profiles_df():
+        # per-user behavioral profile: home range (gyration), temporal
+        # routine, place time budget, and teleport data-quality count
+        # — the r4 mobility operators given a lifecycle home. Teleports
+        # use a finer grid (res+3) and a 1-cell/60s bound so the synth
+        # jitter's largest jumps flag while ordinary drift does not.
+        rg = events.radius_of_gyration(pings, res)
+        rt = events.routine_index(pings).select(
+            "user_id", "top_weekday", "top_hour", "routine_frac")
+        dw = (events.dwell_times(pings, res)
+              .groupBy("user_id")
+              .agg(F.sum("dwell_s").alias("total_dwell_s"),
+                   F.count(F.lit(1)).alias("n_dwell_cells")))
+        tp = (events.teleport_flags(pings, res + 3, 1, 60)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_teleports")))
+        return (rg.join(rt, "user_id")
+                .join(dw, "user_id", "left")
+                .join(tp, "user_id", "left")
+                .fillna(0, ["total_dwell_s", "n_dwell_cells",
+                            "n_teleports"]))
+
+    profiles = store.run_stage(
+        spark, "profiles", profiles_df,
+        observe={"n_users": F.count(F.lit(1)),
+                 "n_teleports": F.sum("n_teleports")})
+    maybe_fail("profiles")
+
     def summary_df():
         return (trav.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_traversals"),
@@ -142,7 +173,8 @@ def run(spark, out: str, n_users: int, pings_per_user: int = 50,
     maybe_fail("summary")
 
     return {"pings": pings, "traversals": trav, "stays": stays,
-            "od": od, "summary": summary, "store": store}
+            "od": od, "profiles": profiles, "summary": summary,
+            "store": store}
 
 
 def main(argv=None):

@@ -351,10 +351,17 @@ def test_mobility_job_fail_after_resumes_and_matches_fresh(spark, tmp_path):
 
     fresh = mobility.run(spark, str(tmp_path / "mob2"),
                          n_users=40, pings_per_user=25)
-    for layer in ("traversals", "stays", "od", "summary"):
+    for layer in ("traversals", "stays", "od", "profiles", "summary"):
         a = sorted(map(tuple, res[layer].collect()))
         b = sorted(map(tuple, fresh[layer].collect()))
         assert a == b, layer
+
+    # profile invariants: one row per user, sane ranges
+    prof = res["profiles"].collect()
+    assert len(prof) == 40
+    for p in prof:
+        assert p.rg_cells >= 0.0 and 0.0 < p.routine_frac <= 1.0
+        assert p.n_teleports >= 0 and p.total_dwell_s >= 0
 
     n_pings = res["pings"].count()
     snapped = res["traversals"].agg(F.sum("n_pings")).first()[0] or 0
