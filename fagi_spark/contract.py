@@ -7524,6 +7524,50 @@ O_EVENTS_COTRAVELERS = _o_cotravelers(_COTRAV_RES, _COTRAV_WIN,
                                       _COTRAV_MIN, _COTRAV_CAP)
 
 
+_DRIFT_TOP = 60
+
+
+def q_doc_vocab_drift(spark, sf_dir):
+    """Cross-snapshot vocabulary drift (textops.vocab_drift, top-60
+    per snapshot, period = doc_id % 8): adjacent-snapshot Jaccard of
+    the deterministic head vocabularies — inclusion-exclusion over
+    exact BIGINTs, one division."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snap", F.col("doc_id") % _TREND_PERIODS)
+    return textops.vocab_drift(docs, "snap", top_n=_DRIFT_TOP)
+
+
+def _o_vocab_drift(nper: int, top_n: int) -> str:
+    return f"""WITH toks AS (
+  SELECT p, t FROM (
+    SELECT CAST(doc_id % {nper} AS BIGINT) AS p,
+           UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+freq AS (SELECT p, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+head AS MATERIALIZED (
+  SELECT p, t FROM (
+    SELECT p, t, ROW_NUMBER() OVER (PARTITION BY p
+             ORDER BY c DESC, t ASC) AS rk
+    FROM freq)
+  WHERE rk <= {top_n}),
+sz AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM head GROUP BY 1),
+sh AS (SELECT a.p AS pa, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM head a JOIN head b ON b.p = a.p + 1 AND b.t = a.t
+       GROUP BY 1)
+SELECT na.p AS period_a, CAST(na.p + 1 AS BIGINT) AS period_b,
+       na.n AS n_a, nb.n AS n_b,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+         / CAST(na.n + nb.n - COALESCE(sh.n_shared, 0) AS DOUBLE)
+         AS jaccard
+FROM sz na JOIN sz nb ON nb.p = na.p + 1
+LEFT JOIN sh ON sh.pa = na.p"""
+
+
+O_DOC_VOCAB_DRIFT = _o_vocab_drift(_TREND_PERIODS, _DRIFT_TOP)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8148,6 +8192,7 @@ QUERIES = {
     "doc_negative_edges": q_doc_negative_edges,
     "events_autocorr": q_events_autocorr,
     "events_cotravelers": q_events_cotravelers,
+    "doc_vocab_drift": q_doc_vocab_drift,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8366,6 +8411,7 @@ ORACLES = {
     "doc_negative_edges": O_DOC_NEGATIVE_EDGES,
     "events_autocorr": O_EVENTS_AUTOCORR,
     "events_cotravelers": O_EVENTS_COTRAVELERS,
+    "doc_vocab_drift": O_DOC_VOCAB_DRIFT,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

@@ -1624,3 +1624,59 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
              - F.col("chance_pairs")).cast("double") / den.cast("double")
     return j.select("n_rows", "n_agree", "chance_pairs",
                     F.when(den != 0, kappa).alias("kappa"))
+
+
+def vocab_drift(df: DataFrame, period_col: str, top_n: int = 100,
+                text: str = "text") -> DataFrame:
+    """Cross-snapshot vocabulary drift: Jaccard overlap of the top-N
+    token vocabularies of ADJACENT corpus snapshots — the one-line
+    answer to "did dump 42 change character" before any model sees it
+    (a drifting crawl shifts its head vocabulary; trending_terms says
+    WHICH tokens, this says HOW MUCH overall).
+
+    Per period the top-N is deterministic ((freq DESC, token ASC) —
+    the vocab_coverage cutoff rule) via a PARTITIONED window over the
+    per-period frequency rollup; adjacent periods meet in a token
+    equi-join and Jaccard is inclusion-exclusion over exact BIGINTs,
+    one division. Periods shorter than N tokens use their full
+    vocabulary (sizes reported).
+
+    Returns (period_a, period_b, n_a, n_b, n_shared, jaccard) for
+    each adjacent (p, p+1) pair present in the data.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(period_col).cast("long").alias("_p"),
+        F.explode(F.filter(F.split(F.coalesce(F.col(text), F.lit("")), " "),
+                           lambda t: t != "")).alias("_t"))
+    freq = toks.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("_p").orderBy(F.col("_c").desc(),
+                                         F.col("_t").asc())
+    head = (freq.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(top_n))
+            .select("_p", "_t"))
+    sizes = head.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+    a = head.select(F.col("_p").alias("period_a"), "_t")
+    b = head.select((F.col("_p") - 1).alias("period_a"),
+                    F.col("_t").alias("_t2"))
+    shared = (a.join(b, (a["period_a"] == b["period_a"])
+                     & (a["_t"] == b["_t2"]))
+              .groupBy(a["period_a"])
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    na = sizes.select(F.col("_p").alias("period_a"),
+                      F.col("_n").alias("n_a"))
+    nb = sizes.select((F.col("_p") - 1).alias("period_a"),
+                      F.col("_n").alias("n_b"))
+    return (na.join(nb, "period_a")
+            .join(shared, "period_a", "left")
+            .select(F.col("period_a").cast("long"),
+                    (F.col("period_a") + 1).cast("long").alias("period_b"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.coalesce("n_shared", F.lit(0).cast("long"))
+                    .alias("n_shared"))
+            .withColumn("jaccard",
+                        F.col("n_shared").cast("double")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_shared")).cast("double")))

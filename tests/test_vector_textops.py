@@ -1085,3 +1085,27 @@ def test_cohens_kappa_handcase(spark):
     one = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
     [r] = textops.cohens_kappa(one, "a", "b").collect()
     assert r.kappa is None
+
+
+def test_vocab_drift_handcase(spark):
+    from fagi_spark import textops
+
+    # period 0 head (top-2): a, b; period 1: b, c; period 2: x, y
+    rows = [
+        (0, "a a a b b z"),
+        (1, "b b b c c a"),
+        (2, "x x y y q")]
+    df = spark.createDataFrame(rows, "snap long, text string")
+    got = {(r.period_a, r.period_b): r for r in
+           textops.vocab_drift(df, "snap", top_n=2).collect()}
+    assert set(got) == {(0, 1), (1, 2)}
+    r01 = got[(0, 1)]
+    assert (r01.n_a, r01.n_b, r01.n_shared) == (2, 2, 1)  # share 'b'
+    assert r01.jaccard == 1.0 / 3.0
+    r12 = got[(1, 2)]
+    assert r12.n_shared == 0 and r12.jaccard == 0.0
+    # short period: fewer than top_n types uses the full vocab
+    rows2 = [(0, "a b"), (1, "a b")]
+    df2 = spark.createDataFrame(rows2, "snap long, text string")
+    [r] = textops.vocab_drift(df2, "snap", top_n=10).collect()
+    assert (r.n_a, r.n_b, r.n_shared, r.jaccard) == (2, 2, 2, 1.0)
