@@ -7568,6 +7568,50 @@ LEFT JOIN sh ON sh.pa = na.p"""
 O_DOC_VOCAB_DRIFT = _o_vocab_drift(_TREND_PERIODS, _DRIFT_TOP)
 
 
+def q_embed_centroids(spark, sf_dir):
+    """Per-class embedding centroids (vector.label_centroids): scalar
+    (label, dim, mean) rows, each mean a vec_id-ordered IEEE fold /
+    count — the class-geometry QA frame."""
+    from . import vector
+    return vector.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+O_EMBED_CENTROIDS = """WITH ex AS (
+  SELECT label AS l, vec_id AS k, i - 1 AS dim_idx,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT label, vec_id, embedding,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+        FROM embeddings WHERE embedding IS NOT NULL))
+SELECT l AS label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         LIST(v ORDER BY k)), (acc, x) -> acc + x)
+         / CAST(COUNT(*) AS DOUBLE) AS mean
+FROM ex GROUP BY l, dim_idx"""
+
+
+def q_embed_separation(spark, sf_dir):
+    """Class-centroid separability matrix (vector.centroid_separation
+    over label_centroids): pairwise Euclidean distances, squared
+    diffs folded in dim order, one sqrt — 45 rows for the 10-label
+    fixture."""
+    from . import vector
+    cent = vector.label_centroids(_t(spark, sf_dir, "embeddings"))
+    return vector.centroid_separation(cent)
+
+
+O_EMBED_SEPARATION = f"""WITH cent AS MATERIALIZED ({O_EMBED_CENTROIDS}),
+pr AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.dim_idx,
+         (a.mean - b.mean) * (a.mean - b.mean) AS q
+  FROM cent a JOIN cent b
+    ON b.dim_idx = a.dim_idx AND a.label < b.label)
+SELECT label_a, label_b,
+       SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         LIST(q ORDER BY dim_idx)), (acc, x) -> acc + x)) AS dist
+FROM pr GROUP BY label_a, label_b"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8193,6 +8237,8 @@ QUERIES = {
     "events_autocorr": q_events_autocorr,
     "events_cotravelers": q_events_cotravelers,
     "doc_vocab_drift": q_doc_vocab_drift,
+    "embed_label_centroids": q_embed_centroids,
+    "embed_label_separation": q_embed_separation,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8412,6 +8458,8 @@ ORACLES = {
     "events_autocorr": O_EVENTS_AUTOCORR,
     "events_cotravelers": O_EVENTS_COTRAVELERS,
     "doc_vocab_drift": O_DOC_VOCAB_DRIFT,
+    "embed_label_centroids": O_EMBED_CENTROIDS,
+    "embed_label_separation": O_EMBED_SEPARATION,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

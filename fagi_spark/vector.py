@@ -600,3 +600,64 @@ def norm_report(emb: DataFrame, lo: float = 0.9, hi: float = 1.1,
         nn.alias("norm"),
         F.when(F.col(vec).isNotNull(),
                (nn >= float(lo)) & (nn <= float(hi))).alias("in_range"))
+
+
+def label_centroids(emb: DataFrame, key: str = "vec_id",
+                    vec: str = "embedding",
+                    label: str = "label") -> DataFrame:
+    """Per-class embedding centroids as SCALAR (label, dim, mean)
+    rows — the class-geometry report behind "are my labels separable
+    before I train" and drift checks between embedding versions.
+    NULL embeddings drop (stated).
+
+    Exactness: each (label, dim) mean folds its values in vec_id
+    order (F.aggregate over the sorted (key, value) list — the
+    repo's IEEE-fold rule), so the float is reproducible and
+    SQL-mirrorable; the explode is one posexplode (rows x dims) with
+    a single (label, dim) rollup behind it. Per-label row counts
+    ride along.
+
+    Returns (label, dim_idx, n_vecs, mean).
+    """
+    ex = (emb.filter(F.col(vec).isNotNull())
+          .select(F.col(label).alias("_l"), F.col(key).alias("_k"),
+                  F.posexplode(F.col(vec)).alias("dim_idx", "_v")))
+    return (ex.groupBy("_l", "dim_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct("_k", F.col("_v").cast("double")
+                                  .alias("_d")))),
+                     F.lit(0.0), lambda acc, x: acc + x["_d"])
+                 .alias("_s"))
+            .select(F.col("_l").alias("label"),
+                    F.col("dim_idx").cast("long").alias("dim_idx"),
+                    "n_vecs",
+                    (F.col("_s") / F.col("n_vecs").cast("double"))
+                    .alias("mean")))
+
+
+def centroid_separation(centroids: DataFrame) -> DataFrame:
+    """Pairwise Euclidean distances between class centroids (input =
+    label_centroids output): the separability matrix — near-zero
+    separation between two labels predicts confusion before any
+    classifier run. Per-pair squared diffs fold in dim order (the
+    same IEEE-fold rule), one sqrt.
+
+    Returns (label_a, label_b, dist) with label_a < label_b.
+    """
+    a = centroids.select(F.col("label").alias("label_a"), "dim_idx",
+                         F.col("mean").alias("_ma"))
+    b = centroids.select(F.col("label").alias("label_b"),
+                         F.col("dim_idx").alias("_d2"),
+                         F.col("mean").alias("_mb"))
+    j = (a.join(b, (a["dim_idx"] == b["_d2"])
+                & (a["label_a"] < b["label_b"]))
+         .select("label_a", "label_b", "dim_idx",
+                 ((F.col("_ma") - F.col("_mb"))
+                  * (F.col("_ma") - F.col("_mb"))).alias("_q")))
+    return (j.groupBy("label_a", "label_b")
+            .agg(F.sqrt(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "_q"))),
+                F.lit(0.0), lambda acc, x: acc + x["_q"]))
+                .alias("dist")))

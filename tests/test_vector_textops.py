@@ -1109,3 +1109,34 @@ def test_vocab_drift_handcase(spark):
     df2 = spark.createDataFrame(rows2, "snap long, text string")
     [r] = textops.vocab_drift(df2, "snap", top_n=10).collect()
     assert (r.n_a, r.n_b, r.n_shared, r.jaccard) == (2, 2, 2, 1.0)
+
+
+def test_label_centroids_and_separation(spark):
+    import math
+    import numpy as np
+    from fagi_spark import vector
+
+    rows = [(0, 0, [1.0, 0.0]), (1, 0, [3.0, 0.0]),   # label 0: mean (2, 0)
+            (2, 1, [0.0, 4.0]), (3, 1, [0.0, 6.0]),   # label 1: mean (0, 5)
+            (4, 2, None)]                             # null drops
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    cent = {(r.label, r.dim_idx): r for r in
+            vector.label_centroids(df).collect()}
+    assert cent[(0, 0)].mean == 2.0 and cent[(0, 1)].mean == 0.0
+    assert cent[(1, 0)].mean == 0.0 and cent[(1, 1)].mean == 5.0
+    assert all(r.n_vecs == 2 for r in cent.values())
+    assert not any(lab == 2 for lab, _ in cent)
+    [d] = vector.centroid_separation(
+        vector.label_centroids(df)).collect()
+    assert (d.label_a, d.label_b) == (0, 1)
+    assert d.dist == math.sqrt((2.0 - 0.0) ** 2 + (0.0 - 5.0) ** 2)
+    # fold-order determinism on a larger random set: same result twice
+    rng = np.random.RandomState(5)
+    big = spark.createDataFrame(
+        [(i, int(i % 3), [float(x) for x in rng.rand(8)])
+         for i in range(60)],
+        "vec_id long, label int, embedding array<float>")
+    a = sorted(map(tuple, vector.label_centroids(big).collect()))
+    b = sorted(map(tuple, vector.label_centroids(big).collect()))
+    assert a == b
