@@ -7612,6 +7612,41 @@ SELECT label_a, label_b,
 FROM pr GROUP BY label_a, label_b"""
 
 
+def q_embed_scatter(spark, sf_dir):
+    """Within-class scatter (vector.class_scatter): per-label mean
+    squared distance to the own centroid — the Fisher-denominator
+    companion to embed_label_separation; double IEEE fold (dims then
+    vec_ids) mirrored by nested LIST_REDUCEs."""
+    from . import vector
+    return vector.class_scatter(_t(spark, sf_dir, "embeddings"))
+
+
+O_EMBED_SCATTER = f"""WITH cent AS MATERIALIZED ({O_EMBED_CENTROIDS}),
+ex AS (
+  SELECT label AS l, vec_id AS k, i - 1 AS dim_idx,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT label, vec_id, embedding,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)),
+q AS (
+  SELECT ex.l, ex.k, ex.dim_idx,
+         (ex.v - cent.mean) * (ex.v - cent.mean) AS q
+  FROM ex JOIN cent ON cent.label = ex.l
+                   AND cent.dim_idx = ex.dim_idx),
+pv AS MATERIALIZED (
+  SELECT l, k,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(q ORDER BY dim_idx)), (acc, x) -> acc + x) AS d2
+  FROM q GROUP BY l, k)
+SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         LIST(d2 ORDER BY k)), (acc, x) -> acc + x) AS wss,
+       LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         LIST(d2 ORDER BY k)), (acc, x) -> acc + x)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_d2
+FROM pv GROUP BY l"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8239,6 +8274,7 @@ QUERIES = {
     "doc_vocab_drift": q_doc_vocab_drift,
     "embed_label_centroids": q_embed_centroids,
     "embed_label_separation": q_embed_separation,
+    "embed_class_scatter": q_embed_scatter,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8460,6 +8496,7 @@ ORACLES = {
     "doc_vocab_drift": O_DOC_VOCAB_DRIFT,
     "embed_label_centroids": O_EMBED_CENTROIDS,
     "embed_label_separation": O_EMBED_SEPARATION,
+    "embed_class_scatter": O_EMBED_SCATTER,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

@@ -661,3 +661,49 @@ def centroid_separation(centroids: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim_idx", "_q"))),
                 F.lit(0.0), lambda acc, x: acc + x["_q"]))
                 .alias("dist")))
+
+
+def class_scatter(emb: DataFrame, key: str = "vec_id",
+                  vec: str = "embedding",
+                  label: str = "label") -> DataFrame:
+    """Within-class scatter per label — the denominator of a Fisher
+    separability read (centroid_separation gives the between-class
+    numerator): mean squared distance of each class's vectors to
+    their own centroid. A label whose scatter rivals its separation
+    from the nearest other centroid WILL confuse a classifier.
+
+    Double-fold exactness: each vector's squared distance to its
+    centroid folds the squared diffs in DIM order, and the class
+    total folds those distances in vec_id order — both under the
+    repo's IEEE-fold rule, so every float is SQL-mirrorable
+    (nested LIST_REDUCEs on the oracle side). Two passes over the
+    exploded frame (centroid rollup, then the join-back), shuffles
+    keyed on (label, dim) and (label, vec).
+
+    Returns (label, n_vecs, wss, mean_d2).
+    """
+    cent = label_centroids(emb, key=key, vec=vec, label=label)
+    ex = (emb.filter(F.col(vec).isNotNull())
+          .select(F.col(label).alias("_l"), F.col(key).alias("_k"),
+                  F.posexplode(F.col(vec)).alias("dim_idx", "_v")))
+    j = (ex.join(cent.select(F.col("label").alias("_l"), "dim_idx",
+                             "mean"),
+                 ["_l", "dim_idx"])
+         .select("_l", "_k", "dim_idx",
+                 ((F.col("_v").cast("double") - F.col("mean"))
+                  * (F.col("_v").cast("double") - F.col("mean")))
+                 .alias("_q")))
+    per_vec = (j.groupBy("_l", "_k")
+               .agg(F.aggregate(
+                   F.array_sort(F.collect_list(F.struct("dim_idx", "_q"))),
+                   F.lit(0.0), lambda acc, x: acc + x["_q"])
+                   .alias("_d2")))
+    return (per_vec.groupBy("_l")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("_k", "_d2"))),
+                     F.lit(0.0), lambda acc, x: acc + x["_d2"])
+                 .alias("wss"))
+            .select(F.col("_l").alias("label"), "n_vecs", "wss",
+                    (F.col("wss") / F.col("n_vecs").cast("double"))
+                    .alias("mean_d2")))

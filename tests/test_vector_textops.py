@@ -1140,3 +1140,18 @@ def test_label_centroids_and_separation(spark):
     a = sorted(map(tuple, vector.label_centroids(big).collect()))
     b = sorted(map(tuple, vector.label_centroids(big).collect()))
     assert a == b
+
+
+def test_class_scatter_handcase(spark):
+    from fagi_spark import vector
+
+    # label 0: vectors (1,0) and (3,0), centroid (2,0): each d2 = 1
+    # label 1: identical vectors -> scatter 0
+    rows = [(0, 0, [1.0, 0.0]), (1, 0, [3.0, 0.0]),
+            (2, 1, [5.0, 5.0]), (3, 1, [5.0, 5.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    got = {r.label: r for r in vector.class_scatter(df).collect()}
+    assert got[0].n_vecs == 2 and got[0].wss == 2.0
+    assert got[0].mean_d2 == 1.0
+    assert got[1].wss == 0.0 and got[1].mean_d2 == 0.0
