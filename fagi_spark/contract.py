@@ -7647,6 +7647,69 @@ SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
 FROM pv GROUP BY l"""
 
 
+def q_events_place_conc(spark, sf_dir):
+    """Per-user top-2 place concentration
+    (events.place_concentration, res 6): WindowGroupLimit top-k with
+    the deterministic (count DESC, cell ASC) order; one division."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "user_id")
+    return ev.place_concentration(pts, res=6, top_k=2)
+
+
+def _o_place_conc(res: int, top_k: int) -> str:
+    return f"""WITH c AS MATERIALIZED (
+  SELECT user_id,
+         {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, res)} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+top AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS top_count
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY c DESC, cell ASC) AS rk FROM c)
+  WHERE rk <= {top_k} GROUP BY 1),
+tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_pings,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM c GROUP BY 1)
+SELECT tot.user_id, n_pings, n_cells, top_count,
+       CAST(top_count AS DOUBLE) / CAST(n_pings AS DOUBLE) AS top_frac
+FROM tot JOIN top ON top.user_id = tot.user_id"""
+
+
+O_EVENTS_PLACE_CONC = _o_place_conc(6, 2)
+
+
+def q_embed_fisher(spark, sf_dir):
+    """Fisher-style separability report — pure COMPOSITION of
+    embed_label_separation and embed_class_scatter: per label pair,
+    ratio = dist^2 / (mean_d2_a + mean_d2_b); > 1 means the classes
+    sit farther apart than their own spreads. No new engine code;
+    the ratio's float tree ((d*d) / (sa + sb)) is mirrored."""
+    from . import vector
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vector.label_centroids(emb)
+    sep = vector.centroid_separation(cent)
+    sc = vector.class_scatter(emb)
+    sa = sc.select(F.col("label").alias("label_a"),
+                   F.col("mean_d2").alias("_sa"))
+    sb = sc.select(F.col("label").alias("label_b"),
+                   F.col("mean_d2").alias("_sb"))
+    return (sep.join(sa, "label_a").join(sb, "label_b")
+            .select("label_a", "label_b", "dist",
+                    ((F.col("dist") * F.col("dist"))
+                     / (F.col("_sa") + F.col("_sb")))
+                    .alias("fisher_ratio")))
+
+
+O_EMBED_FISHER = f"""WITH sep AS MATERIALIZED ({O_EMBED_SEPARATION}),
+sc AS MATERIALIZED ({O_EMBED_SCATTER})
+SELECT sep.label_a, sep.label_b, sep.dist,
+       (sep.dist * sep.dist) / (sa.mean_d2 + sb.mean_d2)
+         AS fisher_ratio
+FROM sep
+JOIN sc sa ON sa.label = sep.label_a
+JOIN sc sb ON sb.label = sep.label_b"""
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8275,6 +8338,8 @@ QUERIES = {
     "embed_label_centroids": q_embed_centroids,
     "embed_label_separation": q_embed_separation,
     "embed_class_scatter": q_embed_scatter,
+    "embed_fisher_ratio": q_embed_fisher,
+    "events_place_conc": q_events_place_conc,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8497,6 +8562,8 @@ ORACLES = {
     "embed_label_centroids": O_EMBED_CENTROIDS,
     "embed_label_separation": O_EMBED_SEPARATION,
     "embed_class_scatter": O_EMBED_SCATTER,
+    "embed_fisher_ratio": O_EMBED_FISHER,
+    "events_place_conc": O_EVENTS_PLACE_CONC,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

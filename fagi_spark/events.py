@@ -1808,3 +1808,42 @@ def cotravelers(events: DataFrame, res: int, window_s: int,
             .groupBy("user_a", "user_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_meets"))
             .filter(F.col("n_meets") >= int(min_meets)))
+
+
+def place_concentration(events: DataFrame, res: int, top_k: int = 2,
+                        user: str = "user_id", lon: str = "lon",
+                        lat: str = "lat") -> DataFrame:
+    """Per-user place concentration: the share of a user's pings
+    falling in their ``top_k`` most-visited cells — the Song-et-al
+    predictability proxy (humans: top-2 places cover ~80%+; a
+    location-spoofing bot or a delivery fleet spreads flat). The
+    spatial sibling of routine_index's time-bucket share and the
+    count-based complement of dwell_times' seconds.
+
+    One (user, cell) rollup, a WindowGroupLimit top-k per user with
+    the deterministic (count DESC, cell ASC) order, one division.
+
+    Returns (user_id, n_pings, n_cells, top_count, top_frac).
+    """
+    from . import cells
+
+    base = cells.with_cell(
+        events.select(F.col(user).alias("user_id"),
+                      F.col(lon).alias("_x"), F.col(lat).alias("_y")),
+        res, lon="_x", lat="_y")
+    cnt = (base.groupBy("user_id", "cell")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy("user_id").orderBy(F.col("_c").desc(),
+                                              F.col("cell").asc())
+    top = (cnt.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= int(top_k))
+           .groupBy("user_id")
+           .agg(F.sum("_c").cast("long").alias("top_count")))
+    tot = (cnt.groupBy("user_id")
+           .agg(F.sum("_c").cast("long").alias("n_pings"),
+                F.count(F.lit(1)).cast("long").alias("n_cells")))
+    return (tot.join(top, "user_id")
+            .select("user_id", "n_pings", "n_cells", "top_count",
+                    (F.col("top_count").cast("double")
+                     / F.col("n_pings").cast("double"))
+                    .alias("top_frac")))

@@ -986,3 +986,20 @@ def test_cotravelers_handcase(spark):
     uncapped = ev.cotravelers(df, res=4, window_s=6 * 3600,
                               min_meets=1).collect()
     assert len(uncapped) >= 45  # C(10,2) crowd pairs + the real ones
+
+
+def test_place_concentration_handcase(spark):
+    # user 1: cells A x3, B x2, C x1 -> top-2 share 5/6;
+    # user 2: one cell -> 1.0
+    rows = ([(1, -179.0)] * 3 + [(1, -150.0)] * 2 + [(1, -120.0)]
+            + [(2, 0.0)] * 4)
+    df = spark.createDataFrame(rows, "user_id long, lon double") \
+        .withColumn("lat", F.lit(0.0)) \
+        .withColumn("ts", F.lit(_ts("2024-01-01T00:00:00")))
+    got = {r.user_id: r for r in ev.place_concentration(
+        df, res=4, top_k=2).collect()}
+    r1 = got[1]
+    assert (r1.n_pings, r1.n_cells, r1.top_count) == (6, 3, 5)
+    assert r1.top_frac == 5.0 / 6.0
+    r2 = got[2]
+    assert (r2.n_cells, r2.top_frac) == (1, 1.0)
