@@ -979,3 +979,48 @@ def negative_edges(edges: DataFrame, n_nodes: int, per_node: int = 2,
             .filter(F.col("_rk") <= int(per_node))
             .select(F.col("a").alias("src"), F.col("b").alias("dst"),
                     F.col("_i").cast("long").alias("probe")))
+
+
+def graph_summary(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """One-row graph overview — the first thing anyone asks of a new
+    link dump: node/edge counts, density, average and maximum degree
+    over the canonical simple graph. All exact BIGINTs plus two
+    single divisions (avg_deg = 2m/n, density = 2m/(n(n-1))).
+
+    Returns (n_nodes, n_edges, max_degree, avg_degree, density);
+    ratios NULL for degenerate graphs (n < 2).
+    """
+    e = _canon_edges(edges, src, dst)
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    d = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.max("deg").cast("long").alias("max_degree"))
+    j = d.crossJoin(m)
+    return j.select(
+        "n_nodes", "n_edges", "max_degree",
+        F.when(F.col("n_nodes") > 0,
+               (F.lit(2) * F.col("n_edges")).cast("double")
+               / F.col("n_nodes").cast("double")).alias("avg_degree"),
+        F.when(F.col("n_nodes") >= 2,
+               (F.lit(2) * F.col("n_edges")).cast("double")
+               / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+               .cast("double")).alias("density"))
+
+
+def degree_distribution(edges: DataFrame, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Degree histogram of the canonical simple graph — the
+    power-law eyeball plot (and the input to any "is this crawl's
+    tail heavier than last month's" comparison). Two rollups, pure
+    integers. Returns (degree, n_nodes)."""
+    e = _canon_edges(edges, src, dst)
+    adj = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(F.col("degree").cast("long").alias("degree"),
+                    "n_nodes"))

@@ -7710,6 +7710,115 @@ JOIN sc sa ON sa.label = sep.label_a
 JOIN sc sb ON sb.label = sep.label_b"""
 
 
+def q_doc_graph_summary(spark, sf_dir):
+    """One-row graph overview (components.graph_summary) of the
+    ring+chords+clique planted graph: counts, max degree, and the
+    avg-degree/density single divisions."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 2) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    return components.graph_summary(e1.unionByName(e2).unionByName(cl))
+
+
+_GRAPH_E_CTE = """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) + 2) % (SELECT n FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+  FROM documents a JOIN documents b
+    ON a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)"""
+
+
+O_DOC_GRAPH_SUMMARY = f"""WITH {_GRAPH_E_CTE},
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(MAX(deg) AS BIGINT) AS max_degree FROM deg)
+SELECT n_nodes, n_edges, max_degree,
+       CASE WHEN n_nodes > 0 THEN
+         CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END
+         AS avg_degree,
+       CASE WHEN n_nodes >= 2 THEN
+         CAST(2 * n_edges AS DOUBLE)
+           / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END AS density
+FROM d, m"""
+
+
+def q_doc_degree_dist(spark, sf_dir):
+    """Degree histogram (components.degree_distribution) of the same
+    planted graph — pure-integer two-rollup chain."""
+    from . import components
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 2) % n).alias("dst"))
+    c = docs.filter(F.col("doc_id") < 20)
+    cl = (c.select(F.col("doc_id").alias("src"))
+          .join(c.select(F.col("doc_id").alias("dst")),
+                F.col("src") < F.col("dst")))
+    return components.degree_distribution(
+        e1.unionByName(e2).unionByName(cl))
+
+
+O_DOC_DEGREE_DIST = f"""WITH {_GRAPH_E_CTE}
+SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1"""
+
+
+def q_events_jumps(spark, sf_dir):
+    """Jump-length distribution (events.jump_lengths, res 12):
+    histogram of per-transition Chebyshev cell distances — exact
+    integers, one lag window + one rollup."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.jump_lengths(pts, res=12)
+
+
+def _o_events_jumps(res: int) -> str:
+    ix = cells.sql_ix(_EV_LON_SQL, res)
+    iy = cells.sql_iy(_EV_LAT_SQL, res)
+    return f"""WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {ix} AS ix, {iy} AS iy
+  FROM events),
+t AS (
+  SELECT GREATEST(ABS(ix - LAG(ix) OVER w), ABS(iy - LAG(iy) OVER w))
+           AS j,
+         LAG(ix) OVER w AS pix
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT CAST(j AS BIGINT) AS jump_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM t WHERE pix IS NOT NULL GROUP BY 1"""
+
+
+O_EVENTS_JUMPS = _o_events_jumps(12)
+
+
 _RICH_KS = [2, 3, 4, 5, 20]
 
 
@@ -8340,6 +8449,9 @@ QUERIES = {
     "embed_class_scatter": q_embed_scatter,
     "embed_fisher_ratio": q_embed_fisher,
     "events_place_conc": q_events_place_conc,
+    "doc_graph_summary": q_doc_graph_summary,
+    "doc_degree_dist": q_doc_degree_dist,
+    "events_jump_lengths": q_events_jumps,
     "doc_bool_search": q_doc_bool_search,
     "doc_kappa": q_doc_kappa,
     "doc_vocab_coverage": q_doc_vocab_coverage,
@@ -8564,6 +8676,9 @@ ORACLES = {
     "embed_class_scatter": O_EMBED_SCATTER,
     "embed_fisher_ratio": O_EMBED_FISHER,
     "events_place_conc": O_EVENTS_PLACE_CONC,
+    "doc_graph_summary": O_DOC_GRAPH_SUMMARY,
+    "doc_degree_dist": O_DOC_DEGREE_DIST,
+    "events_jump_lengths": O_EVENTS_JUMPS,
     "doc_bool_search": O_DOC_BOOL_SEARCH,
     "doc_kappa": O_DOC_KAPPA,
     "doc_vocab_coverage": O_DOC_VOCAB_COVERAGE,

@@ -761,3 +761,21 @@ def test_negative_edges_properties(spark):
     # per-owner cap holds (owners are probe sources; a pair can recur
     # for two owners but each owner contributes <= per_node rows)
     assert len(got) <= 2 * n and len(got) > n // 2
+
+
+def test_graph_summary_and_degree_distribution(spark):
+    # 4-clique + pendant: n=5, m=7, degrees 4,4,4,3(x0)... compute:
+    # clique nodes 0-3 all deg 3 within; node 0 also links 4 -> deg 4
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [s] = components.graph_summary(df).collect()
+    assert (s.n_nodes, s.n_edges, s.max_degree) == (5, 7, 4)
+    assert s.avg_degree == 14.0 / 5.0
+    assert s.density == 14.0 / 20.0
+    dist = {r.degree: r.n_nodes for r in
+            components.degree_distribution(df).collect()}
+    assert dist == {4: 1, 3: 3, 1: 1}
+    # empty graph: NULL ratios
+    [s0] = components.graph_summary(
+        df.filter(F.lit(False))).collect()
+    assert s0.n_nodes == 0 and s0.avg_degree is None

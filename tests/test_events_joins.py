@@ -1003,3 +1003,20 @@ def test_place_concentration_handcase(spark):
     assert r1.top_frac == 5.0 / 6.0
     r2 = got[2]
     assert (r2.n_cells, r2.top_frac) == (1, 1.0)
+
+
+def test_jump_lengths_handcase(spark):
+    # user hops 0, 1, 1, 3 cells (res 4, 22.5-deg cells)
+    rows = [
+        (1, 0, -180.0 + 22.5 * 0, _ts("2024-01-01T00:00:00")),
+        (1, 1, -180.0 + 22.5 * 0, _ts("2024-01-01T00:01:00")),  # 0
+        (1, 2, -180.0 + 22.5 * 1, _ts("2024-01-01T00:02:00")),  # 1
+        (1, 3, -180.0 + 22.5 * 2, _ts("2024-01-01T00:03:00")),  # 1
+        (1, 4, -180.0 + 22.5 * 5, _ts("2024-01-01T00:04:00")),  # 3
+        (2, 5, 0.0, _ts("2024-01-01T00:00:00"))]                # lone
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lon double, ts timestamp") \
+        .withColumn("lat", F.lit(0.0))
+    got = {r.jump_cells: r.n_moves for r in
+           ev.jump_lengths(df, res=4).collect()}
+    assert got == {0: 1, 1: 2, 3: 1}
