@@ -7647,6 +7647,55 @@ SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
 FROM pv GROUP BY l"""
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means (vector.kmeans_fixed_assign,
+    k=4, two assignment rounds with one centroid update between
+    them) — the deterministic corpus-sharding clustering
+    (GeoClusterer.java:186-258 is the reference's EM analog shape).
+    Seeds are the k smallest vec_ids (no RNG); every distance is the
+    dim-order IEEE left fold, ties break to the smaller cluster id
+    via lexicographic min(struct(dist2, cid)); centroid means fold
+    member values in vec_id order (label_centroids' rule). The
+    dist2 float IS value-compared."""
+    from . import vector
+    out = vector.kmeans_fixed_assign(_t(spark, sf_dir, "embeddings"),
+                                     k=4, n_iter=2)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "cluster", "dist2")
+
+
+_KM_D2 = ("LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, 1 + len(v)), "
+          "i -> (v[i] - {c}[i]) * (v[i] - {c}[i]))), (acc, x) -> acc + x)")
+
+O_EMBED_KMEANS = f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+km_seeds AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM e ORDER BY vec_id LIMIT 4),
+a0 AS MATERIALIZED (
+  SELECT vec_id,
+         MIN(struct_pack(d := {_KM_D2.format(c='c')}, c := cid)) AS m
+  FROM e CROSS JOIN km_seeds GROUP BY vec_id),
+km_m1 AS MATERIALIZED (
+  SELECT m.c AS cid, LIST(v ORDER BY e.vec_id) AS vs,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM a0 JOIN e ON a0.vec_id = e.vec_id
+  GROUP BY m.c),
+km_c1 AS MATERIALIZED (
+  SELECT cid,
+         list_transform(range(1, 1 + len(vs[1])), d ->
+           LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+             list_transform(vs, ve -> ve[d])), (acc, x) -> acc + x) / n) AS c
+  FROM km_m1)
+SELECT e.vec_id,
+       CAST(MIN(struct_pack(d := {_KM_D2.format(c='c')}, c := cid)).c
+            AS BIGINT) AS cluster,
+       MIN(struct_pack(d := {_KM_D2.format(c='c')}, c := cid)).d AS dist2
+FROM e CROSS JOIN km_c1 GROUP BY e.vec_id"""
+
+
 def q_events_place_conc(spark, sf_dir):
     """Per-user top-2 place concentration
     (events.place_concentration, res 6): WindowGroupLimit top-k with
@@ -8447,6 +8496,7 @@ QUERIES = {
     "embed_label_centroids": q_embed_centroids,
     "embed_label_separation": q_embed_separation,
     "embed_class_scatter": q_embed_scatter,
+    "embed_kmeans": q_embed_kmeans,
     "embed_fisher_ratio": q_embed_fisher,
     "events_place_conc": q_events_place_conc,
     "doc_graph_summary": q_doc_graph_summary,
@@ -8674,6 +8724,7 @@ ORACLES = {
     "embed_label_centroids": O_EMBED_CENTROIDS,
     "embed_label_separation": O_EMBED_SEPARATION,
     "embed_class_scatter": O_EMBED_SCATTER,
+    "embed_kmeans": O_EMBED_KMEANS,
     "embed_fisher_ratio": O_EMBED_FISHER,
     "events_place_conc": O_EVENTS_PLACE_CONC,
     "doc_graph_summary": O_DOC_GRAPH_SUMMARY,

@@ -707,3 +707,86 @@ def class_scatter(emb: DataFrame, key: str = "vec_id",
             .select(F.col("_l").alias("label"), "n_vecs", "wss",
                     (F.col("wss") / F.col("n_vecs").cast("double"))
                     .alias("mean_d2")))
+
+
+def _sq_dist2(vec_col, cent_col):
+    """Squared Euclidean distance: per-dim squared diffs in dim order,
+    folded left in double (the repo's IEEE-fold rule — mirrored by
+    LIST_REDUCE(LIST_PREPEND(0.0, ...)) on the oracle side)."""
+    return F.aggregate(
+        F.zip_with(vec_col, cent_col,
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_fixed_assign(emb: DataFrame, k: int = 4, n_iter: int = 2,
+                        key: str = "vec_id",
+                        vec: str = "embedding") -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    deterministic clustering twin of ivf_centroids' sampled build
+    (GeoClusterer.java's EM loop is the reference's analog shape;
+    here the vector-space version a curation pipeline uses to carve
+    a corpus into k topical shards).
+
+    Deterministic and value-exact by construction:
+      - seeds = the embeddings of the k smallest keys (cluster id =
+        seed rank), so no RNG;
+      - assignment = argmin over clusters of the dim-order left-fold
+        squared distance, ties broken by smaller cluster id via a
+        lexicographic min(struct(dist2, cid)) — float comparisons
+        only ever DECIDE here, and both sides compute bit-identical
+        distances;
+      - update = per-(cluster, dim) mean folding member values in
+        key order (label_centroids' rule), one division.
+
+    Scale shape: centroids are k rows — every assignment is a
+    broadcast nested-loop against a k-row local array (collected
+    per-iteration, O(k * dim) driver bytes, bounded by design like
+    ivf_centroids); each update is one (cluster, dim) hash shuffle.
+    ``n_iter`` assignment rounds with ``n_iter - 1`` updates between
+    them; iterations are bounded (this is the fixed-round contract
+    variant, not a convergence loop).
+
+    Returns (key, cluster, dist2) for the final assignment.
+    """
+    e = (emb.filter(F.col(vec).isNotNull())
+         .select(F.col(key).alias("_k"),
+                 F.col(vec).cast("array<double>").alias("_v")))
+
+    seeds = (e.orderBy("_k").limit(k)
+             .select("_k", F.col("_v").alias("_c"))
+             .withColumn("cid", F.row_number().over(
+                 Window.orderBy("_k")) - 1)
+             .select("cid", "_c"))
+
+    def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        j = frame.crossJoin(F.broadcast(cents)).select(
+            "_k", "_v", "cid", _sq_dist2(F.col("_v"), F.col("_c")).alias("_d2"))
+        return (j.groupBy("_k")
+                .agg(F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_m"),
+                     F.first("_v").alias("_v"))
+                .select("_k", "_v", F.col("_m._d2").alias("dist2"),
+                        F.col("_m.cid").alias("cluster")))
+
+    def update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select("cluster", "_k",
+                             F.posexplode("_v").alias("_d", "_x"))
+        dim_means = (ex.groupBy("cluster", "_d")
+                     .agg((F.aggregate(
+                         F.array_sort(F.collect_list(
+                             F.struct("_k", F.col("_x").alias("_val")))),
+                         F.lit(0.0), lambda acc, s: acc + s["_val"])
+                         / F.count(F.lit(1)).cast("double")).alias("_m")))
+        return (dim_means.groupBy("cluster")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                    lambda s: s["_m"]).alias("_c"))
+                .select(F.col("cluster").alias("cid"), "_c"))
+
+    cents = seeds
+    assigned = assign(e, cents)
+    for _ in range(max(0, n_iter - 1)):
+        assigned = assign(e, update(assigned))
+    return assigned.select(F.col("_k").alias(key),
+                           F.col("cluster").cast("long").alias("cluster"),
+                           "dist2")

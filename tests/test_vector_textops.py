@@ -1155,3 +1155,33 @@ def test_class_scatter_handcase(spark):
     assert got[0].n_vecs == 2 and got[0].wss == 2.0
     assert got[0].mean_d2 == 1.0
     assert got[1].wss == 0.0 and got[1].mean_d2 == 0.0
+
+
+def test_kmeans_fixed_matches_numpy_lloyd(spark, emb):
+    import numpy as np
+
+    out = (vector.kmeans_fixed_assign(emb, k=4, n_iter=2)
+           .orderBy("vec_id").toPandas())
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    pdf = pdf[pdf.embedding.notnull()]
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    k = 4
+    C = V[:k]  # seeds = k smallest vec_ids (pdf already id-sorted)
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cl = d.argmin(axis=1)
+    keep = [c for c in range(k) if (cl == c).any()]
+    C2 = np.stack([V[cl == c].mean(axis=0) for c in keep])
+    d = ((V[:, None, :] - C2[None, :, :]) ** 2).sum(axis=2)
+    cl2 = np.array(keep)[d.argmin(axis=1)]
+    d22 = d[np.arange(len(V)), d.argmin(axis=1)]
+
+    assert len(out) == len(V)
+    ref = {i: (c, x) for i, c, x in zip(ids, cl2, d22)}
+    for r in out.itertuples():
+        c, x = ref[r.vec_id]
+        assert r.cluster == c
+        assert abs(r.dist2 - x) < 1e-9
+    # every cluster non-trivial on this fixture
+    assert out.cluster.nunique() >= 2
