@@ -1006,6 +1006,111 @@ FROM gaps WHERE SQRT(gx * gx + gy * gy) <= {rdeg}"""
 # (O_DWITHIN_JOIN is materialized after _dlit's definition below)
 
 
+def _seg_frames(spark, sf_dir):
+    """Integer-unit road-segment fixtures on the 0.01-degree grid:
+    A = one short way per customer, B = a denser conflation side on
+    every second key with its own offsets/deltas. B goes degenerate
+    (zero-length) when k%13==6 and k%9==4 — exercising the operator's
+    stated degenerate filter — and B turns horizontal at k%9==4,
+    planting collinear touch/overlap pairs against A's horizontal
+    ways (k%15==7)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 37) % 17000, (k * 53) % 8000 + 16
+    a = cust.select(
+        F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+        v.alias("x1"), w.alias("y1"),
+        (v + 3 + k % 11).alias("x2"), (w + (k % 15) - 7).alias("y2"))
+    bv, bw = v + k % 9, w + k % 7
+    b = cust.filter(k % 2 == 0).select(
+        F.concat(F.lit("place"), k.cast("string")).alias("subject"),
+        bv.alias("x1"), bw.alias("y1"),
+        (bv + (k % 13) - 6).alias("x2"), (bw + (k % 9) - 4).alias("y2"))
+    return a, b
+
+
+def q_segment_intersections(spark, sf_dir):
+    """Exact segment-intersection join (joins.segment_intersections):
+    PBSM cell-blocked candidates, report-once dedup, and a pure
+    whole-stage-codegen BIGINT predicate — proper crossings also emit
+    the intersection point as exact rationals (num/den, den > 0), so
+    every output column is integer-comparable (the segment-level
+    primitive under GeoClusterer.java:326-354's ST_Intersects class)."""
+    a, b = _seg_frames(spark, sf_dir)
+    return joins.segment_intersections(a, b, cell_w=32)
+
+
+_SEG_A_CTE = """seg_a AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         (c_custkey*37) % 17000 AS x1,
+         (c_custkey*53) % 8000 + 16 AS y1,
+         (c_custkey*37) % 17000 + 3 + c_custkey % 11 AS x2,
+         (c_custkey*53) % 8000 + 16 + (c_custkey % 15) - 7 AS y2
+  FROM customer)"""
+
+_SEG_B_CTE = """seg_b AS (
+  SELECT CONCAT('place', CAST(c_custkey AS STRING)) AS subject,
+         (c_custkey*37) % 17000 + c_custkey % 9 AS x1,
+         (c_custkey*53) % 8000 + 16 + c_custkey % 7 AS y1,
+         (c_custkey*37) % 17000 + c_custkey % 9 + (c_custkey % 13) - 6 AS x2,
+         (c_custkey*53) % 8000 + 16 + c_custkey % 7 + (c_custkey % 9) - 4 AS y2
+  FROM customer WHERE c_custkey % 2 = 0)"""
+
+# dominant-axis projection bound for the collinear branch
+_SEG_AX = ("CASE WHEN ABS(rx) >= ABS(ry) THEN {x} ELSE {y} END")
+
+O_SEGMENT_INTERSECTIONS = f"""WITH {_SEG_A_CTE}, {_SEG_B_CTE},
+cand AS (
+  SELECT a.subject AS a_subject, b.subject AS b_subject,
+         a.x1 AS ax1, a.y1 AS ay1, b.x1 AS bx1, b.y1 AS by1,
+         a.x2 - a.x1 AS rx, a.y2 - a.y1 AS ry,
+         b.x2 - b.x1 AS sx, b.y2 - b.y1 AS sy,
+         LEAST(a.x1,a.x2) AS a_xmin, GREATEST(a.x1,a.x2) AS a_xmax,
+         LEAST(a.y1,a.y2) AS a_ymin, GREATEST(a.y1,a.y2) AS a_ymax,
+         LEAST(b.x1,b.x2) AS b_xmin, GREATEST(b.x1,b.x2) AS b_xmax,
+         LEAST(b.y1,b.y2) AS b_ymin, GREATEST(b.y1,b.y2) AS b_ymax
+  FROM seg_a a JOIN seg_b b
+    ON LEAST(a.x1,a.x2) <= GREATEST(b.x1,b.x2)
+   AND LEAST(b.x1,b.x2) <= GREATEST(a.x1,a.x2)
+   AND LEAST(a.y1,a.y2) <= GREATEST(b.y1,b.y2)
+   AND LEAST(b.y1,b.y2) <= GREATEST(a.y1,a.y2)
+  WHERE (a.x1 != a.x2 OR a.y1 != a.y2)
+    AND (b.x1 != b.x2 OR b.y1 != b.y2)),
+d AS (
+  SELECT *,
+         rx*(by1-ay1) - ry*(bx1-ax1) AS d1,
+         rx*(by1+sy-ay1) - ry*(bx1+sx-ax1) AS d2,
+         sx*(ay1-by1) - sy*(ax1-bx1) AS d3,
+         sx*(ay1+ry-by1) - sy*(ax1+rx-bx1) AS d4
+  FROM cand),
+cls AS (
+  SELECT *,
+    CASE WHEN d1 = 0 AND d2 = 0 THEN
+      CASE WHEN GREATEST({_SEG_AX.format(x='a_xmin', y='a_ymin')},
+                         {_SEG_AX.format(x='b_xmin', y='b_ymin')})
+              < LEAST({_SEG_AX.format(x='a_xmax', y='a_ymax')},
+                      {_SEG_AX.format(x='b_xmax', y='b_ymax')})
+             THEN 'overlap'
+           WHEN GREATEST({_SEG_AX.format(x='a_xmin', y='a_ymin')},
+                         {_SEG_AX.format(x='b_xmin', y='b_ymin')})
+              = LEAST({_SEG_AX.format(x='a_xmax', y='a_ymax')},
+                      {_SEG_AX.format(x='b_xmax', y='b_ymax')})
+             THEN 'touch' END
+    WHEN d1*d2 < 0 AND d3*d4 < 0 THEN 'proper'
+    WHEN d1*d2 <= 0 AND d3*d4 <= 0 THEN 'touch' END AS itype
+  FROM d),
+hit AS (
+  SELECT *, rx*sy - ry*sx AS den,
+         (bx1-ax1)*sy - (by1-ay1)*sx AS t_num,
+         CASE WHEN rx*sy - ry*sx < 0 THEN -1 ELSE 1 END AS sgn
+  FROM cls WHERE itype IS NOT NULL)
+SELECT a_subject, b_subject, itype,
+  CASE WHEN itype = 'proper' THEN sgn * (ax1*den + t_num*rx) END AS ix_num,
+  CASE WHEN itype = 'proper' THEN sgn * (ay1*den + t_num*ry) END AS iy_num,
+  CASE WHEN itype = 'proper' THEN sgn * den END AS iden
+FROM hit"""
+
+
 def q_raster_iou(spark, sf_dir):
     """Degree-of-overlap conflation feature (joins.raster_iou): IoU of
     the linked pairs' center-sample raster footprints at res 13 — the
@@ -8436,6 +8541,7 @@ QUERIES = {
     "fagi_tile_pyramid": q_tile_pyramid,
     "fagi_cell_join": q_cell_join,
     "fagi_intersects_join": q_intersects_join,
+    "fagi_segment_intersections": q_segment_intersections,
     "fagi_dwithin_join": q_dwithin_join,
     "fagi_knn_shape": q_knn_shape,
     "fagi_raster_iou": q_raster_iou,
@@ -8664,6 +8770,7 @@ ORACLES = {
     "fagi_tile_pyramid": O_TILE_PYRAMID,
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_intersects_join": O_INTERSECTS_JOIN,
+    "fagi_segment_intersections": O_SEGMENT_INTERSECTIONS,
     "fagi_dwithin_join": O_DWITHIN_JOIN,
     "fagi_knn_shape": O_KNN_SHAPE,
     "fagi_raster_iou": O_RASTER_IOU,

@@ -530,3 +530,78 @@ def test_huff_probabilities_handcase(spark):
     # coincident site excluded for d2, others still score
     assert ("d2", "s3") not in got
     assert ("d2", "s1") in got and ("d2", "s2") in got
+
+
+def test_segment_intersections_bruteforce(spark):
+    """Random-segment parity vs a naive all-pairs reference: same
+    pairs, same classification, same exact rational intersection
+    points, each pair reported exactly once (PBSM report-once)."""
+    import numpy as np
+    from fractions import Fraction
+
+    rng = np.random.default_rng(11)
+
+    def mk(n, base):
+        rows = []
+        for i in range(n):
+            x1, y1 = int(rng.integers(0, 150)), int(rng.integers(0, 150))
+            dx, dy = int(rng.integers(-10, 11)), int(rng.integers(-10, 11))
+            rows.append((f"{base}{i}", x1, y1, x1 + dx, y1 + dy))
+        return rows
+
+    A, B = mk(250, "a"), mk(250, "b")
+
+    def naive():
+        out = {}
+        for asub, ax1, ay1, ax2, ay2 in A:
+            if (ax1, ay1) == (ax2, ay2):
+                continue
+            for bsub, bx1, by1, bx2, by2 in B:
+                if (bx1, by1) == (bx2, by2):
+                    continue
+                rx, ry = ax2 - ax1, ay2 - ay1
+                sx, sy = bx2 - bx1, by2 - by1
+                d1 = rx * (by1 - ay1) - ry * (bx1 - ax1)
+                d2 = rx * (by2 - ay1) - ry * (bx2 - ax1)
+                d3 = sx * (ay1 - by1) - sy * (ax1 - bx1)
+                d4 = sx * (ay2 - by1) - sy * (ax2 - bx1)
+                if d1 == 0 and d2 == 0:
+                    if abs(rx) >= abs(ry):
+                        spans = (min(ax1, ax2), max(ax1, ax2),
+                                 min(bx1, bx2), max(bx1, bx2))
+                    else:
+                        spans = (min(ay1, ay2), max(ay1, ay2),
+                                 min(by1, by2), max(by1, by2))
+                    lo = max(spans[0], spans[2])
+                    hi = min(spans[1], spans[3])
+                    if lo < hi:
+                        out[(asub, bsub)] = ("overlap", None, None, None)
+                    elif lo == hi:
+                        out[(asub, bsub)] = ("touch", None, None, None)
+                    continue
+                if d1 * d2 <= 0 and d3 * d4 <= 0:
+                    if d1 * d2 < 0 and d3 * d4 < 0:
+                        den = rx * sy - ry * sx
+                        tn = (bx1 - ax1) * sy - (by1 - ay1) * sx
+                        assert 0 < Fraction(tn, den) < 1
+                        xn = ax1 * den + tn * rx
+                        yn = ay1 * den + tn * ry
+                        if den < 0:
+                            xn, yn, den = -xn, -yn, -den
+                        out[(asub, bsub)] = ("proper", xn, yn, den)
+                    else:
+                        out[(asub, bsub)] = ("touch", None, None, None)
+        return out
+
+    ref = naive()
+    sa = spark.createDataFrame(
+        A, "subject string, x1 long, y1 long, x2 long, y2 long")
+    sb = spark.createDataFrame(
+        B, "subject string, x1 long, y1 long, x2 long, y2 long")
+    got = joins.segment_intersections(sa, sb, cell_w=16).collect()
+    gd = {(r.a_subject, r.b_subject): (r.itype, r.ix_num, r.iy_num, r.iden)
+          for r in got}
+    assert len(got) == len(gd)          # report-once: no duplicate pairs
+    assert gd == ref
+    kinds = {v[0] for v in ref.values()}
+    assert "proper" in kinds and "touch" in kinds
