@@ -3456,6 +3456,79 @@ SELECT url,
 FROM b, (SELECT UNNEST(RANGE(0, 8)) AS i) g"""
 
 
+def q_mm_media_stats(spark, sf_dir):
+    """Per-language media-payload inventory over with_media_meta
+    (multimodal.py): byte-size rollup of the binary column a
+    multimodal corpus audit runs first — n_bytes stays JVM-side
+    (F.length on binary == OCTET_LENGTH(ENCODE(...))), the rollup is
+    one partial-agg shuffle."""
+    from . import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"))
+    m = multimodal.with_media_meta(pages)
+    return (m.groupBy("lang", "media_kind")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.min("n_bytes").cast("long").alias("min_bytes"),
+                 F.max("n_bytes").cast("long").alias("max_bytes")))
+
+
+O_MM_MEDIA_STATS = """WITH m AS (
+  SELECT COALESCE(lang, 'und') AS lang, 'html' AS media_kind,
+         CAST(OCTET_LENGTH(ENCODE('<html><body>' || text || '</body></html>'))
+              AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT lang, media_kind, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
+FROM m GROUP BY lang, media_kind"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal.frame_sample, fake
+    decode): one row per sampled frame with the deterministic frame
+    count (1 + payload[0] % max_frames) and the per-frame sha32 —
+    value-exact because the pseudo-decode is sha256-of-bytes and the
+    first payload byte is the text's leading ASCII char (the corpus
+    is ASCII-leading; the oracle mirrors sha bytes like
+    O_MM_IMAGE_FEATURES)."""
+    from . import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        F.encode("text", "utf-8").alias("payload"))
+    out = multimodal.frame_sample(pages, every_ms=40, max_frames=6)
+    return out.select("url", F.col("frame_idx").cast("int").alias("frame_idx"),
+                      F.col("ts_ms").cast("long").alias("ts_ms"), "frame_sha")
+
+
+_FS_SHA32 = ("CASE WHEN ({b0}) >= 128 THEN "
+             "(({b0})*16777216 + ({b1})*65536 + ({b2})*256 + ({b3})) "
+             "- 4294967296 ELSE "
+             "(({b0})*16777216 + ({b1})*65536 + ({b2})*256 + ({b3})) END")
+
+O_MM_FRAME_SAMPLE = f"""WITH fs_n AS (
+  SELECT CAST(doc_id AS STRING) AS url, text,
+         1 + ascii(substr(text, 1, 1)) % 6 AS n_frames
+  FROM documents),
+fs_f AS (
+  SELECT url, text, CAST(g.i AS INT) AS frame_idx
+  FROM fs_n, (SELECT UNNEST(RANGE(0, 6)) AS i) g
+  WHERE g.i < n_frames),
+fs_h AS (
+  SELECT url, frame_idx,
+         SHA256(text || CAST(frame_idx AS VARCHAR)) AS hx
+  FROM fs_f)
+SELECT url, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       CAST({_FS_SHA32.format(b0=_sha_byte(0), b1=_sha_byte(1),
+                              b2=_sha_byte(2), b3=_sha_byte(3))}
+            AS INT) AS frame_sha
+FROM fs_h"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (fagi_spark/curation.py): the crawl->training hygiene
 # stages — PII scrub, per-domain caps, decontamination, boilerplate
@@ -8689,6 +8762,8 @@ QUERIES = {
     "mm_html_decode_invariant": q_mm_html_decode,
     "mm_html_roundtrip": q_mm_html_roundtrip,
     "mm_image_features": q_mm_image_features,
+    "mm_media_stats": q_mm_media_stats,
+    "mm_frame_sample": q_mm_frame_sample,
     "fagi_keep_most_points_translate": q_kmpt_numeric,
     "ann_ivf_topk": q_ivf_topk,
     "ann_ivf_fixed_topk": q_ivf_fixed_topk,
@@ -8913,6 +8988,8 @@ ORACLES = {
     "events_user_sessions": O_EVENTS_USER_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,
     "mm_image_features": O_MM_IMAGE_FEATURES,
+    "mm_media_stats": O_MM_MEDIA_STATS,
+    "mm_frame_sample": O_MM_FRAME_SAMPLE,
     "mm_html_roundtrip": O_MM_HTML_ROUNDTRIP,
     "doc_minhash_candidates": O_MINHASH_CANDIDATES,
     "doc_duplicate_spans": O_DOC_DUPLICATE_SPANS,

@@ -134,7 +134,11 @@ def frame_sample(df: DataFrame, binary_col: str = "payload",
                     rows["url"].append(url)
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(i * every_ms)
-                    rows["frame_sha"].append(_sha32(b + i.to_bytes(4, "big")))
+                    # ASCII frame-index suffix (not packed bytes): keeps the
+                    # deterministic pseudo-decode SQL-mirrorable (DuckDB's
+                    # sha256 is VARCHAR-only, so the hashed payload must be
+                    # NUL-free when the payload is text)
+                    rows["frame_sha"].append(_sha32(b + str(i).encode()))
             yield pd.DataFrame(rows)
 
     return df.select("url", binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
