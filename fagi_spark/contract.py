@@ -2904,6 +2904,53 @@ SELECT subject, 'http://geo#asWKT', geom_wkt, CAST(NULL AS STRING),
 FROM fused"""
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC diff (io.snapshot_diff): v2 of the A-side geometry
+    table removes every 17th subject, moves every 5th (x+0.03), and
+    adds a fresh point per 19th key — the diff names exactly what an
+    incremental re-conflation must touch (added/removed/changed, with
+    both payloads). One full-outer join, presence via literal flags,
+    null-safe column compare."""
+    from . import io as io_mod
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v, w = (k * 37) % 17000, (k * 53) % 8000
+    is_pt = (k % 10) < 6
+    mv = F.when(k % 5 == 0, v + 3).otherwise(v)
+    v2 = (cust.filter(k % 17 != 0).select(
+              F.concat(F.lit("way"), k.cast("string")).alias("subject"),
+              F.when(is_pt, _point_wkt(mv, w))
+               .otherwise(_square_wkt(mv, w)).alias("geom_wkt"))
+          .unionByName(cust.filter(k % 19 == 0).select(
+              F.concat(F.lit("way"), (k + 2000000).cast("string"))
+               .alias("subject"),
+              _point_wkt(v + 1, w + 1).alias("geom_wkt"))))
+    v1 = geo_a_df(cust)
+    return io_mod.snapshot_diff(v1, v2, key="subject", cols=("geom_wkt",))
+
+
+_SD_MV = f"CASE WHEN c_custkey % 5 = 0 THEN {_VA} + 3 ELSE {_VA} END"
+
+O_SNAPSHOT_DIFF = f"""WITH {GEO_A_CTE},
+v2 AS (
+  SELECT CONCAT('way', CAST(c_custkey AS STRING)) AS subject,
+         CASE WHEN c_custkey % 10 < 6 THEN {_d_point(_SD_MV, _WA)}
+              ELSE {_d_square(_SD_MV, _WA)} END AS geom_wkt
+  FROM customer WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT CONCAT('way', CAST(c_custkey + 2000000 AS STRING)),
+         {_d_point(f"{_VA} + 1", f"{_WA} + 1")}
+  FROM customer WHERE c_custkey % 19 = 0)
+SELECT COALESCE(a.subject, b.subject) AS subject,
+       CASE WHEN a.subject IS NULL THEN 'added'
+            WHEN b.subject IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.geom_wkt AS old_geom_wkt, b.geom_wkt AS new_geom_wkt
+FROM geo_a a FULL OUTER JOIN v2 b ON a.subject = b.subject
+WHERE a.subject IS NULL OR b.subject IS NULL
+   OR a.geom_wkt IS DISTINCT FROM b.geom_wkt"""
+
+
 def q_dataset_dump_roundtrip(spark, sf_dir):
     """S10 full fused-dataset N-Triples dump
     (DownloadDatasetServlet.StreamDataset): EAV -> NT lines (resource +
@@ -7874,6 +7921,45 @@ SELECT e.vec_id,
 FROM e CROSS JOIN km_c1 GROUP BY e.vec_id"""
 
 
+def q_embed_pq_recon(spark, sf_dir):
+    """PQ quantization-error report (vector.pq_recon_report over the
+    fixed _PQ_CODEBOOKS): per (vector, subspace) the encode-rule
+    codeword and the exact reconstruction error
+    ||x_sub - c||^2 = (-2 x.c + ||c||^2) + ||x_sub||^2 — the
+    index-QA companion to ann_ivfpq_topk, value-exact with the
+    codeword constants inlined."""
+    from . import vector
+    out = vector.pq_recon_report(_t(spark, sf_dir, "embeddings"),
+                                 _PQ_CODEBOOKS)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "subspace", "code", "sub_err")
+
+
+def _o_pq_recon() -> str:
+    sub = len(_PQ_CODEBOOKS[0][0])
+    parts = []
+    for j, cws in enumerate(_PQ_CODEBOOKS):
+        sv = (f"(CAST(embedding AS DOUBLE[]))"
+              f"[{j * sub + 1}:{j * sub + sub}]")
+        xx = (f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+              f"LIST_TRANSFORM({sv}, x -> x * x)), (acc, v) -> acc + v)")
+        ds = []
+        for cw in cws:
+            ss = _dlit(sum(float(v) * float(v) for v in cw))
+            ds.append(f"(-2.0 * {_sql_dot_lits(sv, cw)} + {ss})")
+        darr = "[" + ", ".join(ds) + "]"
+        parts.append(
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST({j} AS INT) AS subspace, "
+            f"CAST(LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS INT) AS code, "
+            f"LIST_MIN({darr}) + {xx} AS sub_err "
+            f"FROM embeddings WHERE embedding IS NOT NULL")
+    return "\nUNION ALL\n".join(parts)
+
+
+O_EMBED_PQ_RECON = _o_pq_recon()
+
+
 def q_events_place_conc(spark, sf_dir):
     """Per-user top-2 place concentration
     (events.place_concentration, res 6): WindowGroupLimit top-k with
@@ -8676,6 +8762,7 @@ QUERIES = {
     "embed_label_separation": q_embed_separation,
     "embed_class_scatter": q_embed_scatter,
     "embed_kmeans": q_embed_kmeans,
+    "embed_pq_recon": q_embed_pq_recon,
     "embed_fisher_ratio": q_embed_fisher,
     "events_place_conc": q_events_place_conc,
     "doc_graph_summary": q_doc_graph_summary,
@@ -8756,6 +8843,7 @@ QUERIES = {
     "fagi_subject_regex": q_subject_regex,
     "fagi_export_distinct": q_export_distinct,
     "fagi_merge_replace": q_merge_replace,
+    "fagi_snapshot_diff": q_snapshot_diff,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "embed_semantic_dedup": q_semantic_dedup,
@@ -8907,6 +8995,7 @@ ORACLES = {
     "embed_label_separation": O_EMBED_SEPARATION,
     "embed_class_scatter": O_EMBED_SCATTER,
     "embed_kmeans": O_EMBED_KMEANS,
+    "embed_pq_recon": O_EMBED_PQ_RECON,
     "embed_fisher_ratio": O_EMBED_FISHER,
     "events_place_conc": O_EVENTS_PLACE_CONC,
     "doc_graph_summary": O_DOC_GRAPH_SUMMARY,
@@ -8972,6 +9061,7 @@ ORACLES = {
     "fagi_subject_regex": O_SUBJECT_REGEX,
     "fagi_export_distinct": O_EXPORT_DISTINCT,
     "fagi_merge_replace": O_MERGE_REPLACE,
+    "fagi_snapshot_diff": O_SNAPSHOT_DIFF,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "embed_semantic_dedup": _o_semantic_dedup(),

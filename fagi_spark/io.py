@@ -198,3 +198,45 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Catalog read of a bucketed table (spark.read.parquet(path) would
     drop the bucket metadata and re-shuffle on join)."""
     return spark.table(name)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "subject",
+                  cols=("geom_wkt",), keep_unchanged: bool = False) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff: which subjects were added,
+    removed, or changed between two versions of a geometry/metadata
+    table — the incremental-conflation shape behind the reference's
+    delete-then-insert merge (VirtuosoImporter.java:511-528 replaces
+    blindly; a diff tells you WHAT the merge will touch, and at
+    10^12-row scale the diff output is the only thing worth
+    re-processing downstream).
+
+    One full-outer hash join on ``key`` (both sides shuffle-partition
+    on the key — with bucketed snapshot tables it is co-located and
+    shuffle-free); presence is tracked by literal flags so a NULL
+    payload column never masquerades as an absent row, and per-column
+    change detection is null-safe (eqNullSafe). Keys must be unique
+    per snapshot (a snapshot is a keyed table by contract).
+
+    Returns (key, change, old_<col>..., new_<col>...) with
+    change in {'added','removed','changed'} (+ 'unchanged' when
+    ``keep_unchanged``).
+    """
+    cols = list(cols)
+    o = old.select(F.col(key).alias("_k"), F.lit(1).alias("_op"),
+                   *[F.col(c).alias(f"old_{c}") for c in cols])
+    n = new.select(F.col(key).alias("_k"), F.lit(1).alias("_np"),
+                   *[F.col(c).alias(f"new_{c}") for c in cols])
+    j = o.join(n, "_k", "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (F.when(F.col("_op").isNull(), F.lit("added"))
+               .when(F.col("_np").isNull(), F.lit("removed"))
+               .when(same, F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    out = j.withColumn("change", change)
+    if not keep_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out.select(F.col("_k").alias(key), "change",
+                      *[f"old_{c}" for c in cols],
+                      *[f"new_{c}" for c in cols])

@@ -790,3 +790,40 @@ def kmeans_fixed_assign(emb: DataFrame, k: int = 4, n_iter: int = 2,
     return assigned.select(F.col("_k").alias(key),
                            F.col("cluster").cast("long").alias("cluster"),
                            "dist2")
+
+
+def pq_recon_report(df: DataFrame, codebooks, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """PQ quantization-error report: per (vector, subspace) the chosen
+    codeword (pq_fixed_encode's argmin rule — ties to the lowest
+    index) and the exact reconstruction error
+    ||x_sub - c||^2 = (-2 x.c + ||c||^2) + ||x_sub||^2 — the index-QA
+    query behind "is my codebook big enough": a subspace whose mean
+    error rivals the vector norms is quantizing to noise. Map-only
+    column math (no shuffle until the caller aggregates); every float
+    is the dim-order left fold + one add, SQL-mirrorable with the
+    codeword constants inlined.
+
+    Returns (id_col, subspace, code, sub_err).
+    """
+    sub = len(codebooks[0][0])
+    per_sub = []
+    for j, cws in enumerate(codebooks):
+        subv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        xx = F.aggregate(
+            F.transform(subv, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        ds = []
+        for cw in cws:
+            arr = F.array(*[F.lit(float(v)) for v in cw])
+            ss = float(sum(float(v) * float(v) for v in cw))
+            ds.append(F.lit(-2.0) * dot_double(subv, arr) + F.lit(ss))
+        darr = F.array(*ds)
+        per_sub.append(F.struct(
+            F.lit(j).cast("int").alias("subspace"),
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int").alias("code"),
+            (F.array_min(darr) + xx).alias("sub_err")))
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(id_col, F.explode(F.array(*per_sub)).alias("_r"))
+            .select(id_col, "_r.subspace", "_r.code", "_r.sub_err"))

@@ -142,3 +142,30 @@ def test_export_distinct(spark):
     f = fuse.fuse("keep-both", links, ga, gb)
     doubled = f.unionByName(f)
     assert fuse.export_fused(doubled).count() == fuse.export_fused(f).count()
+
+
+def test_snapshot_diff_handcase(spark):
+    from fagi_spark import io as fio
+
+    old = spark.createDataFrame(
+        [("s1", "POINT (1 1)"), ("s2", "POINT (2 2)"),
+         ("s3", None), ("s4", "POINT (4 4)")],
+        "subject string, geom_wkt string")
+    new = spark.createDataFrame(
+        [("s1", "POINT (1 1)"),        # unchanged
+         ("s2", "POINT (9 9)"),        # changed
+         ("s3", "POINT (3 3)"),        # changed (NULL -> value)
+         ("s5", None)],                # added with NULL payload
+        "subject string, geom_wkt string")          # s4 removed
+
+    got = {r.subject: (r.change, r.old_geom_wkt, r.new_geom_wkt)
+           for r in fio.snapshot_diff(old, new).collect()}
+    assert got == {
+        "s2": ("changed", "POINT (2 2)", "POINT (9 9)"),
+        "s3": ("changed", None, "POINT (3 3)"),
+        "s4": ("removed", "POINT (4 4)", None),
+        "s5": ("added", None, None),
+    }
+    both = fio.snapshot_diff(old, new, keep_unchanged=True).collect()
+    assert {r.subject: r.change for r in both}["s1"] == "unchanged"
+    assert len(both) == 5

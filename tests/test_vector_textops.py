@@ -1185,3 +1185,28 @@ def test_kmeans_fixed_matches_numpy_lloyd(spark, emb):
         assert abs(r.dist2 - x) < 1e-9
     # every cluster non-trivial on this fixture
     assert out.cluster.nunique() >= 2
+
+
+def test_pq_recon_report_matches_numpy(spark, emb):
+    import numpy as np
+
+    cbs = [[vector._hyperplane(16, 4 * j + i, seed=23) for i in range(4)]
+           for j in range(4)]
+    out = (vector.pq_recon_report(emb, cbs)
+           .orderBy("vec_id", "subspace").toPandas())
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    pdf = pdf[pdf.embedding.notnull()]
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    C = np.asarray(cbs, dtype=np.float64)          # (4, 4, 16)
+    i = 0
+    for ridx, vid in enumerate(pdf.vec_id):
+        for j in range(4):
+            sv = V[ridx, j * 16:(j + 1) * 16]
+            d = ((sv[None, :] - C[j]) ** 2).sum(axis=1)
+            r = out.iloc[i]
+            assert r.vec_id == vid and r.subspace == j
+            assert r.code == int(d.argmin())
+            assert abs(r.sub_err - d.min()) < 1e-9
+            i += 1
+    assert i == len(out)
