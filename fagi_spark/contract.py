@@ -3383,6 +3383,30 @@ O_EVENTS_WINDOWED = """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_st_cube(spark, sf_dir):
+    """Space-time OLAP cube (events.st_cube, res 6): counts + exact
+    distinct users at all four (cell, day) granularities in ONE
+    grouping-sets pass — cell_x/cell_y grouped as one struct so only
+    the meaningful levels materialize; grouping_id disambiguates
+    (bit 1 = cell rolled up, bit 0 = day rolled up)."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts", "user_id")
+    return ev.st_cube(pts, res=6)
+
+
+O_EVENTS_ST_CUBE = f"""WITH e AS (
+  SELECT {cells.sql_ix(_EV_LON_SQL, 6)} AS cell_x,
+         {cells.sql_iy(_EV_LAT_SQL, 6)} AS cell_y,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events)
+SELECT cell_x, cell_y, day,
+       CAST(2 * GROUPING(cell_x) + GROUPING(day) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY GROUPING SETS ((cell_x, cell_y, day), (cell_x, cell_y),
+                               (day), ())"""
+
+
 def q_events_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap) + per-session rollup —
     lag/running-sum window functions, one shuffle on user_id."""
@@ -7960,6 +7984,42 @@ def _o_pq_recon() -> str:
 O_EMBED_PQ_RECON = _o_pq_recon()
 
 
+def q_embed_ivf_balance(spark, sf_dir):
+    """IVF index-balance QA (vector.ivf_balance_report over the fixed
+    coarse centroids): per-cell count, share, and balance factor —
+    the skew report an index build runs before committing a
+    quantizer. Cell argmin mirrored with inlined centroid constants;
+    both floats are single integer-ratio divisions."""
+    from . import vector
+    return vector.ivf_balance_report(_t(spark, sf_dir, "embeddings"),
+                                     _IVF_FIXED_CENTROIDS)
+
+
+def _o_ivf_balance() -> str:
+    k = len(_IVF_FIXED_CENTROIDS)
+    ds = []
+    for c in _IVF_FIXED_CENTROIDS:
+        ss = _dlit(sum(float(v) * float(v) for v in c))
+        ds.append(f"(-2.0 * "
+                  f"{_sql_dot_lits('CAST(embedding AS DOUBLE[])', c)}"
+                  f" + {ss})")
+    darr = "[" + ", ".join(ds) + "]"
+    return f"""WITH a AS (
+  SELECT CAST(LIST_INDEXOF({darr}, LIST_MIN({darr})) - 1 AS INT) AS ivf_cell
+  FROM embeddings WHERE embedding IS NOT NULL),
+g AS (SELECT ivf_cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM a GROUP BY ivf_cell),
+t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot FROM g)
+SELECT ivf_cell, n_vecs,
+       CAST(n_vecs AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       (CAST(n_vecs AS DOUBLE) * {float(k)!r}) / CAST(tot AS DOUBLE)
+         AS balance
+FROM g, t"""
+
+
+O_EMBED_IVF_BALANCE = _o_ivf_balance()
+
+
 def q_events_place_conc(spark, sf_dir):
     """Per-user top-2 place concentration
     (events.place_concentration, res 6): WindowGroupLimit top-k with
@@ -8763,6 +8823,7 @@ QUERIES = {
     "embed_class_scatter": q_embed_scatter,
     "embed_kmeans": q_embed_kmeans,
     "embed_pq_recon": q_embed_pq_recon,
+    "embed_ivf_balance": q_embed_ivf_balance,
     "embed_fisher_ratio": q_embed_fisher,
     "events_place_conc": q_events_place_conc,
     "doc_graph_summary": q_doc_graph_summary,
@@ -8863,6 +8924,7 @@ QUERIES = {
     "events_od_flows": q_od_flows,
     "events_emerging_hotspots": q_emerging_hotspots,
     "events_windowed_rollup": q_events_windowed,
+    "events_st_cube": q_events_st_cube,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
     "fagi_serialization_probe": q_serialization_probe,
@@ -8996,6 +9058,7 @@ ORACLES = {
     "embed_class_scatter": O_EMBED_SCATTER,
     "embed_kmeans": O_EMBED_KMEANS,
     "embed_pq_recon": O_EMBED_PQ_RECON,
+    "embed_ivf_balance": O_EMBED_IVF_BALANCE,
     "embed_fisher_ratio": O_EMBED_FISHER,
     "events_place_conc": O_EVENTS_PLACE_CONC,
     "doc_graph_summary": O_DOC_GRAPH_SUMMARY,
@@ -9074,6 +9137,7 @@ ORACLES = {
     "events_od_flows": O_OD_FLOWS,
     "events_emerging_hotspots": O_EMERGING_HOTSPOTS,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
+    "events_st_cube": O_EVENTS_ST_CUBE,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,

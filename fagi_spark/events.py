@@ -1882,3 +1882,41 @@ def jump_lengths(events: DataFrame, res: int, user: str = "user_id",
     return (t.select(d.cast("long").alias("jump_cells"))
             .groupBy("jump_cells")
             .agg(F.count(F.lit(1)).cast("long").alias("n_moves")))
+
+
+def st_cube(pts: DataFrame, res: int, ts: str = "ts",
+            user: str = "user_id", lon: str = "lon",
+            lat: str = "lat") -> DataFrame:
+    """Space-time OLAP cube: event counts + exact distinct-user counts
+    at EVERY granularity of (cell, day) — (cell, day), (cell), (day),
+    and the grand total — in ONE pass via grouping sets (F.cube).
+    This is the dashboard-backing rollup a tile server reads at mixed
+    zoom/time granularities; computing it as a cube lets Spark share
+    the scan and the partial aggregation across all four levels
+    instead of four separate jobs (the multi-res analog of
+    cells.tile_pyramid, which shares one scan across zoom levels the
+    same way).
+
+    grouping_id() disambiguates levels (0 = (cell,day), 1 = cell-only,
+    2 = day-only, 3 = grand total — bit i set means that column is
+    rolled up); NULL cell/day in the output are the rolled-up slots.
+    COUNT(DISTINCT user) is exact — Spark plans cube + one distinct
+    aggregate as expand + two-phase agg, still a single shuffle
+    lineage, no driver work.
+
+    Returns (cell_x, cell_y, day, lvl, n_events, n_users).
+    """
+    from . import cells
+    e = pts.select(
+        cells.ix_col(F.col(lon), res).alias("cell_x"),
+        cells.iy_col(F.col(lat), res).alias("cell_y"),
+        F.to_date(F.col(ts)).alias("day"),
+        F.col(user).alias("_u"))
+    return (e.cube(F.struct("cell_x", "cell_y").alias("cell"), "day")
+            .agg(F.grouping_id().alias("lvl"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("_u").cast("long").alias("n_users"))
+            .select(F.col("cell.cell_x").alias("cell_x"),
+                    F.col("cell.cell_y").alias("cell_y"),
+                    "day", F.col("lvl").cast("long").alias("lvl"),
+                    "n_events", "n_users"))

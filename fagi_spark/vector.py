@@ -827,3 +827,31 @@ def pq_recon_report(df: DataFrame, codebooks, vec_col: str = "embedding",
     return (df.filter(F.col(vec_col).isNotNull())
             .select(id_col, F.explode(F.array(*per_sub)).alias("_r"))
             .select(id_col, "_r.subspace", "_r.code", "_r.sub_err"))
+
+
+def ivf_balance_report(corpus: DataFrame, centroids,
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF index-balance QA: per coarse cell its vector count, corpus
+    share, and balance factor (count / ideal-uniform count) — the
+    report that tells you a quantizer is funneling the corpus into
+    few cells BEFORE the skewed cells become stragglers in every
+    probe join. One assignment pass (ivf_fixed_assign — pure column
+    math) + one k-row rollup; the k-row total broadcasts back, so no
+    windows and no driver loops. Both floats are one integer-ratio
+    division each (exact, SQL-mirrorable).
+
+    Returns (ivf_cell, n_vecs, share, balance).
+    """
+    k = len(centroids)
+    a = ivf_fixed_assign(corpus.filter(F.col(vec_col).isNotNull()),
+                         centroids, vec_col=vec_col)
+    g = a.groupBy("ivf_cell").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_vecs"))
+    tot = g.agg(F.sum("n_vecs").cast("long").alias("_tot"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select(F.col("ivf_cell").cast("int").alias("ivf_cell"),
+                    "n_vecs",
+                    (F.col("n_vecs").cast("double")
+                     / F.col("_tot").cast("double")).alias("share"),
+                    (F.col("n_vecs").cast("double") * float(k)
+                     / F.col("_tot").cast("double")).alias("balance")))

@@ -1020,3 +1020,29 @@ def test_jump_lengths_handcase(spark):
     got = {r.jump_cells: r.n_moves for r in
            ev.jump_lengths(df, res=4).collect()}
     assert got == {0: 1, 1: 2, 3: 1}
+
+
+def test_st_cube_levels_consistent(spark):
+    from fagi_spark import events as ev
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "user_id",
+        ((F.col("user_id") * 37 % 1600) / 100.0 - 8.0).alias("lon"),
+        ((F.col("user_id") * 53 % 800) / 100.0).alias("lat"))
+    out = ev.st_cube(e, res=6).collect()
+    by_lvl = {}
+    for r in out:
+        by_lvl.setdefault(r.lvl, []).append(r)
+    assert set(by_lvl) == {0, 1, 2, 3}
+    total = by_lvl[3][0]
+    n = e.count()
+    assert total.n_events == n
+    assert total.n_users == e.select("user_id").distinct().count()
+    # every roll-up level re-sums the finest level's event counts
+    assert sum(r.n_events for r in by_lvl[0]) == n
+    assert sum(r.n_events for r in by_lvl[1]) == n
+    assert sum(r.n_events for r in by_lvl[2]) == n
+    # cell-only level: NULL day, non-NULL cell
+    assert all(r.day is None and r.cell_x is not None for r in by_lvl[1])
+    assert all(r.cell_x is None and r.day is not None for r in by_lvl[2])
