@@ -1470,6 +1470,26 @@ O_DOC_ROLLING_HASH = (
     + " AS rolling_hash FROM documents")
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints, MOSS
+    k=5/w=4): per selected k-gram its position and poly hash — the
+    guaranteed-local-coverage dedup fingerprint (any shared substring
+    >= k+w-1 chars shares a fingerprint), all whole-stage-codegen
+    array math, rightmost-tie rule mirrored exactly. Thinned to every
+    20th doc to keep the compare frame bounded."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return textops.winnow_fingerprints(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+
+
+O_DOC_WINNOW = f"""WITH docs20 AS (
+  SELECT * FROM documents WHERE doc_id % 20 = 0),
+{textops.sql_winnow().replace("FROM documents", "FROM docs20")}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pos AS BIGINT) AS pos, fp
+FROM wn_s"""
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_lang_id(docs)
@@ -8872,6 +8892,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_rolling_hash": q_doc_rolling_hash,
+    "doc_winnow": q_doc_winnow,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
     "doc_corpus_stats": q_corpus_stats,
@@ -9107,6 +9128,7 @@ ORACLES = {
     "doc_quality": O_DOC_QUALITY,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
+    "doc_winnow": O_DOC_WINNOW,
     "doc_lang_id": O_DOC_LANG,
     "doc_repetition": O_DOC_REPETITION,
     "doc_corpus_stats": O_CORPUS_STATS,

@@ -1680,3 +1680,72 @@ def vocab_drift(df: DataFrame, period_col: str, top_n: int = 100,
                         F.col("n_shared").cast("double")
                         / (F.col("n_a") + F.col("n_b")
                            - F.col("n_shared")).cast("double")))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id", text: str = "text",
+                        mod: int = POLY_MOD) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram,
+    slide a w-window over the hash sequence, keep each window's
+    minimum (ties to the RIGHTMOST position), dedupe. Guarantees any
+    shared substring of length >= k + w - 1 contributes a shared
+    fingerprint — the local-dedup complement to MinHash (which
+    samples globally per doc).
+
+    Everything is column expressions on the poly-hash family
+    (SQL-mirrorable like with_rolling_fingerprint): the k-gram hash
+    array, the per-window argmin, and the distinct selection all run
+    inside whole-stage codegen, map-only — no shuffle, no Python, no
+    window functions (the w-window is an array slice, so no
+    per-doc-ordered shuffle either). Cost is O(len * (k + w)) per doc
+    in exchange for oracle exactness; an Arrow kernel with a true
+    rolling hash + monotone deque is the O(len) swap-in at 100 TB.
+    Docs shorter than k + w - 1 chars yield no fingerprints (no full
+    window — stated).
+
+    Returns (id_col, pos, fp) — pos is the 1-based k-gram start.
+    """
+    gram = (f"aggregate(transform(sequence(p, p + {k} - 1), "
+            f"i -> ascii(substr({text}, i, 1))), 0L, "
+            f"(acc, c) -> (acc * 31 + c) % {mod})")
+    hs = (f"transform(sequence(1, length({text}) - {k} + 1), "
+          f"p -> {gram})")
+    sel = (f"array_distinct(transform(sequence(1, size(_hs) - {w} + 1), "
+           f"i -> named_struct("
+           f"'pos', i + {w} - array_position(reverse(slice(_hs, i, {w})), "
+           f"array_min(slice(_hs, i, {w}))), "
+           f"'fp', array_min(slice(_hs, i, {w})))))")
+    return (df.filter(F.col(text).isNotNull()
+                      & (F.length(text) >= k + w - 1))
+            .select(id_col, F.expr(hs).alias("_hs"))
+            .select(id_col, F.explode(F.expr(sel)).alias("_s"))
+            .select(id_col, F.col("_s.pos").cast("long").alias("pos"),
+                    F.col("_s.fp").alias("fp")))
+
+
+def sql_winnow(k: int = 5, w: int = 4, id_expr: str = "doc_id",
+               text: str = "text", mod: int = POLY_MOD) -> str:
+    """DuckDB mirror of winnow_fingerprints (same fold, same
+    rightmost-tie rule). Yields CTEs ``wn_h``/``wn_s``; select from
+    ``wn_s``."""
+    gram = (f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"LIST_TRANSFORM(RANGE(p, p + {k}), "
+            f"i -> CAST(ASCII({text}[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod})")
+    sl = f"hs[i:i + {w} - 1]"
+    return f"""wn_h AS (
+  SELECT {id_expr} AS doc_id,
+         LIST_TRANSFORM(RANGE(1, LENGTH({text}) - {k} + 2),
+                        p -> {gram}) AS hs
+  FROM documents
+  WHERE {text} IS NOT NULL AND LENGTH({text}) >= {k} + {w} - 1),
+wn_s AS (
+  SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+             RANGE(1, LEN(hs) - {w} + 2),
+             i -> struct_pack(
+               pos := i + {w} - LIST_POSITION(LIST_REVERSE({sl}),
+                                              LIST_MIN({sl})),
+               fp := LIST_MIN({sl})))) AS s
+    FROM wn_h))"""

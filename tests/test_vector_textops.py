@@ -1210,3 +1210,41 @@ def test_pq_recon_report_matches_numpy(spark, emb):
             assert abs(r.sub_err - d.min()) < 1e-9
             i += 1
     assert i == len(out)
+
+
+def test_winnow_matches_naive_and_guarantee(spark):
+    K, W, MOD = 5, 4, textops.POLY_MOD
+    shared = "the quick brown fox jumps"
+    docs = [(1, "alpha beta " + shared + " gamma delta"),
+            (2, "unrelated preamble " + shared + " and a tail"),
+            (3, "zzzzzzzzzzzzzzzz"),          # tie-heavy (equal hashes)
+            (4, "short"),                      # < k+w-1: no output
+            (5, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in textops.winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    def naive(t):
+        hs = []
+        for p in range(len(t) - K + 1):
+            acc = 0
+            for ch in t[p:p + K]:
+                acc = (acc * 31 + ord(ch)) % MOD
+            hs.append(acc)
+        sel = set()
+        for i in range(len(hs) - W + 1):
+            m = min(hs[i:i + W])
+            # rightmost tie
+            j = max(x for x in range(i, i + W) if hs[x] == m)
+            sel.add((j + 1, m))
+        return sel
+
+    for did, text in docs:
+        if text is None or len(text) < K + W - 1:
+            assert did not in got
+        else:
+            assert got[did] == naive(text), did
+    # winnowing guarantee: a shared substring >= k+w-1 chars yields a
+    # shared fingerprint hash between the two docs
+    assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
