@@ -1490,6 +1490,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM wn_s"""
 
 
+def q_doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (textops.cdc_chunks, k=8, 5 mask
+    bits): boundary-by-hash chunk spans + per-chunk poly hashes —
+    the insertion-robust chunk-level dedup layout (rsync/LBFS rule).
+    Map-only array math; every column integer-exact."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return textops.cdc_chunks(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+
+
+O_DOC_CDC_CHUNKS = f"""WITH docs10 AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0),
+{textops.sql_cdc_chunks(src="docs10")}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, c.chunk_idx AS chunk_idx,
+       c.start AS start, c.length AS length, c.chash AS chash
+FROM cdc_c"""
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_lang_id(docs)
@@ -8893,6 +8911,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_winnow": q_doc_winnow,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
     "doc_corpus_stats": q_corpus_stats,
@@ -9129,6 +9148,7 @@ ORACLES = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
     "doc_winnow": O_DOC_WINNOW,
+    "doc_cdc_chunks": O_DOC_CDC_CHUNKS,
     "doc_lang_id": O_DOC_LANG,
     "doc_repetition": O_DOC_REPETITION,
     "doc_corpus_stats": O_CORPUS_STATS,

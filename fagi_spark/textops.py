@@ -1749,3 +1749,90 @@ wn_s AS (
                                               LIST_MIN({sl})),
                fp := LIST_MIN({sl})))) AS s
     FROM wn_h))"""
+
+
+def cdc_chunks(df: DataFrame, k: int = 8, mask_bits: int = 5,
+               id_col: str = "doc_id", text: str = "text",
+               mod: int = POLY_MOD) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule): a
+    chunk ends at position p when the poly hash of the k-gram ending
+    at p has its low ``mask_bits`` bits zero (expected chunk length
+    2^mask_bits). Because boundaries depend only on local content,
+    the same text chunked anywhere in the corpus yields the same
+    chunks — the property that makes chunk-hash dedup robust to
+    insertions (a byte edit only reshapes its own chunk, unlike
+    fixed-width splitting where everything downstream shifts).
+
+    Plain gear-free CDC: no min/max chunk clamp (the clamp is a
+    sequential suppression rule — it would serialize the per-doc
+    scan; stated). The final partial chunk always closes at
+    end-of-text. All column/array expressions (k-gram hash array ->
+    filtered boundary list -> per-chunk substring hash), map-only,
+    whole-stage codegen, SQL-mirrorable.
+
+    Returns (id_col, chunk_idx, start, length, chash) — start is
+    1-based, chunk_idx 1-based in document order.
+    """
+    mask = (1 << mask_bits) - 1
+    t = "_t"
+    gram = (f"aggregate(transform(sequence(p - {k} + 1, p), "
+            f"i -> ascii(substr({t}, i, 1))), 0L, "
+            f"(acc, c) -> (acc * 31 + c) % {mod})")
+    ends = (f"array_sort(array_distinct(concat("
+            f"filter(transform(sequence({k}, length({t})), p -> "
+            f"CASE WHEN {gram} % {mask + 1} = 0 THEN p ELSE -1 END), "
+            f"p -> p > 0), array(length({t})))))")
+    chash = (f"aggregate(transform(sequence("
+             f"CASE WHEN j = 1 THEN 1 ELSE element_at(_ends, j - 1) + 1 END, "
+             f"element_at(_ends, j)), "
+             f"i -> ascii(substr({t}, i, 1))), 0L, "
+             f"(acc, c) -> (acc * 31 + c) % {mod})")
+    chunks = (f"transform(sequence(1, size(_ends)), j -> named_struct("
+              f"'chunk_idx', CAST(j AS BIGINT), "
+              f"'start', CAST(CASE WHEN j = 1 THEN 1 "
+              f"ELSE element_at(_ends, j - 1) + 1 END AS BIGINT), "
+              f"'length', CAST(element_at(_ends, j) - CASE WHEN j = 1 "
+              f"THEN 0 ELSE element_at(_ends, j - 1) END AS BIGINT), "
+              f"'chash', {chash}))")
+    return (df.filter(F.col(text).isNotNull() & (F.length(text) > 0))
+            .select(id_col, F.col(text).alias("_t"))
+            .withColumn("_ends", F.expr(ends))
+            .select(id_col, F.explode(F.expr(chunks)).alias("_c"))
+            .select(id_col, "_c.chunk_idx", "_c.start", "_c.length",
+                    "_c.chash"))
+
+
+def sql_cdc_chunks(k: int = 8, mask_bits: int = 5,
+                   id_expr: str = "doc_id", text: str = "text",
+                   src: str = "documents", mod: int = POLY_MOD) -> str:
+    """DuckDB mirror of cdc_chunks. Yields CTEs ``cdc_e``/``cdc_c``;
+    select doc_id, (c).* from ``cdc_c``."""
+    mask = (1 << mask_bits) - 1
+    gram = (f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"LIST_TRANSFORM(RANGE(p - {k} + 1, p + 1), "
+            f"i -> CAST(ASCII({text}[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod})")
+    chash = (f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+             f"LIST_TRANSFORM(RANGE(CASE WHEN j = 1 THEN 1 "
+             f"ELSE ends[j - 1] + 1 END, ends[j] + 1), "
+             f"i -> CAST(ASCII(t[i]) AS BIGINT))), "
+             f"(acc, c) -> (acc * 31 + c) % {mod})")
+    return f"""cdc_e AS (
+  SELECT {id_expr} AS doc_id, {text} AS t,
+         LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(LIST_TRANSFORM(RANGE({k}, LENGTH({text}) + 1),
+             p -> CASE WHEN {gram} % {mask + 1} = 0 THEN p ELSE -1 END),
+             p -> p > 0)
+           || [LENGTH({text})])) AS ends
+  FROM {src}
+  WHERE {text} IS NOT NULL AND LENGTH({text}) > 0),
+cdc_c AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ends) + 1),
+    j -> struct_pack(
+      chunk_idx := CAST(j AS BIGINT),
+      start := CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END
+                    AS BIGINT),
+      length := CAST(ends[j] - CASE WHEN j = 1 THEN 0
+                     ELSE ends[j - 1] END AS BIGINT),
+      chash := {chash}))) AS c
+  FROM cdc_e)"""

@@ -1248,3 +1248,31 @@ def test_winnow_matches_naive_and_guarantee(spark):
     # winnowing guarantee: a shared substring >= k+w-1 chars yields a
     # shared fingerprint hash between the two docs
     assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
+
+
+def test_cdc_chunks_cover_text_and_shift_robust(spark):
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ")
+    doc1 = base * 4
+    doc2 = "INSERTED-PREFIX " + doc1   # same content shifted right
+    df = spark.createDataFrame([(1, doc1), (2, doc2), (3, ""), (4, None)],
+                               "doc_id long, text string")
+    rows = textops.cdc_chunks(df, k=8, mask_bits=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}       # empty/NULL docs drop (stated)
+    for did, text in ((1, doc1), (2, doc2)):
+        cs = sorted(by_doc[did], key=lambda r: r.chunk_idx)
+        # chunks tile the text exactly: contiguous, full coverage
+        pos = 1
+        for c in cs:
+            assert c.start == pos
+            pos += c.length
+        assert pos == len(text) + 1
+    # content-defined robustness: after the insertion point re-syncs,
+    # doc2 shares most chunk hashes with doc1
+    h1 = {r.chash for r in by_doc[1]}
+    h2 = {r.chash for r in by_doc[2]}
+    shared = len(h1 & h2)
+    assert shared >= max(1, len(h1) - 2)
