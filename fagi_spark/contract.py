@@ -1111,6 +1111,72 @@ SELECT a_subject, b_subject, itype,
 FROM hit"""
 
 
+def q_segment_clip(spark, sf_dir):
+    """Exact segment↔box overlay clip (joins.segment_clip_boxes):
+    Liang-Barsky in BIGINT over the common denominator |dx|·|dy| —
+    per (way, place-square) pair the clipped parameter interval and
+    exact squared clipped length; ``frac`` is the one mirrored float
+    division. The road-length-in-zone primitive."""
+    a, _ = _seg_frames(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    vb, wb = (k * 37) % 17000 + k % 9, (k * 53) % 8000 + k % 7
+    boxes = cust.filter((k % 4) == 0).select(
+        F.concat(F.lit("place"), k.cast("string")).alias("subject"),
+        vb.alias("xmin"), wb.alias("ymin"),
+        (vb + 8).alias("xmax"), (wb + 8).alias("ymax"))
+    return joins.segment_clip_boxes(a, boxes, cell_w=32)
+
+
+O_SEGMENT_CLIP = f"""WITH {_SEG_A_CTE},
+clip_b AS (
+  SELECT CONCAT('place', CAST(c_custkey AS STRING)) AS subject,
+         (c_custkey*37) % 17000 + c_custkey % 9 AS xmin,
+         (c_custkey*53) % 8000 + c_custkey % 7 AS ymin,
+         (c_custkey*37) % 17000 + c_custkey % 9 + 8 AS xmax,
+         (c_custkey*53) % 8000 + c_custkey % 7 + 8 AS ymax
+  FROM customer WHERE c_custkey % 4 = 0),
+cp AS (
+  SELECT a.subject AS a_subject, b.subject AS b_subject,
+         a.x1 AS ax1, a.y1 AS ay1,
+         a.x2 - a.x1 AS dx, a.y2 - a.y1 AS dy,
+         b.xmin AS bxmin, b.ymin AS bymin,
+         b.xmax AS bxmax, b.ymax AS bymax
+  FROM seg_a a JOIN clip_b b
+    ON LEAST(a.x1,a.x2) <= b.xmax AND b.xmin <= GREATEST(a.x1,a.x2)
+   AND LEAST(a.y1,a.y2) <= b.ymax AND b.ymin <= GREATEST(a.y1,a.y2)
+  WHERE (a.x1 != a.x2 OR a.y1 != a.y2)),
+cq AS (
+  SELECT *,
+         CASE WHEN dx = 0 THEN 1 ELSE ABS(dx) END AS qx,
+         CASE WHEN dy = 0 THEN 1 ELSE ABS(dy) END AS qy,
+         CASE WHEN dx < 0 THEN -1 ELSE 1 END AS sdx,
+         CASE WHEN dy < 0 THEN -1 ELSE 1 END AS sdy
+  FROM cp
+  WHERE (dx != 0 OR (bxmin <= ax1 AND ax1 <= bxmax))
+    AND (dy != 0 OR (bymin <= ay1 AND ay1 <= bymax))),
+ct AS (
+  SELECT a_subject, b_subject, dx, dy, qx * qy AS q,
+    GREATEST(
+      CASE WHEN dx = 0 THEN 0 ELSE LEAST((bxmin-ax1)*sdx*qy,
+                                         (bxmax-ax1)*sdx*qy) END,
+      CASE WHEN dy = 0 THEN 0 ELSE LEAST((bymin-ay1)*sdy*qx,
+                                         (bymax-ay1)*sdy*qx) END,
+      0) AS t0,
+    LEAST(
+      CASE WHEN dx = 0 THEN qx * qy ELSE GREATEST((bxmin-ax1)*sdx*qy,
+                                                  (bxmax-ax1)*sdx*qy) END,
+      CASE WHEN dy = 0 THEN qx * qy ELSE GREATEST((bymin-ay1)*sdy*qx,
+                                                  (bymax-ay1)*sdy*qx) END,
+      qx * qy) AS t1
+  FROM cq)
+SELECT a_subject, b_subject, t0 AS t0_num, t1 AS t1_num, q AS t_den,
+       (t1 - t0) * (t1 - t0) * (dx*dx + dy*dy) AS len2_num,
+       q * q AS len2_den,
+       CAST(t1 - t0 AS DOUBLE) / CAST(q AS DOUBLE) AS frac
+FROM ct WHERE t0 <= t1"""
+
+
 def q_raster_iou(spark, sf_dir):
     """Degree-of-overlap conflation feature (joins.raster_iou): IoU of
     the linked pairs' center-sample raster footprints at res 13 — the
@@ -8799,6 +8865,7 @@ QUERIES = {
     "fagi_cell_join": q_cell_join,
     "fagi_intersects_join": q_intersects_join,
     "fagi_segment_intersections": q_segment_intersections,
+    "fagi_segment_clip": q_segment_clip,
     "fagi_dwithin_join": q_dwithin_join,
     "fagi_knn_shape": q_knn_shape,
     "fagi_raster_iou": q_raster_iou,
@@ -9036,6 +9103,7 @@ ORACLES = {
     "fagi_cell_join": O_CELL_JOIN,
     "fagi_intersects_join": O_INTERSECTS_JOIN,
     "fagi_segment_intersections": O_SEGMENT_INTERSECTIONS,
+    "fagi_segment_clip": O_SEGMENT_CLIP,
     "fagi_dwithin_join": O_DWITHIN_JOIN,
     "fagi_knn_shape": O_KNN_SHAPE,
     "fagi_raster_iou": O_RASTER_IOU,

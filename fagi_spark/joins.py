@@ -907,3 +907,101 @@ def segment_intersections(segs_a: DataFrame, segs_b: DataFrame,
         F.when(is_prop, sgn * (F.col("a_y1") * den + t_num * ry))
          .alias("iy_num"),
         F.when(is_prop, sgn * den).alias("iden"))
+
+
+def segment_clip_boxes(segs: DataFrame, boxes: DataFrame,
+                       cell_w: int = 32) -> DataFrame:
+    """Exact segment↔box overlay clip: for every (segment, box)
+    candidate pair, the parameter interval of the segment inside the
+    axis-aligned box — Liang-Barsky clipping done entirely in BIGINT
+    by normalizing all slab intersections to ONE common denominator
+    Q = |dx|·|dy| (axis-degenerate directions contribute 1), so
+    entry/exit become integer max/min with no rational comparisons,
+    no floats, and a value-exact oracle. This is the overlay-analysis
+    primitive behind "how much road length falls in this
+    tile/zone" (the vector↔raster companion of zonal_stats, which
+    aggregates points).
+
+    Inputs: ``segs`` (subject, x1, y1, x2, y2) integer units;
+    ``boxes`` (subject, xmin, ymin, xmax, ymax). PBSM plan like
+    segment_intersections: cell-range explode on both sides,
+    equi-join, report-once by the overlap corner, then the codegen
+    clip. Degenerate zero-length segments drop (stated).
+
+    Returns (a_subject, b_subject, t0_num, t1_num, t_den,
+    len2_num, len2_den, frac) where [t0_num/t_den, t1_num/t_den] is
+    the clipped parameter interval (t0 <= t1; equality = a touch),
+    len2_* the exact squared clipped length, and ``frac`` the single
+    float division (t1_num - t0_num) / t_den.
+    """
+    a = (segs.select(F.col("subject").alias("a_subject"),
+                     *[F.col(c).cast("long").alias(f"a_{c}")
+                       for c in ("x1", "y1", "x2", "y2")])
+         .filter((F.col("a_x1") != F.col("a_x2"))
+                 | (F.col("a_y1") != F.col("a_y2"))))
+    b = boxes.select(F.col("subject").alias("b_subject"),
+                     *[F.col(c).cast("long").alias(f"b_{c}")
+                       for c in ("xmin", "ymin", "xmax", "ymax")])
+    cw = F.lit(float(cell_w))
+    a = (a.withColumn("a_xmin", F.least("a_x1", "a_x2"))
+          .withColumn("a_xmax", F.greatest("a_x1", "a_x2"))
+          .withColumn("a_ymin", F.least("a_y1", "a_y2"))
+          .withColumn("a_ymax", F.greatest("a_y1", "a_y2")))
+
+    def with_cells(df, p):
+        return (df.withColumn("cx", F.explode(F.sequence(
+                    F.floor(F.col(f"{p}_xmin").cast("double") / cw),
+                    F.floor(F.col(f"{p}_xmax").cast("double") / cw))))
+                  .withColumn("cy", F.explode(F.sequence(
+                    F.floor(F.col(f"{p}_ymin").cast("double") / cw),
+                    F.floor(F.col(f"{p}_ymax").cast("double") / cw)))))
+
+    j = with_cells(a, "a").join(with_cells(b, "b"), ["cx", "cy"])
+    overlap = ((F.col("a_xmin") <= F.col("b_xmax"))
+               & (F.col("b_xmin") <= F.col("a_xmax"))
+               & (F.col("a_ymin") <= F.col("b_ymax"))
+               & (F.col("b_ymin") <= F.col("a_ymax")))
+    ref_cell = ((F.col("cx") == F.floor(
+                    F.greatest("a_xmin", "b_xmin").cast("double") / cw))
+                & (F.col("cy") == F.floor(
+                    F.greatest("a_ymin", "b_ymin").cast("double") / cw)))
+    cand = j.filter(overlap & ref_cell)
+
+    dx = F.col("a_x2") - F.col("a_x1")
+    dy = F.col("a_y2") - F.col("a_y1")
+    qx = F.when(dx == 0, F.lit(1)).otherwise(F.abs(dx))
+    qy = F.when(dy == 0, F.lit(1)).otherwise(F.abs(dy))
+    q = qx * qy
+    sdx = F.when(dx < 0, F.lit(-1)).otherwise(F.lit(1))
+    sdy = F.when(dy < 0, F.lit(-1)).otherwise(F.lit(1))
+    # slab intersections over the common denominator q: for a live
+    # axis t = (bound - start)/d = (bound - start)*sgn(d)/|d|, scaled
+    # by the OTHER axis' q; least/greatest absorbs the d<0 swap.
+    # A degenerate axis (d == 0) contributes the full [0, q] slab but
+    # only when the fixed coordinate lies inside the box (the guard).
+    x_c1 = (F.col("b_xmin") - F.col("a_x1")) * sdx * qy
+    x_c2 = (F.col("b_xmax") - F.col("a_x1")) * sdx * qy
+    y_c1 = (F.col("b_ymin") - F.col("a_y1")) * sdy * qx
+    y_c2 = (F.col("b_ymax") - F.col("a_y1")) * sdy * qx
+    x_lo = F.when(dx == 0, F.lit(0)).otherwise(F.least(x_c1, x_c2))
+    x_hi = F.when(dx == 0, q).otherwise(F.greatest(x_c1, x_c2))
+    y_lo = F.when(dy == 0, F.lit(0)).otherwise(F.least(y_c1, y_c2))
+    y_hi = F.when(dy == 0, q).otherwise(F.greatest(y_c1, y_c2))
+    live = (((dx != 0) | ((F.col("b_xmin") <= F.col("a_x1"))
+                          & (F.col("a_x1") <= F.col("b_xmax"))))
+            & ((dy != 0) | ((F.col("b_ymin") <= F.col("a_y1"))
+                            & (F.col("a_y1") <= F.col("b_ymax")))))
+    t0 = F.greatest(x_lo, y_lo, F.lit(0))
+    t1 = F.least(x_hi, y_hi, q)
+    d2 = dx * dx + dy * dy
+    return (cand.filter(live).withColumn("_t0", t0).withColumn("_t1", t1)
+            .filter(F.col("_t0") <= F.col("_t1"))
+            .select("a_subject", "b_subject",
+                    F.col("_t0").alias("t0_num"),
+                    F.col("_t1").alias("t1_num"),
+                    q.alias("t_den"),
+                    ((F.col("_t1") - F.col("_t0"))
+                     * (F.col("_t1") - F.col("_t0")) * d2).alias("len2_num"),
+                    (q * q).alias("len2_den"),
+                    ((F.col("_t1") - F.col("_t0")).cast("double")
+                     / q.cast("double")).alias("frac")))

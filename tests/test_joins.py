@@ -605,3 +605,58 @@ def test_segment_intersections_bruteforce(spark):
     assert gd == ref
     kinds = {v[0] for v in ref.values()}
     assert "proper" in kinds and "touch" in kinds
+
+
+def test_segment_clip_boxes_fraction_reference(spark):
+    """Clip parity vs an exact-rational Liang-Barsky reference."""
+    import numpy as np
+    from fractions import Fraction
+
+    rng = np.random.default_rng(5)
+    A = []
+    B = []
+    for i in range(200):
+        x1, y1 = int(rng.integers(0, 120)), int(rng.integers(0, 120))
+        dx, dy = int(rng.integers(-10, 11)), int(rng.integers(-10, 11))
+        A.append((f"a{i}", x1, y1, x1 + dx, y1 + dy))
+    for i in range(120):
+        x0, y0 = int(rng.integers(0, 120)), int(rng.integers(0, 120))
+        B.append((f"b{i}", x0, y0, x0 + int(rng.integers(1, 9)),
+                  y0 + int(rng.integers(1, 9))))
+
+    ref = {}
+    for asub, x1, y1, x2, y2 in A:
+        if (x1, y1) == (x2, y2):
+            continue
+        dx, dy = x2 - x1, y2 - y1
+        for bsub, xmin, ymin, xmax, ymax in B:
+            if dx == 0 and not (xmin <= x1 <= xmax):
+                continue
+            if dy == 0 and not (ymin <= y1 <= ymax):
+                continue
+            los, his = [Fraction(0)], [Fraction(1)]
+            if dx != 0:
+                ts = (Fraction(xmin - x1, dx), Fraction(xmax - x1, dx))
+                los.append(min(ts))
+                his.append(max(ts))
+            if dy != 0:
+                ts = (Fraction(ymin - y1, dy), Fraction(ymax - y1, dy))
+                los.append(min(ts))
+                his.append(max(ts))
+            t0, t1 = max(los), min(his)
+            if t0 <= t1:
+                ref[(asub, bsub)] = (t0, t1,
+                                     (t1 - t0) ** 2 * (dx * dx + dy * dy))
+
+    sa = spark.createDataFrame(
+        A, "subject string, x1 long, y1 long, x2 long, y2 long")
+    sb = spark.createDataFrame(
+        B, "subject string, xmin long, ymin long, xmax long, ymax long")
+    got = joins.segment_clip_boxes(sa, sb, cell_w=16).collect()
+    gd = {}
+    for r in got:
+        key = (r.a_subject, r.b_subject)
+        assert key not in gd            # report-once
+        gd[key] = (Fraction(r.t0_num, r.t_den), Fraction(r.t1_num, r.t_den),
+                   Fraction(r.len2_num, r.len2_den))
+    assert gd == ref
