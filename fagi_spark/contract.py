@@ -2348,6 +2348,66 @@ FROM perq LEFT JOIN hits USING (query_id)"""
 O_ANN_RECALL = _o_ann_recall()
 
 
+def q_ann_prefix_recall(spark, sf_dir):
+    """Matryoshka prefix-dimension QA (the truncated-embedding trick:
+    rank with the first 16 of 64 dims, measure what full-dim recall
+    survives): brute-force top-5 over the prefix slice vs the full
+    vector, per-query recall via vector.recall_report. The decision
+    an index designer reads before shipping truncated vectors at
+    1/4 the bytes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pre = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    approx = vector.brute_force_topk(pre.filter(F.col("vec_id") < 5),
+                                     pre, k=5)
+    exact = vector.brute_force_topk(emb.filter(F.col("vec_id") < 5),
+                                    emb, k=5)
+    return (vector.recall_report(approx, exact)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    "n_exact", "n_hit", "recall"))
+
+
+_O_DOT_SQL = ("LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+              "x -> x[1] * x[2]))")
+
+O_ANN_PREFIX_RECALL = f"""WITH pq AS (
+  SELECT vec_id AS query_id,
+         (CAST(embedding AS DOUBLE[]))[1:16] AS qv
+  FROM embeddings WHERE vec_id < 5),
+pp AS (
+  SELECT pq.query_id, e2.vec_id AS neighbor_id,
+         {_O_DOT_SQL.format(a='pq.qv',
+                            b='(CAST(e2.embedding AS DOUBLE[]))[1:16]')}
+           AS score
+  FROM pq, embeddings e2 WHERE e2.vec_id <> pq.query_id),
+pr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM pp),
+bq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id < 5),
+bp AS (
+  SELECT bq.query_id, e2.vec_id AS neighbor_id,
+         {_O_DOT_SQL.format(a='bq.qv',
+                            b='CAST(e2.embedding AS DOUBLE[])')} AS score
+  FROM bq, embeddings e2 WHERE e2.vec_id <> bq.query_id),
+br AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM bp),
+exact AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5),
+approx AS (SELECT query_id, neighbor_id FROM pr WHERE rn <= 5),
+hits AS (SELECT query_id, COUNT(*) AS n_hit
+         FROM exact JOIN approx USING (query_id, neighbor_id)
+         GROUP BY query_id),
+perq AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, n_exact,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+FROM perq LEFT JOIN hits USING (query_id)"""
+
+
 _IVF_FIXED_CENTROIDS = [vector._hyperplane(64, j, seed=11) for j in range(4)]
 
 
@@ -3006,6 +3066,80 @@ UNION ALL
 SELECT subject, 'http://geo#asWKT', geom_wkt, CAST(NULL AS STRING),
        'http://www.opengis.net/ont/geosparql#wktLiteral'
 FROM fused"""
+
+
+def q_wkt_validity(spark, sf_dir):
+    """Scan-time WKT validity inventory (extract.wkt_validity) over a
+    deliberately corrupted A-side: every 37th key NULL, 31st empty,
+    23rd truncated (malformed), 29th ring-unclosed, 41st collapsed to
+    a 2-vertex ring (short) — all seven classes fire. The corruption
+    CASE and the classifier mirror 1:1 into SQL (replacement
+    backreference spelled $1 in Java vs \\1 in RE2; same semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = geo_a_df(cust).withColumn(
+        "_k", F.regexp_extract("subject", "way([0-9]+)", 1).cast("long"))
+    w = F.col("geom_wkt")
+    corrupted = (
+        F.when(F.col("_k") % 37 == 0, F.lit(None).cast("string"))
+         .when(F.col("_k") % 31 == 0, F.lit(""))
+         .when(F.col("_k") % 23 == 0,
+               F.substring(w, 1, F.length(w) - 1))
+         .when(F.col("_k") % 29 == 0,
+               F.regexp_replace(w, r", [-0-9.]+ [-0-9.]+\)\)$", "))"))
+         .when(F.col("_k") % 41 == 0,
+               F.regexp_replace(
+                   w, r"^POLYGON \(\(([-0-9.]+ [-0-9.]+), .*\)\)$",
+                   r"POLYGON (($1, $1))"))
+         .otherwise(w))
+    return extract.wkt_validity(
+        g.select("subject", corrupted.alias("geom_wkt")))
+
+
+O_WKT_VALIDITY = f"""WITH {GEO_A_CTE},
+vk AS (
+  SELECT subject, geom_wkt,
+         CAST(REGEXP_EXTRACT(subject, 'way([0-9]+)', 1) AS BIGINT) AS k
+  FROM geo_a),
+vc AS (
+  SELECT subject,
+    CASE WHEN k % 37 = 0 THEN NULL
+         WHEN k % 31 = 0 THEN ''
+         WHEN k % 23 = 0 THEN SUBSTR(geom_wkt, 1, LENGTH(geom_wkt) - 1)
+         WHEN k % 29 = 0 THEN REGEXP_REPLACE(geom_wkt,
+              ', [-0-9.]+ [-0-9.]+\\)\\)$', '))')
+         WHEN k % 41 = 0 THEN REGEXP_REPLACE(geom_wkt,
+              '^POLYGON \\(\\(([-0-9.]+ [-0-9.]+), .*\\)\\)$',
+              'POLYGON ((\\1, \\1))')
+         ELSE geom_wkt END AS w
+  FROM vk),
+vd AS (
+  SELECT subject, w,
+         COALESCE(REGEXP_EXTRACT(w, '^POLYGON \\(\\((.*)\\)\\)$', 1),
+                  '') AS inner_ring,
+         REGEXP_MATCHES(w,
+           '^POINT \\(-?[0-9]+(\\.[0-9]+)? -?[0-9]+(\\.[0-9]+)?\\)$')
+           AS is_point
+  FROM vc),
+ve AS (
+  SELECT subject, w, is_point, inner_ring,
+         STRING_SPLIT(inner_ring, ', ') AS pts
+  FROM vd)
+SELECT subject,
+  CASE WHEN w IS NULL THEN 'null'
+       WHEN TRIM(w) = '' THEN 'empty'
+       WHEN is_point THEN 'ok_point'
+       WHEN inner_ring != '' AND pts[1] = pts[-1] AND LEN(pts) >= 4
+         THEN 'ok_polygon'
+       WHEN inner_ring != '' AND pts[1] != pts[-1] THEN 'unclosed_ring'
+       WHEN inner_ring != '' AND pts[1] = pts[-1] AND LEN(pts) < 4
+         THEN 'short_ring'
+       ELSE 'malformed' END AS validity,
+  CAST(CASE WHEN w IS NULL OR TRIM(w) = '' THEN NULL
+            WHEN is_point THEN 1
+            WHEN inner_ring != '' THEN LEN(pts) END AS BIGINT)
+    AS n_vertices
+FROM ve"""
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -8998,6 +9132,7 @@ QUERIES = {
     "ann_lsh_topk": q_lsh_topk,
     "ann_lsh_multiprobe": q_lsh_multiprobe,
     "ann_recall_report": q_ann_recall,
+    "ann_prefix_recall": q_ann_prefix_recall,
     "fagi_discover_links": q_discover_links,
     "fagi_discover_candidates": q_discover_candidates,
     "fagi_cluster_features": q_cluster_features,
@@ -9012,6 +9147,7 @@ QUERIES = {
     "fagi_export_distinct": q_export_distinct,
     "fagi_merge_replace": q_merge_replace,
     "fagi_snapshot_diff": q_snapshot_diff,
+    "fagi_wkt_validity": q_wkt_validity,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "embed_semantic_dedup": q_semantic_dedup,
@@ -9235,6 +9371,7 @@ ORACLES = {
     "fagi_export_distinct": O_EXPORT_DISTINCT,
     "fagi_merge_replace": O_MERGE_REPLACE,
     "fagi_snapshot_diff": O_SNAPSHOT_DIFF,
+    "fagi_wkt_validity": O_WKT_VALIDITY,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "embed_semantic_dedup": _o_semantic_dedup(),
@@ -9264,6 +9401,7 @@ ORACLES = {
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ann_lsh_multiprobe": O_ANN_LSH_MULTIPROBE,
     "ann_recall_report": O_ANN_RECALL,
+    "ann_prefix_recall": O_ANN_PREFIX_RECALL,
     "ann_ivf_fixed_topk": O_ANN_IVF_FIXED,
     "fagi_discover_candidates": O_DISCOVER_CANDIDATES,
     "fagi_discover_links": O_DISCOVER_LINKS,

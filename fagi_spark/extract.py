@@ -305,3 +305,45 @@ def geocode_pages(pages: DataFrame, resolutions=cells.RESOLUTIONS,
         return extract_entities(pages, resolutions, dedup_local=True)
     ents = extract_entities(pages, resolutions)
     return dedup_by_precedence(ents) if dedup else ents
+
+
+def wkt_validity(df: DataFrame, wkt: str = "geom_wkt",
+                 subject: str = "subject") -> DataFrame:
+    """Scan-time WKT validity gate as a report — the F5
+    degenerate-geometry guard (FindLinkServlet.java:198 drops
+    oversized geometries silently) generalized to a classified
+    inventory a data owner can act on: per subject, which structural
+    class its WKT falls in and the vertex count. Pure JVM
+    string/regex column ops (patterns restricted to classes where
+    Java regex == RE2, the curation-scrub rule), map-only, no parse
+    kernel — this runs BEFORE the Arrow parser and keeps malformed
+    rows out of it.
+
+    Classes: 'null', 'empty', 'ok_point', 'ok_polygon' (single ring,
+    closed, >= 4 vertices), 'unclosed_ring', 'short_ring' (closed
+    but < 4 vertices), 'malformed'. Structural check only: coordinate
+    arity/numeric sanity for points is enforced by the regex; ring
+    vertices are checked for closure and count, not numeric range
+    (stated — the parser's job).
+
+    Returns (subject, validity, n_vertices).
+    """
+    w = F.col(wkt)
+    inner = F.regexp_extract(w, r"^POLYGON \(\((.*)\)\)$", 1)
+    pts = F.split(inner, ", ")
+    n = F.size(pts)
+    closed = F.element_at(pts, 1) == F.element_at(pts, -1)
+    is_point = w.rlike(r"^POINT \(-?[0-9]+(\.[0-9]+)? -?[0-9]+(\.[0-9]+)?\)$")
+    has_ring = inner != ""
+    validity = (F.when(w.isNull(), "null")
+                 .when(F.trim(w) == "", "empty")
+                 .when(is_point, "ok_point")
+                 .when(has_ring & closed & (n >= 4), "ok_polygon")
+                 .when(has_ring & ~closed, "unclosed_ring")
+                 .when(has_ring & closed & (n < 4), "short_ring")
+                 .otherwise("malformed"))
+    n_vertices = (F.when(is_point, F.lit(1))
+                   .when(has_ring, n)
+                   .otherwise(F.lit(None)).cast("long"))
+    return df.select(F.col(subject), validity.alias("validity"),
+                     n_vertices.alias("n_vertices"))

@@ -124,3 +124,30 @@ def test_geocode_local_dedup_matches_window(spark):
     win_plan = extract.geocode_pages(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" in win_plan  # the cost local mode removes
+
+
+def test_wkt_validity_classes(spark):
+    from fagi_spark import extract as ex
+
+    rows = [
+        ("s1", "POINT (1.50 2.25)"),
+        ("s2", "POINT (-3 4)"),
+        ("s3", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("s4", "POLYGON ((0 0, 4 0, 4 4, 0 4))"),     # unclosed
+        ("s5", "POLYGON ((1 1, 1 1))"),               # short ring
+        ("s6", "POINT (1.5)"),                         # bad arity
+        ("s7", "LINESTRING (0 0, 1 1)"),               # unsupported here
+        ("s8", ""),
+        ("s9", None),
+        ("s10", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0"),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    got = {r.subject: (r.validity, r.n_vertices)
+           for r in ex.wkt_validity(df).collect()}
+    assert got == {
+        "s1": ("ok_point", 1), "s2": ("ok_point", 1),
+        "s3": ("ok_polygon", 5), "s4": ("unclosed_ring", 4),
+        "s5": ("short_ring", 2), "s6": ("malformed", None),
+        "s7": ("malformed", None), "s8": ("empty", None),
+        "s9": ("null", None), "s10": ("malformed", None),
+    }
