@@ -1375,3 +1375,59 @@ def erode_cells(df: DataFrame, res: int, k: int = 1,
     return (need.join(votes, ["_k", "cell"])
             .filter(F.col("_got") == F.col("_need"))
             .select(F.col("_k").alias(key), "cell"))
+
+
+HEX_C1 = float(3 ** 0.5) / 3.0   # sqrt(3)/3, inlined identically in SQL
+HEX_C2 = 1.0 / 3.0
+HEX_C3 = 2.0 / 3.0
+
+
+def hex_cell(df, size: float, lon: str = "cx", lat: str = "cy",
+             q_out: str = "hq", r_out: str = "hr"):
+    """Hexagonal-grid cell assignment (pointy-top axial coordinates +
+    cube rounding — the H3-shaped tiling the north star names, over
+    the same lon/lat plane the square grid uses; hexagons give
+    isotropic neighbor distances where squares bias the diagonals).
+    Pure column math: two linear forms, three round()s, and the
+    largest-residual correction — every operand an inlined double
+    literal, so the assignment is IEEE-mirrorable into SQL
+    (round-half-away-from-zero agrees between engines; decisions are
+    float comparisons on bit-identical values).
+
+    Returns df + (q_out, r_out) integer axial coordinates.
+    """
+    x, y = F.col(lon), F.col(lat)
+    fq = (F.lit(HEX_C1) * x - F.lit(HEX_C2) * y) / F.lit(float(size))
+    fr = (F.lit(HEX_C3) * y) / F.lit(float(size))
+    fy = -fq - fr
+    rq, ry, rz = F.round(fq, 0), F.round(fy, 0), F.round(fr, 0)
+    dq, dy, dz = F.abs(rq - fq), F.abs(ry - fy), F.abs(rz - fr)
+    hq = F.when((dq > dy) & (dq > dz), -ry - rz).otherwise(rq)
+    hr = (F.when((dq > dy) & (dq > dz), rz)
+           .when(dy > dz, rz)
+           .otherwise(-rq - ry))
+    return (df.withColumn(q_out, hq.cast("long"))
+              .withColumn(r_out, hr.cast("long")))
+
+
+def sql_hex_cell(lon_expr: str, lat_expr: str, size: float) -> tuple:
+    """DuckDB mirror of hex_cell: (hq_expr, hr_expr) strings. Literals
+    spelled with repr+e0 (contract._dlit convention, inlined here to
+    keep cells.py import-free of contract)."""
+    def dlit(v):
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    fq = (f"(({dlit(HEX_C1)} * ({lon_expr}) - {dlit(HEX_C2)} * "
+          f"({lat_expr})) / {dlit(size)})")
+    fr = f"(({dlit(HEX_C3)} * ({lat_expr})) / {dlit(size)})"
+    fy = f"(-{fq} - {fr})"
+    rq, ry, rz = f"ROUND({fq})", f"ROUND({fy})", f"ROUND({fr})"
+    dq, dy, dz = (f"ABS({rq} - {fq})", f"ABS({ry} - {fy})",
+                  f"ABS({rz} - {fr})")
+    hq = (f"CAST(CASE WHEN {dq} > {dy} AND {dq} > {dz} "
+          f"THEN -{ry} - {rz} ELSE {rq} END AS BIGINT)")
+    hr = (f"CAST(CASE WHEN {dq} > {dy} AND {dq} > {dz} THEN {rz} "
+          f"WHEN {dy} > {dz} THEN {rz} "
+          f"ELSE -{rq} - {ry} END AS BIGINT)")
+    return hq, hr

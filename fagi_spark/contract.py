@@ -3068,6 +3068,34 @@ SELECT subject, 'http://geo#asWKT', geom_wkt, CAST(NULL AS STRING),
 FROM fused"""
 
 
+def q_hexbin_counts(spark, sf_dir):
+    """Hexagonal-grid binning (cells.hex_cell — the H3-shaped tiling
+    of the north star, pointy-top axial + cube rounding): per-hex
+    entity counts over the A-side point cloud. Every float op and
+    every rounding decision is IEEE-mirrored (inlined sqrt(3)/3
+    literals; round-half-away-from-zero agrees between engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        ((k * 37 % 17000).cast("double") / 100.0).alias("cx"),
+        ((k * 53 % 8000).cast("double") / 100.0).alias("cy"))
+    h = cells.hex_cell(pts, size=0.25)
+    return (h.groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _o_hexbin() -> str:
+    hq, hr = cells.sql_hex_cell(
+        "CAST(c_custkey * 37 % 17000 AS DOUBLE) / 100.0",
+        "CAST(c_custkey * 53 % 8000 AS DOUBLE) / 100.0", 0.25)
+    return (f"SELECT {hq} AS hq, {hr} AS hr, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+            f"GROUP BY 1, 2")
+
+
+O_HEXBIN_COUNTS = _o_hexbin()
+
+
 def q_wkt_validity(spark, sf_dir):
     """Scan-time WKT validity inventory (extract.wkt_validity) over a
     deliberately corrupted A-side: every 37th key NULL, 31st empty,
@@ -6391,6 +6419,34 @@ SELECT from_type, to_type, n,
 FROM c JOIN t USING (from_type)"""
 
 
+def q_events_mad_anomaly(spark, sf_dir):
+    """Robust MAD anomaly days per cell (events.mad_anomalies, res 6,
+    3x rule): integer-exact end to end — both medians are the
+    lower-step selection (== QUANTILE_DISC at 0.5), so deviations and
+    the flag comparison never touch a float."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
+    return ev.mad_anomalies(pts, res=6)
+
+
+O_EVENTS_MAD_ANOMALY = f"""WITH p AS (
+  SELECT {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, 6)} AS cell,
+         CAST(ts AS DATE) AS day
+  FROM events),
+daily AS (
+  SELECT cell, day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY cell, day),
+med AS (
+  SELECT cell, QUANTILE_DISC(n, 0.5) AS med FROM daily GROUP BY cell),
+dev AS (
+  SELECT daily.cell, day, n, med, ABS(n - med) AS dev
+  FROM daily JOIN med ON daily.cell = med.cell),
+mad AS (
+  SELECT cell, QUANTILE_DISC(dev, 0.5) AS mad FROM dev GROUP BY cell)
+SELECT dev.cell, day, n, med, mad, dev > 3 * mad AS is_anomaly
+FROM dev JOIN mad ON dev.cell = mad.cell"""
+
+
 def q_events_gap_regularity(spark, sf_dir):
     """Inter-event-gap regularity per user (events.gap_regularity):
     exact integer-seconds gap sums + the cv2 metronome score, a fixed
@@ -9148,6 +9204,7 @@ QUERIES = {
     "fagi_merge_replace": q_merge_replace,
     "fagi_snapshot_diff": q_snapshot_diff,
     "fagi_wkt_validity": q_wkt_validity,
+    "fagi_hexbin_counts": q_hexbin_counts,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "embed_semantic_dedup": q_semantic_dedup,
@@ -9168,6 +9225,7 @@ QUERIES = {
     "events_emerging_hotspots": q_emerging_hotspots,
     "events_windowed_rollup": q_events_windowed,
     "events_st_cube": q_events_st_cube,
+    "events_mad_anomaly": q_events_mad_anomaly,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
     "fagi_serialization_probe": q_serialization_probe,
@@ -9372,6 +9430,7 @@ ORACLES = {
     "fagi_merge_replace": O_MERGE_REPLACE,
     "fagi_snapshot_diff": O_SNAPSHOT_DIFF,
     "fagi_wkt_validity": O_WKT_VALIDITY,
+    "fagi_hexbin_counts": O_HEXBIN_COUNTS,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "embed_semantic_dedup": _o_semantic_dedup(),
@@ -9385,6 +9444,7 @@ ORACLES = {
     "events_emerging_hotspots": O_EMERGING_HOTSPOTS,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_st_cube": O_EVENTS_ST_CUBE,
+    "events_mad_anomaly": O_EVENTS_MAD_ANOMALY,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,

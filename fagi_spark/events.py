@@ -1920,3 +1920,45 @@ def st_cube(pts: DataFrame, res: int, ts: str = "ts",
                     F.col("cell.cell_y").alias("cell_y"),
                     "day", F.col("lvl").cast("long").alias("lvl"),
                     "n_events", "n_users"))
+
+
+def mad_anomalies(pts: DataFrame, res: int = 6, ts: str = "ts",
+                  factor: int = 3, lon: str = "lon",
+                  lat: str = "lat") -> DataFrame:
+    """Robust per-cell anomaly days via median absolute deviation:
+    a (cell, day) count is anomalous when |n - median| >
+    factor * MAD — the outlier rule that, unlike z-scores
+    (events.burst_scores), is itself immune to the outliers it
+    hunts. INTEGER-EXACT end to end: counts are integers, both
+    medians use the lower-step selection (textops.grouped_quantiles'
+    ceil(q*n) rule — identical to SQL QUANTILE_DISC at q=0.5 for
+    every parity), so deviations, MAD, and the comparison are all
+    BIGINT — no floats anywhere.
+
+    Scale shape: one (cell, day) rollup, then two selection passes
+    over per-cell AGGREGATES (cardinality = distinct counts per
+    cell, not events) + broadcast-sized joins back. MAD = 0 cells
+    (constant traffic) flag any deviation > 0 (stated).
+
+    Returns (cell, day, n, med, mad, is_anomaly).
+    """
+    from . import cells, textops
+    e = pts.select(
+        cells.pack_cell(cells.ix_col(F.col(lon), res),
+                        cells.iy_col(F.col(lat), res), res).alias("cell"),
+        F.to_date(F.col(ts)).alias("day"))
+    # the count column is named _n internally: grouped_quantiles emits
+    # its own group-total column "n", which would collide
+    daily = (e.groupBy("cell", "day")
+             .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    med = (textops.grouped_quantiles(daily, "_n", [0.5], by="cell")
+           .select("cell", F.col("q_value").alias("med")))
+    dev = (daily.join(med, "cell")
+           .withColumn("dev", F.abs(F.col("_n") - F.col("med"))))
+    mad = (textops.grouped_quantiles(
+               dev.select("cell", "dev"), "dev", [0.5], by="cell")
+           .select("cell", F.col("q_value").alias("mad")))
+    return (dev.join(mad, "cell")
+            .select("cell", "day", F.col("_n").alias("n"), "med", "mad",
+                    (F.col("dev") > F.lit(int(factor)) * F.col("mad"))
+                    .alias("is_anomaly")))

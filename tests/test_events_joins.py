@@ -1046,3 +1046,27 @@ def test_st_cube_levels_consistent(spark):
     # cell-only level: NULL day, non-NULL cell
     assert all(r.day is None and r.cell_x is not None for r in by_lvl[1])
     assert all(r.cell_x is None and r.day is not None for r in by_lvl[2])
+
+
+def test_mad_anomalies_planted_burst(spark):
+    from fagi_spark import events as ev
+    import datetime as dt
+    import pyspark.sql.functions as F
+
+    # one cell, 11 quiet days of 10 events, 1 burst day of 100
+    rows = []
+    for d in range(11):
+        for i in range(10):
+            rows.append((dt.datetime(2024, 1, 1 + d, 12, 0, 0),))
+    for i in range(100):
+        rows.append((dt.datetime(2024, 1, 12, 12, 0, 0),))
+    df = spark.createDataFrame(rows, "ts timestamp").select(
+        "ts", F.lit(1.0).alias("lon"), F.lit(2.0).alias("lat"))
+    out = {r.day.isoformat(): r for r in
+           ev.mad_anomalies(df, res=6).collect()}
+    assert len(out) == 12
+    assert all(r.med == 10 and r.mad == 0 for r in out.values())
+    # MAD 0 (constant traffic): only the burst day deviates
+    flags = {d: r.is_anomaly for d, r in out.items()}
+    assert flags["2024-01-12"] is True
+    assert sum(flags.values()) == 1
