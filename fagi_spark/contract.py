@@ -3170,6 +3170,92 @@ SELECT subject,
 FROM ve"""
 
 
+def q_ring_simple(spark, sf_dir):
+    """Geometric ring-simplicity check (extract.ring_simple_check)
+    over the A-side polygons with a bowtie planted every 43rd key
+    (vertices 2/3 swapped — the two diagonals cross once): per ring
+    its edge count, non-adjacent edge crossings, and the is_simple
+    verdict — the geometric companion to fagi_wkt_validity, exact
+    BIGINT orientation math end to end."""
+    cust = _t(spark, sf_dir, "customer")
+    g = (geo_a_df(cust)
+         .filter(F.col("geom_wkt").startswith("POLYGON"))
+         .withColumn("_k", F.regexp_extract("subject", "way([0-9]+)", 1)
+                     .cast("long")))
+    w = F.col("geom_wkt")
+    bow = F.regexp_replace(
+        w, r"^POLYGON \(\(([^,]+), ([^,]+), ([^,]+), (.*)\)\)$",
+        r"POLYGON (($1, $3, $2, $4))")
+    g = g.select("subject",
+                 F.when(F.col("_k") % 43 == 0, bow).otherwise(w)
+                  .alias("geom_wkt"))
+    return extract.ring_simple_check(g)
+
+
+O_RING_SIMPLE = f"""WITH {GEO_A_CTE},
+rs AS (
+  SELECT subject,
+         CASE WHEN CAST(REGEXP_EXTRACT(subject, 'way([0-9]+)', 1)
+                   AS BIGINT) % 43 = 0
+              THEN REGEXP_REPLACE(geom_wkt,
+                '^POLYGON \\(\\(([^,]+), ([^,]+), ([^,]+), (.*)\\)\\)$',
+                'POLYGON ((\\1, \\3, \\2, \\4))')
+              ELSE geom_wkt END AS w
+  FROM geo_a WHERE kind = 'POLYGON'),
+rv AS (
+  SELECT subject,
+         LIST_TRANSFORM(
+           STRING_SPLIT(REGEXP_EXTRACT(w, '^POLYGON \\(\\((.*)\\)\\)$', 1),
+                        ', '),
+           p -> struct_pack(
+             x := CAST(ROUND(CAST(STRING_SPLIT(p, ' ')[1] AS DOUBLE) * 100)
+                       AS BIGINT),
+             y := CAST(ROUND(CAST(STRING_SPLIT(p, ' ')[2] AS DOUBLE) * 100)
+                       AS BIGINT))) AS v
+  FROM rs),
+re AS (
+  SELECT subject, LEN(v) - 1 AS ne, g.i AS i,
+         v[g.i + 1].x AS x1, v[g.i + 1].y AS y1,
+         v[g.i + 2].x AS x2, v[g.i + 2].y AS y2
+  FROM rv, (SELECT UNNEST(RANGE(0, 100)) AS i) g
+  WHERE g.i < LEN(v) - 1),
+rp AS (
+  SELECT a.subject,
+    a.x2 - a.x1 AS rx, a.y2 - a.y1 AS ry,
+    b.x2 - b.x1 AS sx, b.y2 - b.y1 AS sy,
+    a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+    b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+  FROM re a JOIN re b
+    ON a.subject = b.subject AND b.i > a.i + 1
+   AND NOT (a.i = 0 AND b.i = a.ne - 1)),
+rd AS (
+  SELECT subject,
+    rx*(by1-ay1) - ry*(bx1-ax1) AS d1,
+    rx*(by2-ay1) - ry*(bx2-ax1) AS d2,
+    sx*(ay1-by1) - sy*(ax1-bx1) AS d3,
+    sx*(ay2-by1) - sy*(ax2-bx1) AS d4,
+    CASE WHEN ABS(rx) >= ABS(ry) THEN LEAST(ax1, ax2)
+         ELSE LEAST(ay1, ay2) END AS alo,
+    CASE WHEN ABS(rx) >= ABS(ry) THEN GREATEST(ax1, ax2)
+         ELSE GREATEST(ay1, ay2) END AS ahi,
+    CASE WHEN ABS(rx) >= ABS(ry) THEN LEAST(bx1, bx2)
+         ELSE LEAST(by1, by2) END AS blo,
+    CASE WHEN ABS(rx) >= ABS(ry) THEN GREATEST(bx1, bx2)
+         ELSE GREATEST(by1, by2) END AS bhi
+  FROM rp),
+rc AS (
+  SELECT subject, CAST(COUNT(*) AS BIGINT) AS n_crossings
+  FROM rd
+  WHERE CASE WHEN d1 = 0 AND d2 = 0
+             THEN GREATEST(alo, blo) <= LEAST(ahi, bhi)
+             ELSE d1*d2 <= 0 AND d3*d4 <= 0 END
+  GROUP BY subject)
+SELECT rv.subject, CAST(LEN(v) - 1 AS BIGINT) AS n_edges,
+       COALESCE(rc.n_crossings, 0) AS n_crossings,
+       COALESCE(rc.n_crossings, 0) = 0 AS is_simple
+FROM rv LEFT JOIN rc ON rv.subject = rc.subject"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot CDC diff (io.snapshot_diff): v2 of the A-side geometry
     table removes every 17th subject, moves every 5th (x+0.03), and
@@ -9205,6 +9291,7 @@ QUERIES = {
     "fagi_snapshot_diff": q_snapshot_diff,
     "fagi_wkt_validity": q_wkt_validity,
     "fagi_hexbin_counts": q_hexbin_counts,
+    "fagi_ring_simple": q_ring_simple,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
     "embed_semantic_dedup": q_semantic_dedup,
@@ -9431,6 +9518,7 @@ ORACLES = {
     "fagi_snapshot_diff": O_SNAPSHOT_DIFF,
     "fagi_wkt_validity": O_WKT_VALIDITY,
     "fagi_hexbin_counts": O_HEXBIN_COUNTS,
+    "fagi_ring_simple": O_RING_SIMPLE,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
     "embed_semantic_dedup": _o_semantic_dedup(),

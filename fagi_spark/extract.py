@@ -347,3 +347,84 @@ def wkt_validity(df: DataFrame, wkt: str = "geom_wkt",
                    .otherwise(F.lit(None)).cast("long"))
     return df.select(F.col(subject), validity.alias("validity"),
                      n_vertices.alias("n_vertices"))
+
+
+def ring_simple_check(df: DataFrame, wkt: str = "geom_wkt",
+                      subject: str = "subject") -> DataFrame:
+    """Geometric simplicity check for single-ring POLYGON WKTs on the
+    0.01-degree grid: does any pair of NON-ADJACENT ring edges
+    intersect (a bowtie / self-crossing ring)? The geometric
+    companion to wkt_validity's structural gate — a ring can be
+    closed and well-formed yet self-intersecting, and every consumer
+    downstream (shoelace area, PIP, rasterize) silently misbehaves
+    on such rings.
+
+    All JVM: vertices parse by string split + exact two-decimal
+    -> integer-hundredths conversion (round(x*100) — exact for the
+    grid convention, contract._fmt2), edges posexplode, non-adjacent
+    pairs self-join per subject (j > i+1, excluding the closing
+    (first, last) adjacency), and the exact BIGINT segment predicate
+    of joins.segment_intersections decides. O(n_edges^2) pairs per
+    polygon — bounded by ring size, not corpus size; the self-join
+    keys on subject so polygons never shuffle against each other.
+
+    Non-polygon / malformed rows are passed through with NULL
+    n_crossings and is_simple (stated — gate with wkt_validity
+    first).
+
+    Returns (subject, n_edges, n_crossings, is_simple).
+    """
+    inner = F.regexp_extract(F.col(wkt), r"^POLYGON \(\((.*)\)\)$", 1)
+    base = df.select(F.col(subject).alias("_s"), inner.alias("_in"))
+    ok = base.filter(F.col("_in") != "")
+    vx = ok.select(
+        "_s",
+        F.transform(
+            F.split("_in", ", "),
+            lambda p: F.struct(
+                F.round(F.element_at(F.split(p, " "), 1).cast("double")
+                        * 100).cast("long").alias("x"),
+                F.round(F.element_at(F.split(p, " "), 2).cast("double")
+                        * 100).cast("long").alias("y"))).alias("_v"))
+    # edges i = 1..n-1 (vertex i -> i+1); ring closure is the last edge
+    edges = vx.select(
+        "_s", (F.size("_v") - 1).alias("_ne"),
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(_v) - 1), i -> named_struct("
+            "'x1', _v[i - 1].x, 'y1', _v[i - 1].y, "
+            "'x2', _v[i].x, 'y2', _v[i].y))")).alias("_i", "_e"))
+    a = edges.select("_s", "_ne", F.col("_i").alias("_ia"),
+                     F.col("_e.x1").alias("ax1"), F.col("_e.y1").alias("ay1"),
+                     F.col("_e.x2").alias("ax2"), F.col("_e.y2").alias("ay2"))
+    b = edges.select(F.col("_s").alias("_s2"), F.col("_i").alias("_ib"),
+                     F.col("_e.x1").alias("bx1"), F.col("_e.y1").alias("by1"),
+                     F.col("_e.x2").alias("bx2"), F.col("_e.y2").alias("by2"))
+    pairs = a.join(b, (F.col("_s") == F.col("_s2"))
+                   & (F.col("_ib") > F.col("_ia") + 1)
+                   & ~((F.col("_ia") == 0)
+                       & (F.col("_ib") == F.col("_ne") - 1)))
+    rx, ry = F.col("ax2") - F.col("ax1"), F.col("ay2") - F.col("ay1")
+    sx, sy = F.col("bx2") - F.col("bx1"), F.col("by2") - F.col("by1")
+    d1 = rx * (F.col("by1") - F.col("ay1")) - ry * (F.col("bx1") - F.col("ax1"))
+    d2 = rx * (F.col("by2") - F.col("ay1")) - ry * (F.col("bx2") - F.col("ax1"))
+    d3 = sx * (F.col("ay1") - F.col("by1")) - sy * (F.col("ax1") - F.col("bx1"))
+    d4 = sx * (F.col("ay2") - F.col("by1")) - sy * (F.col("ax2") - F.col("bx1"))
+    collinear = (d1 == 0) & (d2 == 0)
+    use_x = F.abs(rx) >= F.abs(ry)
+    a_lo = F.when(use_x, F.least("ax1", "ax2")).otherwise(F.least("ay1", "ay2"))
+    a_hi = F.when(use_x, F.greatest("ax1", "ax2")).otherwise(F.greatest("ay1", "ay2"))
+    b_lo = F.when(use_x, F.least("bx1", "bx2")).otherwise(F.least("by1", "by2"))
+    b_hi = F.when(use_x, F.greatest("bx1", "bx2")).otherwise(F.greatest("by1", "by2"))
+    col_hit = F.greatest(a_lo, b_lo) <= F.least(a_hi, b_hi)
+    hit = F.when(collinear, col_hit).otherwise((d1 * d2 <= 0) & (d3 * d4 <= 0))
+    crossings = (pairs.filter(hit).groupBy("_s")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_crossings")))
+    per_poly = (edges.groupBy("_s").agg(F.first("_ne").alias("_ne"))
+                .join(crossings, "_s", "left")
+                .select("_s", F.col("_ne").cast("long").alias("n_edges"),
+                        F.coalesce("n_crossings", F.lit(0)).alias("n_crossings"),
+                        (F.coalesce("n_crossings", F.lit(0)) == 0)
+                        .alias("is_simple")))
+    return (base.select("_s").join(per_poly, "_s", "left")
+            .select(F.col("_s").alias(subject), "n_edges", "n_crossings",
+                    "is_simple"))

@@ -151,3 +151,23 @@ def test_wkt_validity_classes(spark):
         "s7": ("malformed", None), "s8": ("empty", None),
         "s9": ("null", None), "s10": ("malformed", None),
     }
+
+
+def test_ring_simple_check_bowtie(spark):
+    from fagi_spark import extract as ex
+
+    rows = [
+        ("sq", "POLYGON ((0.00 0.00, 4.00 0.00, 4.00 4.00, 0.00 4.00, 0.00 0.00))"),
+        # bowtie: diagonals cross once
+        ("bow", "POLYGON ((0.00 0.00, 4.00 4.00, 4.00 0.00, 0.00 4.00, 0.00 0.00))"),
+        ("tri", "POLYGON ((0.00 0.00, 2.00 0.00, 1.00 2.00, 0.00 0.00))"),
+        ("pt", "POINT (1.00 1.00)"),
+    ]
+    df = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    got = {r.subject: (r.n_edges, r.n_crossings, r.is_simple)
+           for r in ex.ring_simple_check(df).collect()}
+    assert got["sq"] == (4, 0, True)
+    assert got["bow"] == (4, 1, False)
+    assert got["tri"] == (3, 0, True)
+    # non-polygon rows pass through with NULLs (stated)
+    assert got["pt"] == (None, None, None)
