@@ -3680,6 +3680,43 @@ GROUP BY from_cell, to_cell"""
 O_OD_FLOWS = _o_od_flows()
 
 
+def q_events_od_ipf(spark, sf_dir):
+    """Doubly-stochastic OD balancing (events.od_ipf_balance, one IPF
+    round over the res-6 od_flows matrix): row scale to 1 then
+    column scale — integer row totals, from_cell-sorted float fold
+    for the column totals, one division per scaling. The
+    gravity-calibration weight IS value-compared."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"),
+                     "event_id", "ts", "user_id")
+    return ev.od_ipf_balance(ev.od_flows(pts, res=6)
+                             .select("from_cell", "to_cell", "n_moves"))
+
+
+_O_OD_IPF_FLOWS = _o_od_flows().replace(
+    "WITH p AS (", "flows0 AS (\n  WITH p AS (").replace(
+    "GROUP BY from_cell, to_cell", "GROUP BY from_cell, to_cell\n)")
+
+O_EVENTS_OD_IPF = f"""WITH {_O_OD_IPF_FLOWS},
+ipf0 AS (
+  SELECT from_cell, to_cell, CAST(n_moves AS BIGINT) AS n_moves,
+         CAST(n_moves AS DOUBLE) AS w
+  FROM flows0),
+ipf_rt AS (
+  SELECT from_cell, CAST(SUM(n_moves) AS DOUBLE) AS rt
+  FROM ipf0 GROUP BY from_cell),
+ipf1 AS (
+  SELECT i.from_cell, to_cell, n_moves, w / rt AS w
+  FROM ipf0 i JOIN ipf_rt r ON i.from_cell = r.from_cell),
+ipf_ct AS (
+  SELECT to_cell,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(w ORDER BY from_cell)), (acc, x) -> acc + x) AS ct
+  FROM ipf1 GROUP BY to_cell)
+SELECT i.from_cell, i.to_cell, n_moves, w / ct AS w
+FROM ipf1 i JOIN ipf_ct c ON i.to_cell = c.to_cell"""
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Mann-Kendall emerging-hotspot trend per cell
     (events.emerging_hotspots): daily periods at res 6 — integer S
@@ -9309,6 +9346,7 @@ QUERIES = {
     "fagi_metadata_chain_keep": q_metadata_chain_keep,
     "events_cooccur_join": q_events_cooccur,
     "events_od_flows": q_od_flows,
+    "events_od_ipf": q_events_od_ipf,
     "events_emerging_hotspots": q_emerging_hotspots,
     "events_windowed_rollup": q_events_windowed,
     "events_st_cube": q_events_st_cube,
@@ -9529,6 +9567,7 @@ ORACLES = {
     "fagi_metadata_chain_keep": O_METADATA_CHAIN_KEEP,
     "events_cooccur_join": O_EVENTS_COOCCUR,
     "events_od_flows": O_OD_FLOWS,
+    "events_od_ipf": O_EVENTS_OD_IPF,
     "events_emerging_hotspots": O_EMERGING_HOTSPOTS,
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_st_cube": O_EVENTS_ST_CUBE,

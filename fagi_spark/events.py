@@ -1962,3 +1962,48 @@ def mad_anomalies(pts: DataFrame, res: int = 6, ts: str = "ts",
             .select("cell", "day", F.col("_n").alias("n"), "med", "mad",
                     (F.col("dev") > F.lit(int(factor)) * F.col("mad"))
                     .alias("is_anomaly")))
+
+
+def od_ipf_balance(flows: DataFrame, n_rounds: int = 1) -> DataFrame:
+    """Doubly-stochastic OD balancing (one IPF / Sinkhorn round per
+    ``n_rounds``): scale each origin row of the OD matrix to sum
+    to 1, then each destination column of THAT — the
+    gravity-calibration step that strips away origin/destination size
+    effects so residual structure (corridor preferences) shows. Input
+    is od_flows' (from_cell, to_cell, n_moves).
+
+    Exactness: the row totals are BIGINT sums (order-free); every
+    later float total folds its addends in from_cell order (the
+    doc_lang_mixture rule), and each scaling is one division —
+    value-exact against an unrolled-CTE oracle. One shuffle per
+    scaling pass, partial-agg combinable except the ordered fold,
+    which aggregates (cell, addend) pairs — cardinality = matrix
+    cells, not movements.
+
+    Returns (from_cell, to_cell, n_moves, w) with w the balanced
+    weight after the final column pass.
+    """
+    cur = flows.select("from_cell", "to_cell",
+                       F.col("n_moves").cast("long").alias("n_moves"),
+                       F.col("n_moves").cast("double").alias("w"))
+    for r in range(int(n_rounds)):
+        if r == 0:
+            # integer row totals: order-free
+            rt = (cur.groupBy("from_cell")
+                  .agg(F.sum("n_moves").cast("double").alias("_rt")))
+        else:
+            rt = (cur.groupBy("from_cell")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(
+                          F.struct("to_cell", F.col("w").alias("_v")))),
+                      F.lit(0.0), lambda a, x: a + x["_v"]).alias("_rt")))
+        cur = (cur.join(rt, "from_cell")
+               .withColumn("w", F.col("w") / F.col("_rt")).drop("_rt"))
+        ct = (cur.groupBy("to_cell")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(
+                      F.struct("from_cell", F.col("w").alias("_v")))),
+                  F.lit(0.0), lambda a, x: a + x["_v"]).alias("_ct")))
+        cur = (cur.join(ct, "to_cell")
+               .withColumn("w", F.col("w") / F.col("_ct")).drop("_ct"))
+    return cur.select("from_cell", "to_cell", "n_moves", "w")

@@ -1070,3 +1070,37 @@ def test_mad_anomalies_planted_burst(spark):
     flags = {d: r.is_anomaly for d, r in out.items()}
     assert flags["2024-01-12"] is True
     assert sum(flags.values()) == 1
+
+
+def test_od_ipf_balance_properties(spark):
+    from fagi_spark import events as ev
+    import pyspark.sql.functions as F
+
+    flows = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 30), (2, 1, 5), (2, 3, 5),
+         (3, 1, 20), (3, 2, 20)],
+        "from_cell long, to_cell long, n_moves long")
+    out = ev.od_ipf_balance(flows).collect()
+    rows = {(r.from_cell, r.to_cell): r.w for r in out}
+    # after the row pass each origin summed to 1; the column pass
+    # rescales within each destination, so columns sum to exactly 1
+    import collections
+    cols = collections.defaultdict(float)
+    for (f, t), w in rows.items():
+        cols[t] += w
+    for t, s in cols.items():
+        assert abs(s - 1.0) < 1e-12, (t, s)
+    # w preserves within-row ordering of the raw counts
+    assert rows[(1, 3)] > rows[(1, 2)]
+    # two rounds move row sums back toward 1 (Sinkhorn convergence)
+    out2 = {(r.from_cell, r.to_cell): r.w
+            for r in ev.od_ipf_balance(flows, n_rounds=2).collect()}
+    rs1 = collections.defaultdict(float)
+    rs2 = collections.defaultdict(float)
+    for (f, t), w in rows.items():
+        rs1[f] += w
+    for (f, t), w in out2.items():
+        rs2[f] += w
+    worst1 = max(abs(s - 1) for s in rs1.values())
+    worst2 = max(abs(s - 1) for s in rs2.values())
+    assert worst2 <= worst1 + 1e-12
