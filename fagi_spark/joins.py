@@ -368,6 +368,20 @@ def dwithin_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
             res -= 1
     a = _sided(geo_a, "a", cols)
     b = _sided(geo_b, "b", cols)
+    # Parallelism guard: when B broadcasts (the common dim-table
+    # case), the candidate explode + join + refine all execute on
+    # A's SCAN partitioning — a single small parquet file means 1-2
+    # tasks doing 100% of the PBSM work while the rest of the
+    # cluster idles (measured 10.7s -> 3.4s on the sf0.1
+    # map-matching snap at local[32]). One cheap pre-explode
+    # round-robin shuffle of the narrow A rows restores full width;
+    # skipped when A is already wide enough.
+    try:
+        want = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if a.rdd.getNumPartitions() < max(2, want // 2):
+            a = a.repartition(want)
+    except Exception:
+        pass
     r = F.lit(radius_deg)
     a = (a.withColumn("pad_xmin", F.col("a_xmin") - r)
          .withColumn("pad_ymin", F.col("a_ymin") - r)
