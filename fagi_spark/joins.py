@@ -35,6 +35,23 @@ DIST_DEG = (lambda ax, ay, bx, by:
             F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Parallelism guard for PBSM probe sides: a broadcast-joined
+    candidate pipeline executes on the probe side's SCAN partitioning,
+    so a single small parquet file serializes the whole
+    explode+join+refine on 1-2 tasks (measured 10.7s -> 2.5s on the
+    sf0.1 map-matching candidate stage at local[32]). One cheap
+    round-robin shuffle of the narrow input rows restores width;
+    no-op when the frame is already wide enough."""
+    try:
+        want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < max(2, want // 2):
+            return df.repartition(want)
+    except Exception:
+        pass
+    return df
+
+
 def _sided(df: DataFrame, side: str, cols) -> DataFrame:
     return df.select(*[F.col(c).alias(f"{side}_{c}") for c in cols])
 
@@ -292,7 +309,7 @@ def intersects_join(geo_a: DataFrame, geo_b: DataFrame,
         env = (geo_a.select("xmin", "ymin", "xmax", "ymax")
                .unionByName(geo_b.select("xmin", "ymin", "xmax", "ymax")))
         res = pip_auto_res(env)
-    a = _sided(geo_a, "a", cols)
+    a = _widen(_sided(geo_a, "a", cols))
     b = _sided(geo_b, "b", cols)
 
     def with_cells(df, p):
@@ -368,20 +385,7 @@ def dwithin_join(geo_a: DataFrame, geo_b: DataFrame, radius_m: float,
             res -= 1
     a = _sided(geo_a, "a", cols)
     b = _sided(geo_b, "b", cols)
-    # Parallelism guard: when B broadcasts (the common dim-table
-    # case), the candidate explode + join + refine all execute on
-    # A's SCAN partitioning — a single small parquet file means 1-2
-    # tasks doing 100% of the PBSM work while the rest of the
-    # cluster idles (measured 10.7s -> 3.4s on the sf0.1
-    # map-matching snap at local[32]). One cheap pre-explode
-    # round-robin shuffle of the narrow A rows restores full width;
-    # skipped when A is already wide enough.
-    try:
-        want = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        if a.rdd.getNumPartitions() < max(2, want // 2):
-            a = a.repartition(want)
-    except Exception:
-        pass
+    a = _widen(a)
     r = F.lit(radius_deg)
     a = (a.withColumn("pad_xmin", F.col("a_xmin") - r)
          .withColumn("pad_ymin", F.col("a_ymin") - r)
@@ -842,7 +846,7 @@ def segment_intersections(segs_a: DataFrame, segs_b: DataFrame,
         return out.filter((F.col(f"{p}_x1") != F.col(f"{p}_x2"))
                           | (F.col(f"{p}_y1") != F.col(f"{p}_y2")))
 
-    a, b = norm(segs_a, "a"), norm(segs_b, "b")
+    a, b = _widen(norm(segs_a, "a")), norm(segs_b, "b")
 
     def with_cells(df, p):
         xmin = F.least(f"{p}_x1", f"{p}_x2")
@@ -957,6 +961,7 @@ def segment_clip_boxes(segs: DataFrame, boxes: DataFrame,
                      *[F.col(c).cast("long").alias(f"b_{c}")
                        for c in ("xmin", "ymin", "xmax", "ymax")])
     cw = F.lit(float(cell_w))
+    a = _widen(a)
     a = (a.withColumn("a_xmin", F.least("a_x1", "a_x2"))
           .withColumn("a_xmax", F.greatest("a_x1", "a_x2"))
           .withColumn("a_ymin", F.least("a_y1", "a_y2"))

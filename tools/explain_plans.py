@@ -664,18 +664,21 @@ def main():
     if "WindowGroupLimit" not in mm_tree:
         raise SystemExit("map_match structural check failed: snap k=1 "
                          "rank lost its WindowGroupLimit pre-thinning")
-    # exactly TWO shuffle exchanges in the whole plan: the snap rank
-    # exchange and the user-key exchange the lag window, running-sum
-    # window and traversal aggregate all share (broadcasts excluded —
-    # the ways dim and the snap->events join-back both broadcast at
-    # this SF). A third exchange means the collapse tail stopped
-    # reusing the user-key partitioning.
+    # exactly THREE shuffle exchanges in the whole plan: the joins._widen
+    # round-robin that spreads the narrow ping rows off the 1-2 scan
+    # partitions (the r4 parallelism guard — 3-4x on this very entry),
+    # the snap rank exchange, and the user-key exchange the lag window,
+    # running-sum window and traversal aggregate all share (broadcasts
+    # excluded — the ways dim and the snap->events join-back both
+    # broadcast at this SF). A fourth exchange means the collapse tail
+    # stopped reusing the user-key partitioning.
     n_shuffle = mm_tree.count("Exchange") - mm_tree.count("BroadcastExchange")
-    if n_shuffle != 2:
+    if n_shuffle != 3:
         raise SystemExit(
             f"map_match structural check failed: {n_shuffle} shuffle "
-            "Exchanges in the tree (want exactly 2: snap rank + the "
-            "one user-key exchange under the whole collapse tail)")
+            "Exchanges in the tree (want exactly 3: the _widen "
+            "round-robin + snap rank + the one user-key exchange "
+            "under the whole collapse tail)")
     if mm_tree.count("Window (") < 2 or "HashAggregate" not in mm_tree:
         raise SystemExit(
             "map_match structural check failed: lag/running-sum "
