@@ -1574,6 +1574,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, c.chunk_idx AS chunk_idx,
 FROM cdc_c"""
 
 
+def q_doc_cdc_dedup(spark, sf_dir):
+    """Chunk-level dedup report over cdc_chunks: per doc its chunk
+    count, how many of its chunks also appear elsewhere in the corpus
+    (same content-defined chunk hash), and the duplicated fraction —
+    the measurement CDC chunking exists for (storage-level dedup
+    yield). One corpus-wide chunk-hash rollup + one join back; the
+    fraction is a single mirrored division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ch = textops.cdc_chunks(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    freq = (ch.groupBy("chash")
+            .agg(F.countDistinct("doc_id").alias("_nd")))
+    per = (ch.join(freq, "chash")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                .cast("long").alias("n_dup_chunks")))
+    return per.select("doc_id", "n_chunks", "n_dup_chunks",
+                      (F.col("n_dup_chunks").cast("double")
+                       / F.col("n_chunks").cast("double")).alias("dup_frac"))
+
+
+O_DOC_CDC_DEDUP = f"""WITH docs10 AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0),
+{textops.sql_cdc_chunks(src="docs10")},
+ch AS (
+  SELECT doc_id, c.chash AS chash FROM cdc_c),
+freq AS (
+  SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chash),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM ch JOIN freq USING (chash) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chunks, n_dup_chunks,
+       CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_frac
+FROM per"""
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textops.with_lang_id(docs)
@@ -3094,6 +3133,46 @@ def _o_hexbin() -> str:
 
 
 O_HEXBIN_COUNTS = _o_hexbin()
+
+
+def q_hex_smooth(spark, sf_dir):
+    """Hex-neighborhood smoothing over the hexbin surface: per hex
+    the 7-cell (self + 6 axial neighbors) count sum and mean — the
+    stencil-after-aggregate principle (cells.py) on the HEX lattice,
+    where the axial neighbor set {(1,0),(1,-1),(0,-1),(-1,0),(-1,1),
+    (0,1)} replaces the square 9-tap ring. Work scales with touched
+    hexes, never input rows; the mean is one mirrored division by a
+    constant 7 (absent neighbors contribute 0, stated)."""
+    base = q_hexbin_counts(spark, sf_dir)
+    deltas = [(0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    # explode-then-single-groupBy, NOT a 7-branch union: union branches
+    # re-plan one input scan each (the tile_pyramid finding)
+    darr = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                     for dq, dr in deltas])
+    fan = (base.select("hq", "hr", "n", F.explode(darr).alias("_d"))
+           .select((F.col("hq") + F.col("_d.dq")).alias("hq"),
+                   (F.col("hr") + F.col("_d.dr")).alias("hr"),
+                   F.col("n")))
+    sm = (fan.groupBy("hq", "hr")
+          .agg(F.sum("n").cast("long").alias("ring_sum")))
+    # keep only hexes that exist in the base surface (stencil targets)
+    return (base.join(sm, ["hq", "hr"])
+            .select("hq", "hr", "n", "ring_sum",
+                    (F.col("ring_sum").cast("double") / F.lit(7.0))
+                    .alias("ring_mean")))
+
+
+O_HEX_SMOOTH = f"""WITH hex0 AS ({O_HEXBIN_COUNTS}),
+fan AS (
+  SELECT hq + d.dq AS hq, hr + d.dr AS dr_hr, n
+  FROM hex0, (VALUES (0, 0), (1, 0), (1, -1), (0, -1), (-1, 0),
+              (-1, 1), (0, 1)) AS d(dq, dr)),
+sm AS (
+  SELECT hq, dr_hr AS hr, CAST(SUM(n) AS BIGINT) AS ring_sum
+  FROM fan GROUP BY 1, 2)
+SELECT b.hq, b.hr, b.n, sm.ring_sum,
+       CAST(sm.ring_sum AS DOUBLE) / 7.0e0 AS ring_mean
+FROM hex0 b JOIN sm ON b.hq = sm.hq AND b.hr = sm.hr"""
 
 
 def q_wkt_validity(spark, sf_dir):
@@ -9292,6 +9371,7 @@ QUERIES = {
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_winnow": q_doc_winnow,
     "doc_cdc_chunks": q_doc_cdc_chunks,
+    "doc_cdc_dedup": q_doc_cdc_dedup,
     "doc_lang_id": q_doc_lang_id,
     "doc_repetition": q_doc_repetition,
     "doc_corpus_stats": q_corpus_stats,
@@ -9328,6 +9408,7 @@ QUERIES = {
     "fagi_snapshot_diff": q_snapshot_diff,
     "fagi_wkt_validity": q_wkt_validity,
     "fagi_hexbin_counts": q_hexbin_counts,
+    "fagi_hex_smooth": q_hex_smooth,
     "fagi_ring_simple": q_ring_simple,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
@@ -9536,6 +9617,7 @@ ORACLES = {
     "doc_rolling_hash": O_DOC_ROLLING_HASH,
     "doc_winnow": O_DOC_WINNOW,
     "doc_cdc_chunks": O_DOC_CDC_CHUNKS,
+    "doc_cdc_dedup": O_DOC_CDC_DEDUP,
     "doc_lang_id": O_DOC_LANG,
     "doc_repetition": O_DOC_REPETITION,
     "doc_corpus_stats": O_CORPUS_STATS,
@@ -9556,6 +9638,7 @@ ORACLES = {
     "fagi_snapshot_diff": O_SNAPSHOT_DIFF,
     "fagi_wkt_validity": O_WKT_VALIDITY,
     "fagi_hexbin_counts": O_HEXBIN_COUNTS,
+    "fagi_hex_smooth": O_HEX_SMOOTH,
     "fagi_ring_simple": O_RING_SIMPLE,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,
