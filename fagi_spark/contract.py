@@ -5037,6 +5037,32 @@ def _o_kmv():
     return sketch.sql_kmv_distinct("documents", "text", k=64)
 
 
+def q_doc_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate (sketch.hll_distinct,
+    p=6/m=64) — the registers AND the raw estimator are value-exact:
+    deterministic poly-of-md5 hash, rho via bin()-length arithmetic
+    (identical leading-zero semantics both engines), bucket-ordered
+    harmonic fold, one inlined alpha*m^2 literal, one division. The
+    LinearCounting small-range correction is intentionally absent
+    (transcendental); n_empty rides along."""
+    from . import sketch
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(
+                F.split(F.coalesce("text", F.lit("")), " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return sketch.hll_distinct(toks, "tok", p=6)
+
+
+def _o_hll():
+    from . import sketch
+    body = sketch.sql_hll("hll_toks", "tok", p=6)
+    return f"""WITH hll_toks AS (
+  SELECT tok FROM (
+    SELECT UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS tok
+    FROM documents) WHERE tok != ''),
+{body}"""
+
+
 def q_doc_kmv_by_lang(spark, sf_dir):
     """Per-group KMV distinct-count (sketch.kmv_distinct_grouped):
     distinct texts per language at bounded per-group memory — the
@@ -9442,6 +9468,7 @@ QUERIES = {
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_kmv_distinct": q_doc_kmv_distinct,
+    "doc_hll_distinct": q_doc_hll_distinct,
     "doc_bloom_probe": q_doc_bloom_probe,
     "doc_kmv_by_lang": q_doc_kmv_by_lang,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -9685,6 +9712,7 @@ ORACLES = {
     "doc_strip_boilerplate": O_DOC_STRIP_BOILERPLATE,
     "doc_stratified_sample": O_DOC_STRATIFIED_SAMPLE,
     "doc_kmv_distinct": _o_kmv(),
+    "doc_hll_distinct": _o_hll(),
     "ann_ivfpq_topk": _o_ivfpq(),
     "ann_sq8_topk": _o_sq8(),
     "doc_url_parts": O_DOC_URL_PARTS,

@@ -3,11 +3,12 @@
 The distributed-sketch complement to the exact aggregates: estimate the
 number of distinct values of a column from only the k smallest hash
 values (Bar-Yossef et al. 2002; the estimator behind DataSketches'
-theta sketch). Spark ships HLL (approx_count_distinct), but HLL
-registers can't be value-checked against another engine; KMV over the
-SQL-mirrored poly-of-md5 hash family is fully deterministic on both
-sides, so the sketch itself — not just its error bound — is
-oracle-verified in the contract (doc_kmv_distinct).
+theta sketch). Spark ships HLL (approx_count_distinct), but ITS
+registers can't be value-checked against another engine; this module
+instead builds both KMV and a from-scratch HLL over the SQL-mirrored
+poly-of-md5 hash family, fully deterministic on both sides, so the
+sketches themselves — not just their error bounds — are
+oracle-verified in the contract (doc_kmv_distinct, doc_hll_distinct).
 
 Scale shape: the hash is computed map-side; a partial-aggregate
 DISTINCT dedupes hashes with map-side combine (one row per distinct
@@ -23,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import POLY_MOD, _poly_base_expr
+from .textops import POLY_MOD, _poly_base_expr, sql_poly_base
 
 # float(2^56): exactly representable; (k-1)*M below stays exact for
 # k-1 a small int (<= 2^6 here), so the estimate is one IEEE division
@@ -413,3 +414,116 @@ SELECT n_merged, n_shared, union_est,
                         / CAST((SELECT h_k FROM e) AS DOUBLE) END) END
          AS inter_est
 FROM u, sh"""
+
+
+# HLL: alpha_m bias constants (Flajolet et al. 2007) for small m
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """HyperLogLog registers over the SQL-mirrored poly-of-md5 hash
+    family — disproving this module's old caveat that HLL registers
+    can't be value-checked across engines: with a deterministic hash
+    and rho computed as bit-length arithmetic (bin() drops leading
+    zeros identically in Spark and DuckDB), every register is an
+    exact integer both engines agree on.
+
+    bucket = h mod 2^p (low p bits), rho = leading-zero run of the
+    remaining 56-p bits + 1 (position of the first 1-bit; an all-zero
+    remainder gives the max, W+1). One map-side-combined MAX per
+    bucket; missing buckets complete to register 0 via a range(m)
+    left join, so the sketch is always exactly m rows and merges by
+    cell-wise MAX (hll_merge).
+
+    Returns (bucket, register).
+    """
+    m = 1 << p
+    w_bits = 56 - p
+    hs = _with_base_hash(df, col)
+    v = F.shiftright(F.col("_h"), p)
+    bitlen = F.when(v == 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    rho = (F.lit(w_bits) - bitlen + 1).cast("int")
+    regs = (hs.select((F.col("_h") % m).alias("bucket"), rho.alias("_r"))
+            .groupBy("bucket").agg(F.max("_r").alias("register")))
+    full = (df.sparkSession.range(m)
+            .select(F.col("id").alias("bucket")))
+    return (full.join(regs, "bucket", "left")
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.coalesce("register", F.lit(0)).cast("int")
+                    .alias("register")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise MAX — the sketch of the concatenated inputs."""
+    return (a.unionByName(b).groupBy("bucket")
+            .agg(F.max("register").alias("register")))
+
+
+def hll_estimate(regs: DataFrame, p: int = 6) -> DataFrame:
+    """Raw HLL cardinality estimate E = alpha_m * m^2 / sum_j 2^-M_j.
+
+    Exactness: 2^-M_j is 1.0 / (1 << M_j) — an exact power of two —
+    the harmonic total folds in bucket order (the lang_mixture rule),
+    alpha_m * m^2 is ONE Python-precomputed literal inlined on both
+    sides, and the estimate is a single division. The small-range
+    LinearCounting correction (m * ln(m/V)) needs a transcendental
+    and is intentionally NOT applied (stated) — n_empty rides along
+    so a consumer can apply it; the contract checks the raw
+    estimator.
+
+    Returns one row (m, n_empty, harmonic_sum, est_raw).
+    """
+    m = 1 << p
+    alpha_m2 = float(_HLL_ALPHA[m] * m * m)
+    term = (F.lit(1.0)
+            / F.expr("shiftleft(CAST(1 AS BIGINT), register)")
+            .cast("double"))
+    return (regs.select("bucket", term.alias("_t"))
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "_t"))),
+                F.lit(0.0), lambda acc, x: acc + x["_t"]).alias("harmonic_sum"))
+            .crossJoin(regs.agg(
+                F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+                .cast("long").alias("n_empty")))
+            .select(F.lit(m).cast("long").alias("m"), "n_empty",
+                    "harmonic_sum",
+                    (F.lit(alpha_m2) / F.col("harmonic_sum"))
+                    .alias("est_raw")))
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def sql_hll(table: str, col: str, p: int = 6) -> str:
+    """DuckDB mirror of hll_distinct: same hash, same bit arithmetic,
+    same bucket-ordered fold, same inlined alpha*m^2 literal."""
+    m = 1 << p
+    w_bits = 56 - p
+    alpha_m2 = float(_HLL_ALPHA[m] * m * m)
+    lit = repr(alpha_m2)
+    if "e" not in lit and "E" not in lit:
+        lit += "e0"
+    h = sql_poly_base(f"MD5(CAST({col} AS STRING))")
+    return f"""hll_h AS (
+  SELECT {h} AS h FROM {table}),
+hll_r AS (
+  SELECT h % {m} AS bucket,
+         CAST({w_bits} - (CASE WHEN h // {1 << p} = 0 THEN 0
+               ELSE LENGTH(BIN(h // {1 << p})) END) + 1 AS INT) AS r
+  FROM hll_h),
+hll_g AS (
+  SELECT bucket, MAX(r) AS register FROM hll_r GROUP BY bucket),
+hll_f AS (
+  SELECT g.range AS bucket, COALESCE(register, 0) AS register
+  FROM RANGE(0, {m}) g LEFT JOIN hll_g ON g.range = hll_g.bucket),
+hll_e AS (
+  SELECT CAST({m} AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST(1.0 / CAST(1 << register AS DOUBLE) ORDER BY bucket)),
+           (acc, x) -> acc + x) AS harmonic_sum
+  FROM hll_f)
+SELECT m, n_empty, harmonic_sum, {lit} / harmonic_sum AS est_raw
+FROM hll_e"""

@@ -144,3 +144,31 @@ def test_kmv_set_ops_accuracy_and_exhaustive(spark):
     assert 2500 < r.union_est < 6000
     assert 0.1 < r.jaccard_est < 0.45
     assert 400 < r.inter_est < 2200
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from fagi_spark import sketch
+    import pyspark.sql.functions as F
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("key"), F.col("id"))
+                               .alias("k"))
+    est = sketch.hll_distinct(df, "k", p=6).collect()[0]
+    assert est.m == 64
+    # raw HLL at m=64: ~13% relative error expected; allow 3 sigma
+    assert abs(est.est_raw - n) / n < 0.4, est.est_raw
+    assert est.n_empty == 0
+
+    # merge == sketch of the union
+    a = spark.range(0, 3000).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+    b = spark.range(2000, n).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+    merged = sketch.hll_merge(sketch.hll_registers(a, "k", p=6),
+                              sketch.hll_registers(b, "k", p=6))
+    direct = {(r.bucket, r.register)
+              for r in sketch.hll_registers(df, "k", p=6).collect()}
+    assert {(r.bucket, r.register) for r in merged.collect()} == direct
+
+    # duplicates don't move the estimate
+    dup = df.unionByName(df)
+    est2 = sketch.hll_distinct(dup, "k", p=6).collect()[0]
+    assert est2.est_raw == est.est_raw
