@@ -848,3 +848,52 @@ def test_streaming_activity_periods_matches_batch(spark, tmp_path):
                                   half_life_s=86400, horizon=2).collect()
     assert (r.n_events, r.sum_w) == (17, 5 * 2 + 2 * 4)
     assert r.decayed_score == (5 * 2 + 2 * 4) / 4.0
+
+
+def test_cdc_diff_stream_replays_to_final_state(spark, tmp_path):
+    """Per-batch CDC diffs replay, batch by batch, to exactly the
+    final snapshot; each batch's diff carries only its own changes."""
+    schema = "subject string, geom_wkt string, op string"
+    f1 = [("s1", "POINT (1 1)", "put"), ("s2", "POINT (2 2)", "put"),
+          ("s3", "POINT (3 3)", "put")]
+    f2 = [("s2", "POINT (9 9)", "put"),      # changed
+          ("s3", None, "del"),               # removed
+          ("s4", "POINT (4 4)", "put")]      # added
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    state = str(tmp_path / "cdc_state")
+    diffs = str(tmp_path / "cdc_diffs")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = streaming.cdc_diff_stream(stream, state, diffs,
+                                  str(tmp_path / "cdc_ckpt"))
+    q.awaitTermination(120)
+
+    alld = (spark.read.option("basePath", diffs).parquet(diffs)
+            .collect())
+    by_batch = {}
+    for r in alld:
+        by_batch.setdefault(r.batch_id, {})[r.subject] = r
+
+    # replay the diffs over an empty dict
+    replay = {}
+    for bid in sorted(by_batch):
+        for s, r in by_batch[bid].items():
+            if r.change == "removed":
+                replay.pop(s, None)
+            else:
+                replay[s] = r.new_geom_wkt
+    final = (spark.read.option("basePath", state).parquet(state))
+    last = max(r[0] for r in final.select("batch_id").distinct().collect())
+    final_rows = {r.subject: r.geom_wkt for r in
+                  final.filter(final.batch_id == last).collect()}
+    assert replay == final_rows
+    assert final_rows == {"s1": "POINT (1 1)", "s2": "POINT (9 9)",
+                          "s4": "POINT (4 4)"}
+    # batch 2's diff names exactly the three changes
+    b2 = by_batch[max(by_batch)]
+    assert {s: r.change for s, r in b2.items()} == {
+        "s2": "changed", "s3": "removed", "s4": "added"}
