@@ -6675,6 +6675,42 @@ SELECT dev.cell, day, n, med, mad, dev > 3 * mad AS is_anomaly
 FROM dev JOIN mad ON dev.cell = mad.cell"""
 
 
+def q_events_theil_sen(spark, sf_dir):
+    """Theil-Sen per-cell trend slope (events.theil_sen_trend, res 6):
+    lower-median pairwise slope with (slope, day-pair) deterministic
+    tie-break; the chosen slope's exact BIGINT num/den ride along and
+    the float is one mirrored division."""
+    from . import events as ev
+    pts = _event_pts(_t(spark, sf_dir, "events"), "ts")
+    return ev.theil_sen_trend(pts, res=6)
+
+
+O_EVENTS_THEIL_SEN = f"""WITH p AS (
+  SELECT {cells.sql_cell(_EV_LON_SQL, _EV_LAT_SQL, 6)} AS cell,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+daily AS (
+  SELECT cell, d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY cell, d),
+prs AS (
+  SELECT a.cell, a.d AS di, b.d AS dj,
+         b.n - a.n AS num, b.d - a.d AS den,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.cell = b.cell AND b.d > a.d),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                               ORDER BY slope, di, dj) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS cnt
+  FROM prs),
+dd AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY cell)
+SELECT rk.cell, dd.n_days, CAST(cnt AS BIGINT) AS n_pairs,
+       num AS slope_num, den AS slope_den, slope
+FROM rk JOIN dd ON rk.cell = dd.cell
+WHERE rn = CAST(CEIL(CAST(cnt AS DOUBLE) / 2) AS BIGINT)"""
+
+
 def q_events_gap_regularity(spark, sf_dir):
     """Inter-event-gap regularity per user (events.gap_regularity):
     exact integer-seconds gap sums + the cv2 metronome score, a fixed
@@ -9458,6 +9494,7 @@ QUERIES = {
     "events_windowed_rollup": q_events_windowed,
     "events_st_cube": q_events_st_cube,
     "events_mad_anomaly": q_events_mad_anomaly,
+    "events_theil_sen": q_events_theil_sen,
     "events_sessionize": q_events_sessions,
     "events_user_sessions": q_events_user_sessions,
     "fagi_serialization_probe": q_serialization_probe,
@@ -9682,6 +9719,7 @@ ORACLES = {
     "events_windowed_rollup": O_EVENTS_WINDOWED,
     "events_st_cube": O_EVENTS_ST_CUBE,
     "events_mad_anomaly": O_EVENTS_MAD_ANOMALY,
+    "events_theil_sen": O_EVENTS_THEIL_SEN,
     "events_sessionize": O_EVENTS_SESSIONS,
     "events_user_sessions": O_EVENTS_USER_SESSIONS,
     "fagi_serialization_probe": O_SERIALIZATION_PROBE,

@@ -2007,3 +2007,55 @@ def od_ipf_balance(flows: DataFrame, n_rounds: int = 1) -> DataFrame:
         cur = (cur.join(ct, "to_cell")
                .withColumn("w", F.col("w") / F.col("_ct")).drop("_ct"))
     return cur.select("from_cell", "to_cell", "n_moves", "w")
+
+
+def theil_sen_trend(pts: DataFrame, res: int = 6, ts: str = "ts",
+                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Robust per-cell activity trend: the Theil-Sen estimator —
+    median over all pairwise slopes of the (day, daily count) series
+    — the magnitude companion to the Mann-Kendall direction test
+    (emerging_hotspots) and, like mad_anomalies, immune to the
+    bursts it shares a dashboard with.
+
+    Exactness: each pairwise slope is the single division
+    (n_j - n_i) / (d_j - d_i) of BIGINTs (den > 0 by construction);
+    the median is a lower-median ROW_NUMBER selection ordered by
+    (slope, day_i, day_j) — float comparisons only DECIDE, ties
+    break on integer day pairs, and the chosen slope's exact
+    numerator/denominator ride along. Pairs per cell are
+    O(observed_days^2) — bounded by the calendar, not event volume;
+    the pair self-join keys on the cell so cells never mix.
+
+    Returns (cell, n_days, n_pairs, slope_num, slope_den, slope) for
+    cells with >= 2 observed days.
+    """
+    from . import cells
+    e = pts.select(
+        cells.pack_cell(cells.ix_col(F.col(lon), res),
+                        cells.iy_col(F.col(lat), res), res).alias("cell"),
+        F.datediff(F.to_date(F.col(ts)), F.lit("1970-01-01"))
+         .cast("long").alias("d"))
+    daily = (e.groupBy("cell", "d")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a = daily.select("cell", F.col("d").alias("di"), F.col("n").alias("ni"))
+    b = daily.select(F.col("cell").alias("_c2"), F.col("d").alias("dj"),
+                     F.col("n").alias("nj"))
+    pairs = (a.join(b, (F.col("cell") == F.col("_c2"))
+                    & (F.col("dj") > F.col("di")))
+             .select("cell", "di", "dj",
+                     (F.col("nj") - F.col("ni")).alias("num"),
+                     (F.col("dj") - F.col("di")).alias("den")))
+    pairs = pairs.withColumn(
+        "slope", F.col("num").cast("double") / F.col("den").cast("double"))
+    w = Window.partitionBy("cell").orderBy("slope", "di", "dj")
+    ranked = (pairs.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("cell"))))
+    med = ranked.filter(F.col("_rn") == F.ceil(F.col("_cnt") / 2))
+    days = daily.groupBy("cell").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n_days"))
+    return (med.join(days, "cell")
+            .select("cell", "n_days",
+                    F.col("_cnt").cast("long").alias("n_pairs"),
+                    F.col("num").alias("slope_num"),
+                    F.col("den").alias("slope_den"), "slope"))

@@ -1104,3 +1104,25 @@ def test_od_ipf_balance_properties(spark):
     worst1 = max(abs(s - 1) for s in rs1.values())
     worst2 = max(abs(s - 1) for s in rs2.values())
     assert worst2 <= worst1 + 1e-12
+
+
+def test_theil_sen_outlier_resistant(spark):
+    from fagi_spark import events as ev
+    import datetime as dt
+    import pyspark.sql.functions as F
+
+    # linear growth 10,12,...,28 with one wild burst day
+    rows = []
+    for d in range(10):
+        n = 500 if d == 5 else 10 + 2 * d
+        for i in range(n):
+            rows.append((dt.datetime(2024, 3, 1 + d, 8, 0, 0),))
+    df = spark.createDataFrame(rows, "ts timestamp").select(
+        "ts", F.lit(1.0).alias("lon"), F.lit(2.0).alias("lat"))
+    out = ev.theil_sen_trend(df, res=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 10 and r.n_pairs == 45
+    # robust slope stays at the underlying 2/day despite the 500-burst
+    assert abs(r.slope - 2.0) < 0.75
+    assert abs(r.slope_num / r.slope_den - r.slope) < 1e-12
