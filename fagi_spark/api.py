@@ -345,3 +345,42 @@ class FagiSession:
         polys = (geo.filter(F.col("geom_kind") == "POLYGON")
                  .join(groups, "subject"))
         return joins.dissolve_area(polys, res=res)
+
+    def validity_report(self, side: str = "a") -> DataFrame:
+        """Scan-time geometry QA for one side: the 7-class structural
+        WKT inventory (extract.wkt_validity) joined with the geometric
+        ring-simplicity verdict for its polygons
+        (extract.ring_simple_check)."""
+        from . import extract
+        geo = self._geo_a if side == "a" else self._geo_b
+        base = geo.select("subject", "geom_wkt")
+        v = extract.wkt_validity(base)
+        s = extract.ring_simple_check(base).select(
+            "subject", "n_crossings", "is_simple")
+        return v.join(s, "subject", "left")
+
+    def snapshot_diff(self, new_geo: DataFrame,
+                      side: str = "a") -> DataFrame:
+        """CDC diff of one side against a newer snapshot
+        (io.snapshot_diff): what an incremental re-conflation must
+        touch — added/removed/changed subjects with both payloads."""
+        from . import io as io_mod
+        geo = self._geo_a if side == "a" else self._geo_b
+        return io_mod.snapshot_diff(geo.select("subject", "geom_wkt"),
+                                    new_geo.select("subject", "geom_wkt"))
+
+    def hexbin(self, side: str = "a", size: float = 0.25) -> DataFrame:
+        """Hexagonal-grid entity counts (cells.hex_cell axial
+        assignment) — the isotropic alternative to preview_tiles."""
+        from . import cells as _cells
+        geo = self._geo_a if side == "a" else self._geo_b
+        h = _cells.hex_cell(geo.select("cx", "cy"), size)
+        return (h.groupBy("hq", "hr")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def segment_intersections(self, segs_a: DataFrame,
+                              segs_b: DataFrame, **kw) -> DataFrame:
+        """Exact integer segment-crossing join
+        (joins.segment_intersections) over caller-provided
+        (subject, x1, y1, x2, y2) integer-unit segment tables."""
+        return joins.segment_intersections(segs_a, segs_b, **kw)

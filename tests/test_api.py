@@ -131,3 +131,29 @@ def test_dissolve_wiring(sess, spark):
     out = sess.dissolve(groups, side="b", res=16)
     assert {"group_id", "n_cells", "n_polys"} == set(out.columns)
     assert out.count() > 0
+
+
+def test_qa_and_cdc_wiring(sess, spark):
+    v = sess.validity_report()
+    assert {"subject", "validity", "n_vertices", "n_crossings",
+            "is_simple"} <= set(v.columns)
+    assert v.filter(F.col("validity").isin("ok_point", "ok_polygon")).count() > 0
+
+    new_geo = sess._geo_a.select(
+        "subject",
+        F.when(F.xxhash64("subject") % 5 == 0,
+               F.lit("POINT (0.00 0.00)")).otherwise(F.col("geom_wkt"))
+        .alias("geom_wkt"))
+    d = sess.snapshot_diff(new_geo)
+    assert set(r.change for r in d.collect()) <= {"added", "removed",
+                                                  "changed"}
+
+    h = sess.hexbin()
+    assert h.count() > 0 and {"hq", "hr", "n"} <= set(h.columns)
+
+    segs = spark.createDataFrame(
+        [("s1", 0, 0, 10, 10), ("s2", 0, 10, 10, 0)],
+        "subject string, x1 long, y1 long, x2 long, y2 long")
+    x = sess.segment_intersections(segs, segs.withColumnRenamed(
+        "subject", "subject")).collect()
+    assert any(r.itype == "proper" for r in x)
