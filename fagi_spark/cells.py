@@ -1431,3 +1431,100 @@ def sql_hex_cell(lon_expr: str, lat_expr: str, size: float) -> tuple:
           f"WHEN {dy} > {dz} THEN {rz} "
           f"ELSE -{rq} - {ry} END AS BIGINT)")
     return hq, hr
+
+
+# marching-squares segment table: case index packs the >=T bits of the
+# 2x2 block corners (b0=c00 bottom-left, b1=c10, b2=c11, b3=c01); each
+# entry lists the crossed-edge pairs (0=bottom, 1=right, 2=top,
+# 3=left). Saddles (5, 10) use the fixed isolate-the-hot-corners rule
+# (no center disambiguation — stated).
+MS_SEGS = {
+    0: [], 1: [(0, 3)], 2: [(0, 1)], 3: [(1, 3)], 4: [(1, 2)],
+    5: [(0, 3), (1, 2)], 6: [(0, 2)], 7: [(2, 3)], 8: [(2, 3)],
+    9: [(0, 2)], 10: [(0, 1), (2, 3)], 11: [(1, 2)], 12: [(1, 3)],
+    13: [(0, 1)], 14: [(0, 3)], 15: [],
+}
+
+
+def contour_segments(field, thresh: int, ix: str = "ix", iy: str = "iy",
+                     val: str = "n"):
+    """Marching-squares contour extraction over an integer cell field
+    (density_surface's raster -> the vector isoline at value
+    ``thresh``): per 2x2 cell block, the standard 16-case lookup
+    emits 0-2 line segments whose edge-crossing endpoints are EXACT
+    RATIONALS — t = (T - va)/(vb - va) over integer corner values, so
+    the whole raster->vector step is BIGINT-oracle-comparable (the
+    isopleth-mapping primitive; PostGIS ships it as ST_Contour-style
+    raster algebra).
+
+    Plan shape (stencil-after-aggregate, this module's principle):
+    each touched cell fans to the <=4 blocks that use it as a corner
+    (map-side explode), one (block) rollup rebuilds the corner
+    quadruple with absent corners as 0, the case/table/interpolation
+    are pure column math. Work scales with touched cells, never input
+    rows.
+
+    Returns (bi, bj, mcase, seg_idx, ax_num, ax_den, ay_num, ay_den,
+    bx_num, bx_den, by_num, by_den) — endpoint A crosses the first
+    edge of the table pair, B the second; dens normalized positive.
+    """
+    T = int(thresh)
+    f = field.select(F.col(ix).alias("_x"), F.col(iy).alias("_y"),
+                     F.col(val).cast("long").alias("_n"))
+    fan = f.select(F.explode(F.array(
+        F.struct((F.col("_x")).alias("bi"), (F.col("_y")).alias("bj"),
+                 F.lit(0).alias("slot")),
+        F.struct((F.col("_x") - 1).alias("bi"), (F.col("_y")).alias("bj"),
+                 F.lit(1).alias("slot")),
+        F.struct((F.col("_x") - 1).alias("bi"), (F.col("_y") - 1).alias("bj"),
+                 F.lit(2).alias("slot")),
+        F.struct((F.col("_x")).alias("bi"), (F.col("_y") - 1).alias("bj"),
+                 F.lit(3).alias("slot")))).alias("_c"), F.col("_n"))
+    blocks = (fan.groupBy(F.col("_c.bi").alias("bi"),
+                          F.col("_c.bj").alias("bj"))
+              .agg(*[F.coalesce(F.max(F.when(F.col("_c.slot") == s,
+                                             F.col("_n"))), F.lit(0))
+                     .alias(f"v{s}") for s in range(4)]))
+    bit = lambda v: F.when(v >= T, 1).otherwise(0)
+    mcase = (bit(F.col("v0")) + bit(F.col("v1")) * 2
+             + bit(F.col("v2")) * 4 + bit(F.col("v3")) * 8)
+    seg_table = F.array(*[
+        F.array(*([F.struct(F.lit(ea).alias("ea"), F.lit(eb).alias("eb"))
+                   for ea, eb in MS_SEGS[c]] or
+                  [F.struct(F.lit(-1).alias("ea"), F.lit(-1).alias("eb"))]))
+        for c in range(16)])
+    segs = (blocks.withColumn("mcase", mcase)
+            .select("bi", "bj", "mcase", "v0", "v1", "v2", "v3",
+                    F.posexplode(F.element_at(seg_table,
+                                              F.col("mcase") + 1))
+                    .alias("seg_idx", "_s"))
+            .filter(F.col("_s.ea") >= 0))
+
+    def endpoint(edge_col, prefix):
+        # per-edge (va, vb) and geometry; t = (T-va)/(vb-va), den > 0
+        va = (F.when(edge_col == 0, F.col("v0"))
+               .when(edge_col == 1, F.col("v1"))
+               .when(edge_col == 2, F.col("v3"))
+               .otherwise(F.col("v0")))
+        vb = (F.when(edge_col == 0, F.col("v1"))
+               .when(edge_col == 1, F.col("v2"))
+               .when(edge_col == 2, F.col("v2"))
+               .otherwise(F.col("v3")))
+        num0, den0 = F.lit(T) - va, vb - va
+        sgn = F.when(den0 < 0, F.lit(-1)).otherwise(F.lit(1))
+        num, den = (num0 * sgn).cast("long"), (den0 * sgn).cast("long")
+        x_num = (F.when(edge_col == 0, F.col("bi") * den + num)
+                  .when(edge_col == 1, (F.col("bi") + 1) * den)
+                  .when(edge_col == 2, F.col("bi") * den + num)
+                  .otherwise(F.col("bi") * den))
+        y_num = (F.when(edge_col == 0, F.col("bj") * den)
+                  .when(edge_col == 1, F.col("bj") * den + num)
+                  .when(edge_col == 2, (F.col("bj") + 1) * den)
+                  .otherwise(F.col("bj") * den + num))
+        return [x_num.alias(f"{prefix}x_num"), den.alias(f"{prefix}x_den"),
+                y_num.alias(f"{prefix}y_num"), den.alias(f"{prefix}y_den")]
+
+    return segs.select(
+        "bi", "bj", F.col("mcase").cast("long").alias("mcase"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        *endpoint(F.col("_s.ea"), "a"), *endpoint(F.col("_s.eb"), "b"))

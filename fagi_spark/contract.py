@@ -3175,6 +3175,100 @@ SELECT b.hq, b.hr, b.n, sm.ring_sum,
 FROM hex0 b JOIN sm ON b.hq = sm.hq AND b.hr = sm.hr"""
 
 
+def q_contour_lines(spark, sf_dir):
+    """Marching-squares density contours (cells.contour_segments,
+    T=2, res 7): the raster->vector isoline step over the customer
+    point density field — the 16-case table and the saddle rule are
+    shared literals, and every crossing endpoint is an exact
+    rational (t = (T-va)/(vb-va) over integer corner counts), so the
+    whole extraction is BIGINT-value-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        cells.ix_col((k * 37 % 17000).cast("double") / 100.0, 7)
+        .alias("ix"),
+        cells.iy_col((k * 53 % 8000).cast("double") / 100.0, 7)
+        .alias("iy"))
+    field = pts.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n"))
+    return cells.contour_segments(field, thresh=2)
+
+
+def _o_contour(res: int = 7, T: int = 2) -> str:
+    lon = "CAST(c_custkey * 37 % 17000 AS DOUBLE) / 100.0"
+    lat = "CAST(c_custkey * 53 % 8000 AS DOUBLE) / 100.0"
+    seg_cases = []
+    for c in range(16):
+        segs = cells.MS_SEGS[c]
+        if not segs:
+            lst = "[]::STRUCT(i INT, ea INT, eb INT)[]"
+        else:
+            lst = "[" + ", ".join(
+                f"struct_pack(i := {i}, ea := {ea}, eb := {eb})"
+                for i, (ea, eb) in enumerate(segs)) + "]"
+        seg_cases.append(f"WHEN {c} THEN {lst}")
+    seg_case = "CASE mcase " + " ".join(seg_cases) + " END"
+
+    def ep(edge, prefix):
+        va = (f"CASE WHEN {edge} = 0 THEN v0 WHEN {edge} = 1 THEN v1 "
+              f"WHEN {edge} = 2 THEN v3 ELSE v0 END")
+        vb = (f"CASE WHEN {edge} = 0 THEN v1 WHEN {edge} = 1 THEN v2 "
+              f"WHEN {edge} = 2 THEN v2 ELSE v3 END")
+        sgn = f"CASE WHEN ({vb}) - ({va}) < 0 THEN -1 ELSE 1 END"
+        num = f"(({T} - ({va})) * ({sgn}))"
+        den = f"((({vb}) - ({va})) * ({sgn}))"
+        xn = (f"CASE WHEN {edge} = 0 THEN bi * ({den}) + ({num}) "
+              f"WHEN {edge} = 1 THEN (bi + 1) * ({den}) "
+              f"WHEN {edge} = 2 THEN bi * ({den}) + ({num}) "
+              f"ELSE bi * ({den}) END")
+        yn = (f"CASE WHEN {edge} = 0 THEN bj * ({den}) "
+              f"WHEN {edge} = 1 THEN bj * ({den}) + ({num}) "
+              f"WHEN {edge} = 2 THEN (bj + 1) * ({den}) "
+              f"ELSE bj * ({den}) + ({num}) END")
+        return (f"CAST({xn} AS BIGINT) AS {prefix}x_num, "
+                f"CAST({den} AS BIGINT) AS {prefix}x_den, "
+                f"CAST({yn} AS BIGINT) AS {prefix}y_num, "
+                f"CAST({den} AS BIGINT) AS {prefix}y_den")
+
+    return f"""WITH cpts AS (
+  SELECT {cells.sql_ix(lon, res)} AS x, {cells.sql_iy(lat, res)} AS y
+  FROM customer),
+cfield AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM cpts GROUP BY x, y),
+cfan AS (
+  SELECT u.c.bi AS bi, u.c.bj AS bj, u.c.slot AS slot, n
+  FROM (SELECT UNNEST([
+      struct_pack(bi := x,     bj := y,     slot := 0),
+      struct_pack(bi := x - 1, bj := y,     slot := 1),
+      struct_pack(bi := x - 1, bj := y - 1, slot := 2),
+      struct_pack(bi := x,     bj := y - 1, slot := 3)]) AS c, n
+    FROM cfield) u),
+cblk AS (
+  SELECT bi, bj,
+    COALESCE(MAX(CASE WHEN slot = 0 THEN n END), 0) AS v0,
+    COALESCE(MAX(CASE WHEN slot = 1 THEN n END), 0) AS v1,
+    COALESCE(MAX(CASE WHEN slot = 2 THEN n END), 0) AS v2,
+    COALESCE(MAX(CASE WHEN slot = 3 THEN n END), 0) AS v3
+  FROM cfan GROUP BY bi, bj),
+ccase AS (
+  SELECT *, (CASE WHEN v0 >= {T} THEN 1 ELSE 0 END
+           + CASE WHEN v1 >= {T} THEN 2 ELSE 0 END
+           + CASE WHEN v2 >= {T} THEN 4 ELSE 0 END
+           + CASE WHEN v3 >= {T} THEN 8 ELSE 0 END) AS mcase
+  FROM cblk),
+csegs AS (
+  SELECT bi, bj, mcase, v0, v1, v2, v3,
+         UNNEST({seg_case}) AS s
+  FROM ccase)
+SELECT bi, bj, CAST(mcase AS BIGINT) AS mcase,
+       CAST(s.i AS BIGINT) AS seg_idx,
+       {ep('s.ea', 'a')},
+       {ep('s.eb', 'b')}
+FROM csegs"""
+
+
+O_CONTOUR_LINES = _o_contour()
+
+
 def q_wkt_validity(spark, sf_dir):
     """Scan-time WKT validity inventory (extract.wkt_validity) over a
     deliberately corrupted A-side: every 37th key NULL, 31st empty,
@@ -7753,17 +7847,23 @@ FROM embeddings"""
 O_EMBED_NORM_REPORT = _o_norm_report(_NORM_LO, _NORM_HI)
 
 
-_COVISIT_RES = 6
-_COVISIT_MIN = 2
+# res 10 / min_shared 1: the synth users wander near-disjoint
+# tracks, so >= 2 shared visitors is VACUOUS at every sf (0 rows
+# — caught in the r4 continuation sweep); the threshold branch
+# is exercised by the bipartite_project pytest instead
+_COVISIT_RES = 10
+_COVISIT_MIN = 1
 _COVISIT_CAP = 50
 
 
 def q_events_covisit(spark, sf_dir):
     """Place co-visitation graph (components.bipartite_project over
-    (user, cell-at-res-6) incidence): cells linked by >= 2 distinct
-    shared visitors, power-visitors above degree 50 dropped by the
-    hot-left guard — the projection blow-up control. All counts
-    BIGINT-exact."""
+    (user, cell-at-res-10) incidence): cells linked by shared
+    visitors, power-visitors above degree 50 dropped by the hot-left
+    guard — the projection blow-up control. All counts BIGINT-exact
+    (min_shared=1 here: the fixture's near-disjoint user tracks make
+    stricter thresholds vacuous; the threshold branch is
+    pytest-covered)."""
     from . import components
     pts = _event_pts(_t(spark, sf_dir, "events"), "user_id")
     visits = cells.with_cell(pts, _COVISIT_RES).select("user_id", "cell")
@@ -9471,6 +9571,7 @@ QUERIES = {
     "fagi_wkt_validity": q_wkt_validity,
     "fagi_hexbin_counts": q_hexbin_counts,
     "fagi_hex_smooth": q_hex_smooth,
+    "fagi_contour_lines": q_contour_lines,
     "fagi_ring_simple": q_ring_simple,
     "fagi_dataset_dump_roundtrip": q_dataset_dump_roundtrip,
     "embed_cosine_neardup": q_embed_neardup,
@@ -9703,6 +9804,7 @@ ORACLES = {
     "fagi_wkt_validity": O_WKT_VALIDITY,
     "fagi_hexbin_counts": O_HEXBIN_COUNTS,
     "fagi_hex_smooth": O_HEX_SMOOTH,
+    "fagi_contour_lines": O_CONTOUR_LINES,
     "fagi_ring_simple": O_RING_SIMPLE,
     "fagi_dataset_dump_roundtrip": O_DATASET_DUMP,
     "embed_cosine_neardup": O_EMBED_NEARDUP,

@@ -786,3 +786,37 @@ def test_erode_dilate_morphology(spark):
     corner = [(0, 0), (0, 1), (1, 0), (1, 1)]
     got = {r.cell for r in cells.erode_cells(cov(corner), res, k=1).collect()}
     assert got == {cells.pack_cell_value(0, 0, res)}
+
+
+def test_contour_segments_single_peak_and_parity(spark):
+    from fractions import Fraction
+    from fagi_spark import cells as c
+
+    # single hot lattice point (5) at (10, 20), T=3: four blocks emit
+    # one segment each, forming a closed diamond around the point with
+    # crossings at t = 2/5 from the hot corner
+    f = spark.createDataFrame([(10, 20, 5)], "ix long, iy long, n long")
+    segs = c.contour_segments(f, 3).collect()
+    assert len(segs) == 4
+    assert sorted(r.mcase for r in segs) == [1, 2, 4, 8]
+    pts = set()
+    for r in segs:
+        pts.add((Fraction(r.ax_num, r.ax_den), Fraction(r.ay_num, r.ay_den)))
+        pts.add((Fraction(r.bx_num, r.bx_den), Fraction(r.by_num, r.by_den)))
+    t = Fraction(2, 5)
+    assert pts == {(10 + t, Fraction(20)), (10 - t, Fraction(20)),
+                   (Fraction(10), 20 + t), (Fraction(10), 20 - t)}
+    # each diamond vertex is shared by exactly two segments (closed loop)
+    from collections import Counter
+    cnt = Counter()
+    for r in segs:
+        cnt[(Fraction(r.ax_num, r.ax_den), Fraction(r.ay_num, r.ay_den))] += 1
+        cnt[(Fraction(r.bx_num, r.bx_den), Fraction(r.by_num, r.by_den))] += 1
+    assert all(v == 2 for v in cnt.values())
+
+    # saddle case fires and stays deterministic: hot at (0,0) and (1,1)
+    f2 = spark.createDataFrame([(0, 0, 9), (1, 1, 9)],
+                               "ix long, iy long, n long")
+    got = {(r.bi, r.bj, r.mcase, r.seg_idx) for r in
+           c.contour_segments(f2, 5).collect()}
+    assert (0, 0, 5, 0) in got and (0, 0, 5, 1) in got  # the saddle block
