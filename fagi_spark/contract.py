@@ -7547,11 +7547,14 @@ def q_erode_raster(spark, sf_dir):
     """Morphological erosion (cells.erode_cells, k=1) of the B-square
     raster: keep cells whose full in-grid 3x3 neighborhood is covered
     — scatter votes + tally vs the clamp-derived window size; with
-    dilation this completes the opening/closing morphology pair."""
+    dilation this completes the opening/closing morphology pair.
+    res 15 (not the dilation's 13): at res 13 the fixture squares
+    rasterize 1-2 cells thin and erosion is VACUOUS (0 rows — caught
+    in the r4 continuation sweep); at 15 interiors survive."""
     _, _, gb = _fagi_inputs(spark, sf_dir)
     polys = fuse.prepare_geoms(gb).filter(F.col("geom_kind") == "POLYGON")
-    ras = joins.rasterize_polygons(polys, res=13, mode="center")
-    return cells.erode_cells(ras, res=13, k=1)
+    ras = joins.rasterize_polygons(polys, res=15, mode="center")
+    return cells.erode_cells(ras, res=15, k=1)
 
 
 def _o_erode_raster(res: int = 13, k: int = 1) -> str:
@@ -7582,7 +7585,7 @@ FROM need JOIN votes ON votes.subject = need.subject
 WHERE votes.got = need.need"""
 
 
-O_ERODE_RASTER = _o_erode_raster()
+O_ERODE_RASTER = _o_erode_raster(res=15)
 
 _DT_RES = 10
 _DT_MAXD = 3
