@@ -528,6 +528,11 @@ def pip_refine(points: DataFrame, polygons: DataFrame,
         res = pip_auto_res(polygons)
     pts = points.select(F.col("subject").alias("pt_subject"),
                         F.col("cx").alias("px"), F.col("cy").alias("py"))
+    # NOT _widen'd: measured neutral-to-negative here (sf0.1: 3.2s ->
+    # 5.5s) — the candidate bbox filter is cheap codegen and the
+    # Python stage is proportional to the small hit count, so the
+    # extra shuffle never amortizes the way the dwithin/segment
+    # refiners' heavy Arrow stages do
     pts = cells.with_cell(pts, res, lon="px", lat="py")
 
     polys = polygons.select(F.col("subject").alias("pg_subject"), "geom_wkt",
