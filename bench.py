@@ -243,6 +243,15 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
           lambda: contract.q_intersects_join(spark, sf_dir).count())
     timed("dwithin_join", lambda: contract.q_dwithin_join(spark, sf_dir).count())
     timed("raster_iou", lambda: contract.q_raster_iou(spark, sf_dir).count())
+    timed("segment_intersections",
+          lambda: contract.QUERIES["fagi_segment_intersections"](
+              spark, sf_dir).count())
+    timed("contour_lines",
+          lambda: contract.QUERIES["fagi_contour_lines"](
+              spark, sf_dir).count())
+    timed("map_match_snap_only",
+          lambda: contract.QUERIES["fagi_snap_to_way"](
+              spark, sf_dir).count())
     timed("fusion_actions", lambda: contract.QUERIES["fagi_keep_most_points"](spark, sf_dir).count())
     timed("metadata_fusion", lambda: contract.q_metadata_keep_left(spark, sf_dir).count())
 
@@ -338,6 +347,10 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
           lambda: _textops.minhash_candidates(docs, num_hashes=32, bands=8).count())
     timed("duplicate_spans",
           lambda: _textops.duplicate_spans(docs, k=8).count())
+    timed("winnow_fingerprints",
+          lambda: _textops.winnow_fingerprints(docs).count())
+    timed("cdc_chunks",
+          lambda: _textops.cdc_chunks(docs).count())
     # incremental near-dup: the persistent band index is built once
     # (untimed — it is the stored warehouse artifact); the timed cost
     # is probing a 5% crawl increment against it, vs minhash_lsh_dedup
