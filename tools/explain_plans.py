@@ -694,6 +694,40 @@ def main():
         "corpus pays the snap shuffles plus exactly ONE user-key "
         "exchange for the whole gaps-and-islands tail.")
 
+    # segment-intersection join (J6f): the whole predicate must stay
+    # JVM-side — zero Python stages anywhere in the plan
+    si_plan = contract.q_segment_intersections(spark, SF)
+    si_text = plan_text(si_plan)
+    if "Python" in si_text or "ArrowEval" in si_text:
+        raise SystemExit("segment_intersections structural check failed: "
+                         "a Python/Arrow stage appeared in what must be a "
+                         "pure-codegen BIGINT predicate plan")
+    # ("codegen id" ids are absent in AQE non-final stages — the
+    # broadcast join marker is the structural one here)
+    add("segment_intersections (J6f exact crossing join)", si_plan,
+        ["broadcast_join"],
+        "PBSM cell explode on both sides, report-once reference-cell "
+        "filter, then the entire orientation-sign predicate AND the "
+        "rational intersection point as codegen column math — "
+        "structurally enforced to contain zero Python stages, so a "
+        "road-network-scale crossing join never leaves the JVM.")
+
+    # marching-squares contours (J5s): stencil-after-aggregate — the
+    # 4-corner fan + one block rollup; also pure codegen
+    ct_plan = contract.q_contour_lines(spark, SF)
+    ct_text = plan_text(ct_plan)
+    if "Python" in ct_text or "ArrowEval" in ct_text:
+        raise SystemExit("contour_lines structural check failed: a "
+                         "Python/Arrow stage appeared in the "
+                         "marching-squares plan")
+    add("contour_lines (J5s raster->vector isolines)", ct_plan,
+        ["partial_agg"],
+        "per-cell counts -> 4-block corner fan (map-side explode) -> "
+        "ONE (block) rollup rebuilding the corner quadruple -> 16-case "
+        "lookup + exact-rational interpolation, all column math: work "
+        "scales with touched cells, and the only shuffles are the two "
+        "count/block aggregations.")
+
     add("gridgeom polygon_measures (J5m exact measures)", gg_plan,
         ["codegen"],
         "exact BIGINT shoelace area2 + centroid numerators + the IEEE "
