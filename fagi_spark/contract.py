@@ -1060,22 +1060,29 @@ _SEG_B_CTE = """seg_b AS (
 _SEG_AX = ("CASE WHEN ABS(rx) >= ABS(ry) THEN {x} ELSE {y} END")
 
 O_SEGMENT_INTERSECTIONS = f"""WITH {_SEG_A_CTE}, {_SEG_B_CTE},
+-- bbox columns precomputed in MATERIALIZED CTEs: inline
+-- LEAST/GREATEST join predicates over expression columns tickle a
+-- DuckDB internal "non-flat vector" error at sf0.1 row counts
+sega AS MATERIALIZED (
+  SELECT *, LEAST(x1,x2) AS e_xmin, GREATEST(x1,x2) AS e_xmax,
+         LEAST(y1,y2) AS e_ymin, GREATEST(y1,y2) AS e_ymax
+  FROM seg_a WHERE x1 != x2 OR y1 != y2),
+segb AS MATERIALIZED (
+  SELECT *, LEAST(x1,x2) AS e_xmin, GREATEST(x1,x2) AS e_xmax,
+         LEAST(y1,y2) AS e_ymin, GREATEST(y1,y2) AS e_ymax
+  FROM seg_b WHERE x1 != x2 OR y1 != y2),
 cand AS (
   SELECT a.subject AS a_subject, b.subject AS b_subject,
          a.x1 AS ax1, a.y1 AS ay1, b.x1 AS bx1, b.y1 AS by1,
          a.x2 - a.x1 AS rx, a.y2 - a.y1 AS ry,
          b.x2 - b.x1 AS sx, b.y2 - b.y1 AS sy,
-         LEAST(a.x1,a.x2) AS a_xmin, GREATEST(a.x1,a.x2) AS a_xmax,
-         LEAST(a.y1,a.y2) AS a_ymin, GREATEST(a.y1,a.y2) AS a_ymax,
-         LEAST(b.x1,b.x2) AS b_xmin, GREATEST(b.x1,b.x2) AS b_xmax,
-         LEAST(b.y1,b.y2) AS b_ymin, GREATEST(b.y1,b.y2) AS b_ymax
-  FROM seg_a a JOIN seg_b b
-    ON LEAST(a.x1,a.x2) <= GREATEST(b.x1,b.x2)
-   AND LEAST(b.x1,b.x2) <= GREATEST(a.x1,a.x2)
-   AND LEAST(a.y1,a.y2) <= GREATEST(b.y1,b.y2)
-   AND LEAST(b.y1,b.y2) <= GREATEST(a.y1,a.y2)
-  WHERE (a.x1 != a.x2 OR a.y1 != a.y2)
-    AND (b.x1 != b.x2 OR b.y1 != b.y2)),
+         a.e_xmin AS a_xmin, a.e_xmax AS a_xmax,
+         a.e_ymin AS a_ymin, a.e_ymax AS a_ymax,
+         b.e_xmin AS b_xmin, b.e_xmax AS b_xmax,
+         b.e_ymin AS b_ymin, b.e_ymax AS b_ymax
+  FROM sega a JOIN segb b
+    ON a.e_xmin <= b.e_xmax AND b.e_xmin <= a.e_xmax
+   AND a.e_ymin <= b.e_ymax AND b.e_ymin <= a.e_ymax),
 d AS (
   SELECT *,
          rx*(by1-ay1) - ry*(bx1-ax1) AS d1,
@@ -1136,16 +1143,19 @@ clip_b AS (
          (c_custkey*37) % 17000 + c_custkey % 9 + 8 AS xmax,
          (c_custkey*53) % 8000 + c_custkey % 7 + 8 AS ymax
   FROM customer WHERE c_custkey % 4 = 0),
+cpa AS MATERIALIZED (
+  SELECT *, LEAST(x1,x2) AS e_xmin, GREATEST(x1,x2) AS e_xmax,
+         LEAST(y1,y2) AS e_ymin, GREATEST(y1,y2) AS e_ymax
+  FROM seg_a WHERE x1 != x2 OR y1 != y2),
 cp AS (
   SELECT a.subject AS a_subject, b.subject AS b_subject,
          a.x1 AS ax1, a.y1 AS ay1,
          a.x2 - a.x1 AS dx, a.y2 - a.y1 AS dy,
          b.xmin AS bxmin, b.ymin AS bymin,
          b.xmax AS bxmax, b.ymax AS bymax
-  FROM seg_a a JOIN clip_b b
-    ON LEAST(a.x1,a.x2) <= b.xmax AND b.xmin <= GREATEST(a.x1,a.x2)
-   AND LEAST(a.y1,a.y2) <= b.ymax AND b.ymin <= GREATEST(a.y1,a.y2)
-  WHERE (a.x1 != a.x2 OR a.y1 != a.y2)),
+  FROM cpa a JOIN clip_b b
+    ON a.e_xmin <= b.xmax AND b.xmin <= a.e_xmax
+   AND a.e_ymin <= b.ymax AND b.ymin <= a.e_ymax),
 cq AS (
   SELECT *,
          CASE WHEN dx = 0 THEN 1 ELSE ABS(dx) END AS qx,
