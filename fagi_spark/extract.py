@@ -386,6 +386,10 @@ def ring_simple_check(df: DataFrame, wkt: str = "geom_wkt",
                         * 100).cast("long").alias("x"),
                 F.round(F.element_at(F.split(p, " "), 2).cast("double")
                         * 100).cast("long").alias("y"))).alias("_v"))
+    # degenerate 1-vertex rings would hit Spark's DESCENDING
+    # sequence(1, 0) -> [1, 0] and fabricate two NULL-endpoint edges;
+    # drop them here so malformed rows truly pass through as stated
+    vx = vx.filter(F.size("_v") >= 2)
     # edges i = 1..n-1 (vertex i -> i+1); ring closure is the last edge
     edges = vx.select(
         "_s", (F.size("_v") - 1).alias("_ne"),

@@ -933,7 +933,8 @@ def segment_intersections(segs_a: DataFrame, segs_b: DataFrame,
 
 
 def segment_clip_boxes(segs: DataFrame, boxes: DataFrame,
-                       cell_w: int = 32) -> DataFrame:
+                       cell_w: int = 32,
+                       max_span: int | None = None) -> DataFrame:
     """Exact segment↔box overlay clip: for every (segment, box)
     candidate pair, the parameter interval of the segment inside the
     axis-aligned box — Liang-Barsky clipping done entirely in BIGINT
@@ -956,12 +957,26 @@ def segment_clip_boxes(segs: DataFrame, boxes: DataFrame,
     the clipped parameter interval (t0 <= t1; equality = a touch),
     len2_* the exact squared clipped length, and ``frac`` the single
     float division (t1_num - t0_num) / t_den.
+
+    BIGINT bound: ``len2_num = (t1-t0)^2 * (dx^2+dy^2)`` with t-values
+    scaled by q = |dx|·|dy| grows as ~2·L^6 for a segment spanning L
+    grid units per axis, overflowing int64 past L ≈ 1287 (~12.8
+    degrees on the 0.01-degree grid) — unlike the d1·d2 products in
+    segment_intersections, which fit the full coordinate range. An
+    oracle overflows identically, so the contract cannot catch it:
+    pass ``max_span`` to drop longer segments explicitly (mirror the
+    same filter in any oracle), or treat ``frac`` (float) as the only
+    trustworthy length field beyond that span.
     """
     a = (segs.select(F.col("subject").alias("a_subject"),
                      *[F.col(c).cast("long").alias(f"a_{c}")
                        for c in ("x1", "y1", "x2", "y2")])
          .filter((F.col("a_x1") != F.col("a_x2"))
                  | (F.col("a_y1") != F.col("a_y2"))))
+    if max_span is not None:
+        a = a.filter(
+            (F.abs(F.col("a_x2") - F.col("a_x1")) <= max_span)
+            & (F.abs(F.col("a_y2") - F.col("a_y1")) <= max_span))
     b = boxes.select(F.col("subject").alias("b_subject"),
                      *[F.col(c).cast("long").alias(f"b_{c}")
                        for c in ("xmin", "ymin", "xmax", "ymax")])

@@ -522,7 +522,8 @@ hll_e AS (
          CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_empty,
          LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
-           LIST(1.0 / CAST(1 << register AS DOUBLE) ORDER BY bucket)),
+           LIST(1.0 / CAST((CAST(1 AS BIGINT) << register) AS DOUBLE)
+                ORDER BY bucket)),
            (acc, x) -> acc + x) AS harmonic_sum
   FROM hll_f)
 SELECT m, n_empty, harmonic_sum, {lit} / harmonic_sum AS est_raw

@@ -1778,10 +1778,17 @@ def cdc_chunks(df: DataFrame, k: int = 8, mask_bits: int = 5,
     gram = (f"aggregate(transform(sequence(p - {k} + 1, p), "
             f"i -> ascii(substr({t}, i, 1))), 0L, "
             f"(acc, c) -> (acc * 31 + c) % {mod})")
+    # Guard docs shorter than k: Spark's sequence(k, length) DESCENDS
+    # (default step -1) when length < k, scanning positions past
+    # end-of-text (ascii('') = 0) and fabricating boundaries where the
+    # DuckDB mirror's RANGE(k, length + 1) is simply empty. Short docs
+    # must yield exactly one whole-text chunk on both sides.
     ends = (f"array_sort(array_distinct(concat("
+            f"CASE WHEN length({t}) >= {k} THEN "
             f"filter(transform(sequence({k}, length({t})), p -> "
             f"CASE WHEN {gram} % {mask + 1} = 0 THEN p ELSE -1 END), "
-            f"p -> p > 0), array(length({t})))))")
+            f"p -> p > 0) ELSE CAST(array() AS ARRAY<INT>) END, "
+            f"array(length({t})))))")
     chash = (f"aggregate(transform(sequence("
              f"CASE WHEN j = 1 THEN 1 ELSE element_at(_ends, j - 1) + 1 END, "
              f"element_at(_ends, j)), "

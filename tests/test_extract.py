@@ -171,3 +171,17 @@ def test_ring_simple_check_bowtie(spark):
     assert got["tri"] == (3, 0, True)
     # non-polygon rows pass through with NULLs (stated)
     assert got["pt"] == (None, None, None)
+
+
+def test_ring_simple_check_degenerate_one_vertex(spark):
+    """ADVICE r4: a 1-vertex 'ring' must pass through with NULLs, not
+    hit Spark's descending sequence(1, 0) and fabricate two
+    NULL-endpoint edges."""
+    from fagi_spark import extract as ex
+    rows = [("one", "POLYGON ((3.0 4.0))"),
+            ("sq", "POLYGON ((0 0, 1 0, 1 1, 0 0))")]
+    df = spark.createDataFrame(rows, "subject string, geom_wkt string")
+    got = {r.subject: (r.n_edges, r.n_crossings, r.is_simple)
+           for r in ex.ring_simple_check(df).collect()}
+    assert got["one"] == (None, None, None)
+    assert got["sq"] == (3, 0, True)

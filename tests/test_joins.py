@@ -660,3 +660,22 @@ def test_segment_clip_boxes_fraction_reference(spark):
         gd[key] = (Fraction(r.t0_num, r.t_den), Fraction(r.t1_num, r.t_den),
                    Fraction(r.len2_num, r.len2_den))
     assert gd == ref
+
+
+def test_segment_clip_boxes_max_span_guard(spark):
+    """ADVICE r4: len2_num overflows int64 past ~1287 grid units of
+    per-axis span; the optional max_span filter drops such segments
+    explicitly while keeping everything within the bound."""
+    A = [("short", 0, 0, 10, 10), ("long", 0, 0, 2000, 1)]
+    B = [("box", 0, 0, 4000, 4000)]
+    sa = spark.createDataFrame(
+        A, "subject string, x1 long, y1 long, x2 long, y2 long")
+    sb = spark.createDataFrame(
+        B, "subject string, xmin long, ymin long, xmax long, ymax long")
+    unguarded = {r.a_subject
+                 for r in joins.segment_clip_boxes(sa, sb).collect()}
+    assert unguarded == {"short", "long"}
+    guarded = {r.a_subject
+               for r in joins.segment_clip_boxes(
+                   sa, sb, max_span=1287).collect()}
+    assert guarded == {"short"}

@@ -1276,3 +1276,56 @@ def test_cdc_chunks_cover_text_and_shift_robust(spark):
     h2 = {r.chash for r in by_doc[2]}
     shared = len(h1 & h2)
     assert shared >= max(1, len(h1) - 2)
+
+
+def test_cdc_chunks_short_docs_single_chunk(spark):
+    """ADVICE r4: docs with 0 < length < k must yield exactly ONE
+    whole-text chunk — Spark's sequence(k, length) DESCENDS when
+    length < k, which (unguarded) scanned past end-of-text and
+    fabricated boundaries where the DuckDB mirror's empty RANGE
+    yields one chunk. Engine and oracle are compared directly."""
+    import duckdb
+
+    docs = [(i, "abcdefg"[:i]) for i in range(1, 8)]  # 1..7 chars, k=8
+    docs.append((10, "abcdefgh" * 8))                 # one long doc too
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = textops.cdc_chunks(df, k=8, mask_bits=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, text in docs:
+        cs = sorted(by_doc[did], key=lambda r: r.chunk_idx)
+        if len(text) < 8:
+            assert len(cs) == 1
+            assert (cs[0].start, cs[0].length) == (1, len(text))
+        pos = 1
+        for c in cs:
+            assert c.start == pos
+            pos += c.length
+        assert pos == len(text) + 1
+    # value-exact vs the DuckDB mirror on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = sorted(con.execute(
+        "WITH " + textops.sql_cdc_chunks(k=8, mask_bits=4)
+        + " SELECT doc_id, c.chunk_idx, c.start, c.length, c.chash"
+          " FROM cdc_c").fetchall())
+    got = sorted((r.doc_id, r.chunk_idx, r.start, r.length, r.chash)
+                 for r in rows)
+    assert got == want
+
+
+def test_sql_hll_register_shift_is_bigint():
+    """ADVICE r4: the harmonic-sum 1<<register must shift a BIGINT on
+    the DuckDB side too — p=6 allows registers up to 51, past INT32."""
+    from fagi_spark import sketch
+
+    sql = sketch.sql_hll("documents", "text", p=6)
+    assert "CAST(1 AS BIGINT) << register" in sql
+    import duckdb
+    # the fold expression itself survives a register >= 31
+    v = duckdb.sql(
+        "SELECT 1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE) "
+        "FROM (VALUES (40)) t(r)").fetchone()[0]
+    assert v == 1.0 / (1 << 40)
