@@ -185,3 +185,60 @@ def test_ring_simple_check_degenerate_one_vertex(spark):
            for r in ex.ring_simple_check(df).collect()}
     assert got["one"] == (None, None, None)
     assert got["sq"] == (3, 0, True)
+
+
+def test_engine_parity_arrow_vs_pandas(spark):
+    """The mapInArrow kernel (r5 default) is row-identical to the
+    mapInPandas parity witness — with and without in-kernel precedence
+    dedup, and with a carry column (timestamps pass through take())."""
+    pages = synth.synth_pages(spark, 2000, partitions=4)
+    edge = spark.createDataFrame(
+        [("u1", "lat 95.5 long 10.0 junk lat 5 long 7 more lat -2.25 "
+                "long 181 then lat 0.0000000001 long -0.1234567891"),
+         ("u2", None),
+         ("u3", "lat 42 long -71 geometry POINT (3.5 4) and "
+                "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)) end"),
+         ("u4", "MULTIPOINT ((1 2), (3 4)) before lat 1.5 long 2.5"),
+         ("u5", "no geo content at all"),
+         ("u6", "")],
+        "url string, text string")
+    for df, carry in ((pages, ("warc_ts",)), (pages.select("url", "text"), ()),
+                      (edge, ())):
+        for dd in (False, True):
+            a = extract.extract_entities(df, carry=carry, engine="arrow",
+                                         dedup_local=dd)
+            p = extract.extract_entities(df, carry=carry, engine="pandas",
+                                         dedup_local=dd)
+            assert a.schema == p.schema
+            assert a.exceptAll(p).count() == 0
+            assert p.exceptAll(a).count() == 0
+
+
+def test_fast_scans_match_finditer():
+    """_latlong_matches/_wkt_matches are exact finditer twins on
+    adversarial strings: MULTI- prefixes, keywords inside matched
+    spans, case variants, word-boundary fakes, unicode neighbors, and
+    the length-changing-lower() fallback."""
+    from fagi_spark import extract as ex
+    cases = [
+        "lat 1 long 2 lat 3 long 4",
+        "LAT 1 LONG 2 Latitude: 5, Longitude: 6",
+        "flat 1 long 2 splat 3 long 4 lat 5 long 6",   # \b fakes
+        "xlat 1 long 2",                                # no \b
+        "lat9 1 long 2",                                # \w* eats digit? no sep
+        "MULTIPOINT ((1 2), (3 4)) POINT (5 6)",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0))) POLYGON ((2 2, 3 2, 3 3, 2 2))",
+        "aMULTIPOINT ((1 2)) aPOINT (3 4)",             # \b fails on both
+        "LINESTRING (0 0, 1 1) MULTILINESTRING ((0 0, 1 1))",
+        "POINT(1 2)POINT (3 4)",                        # adjacency
+        "ILATIlat 7 long 8",
+        "İlat 1 long 2 lat 3 long 4",  # 'İ'.lower() adds a combining char
+        "no geo at all", "", "POINT", "POLYGON ((", "lat long lat 1 long 2",
+    ]
+    for t in cases:
+        a = [(m.start(), m.end(), m.groups()) for m in ex.LATLONG_RE.finditer(t)]
+        b = [(m.start(), m.end(), m.groups()) for m in ex._latlong_matches(t)]
+        assert a == b, (t, a, b)
+        aw = [(m.start(), m.end(), m.group(0)) for m in ex.WKT_RE.finditer(t)]
+        bw = [(m.start(), m.end(), m.group(0)) for m in ex._wkt_matches(t)]
+        assert aw == bw, (t, aw, bw)
