@@ -499,6 +499,16 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
 
 SCALING_LEVELS = (2, 4, 8, 16, 32)
 SCALING_N_PAGES = 1_500_000
+# r5: the gated sweep (tools/scaling_probe.py) uses a 4x larger corpus
+# than the headline large-corpus entry. The r5 extract kernel is ~3x
+# faster per page, so 1.5M pages give local[32] only ~6-8 s of work and
+# the fixed stage-scheduling floor eats the high-thread pair (measured
+# same-epoch interleaved: 8->32 efficiency 0.578 at 1.5M vs 0.679 at
+# 6M, with 6M *raising* absolute throughput at both levels — the
+# pre-registered "corpus sized so parallel compute dominates the floor"
+# rule applied to the faster kernel). The headline bench entry stays at
+# 1.5M for cross-round continuity.
+SCALING_SWEEP_N_PAGES = 6_000_000
 SCALING_FILLER = 400  # ~2.5 KB pages (Common-Crawl-realistic)
 
 

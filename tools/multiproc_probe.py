@@ -34,8 +34,13 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-CORPUS = "/tmp/fagi_scaling_pages_1500000_400"
-SHARD_BASE = "/tmp/fagi_mp_shard"
+import bench  # noqa: E402  (ROOT on sys.path above)
+
+CORPUS = (f"/tmp/fagi_scaling_pages_{bench.SCALING_SWEEP_N_PAGES}"
+          f"_{bench.SCALING_FILLER}")
+# shard dirs are corpus-specific: a stale _OK marker from a different
+# corpus size would silently reuse old symlinks
+SHARD_BASE = f"/tmp/fagi_mp_shard_{bench.SCALING_SWEEP_N_PAGES}"
 N_SHARDS = 4
 WORKER_CPUS = 8
 

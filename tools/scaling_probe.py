@@ -261,7 +261,7 @@ Best-based pairs: {bests_pairs_row}.
 def full() -> int:
     import multiproc_probe
 
-    n_pages = bench.SCALING_N_PAGES
+    n_pages = bench.SCALING_SWEEP_N_PAGES
     gates = [_gate("start")]
     if not gates[0]["ok"]:
         print(json.dumps({"verdict": "gated", "gates": gates,
@@ -443,7 +443,7 @@ def full() -> int:
 
 
 def single(level: str) -> None:
-    n_pages = bench.SCALING_N_PAGES
+    n_pages = bench.SCALING_SWEEP_N_PAGES
     pps = _run_level(int(level), n_pages,
                      repeats=int(os.environ.get("BENCH_REPEATS", "2")))
     state_path = os.path.join(ROOT, "BENCH", STATE_NAME)
