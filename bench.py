@@ -184,32 +184,56 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     n_pages = max(2000, int(N_PAGES_PER_SF * sf))
 
     queries: dict[str, float] = {}
+    entry_steal: dict[str, float] = {}
+
+    def _stat():
+        """(steal_jiffies, total_jiffies) from the aggregate cpu line."""
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
     def timed(name, fn, repeat=2):
         """min-of-N timing: host co-tenant noise epochs can multiply a
         single pass severalfold (BENCH/BASELINE.md); every query here
         is a pure action (count/collect), so repeating is safe. The
         first pass also absorbs one-time python-worker/JIT warmup, the
-        same rationale as the pipeline entries' min-of-2."""
+        same rationale as the pipeline entries' min-of-2.
+
+        Each entry also records the host steal%% measured over the
+        winning pass itself (r4 verdict item 3): a single regressed
+        number is then attributable to a co-tenant epoch without
+        re-running the suite. Steal is read from /proc/stat deltas, so
+        the stamp costs nothing."""
         best = None
+        steal = None
         for _ in range(repeat):
+            s0, j0 = _stat()
             t0 = time.time()
             out = fn()
             d = time.time() - t0
-            best = d if best is None else min(best, d)
+            s1, j1 = _stat()
+            if best is None or d < best:
+                best = d
+                steal = 100.0 * (s1 - s0) / max(1, j1 - j0)
         queries[name] = round(best, 3)
+        entry_steal[name] = round(steal, 2)
         return out
 
     # 1. north-rule pipeline (flagship); corpus materialization untimed
     pages = prepare_pages(spark, n_pages, f"/tmp/fagi_bench_pages_{n_pages}",
                           filler_words=SCALING_FILLER)
-    pipeline_s = None
+    pipeline_s, _ps = None, None
     for _ in range(2):  # min-of-2 vs host noise epochs
+        s0, j0 = _stat()
         t0 = time.time()
         n_match, n_tiles = run_pipeline(spark, pages)
         d = time.time() - t0
-        pipeline_s = d if pipeline_s is None else min(pipeline_s, d)
+        s1, j1 = _stat()
+        if pipeline_s is None or d < pipeline_s:
+            pipeline_s = d
+            _ps = 100.0 * (s1 - s0) / max(1, j1 - j0)
     queries["pipeline_geocode_join_tile"] = round(pipeline_s, 3)
+    entry_steal["pipeline_geocode_join_tile"] = round(_ps, 2)
 
     # 1b. load-bound headline: the same pipeline on the 1.5M-page
     # materialized corpus (~2.5 KB pages). The sf-scaled run above is
@@ -225,13 +249,18 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     # min-of-3: the host's co-tenant noise epochs can double a single
     # pass; three interleaved-with-nothing repeats keep the headline a
     # capacity estimate rather than a noise sample
-    large_s = None
+    large_s, _ls = None, None
     for _ in range(3):
+        s0, j0 = _stat()
         t0 = time.time()
         run_pipeline(spark, large)
         d = time.time() - t0
-        large_s = d if large_s is None else min(large_s, d)
+        s1, j1 = _stat()
+        if large_s is None or d < large_s:
+            large_s = d
+            _ls = 100.0 * (s1 - s0) / max(1, j1 - j0)
     queries["pipeline_large_corpus"] = round(large_s, 3)
+    entry_steal["pipeline_large_corpus"] = round(_ls, 2)
 
     # 2. FAGI operator headliners on the driver's parquet tables
     from fagi_spark import contract
@@ -464,6 +493,9 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # per-entry host steal%% over each entry's winning pass — the
+        # attribution stamp for single-entry regressions (r4 item 3)
+        "entry_steal_pct": entry_steal,
         "sf": sf,
         "n_pages": n_pages,
         # headline throughput = the load-bound large-corpus run;

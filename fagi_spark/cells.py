@@ -32,6 +32,85 @@ RESOLUTIONS = (7, 10, 13)
 MAX_RES = 28  # 2*res bits must fit under the res tag (res << 58)
 _RES_SHIFT = 58
 
+# Cell-assignment provider used when cell_col's provider arg is None:
+# "grid" (the in-container default) or "h3" (import-guarded).
+import os as _os  # noqa: E402
+
+DEFAULT_PROVIDER = _os.environ.get("FAGI_CELL_PROVIDER", "grid")
+
+
+def _h3mod():
+    """Import-guarded h3 handle (SURVEY §7.4 sanctions the grid
+    stand-in; a container that ships ``h3`` gets true hexagons with
+    zero call-site changes). Checked driver-side at column build so a
+    missing package fails fast, not inside a Spark task."""
+    try:
+        import h3
+    except ImportError as e:  # pragma: no cover - h3 absent in CI
+        raise ImportError(
+            "cell provider 'h3' needs the optional h3 package "
+            "(pip install h3); the bit-interleave grid provider is "
+            "the built-in default") from e
+    return h3
+
+
+def h3_cell_col(lon: Column, lat: Column, res: int) -> Column:
+    """True-H3 cell assignment as an Arrow pandas UDF -> int64 H3
+    index. The slow path by design (per-row C calls through the h3
+    python binding vs pure JVM codegen for the grid) — use it when
+    hexagonal adjacency semantics matter more than raw assignment
+    throughput."""
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    _h3mod()  # fail fast on the driver
+
+    @pandas_udf("long")
+    def _k(lo: "_pd.Series", la: "_pd.Series") -> "_pd.Series":
+        h3 = _h3mod()
+        to_int = getattr(h3, "str_to_int", None)
+        cell = getattr(h3, "latlng_to_cell", None) or h3.geo_to_h3
+        out = []
+        for o, a in zip(lo, la):
+            if o is None or a is None:
+                out.append(None)
+                continue
+            c = cell(float(a), float(o), res)
+            out.append(to_int(c) if isinstance(c, str) else int(c))
+        return _pd.Series(out, dtype="object")
+
+    return _k(lon, lat)
+
+
+def explode_disk_h3(df: DataFrame, k: int, cell: str = "cell",
+                    out: str = "probe_cell") -> DataFrame:
+    """``explode_ring`` twin for h3-provider cells: one row per cell
+    of ``h3.grid_disk(cell, k)`` — the hexagonal candidate-probe
+    expansion for radius/kNN joins over opaque H3 ids."""
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    _h3mod()
+
+    @pandas_udf("array<long>")
+    def _disk(c: "_pd.Series") -> "_pd.Series":
+        h3 = _h3mod()
+        to_int = getattr(h3, "str_to_int", None)
+        to_str = getattr(h3, "int_to_str", None)
+        disk = getattr(h3, "grid_disk", None) or h3.k_ring
+        out_ = []
+        for v in c:
+            if v is None:
+                out_.append(None)
+                continue
+            key = to_str(int(v)) if to_str is not None else int(v)
+            cells_ = disk(key, k)
+            out_.append([to_int(x) if isinstance(x, str) else int(x)
+                         for x in cells_])
+        return _pd.Series(out_, dtype="object")
+
+    return df.withColumn(out, F.explode(_disk(F.col(cell))))
+
 
 def cell_width_deg(res: int) -> float:
     """Cell width in lon degrees (cells are 2:1 rectangles: 360 x 180
@@ -86,8 +165,29 @@ def pack_cell_value(ix: int, iy: int, res: int) -> int:
     return (res << _RES_SHIFT) | (ix << res) | iy
 
 
-def cell_col(lon: Column, lat: Column, res: int) -> Column:
-    return pack_cell(ix_col(lon, res), iy_col(lat, res), res)
+def cell_col(lon: Column, lat: Column, res: int,
+             provider: str | None = None) -> Column:
+    """Cell id at ``res``. ``provider`` (default: module-level
+    ``DEFAULT_PROVIDER``, normally "grid"):
+
+    - ``"grid"`` — the bit-interleave lon/lat raster above: pure JVM
+      column arithmetic, oracle-mirrored, and the id the ring-join /
+      bounds / pyramid machinery understands.
+    - ``"h3"`` — true hexagonal H3 cells via the import-guarded
+      ``h3`` package (the wordnet_sem pattern: same API, optional
+      dependency). Ids are opaque int64 H3 indexes — valid wherever
+      the cell is a BUCKET (equality joins, tile rollups, counts,
+      ``explode_disk_h3`` ring probes), NOT for the grid-geometry
+      helpers (unpack_ix/with_cell_bounds/ring_k_for_radius, which
+      own the rectangular layout). Set env ``FAGI_CELL_PROVIDER=h3``
+      or ``DEFAULT_PROVIDER`` to flip every default call site at
+      once."""
+    p = provider or DEFAULT_PROVIDER
+    if p == "grid":
+        return pack_cell(ix_col(lon, res), iy_col(lat, res), res)
+    if p == "h3":
+        return h3_cell_col(lon, lat, res)
+    raise ValueError(f"unknown cell provider {p!r} (use 'grid' or 'h3')")
 
 
 def with_cell(df: DataFrame, res: int, lon: str = "lon", lat: str = "lat",

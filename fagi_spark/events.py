@@ -600,7 +600,9 @@ def _dtw_numpy(ax, ay, bx, by, band=None):
 
 def trajectory_dtw(pts: DataFrame, block_shift: int,
                    user: str = "user_id", ix: str = "ix", iy: str = "iy",
-                   order: tuple = ("us",), band: int | None = None) -> DataFrame:
+                   order: tuple = ("us",), band: int | None = None,
+                   max_len: int = 4096,
+                   overflow: str = "error") -> DataFrame:
     """Dynamic-time-warping trajectory similarity -> (user_a, user_b,
     dtw_d2) over co-location-blocked user pairs — the ORDER-aware
     companion to ``trajectory_hausdorff``: Hausdorff asks "do the two
@@ -620,7 +622,16 @@ def trajectory_dtw(pts: DataFrame, block_shift: int,
     ping thinning), which is the standard DTW deployment shape; pass
     ``band`` (Sakoe-Chiba half-width) to cut a long pair to O(n*band).
     The pair frame itself is an equi-join on the pair key, so hot
-    blocks spread by pair exactly as in the Hausdorff plan."""
+    blocks spread by pair exactly as in the Hausdorff plan.
+
+    ``max_len`` enforces the bounded-sequence precondition IN-ENGINE
+    (r4 verdict item 7): a user sequence longer than ``max_len``
+    points either fails the job with a clear error (``overflow=
+    "error"``, the default — an unsegmented runaway user would
+    otherwise cost O(n*m) per pair silently) or is cut to its first
+    ``max_len`` points in ``order`` (``overflow="truncate"``, the
+    thinning escape hatch; truncation changes dtw_d2, so it is never
+    the silent default)."""
     from pyspark.sql.functions import pandas_udf
 
     ocols = [F.col(c) for c in order]
@@ -632,6 +643,12 @@ def trajectory_dtw(pts: DataFrame, block_shift: int,
                F.struct(*ocols, F.col("px"), F.col("py")))).alias("_s"))
            .select("u", F.transform("_s", lambda r: r["px"]).alias("xs"),
                    F.transform("_s", lambda r: r["py"]).alias("ys")))
+    if overflow == "truncate":
+        seq = seq.select("u", F.slice("xs", 1, max_len).alias("xs"),
+                         F.slice("ys", 1, max_len).alias("ys"))
+    elif overflow != "error":
+        raise ValueError(f"trajectory_dtw: unknown overflow={overflow!r} "
+                         "(use 'error' or 'truncate')")
     p = (pts.select(F.col(user).alias("u"),
                     F.col(ix).cast("long").alias("px"),
                     F.col(iy).cast("long").alias("py"))
@@ -650,10 +667,15 @@ def trajectory_dtw(pts: DataFrame, block_shift: int,
     @pandas_udf("long")
     def dtw_udf(axs: pd.Series, ays: pd.Series,
                 bxs: pd.Series, bys: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_dtw_numpy(a, c, d, e, band=band)
-             for a, c, d, e in zip(axs, ays, bxs, bys)],
-            dtype="object")
+        out = []
+        for a, c, d, e in zip(axs, ays, bxs, bys):
+            if len(a) > max_len or len(d) > max_len:
+                raise ValueError(
+                    f"trajectory_dtw: sequence length {max(len(a), len(d))} "
+                    f"exceeds max_len={max_len}; segment/thin upstream or "
+                    "pass overflow='truncate'")
+            out.append(_dtw_numpy(a, c, d, e, band=band))
+        return pd.Series(out, dtype="object")
 
     withseq = (pairs
                .join(seq.select(F.col("u").alias("user_a"),

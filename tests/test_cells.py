@@ -820,3 +820,50 @@ def test_contour_segments_single_peak_and_parity(spark):
     got = {(r.bi, r.bj, r.mcase, r.seg_idx) for r in
            c.contour_segments(f2, 5).collect()}
     assert (0, 0, 5, 0) in got and (0, 0, 5, 1) in got  # the saddle block
+
+
+def test_cell_provider_seam(spark):
+    """r4 verdict item 5: the import-guarded h3 provider behind
+    cells.cell_col. The grid provider is byte-identical to the historic
+    default; provider='h3' either runs the real h3 path (where the package
+    is importable) or fails fast driver-side with install guidance."""
+    import pytest
+
+    pts = [(-71.0571, 42.3601), (12.5, 41.9), (139.69, 35.68)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    legacy = [r.c for r in df.select(
+        cells.pack_cell(cells.ix_col(F.col("lon"), 9),
+                        cells.iy_col(F.col("lat"), 9), 9).alias("c")).collect()]
+    grid = [r.c for r in df.select(
+        cells.cell_col(F.col("lon"), F.col("lat"), 9,
+                       provider="grid").alias("c")).collect()]
+    dflt = [r.c for r in df.select(
+        cells.cell_col(F.col("lon"), F.col("lat"), 9).alias("c")).collect()]
+    assert legacy == grid == dflt
+
+    with pytest.raises(ValueError, match="provider"):
+        cells.cell_col(F.col("lon"), F.col("lat"), 9, provider="s2")
+
+    try:
+        import h3  # noqa: F401
+        have_h3 = True
+    except ImportError:
+        have_h3 = False
+    if not have_h3:
+        with pytest.raises(ImportError, match="pip install h3"):
+            cells.cell_col(F.col("lon"), F.col("lat"), 9, provider="h3")
+        with pytest.raises(ImportError, match="pip install h3"):
+            cells.explode_disk_h3(df.withColumn(
+                "cell", F.lit(0).cast("long")), 1)
+    else:  # pragma: no cover - h3 absent in this container
+        got = [r.c for r in df.select(
+            cells.cell_col(F.col("lon"), F.col("lat"), 9,
+                           provider="h3").alias("c")).collect()]
+        want = [int(h3.str_to_int(h3.latlng_to_cell(la, lo, 9)))
+                for lo, la in pts]
+        assert got == want
+        disks = cells.explode_disk_h3(
+            df.select(cells.cell_col(F.col("lon"), F.col("lat"), 9,
+                                     provider="h3").alias("cell")), 1)
+        per = disks.groupBy("cell").count().collect()
+        assert all(r["count"] in (6, 7) for r in per)  # hex + pentagons

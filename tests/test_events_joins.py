@@ -1126,3 +1126,39 @@ def test_theil_sen_outlier_resistant(spark):
     # robust slope stays at the underlying 2/day despite the 500-burst
     assert abs(r.slope - 2.0) < 0.75
     assert abs(r.slope_num / r.slope_den - r.slope) < 1e-12
+
+
+def test_dtw_max_len_guard(spark):
+    """r4 verdict item 7: the O(n*m) blowup guard. Long sequences fail
+    loudly by default; overflow='truncate' cuts to the first max_len
+    points in order; short sequences are unaffected by the guard."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [("a", i, 10 + i, 20) for i in range(30)]
+    rows += [("b", i, 10 + i, 21) for i in range(30)]
+    df = spark.createDataFrame(rows, "user_id string, us long, ix long, iy long")
+    base = {(r.user_a, r.user_b): r.dtw_d2
+            for r in ev.trajectory_dtw(df, 8).collect()}
+    assert base  # a-b share a block
+
+    guarded = ev.trajectory_dtw(df, 8, max_len=10)
+    with pytest.raises((Py4JJavaError, Exception), match="max_len"):
+        guarded.collect()
+
+    # truncate: identical to running on the first-10-points input
+    trunc = {(r.user_a, r.user_b): r.dtw_d2
+             for r in ev.trajectory_dtw(
+                 df, 8, max_len=10, overflow="truncate").collect()}
+    short = spark.createDataFrame([r for r in rows if r[1] < 10],
+                                  "user_id string, us long, ix long, iy long")
+    want = {(r.user_a, r.user_b): r.dtw_d2
+            for r in ev.trajectory_dtw(short, 8).collect()}
+    assert trunc == want
+    # guard is a no-op for in-bound sequences
+    same = {(r.user_a, r.user_b): r.dtw_d2
+            for r in ev.trajectory_dtw(df, 8, max_len=30).collect()}
+    assert same == base
+
+    with pytest.raises(ValueError, match="overflow"):
+        ev.trajectory_dtw(df, 8, overflow="bogus")
