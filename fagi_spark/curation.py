@@ -7,7 +7,7 @@ per-domain volume caps, benchmark decontamination, boilerplate line
 removal (CCNet-style line-frequency filter), and deterministic
 stratified sampling. Every operator is a pure DataFrame plan — no
 Python on the hot path — and each has a value-exact DuckDB oracle in
-the contract (fagi_spark/contract.py) built from the same string/int
+the contract (fagi_spark/contract/) built from the same string/int
 ops on both sides.
 
 Scale notes per operator are in the docstrings; none performs an
