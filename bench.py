@@ -222,6 +222,14 @@ def bench_once(sf_dir: str, cpus: str) -> dict:
     # 1. north-rule pipeline (flagship); corpus materialization untimed
     pages = prepare_pages(spark, n_pages, f"/tmp/fagi_bench_pages_{n_pages}",
                           filler_words=SCALING_FILLER)
+    # untimed warmup: this entry is the session's FIRST job, so its
+    # first pass pays python-worker spawn + JIT (~7 s of one-time cost
+    # at local[32] — measured 9.9 s cold vs 2.3-2.9 s warm on the same
+    # input) and min-of-2 then hinges entirely on the single remaining
+    # pass. The scaling path has always warmed first for exactly this
+    # reason; this is the r4/r5 'pipeline_geocode_join_tile regression'
+    # — a cold-start artifact, not an engine change.
+    run_pipeline(spark, pages)
     pipeline_s, _ps = None, None
     for _ in range(2):  # min-of-2 vs host noise epochs
         s0, j0 = _stat()
